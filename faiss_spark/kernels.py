@@ -1,0 +1,137 @@
+"""Numpy distance/top-k kernels used inside Arrow-batched Pandas UDFs.
+
+These mirror the faiss brute-force BLAS path (reference
+faiss/utils/distances.cpp:271-354 ``exhaustive_L2sqr_blas``: tiled GEMM of
+``-2 X Qᵀ`` plus row norms) and the bounded-heap accumulation
+(faiss/utils/Heap.h, faiss/impl/ResultHandler.h). On Spark the tiling is
+the Arrow record batch; the per-partition heap is a running (nq, k)
+candidate set merged with ``np.argpartition`` — O(n) per batch, no sort.
+
+All distance math is float64 so results hash-match a SQL double oracle;
+the GEMM still runs through BLAS (dgemm), which at d≈64-1024 is far from
+the bottleneck relative to shuffle/scan at scale.
+
+Metric conventions follow faiss (reference faiss/MetricType.h:23-33):
+  l2      -> squared L2, smaller is better (faiss returns squared L2)
+  ip      -> inner product, larger is better
+  cosine  -> cosine similarity, larger is better
+  l1/linf -> smaller is better
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: metrics where larger values are better (similarities)
+SIMILARITY_METRICS = frozenset({"ip", "cosine"})
+METRICS = frozenset({"l2", "ip", "cosine", "l1", "linf"})
+
+
+def as_matrix(col) -> np.ndarray:
+    """Stack a pandas Series / list of array<float> into (n, d) float64."""
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.asarray(np.stack(col), dtype=np.float64)
+
+
+def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
+    """Dense (nq, nx) distance/similarity matrix, float64.
+
+    l2 follows faiss and returns *squared* L2 (reference
+    faiss/utils/distances.h:232 ``knn_L2sqr``).
+    """
+    if metric == "l2":
+        # ||q||^2 + ||x||^2 - 2 q.x  (same decomposition as the reference)
+        d2 = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (X * X).sum(axis=1)[None, :]
+            - 2.0 * (Q @ X.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        return d2
+    if metric == "ip":
+        return Q @ X.T
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        xn[xn == 0] = 1.0
+        return (Q / qn) @ (X / xn).T
+    if metric == "l1":
+        return np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
+    if metric == "linf":
+        return np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}")
+
+
+class TopKAccumulator:
+    """Running per-query top-k over a stream of candidate blocks.
+
+    Spark-side equivalent of faiss's ``ResultHeap`` partial/final merge
+    (reference faiss/python/extra_wrappers.py:136-174): each Arrow batch
+    contributes (nq, block) distances; we keep the best k per query with
+    ``np.argpartition`` (O(n), no full sort) and tie-break (dist, id)
+    deterministically at emit time.
+    """
+
+    def __init__(self, nq: int, k: int, largest: bool):
+        self.nq = nq
+        self.k = k
+        self.largest = largest
+        self.dist = np.empty((nq, 0), dtype=np.float64)
+        self.ids = np.empty((nq, 0), dtype=np.int64)
+
+    def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:
+        """block_dist: (nq, m); block_ids: (m,)"""
+        ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
+        self.dist = np.concatenate([self.dist, block_dist], axis=1)
+        self.ids = np.concatenate([self.ids, ids], axis=1)
+        if self.dist.shape[1] > 4 * self.k:
+            self._shrink()
+
+    def _shrink(self) -> None:
+        m = self.dist.shape[1]
+        if m <= self.k:
+            return
+        key = -self.dist if self.largest else self.dist
+        part = np.argpartition(key, self.k - 1, axis=1)[:, : self.k]
+        rows = np.arange(self.nq)[:, None]
+        self.dist = np.take_along_axis(self.dist, part, axis=1)
+        self.ids = np.take_along_axis(self.ids, part, axis=1)
+        del rows
+
+    def emit(self):
+        """Return (qidx, id, dist) 1-D arrays of the final per-query top-k,
+        sorted by (dist, id) within each query (ascending for distances,
+        descending dist for similarities — id ascending always)."""
+        self._shrink()
+        nq, m = self.dist.shape
+        if m == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        # per-row lexsort: sort by id first (stable), then by key (stable)
+        # => deterministic (dist, id) tie-break, matching ORDER BY dist, id
+        idx_by_id = np.argsort(self.ids, axis=1, kind="stable")
+        d_sorted = np.take_along_axis(self.dist, idx_by_id, axis=1)
+        i_sorted = np.take_along_axis(self.ids, idx_by_id, axis=1)
+        k_sorted = -d_sorted if self.largest else d_sorted
+        idx_by_key = np.argsort(k_sorted, axis=1, kind="stable")
+        d_final = np.take_along_axis(d_sorted, idx_by_key, axis=1)[:, : self.k]
+        i_final = np.take_along_axis(i_sorted, idx_by_key, axis=1)[:, : self.k]
+        kk = d_final.shape[1]
+        qidx = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        return qidx, i_final.ravel(), d_final.ravel()
+
+
+def topk_merge(dist: np.ndarray, ids: np.ndarray, k: int, largest: bool):
+    """One-shot top-k of a (nq, m) block; returns (nq, k') dist/id arrays
+    sorted with (dist, id) tie-break."""
+    acc = TopKAccumulator(dist.shape[0], k, largest)
+    acc.push(dist, ids) if ids.ndim == 1 else None
+    if ids.ndim == 2:
+        acc.dist = dist.astype(np.float64, copy=False)
+        acc.ids = ids.astype(np.int64, copy=False)
+    return acc.emit()

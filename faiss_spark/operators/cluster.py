@@ -1,0 +1,200 @@
+"""K-means clustering with faiss `Clustering` semantics.
+
+Reference: faiss/Clustering.cpp:76-505 (Lloyd's loop), faiss/Clustering.h:21-116
+(params), faiss/python/extra_wrappers.py:230-356 (the numpy-facing Kmeans API),
+contrib/clustering.py:121-360 (the distributed blueprint).
+
+Faiss itself TRAINS ON A SUBSAMPLE — at most ``max_points_per_centroid * k``
+points (Clustering.cpp:93,318) — and only the *assignment* step touches the
+full dataset. We keep exactly that split:
+
+  fit    : seeded sample of ≤ max_points_per_centroid*k rows is collected to
+           the driver (bounded: k=65536, mpc=256, d=64 ≈ 4 GB worst case;
+           typical ≤ 100 MB) and Lloyd's runs in numpy — deterministic,
+           byte-stable across partitionings (the hard problem in SURVEY §7
+           "what's hard (b)").
+  assign : one distributed pass — broadcast centroids, argmin via GEMM in
+           mapInPandas. This is the step that scales to 100 TB, and it is
+           embarrassingly parallel (no shuffle).
+
+Empty-cluster handling mirrors ``split_clusters`` (Clustering.cpp:220-270):
+an empty centroid is re-seeded from the largest cluster's centroid with a
+deterministic ±epsilon perturbation. ``nredo`` restarts keep the run with the
+best (lowest) objective. ``spherical`` renormalizes centroids each iteration
+(faiss/Clustering.h:37).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faiss_spark.kernels import as_matrix
+
+
+EPS_SPLIT = 1.0 / 1024.0  # same perturbation faiss uses (Clustering.cpp:249)
+
+
+def _lloyd(
+    X: np.ndarray,
+    k: int,
+    niter: int,
+    seed: int,
+    spherical: bool,
+    weights: np.ndarray | None = None,
+):
+    """Deterministic single-node Lloyd's on the training sample."""
+    n, d = X.shape
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)[:k]
+    C = X[perm].copy()
+    if spherical:
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C /= norms
+    w = weights if weights is not None else np.ones(n, dtype=np.float64)
+    obj_history = []
+    for _ in range(niter):
+        # assign: argmin squared L2 (or argmax IP when spherical)
+        if spherical:
+            sim = X @ C.T
+            labels = np.argmax(sim, axis=1)
+            obj = float((w * sim[np.arange(n), labels]).sum())
+        else:
+            d2 = (
+                (X * X).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            labels = np.argmin(d2, axis=1)
+            obj = float((w * np.maximum(d2[np.arange(n), labels], 0.0)).sum())
+        obj_history.append(obj)
+        # update
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.float64)
+        np.add.at(sums, labels, X * w[:, None])
+        np.add.at(counts, labels, w)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+        # split_clusters: reseed empties from the biggest cluster
+        for ci in np.nonzero(~nonempty)[0]:
+            big = int(np.argmax(counts))
+            C[ci] = C[big] * (1 + EPS_SPLIT)
+            C[big] = C[big] * (1 - EPS_SPLIT)
+            counts[ci] = counts[big] / 2
+            counts[big] = counts[big] - counts[ci]
+        if spherical:
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            C /= norms
+    return C, obj_history
+
+
+@dataclass
+class KMeansModel:
+    """Fitted model: the broadcastable artifact (SURVEY §1.1 'Index =
+    table layout + model')."""
+
+    centroids: np.ndarray  # (k, d) float64
+    obj: list = field(default_factory=list)
+    k: int = 0
+    d: int = 0
+    spherical: bool = False
+
+    def assign(
+        self, df: DataFrame, vec_col: str = "vec", id_col: str = "id"
+    ) -> DataFrame:
+        """Distributed 1-NN assignment to centroids (reference
+        faiss/Index.h:158 ``assign``): broadcast centroids, GEMM argmin per
+        Arrow batch. No shuffle; output schema (id, cluster, dist)."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self.centroids)
+        spherical = self.spherical
+
+        def do_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            cnorm = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                if spherical:
+                    sim = X @ C.T
+                    labels = np.argmax(sim, axis=1)
+                    dist = sim[np.arange(len(X)), labels]
+                else:
+                    d2 = (
+                        (X * X).sum(1)[:, None]
+                        + cnorm[None, :]
+                        - 2.0 * (X @ C.T)
+                    )
+                    labels = np.argmin(d2, axis=1)
+                    dist = np.maximum(d2[np.arange(len(X)), labels], 0.0)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype=np.int64),
+                        "cluster": labels.astype(np.int32),
+                        "dist": dist,
+                    }
+                )
+
+        src = df.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        return src.mapInPandas(do_assign, schema="id bigint, cluster int, dist double")
+
+    def imbalance_factor(self, assigned: DataFrame) -> float:
+        """Cluster balance diagnostic (reference faiss/Clustering.cpp:49,
+        contrib/clustering.py:274): k * sum(n_i^2) / n^2; 1.0 = perfect."""
+        sizes = assigned.groupBy("cluster").count().agg(
+            F.sum(F.col("count") * F.col("count")).alias("ss"),
+            F.sum("count").alias("n"),
+        ).collect()[0]
+        return float(self.k * sizes["ss"] / (sizes["n"] ** 2))
+
+
+class KMeans:
+    """Estimator facade mirroring faiss.Kmeans (reference
+    faiss/python/extra_wrappers.py:230-356)."""
+
+    def __init__(
+        self,
+        k: int,
+        niter: int = 25,
+        nredo: int = 1,
+        seed: int = 1234,
+        spherical: bool = False,
+        max_points_per_centroid: int = 256,
+    ):
+        self.k = k
+        self.niter = niter
+        self.nredo = nredo
+        self.seed = seed
+        self.spherical = spherical
+        self.max_points_per_centroid = max_points_per_centroid
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> KMeansModel:
+        max_train = self.max_points_per_centroid * self.k
+        n = df.count()
+        sample = df.select(vec_col)
+        if n > max_train:
+            # seeded sample, slight over-draw then exact limit → deterministic
+            frac = min(1.0, 1.2 * max_train / n)
+            sample = sample.sample(fraction=frac, seed=self.seed).limit(max_train)
+        X = as_matrix(sample.toPandas()[vec_col])
+        best = None
+        for redo in range(self.nredo):
+            C, objs = _lloyd(
+                X, self.k, self.niter, self.seed + redo, self.spherical
+            )
+            if best is None or objs[-1] < best[1][-1]:
+                best = (C, objs)
+        C, objs = best
+        return KMeansModel(
+            centroids=C, obj=objs, k=self.k, d=C.shape[1], spherical=self.spherical
+        )

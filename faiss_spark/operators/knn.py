@@ -1,0 +1,258 @@
+"""Brute-force exact k-NN and range search over a vector table.
+
+Spark-first re-expression of faiss's ``IndexFlat`` search path
+(reference faiss/IndexFlat.cpp, faiss/utils/distances.cpp:271-354) and of
+``contrib/exhaustive_search.py:15-52`` ``knn_ground_truth`` (queries stay
+resident, the big table streams by):
+
+  stage A  queries (the SMALL side) are collected once and broadcast to
+           executors as a contiguous float64 numpy block — this is the
+           "broadcast the dimension table" pattern; the 100 TB side is
+           never collected or shuffled.
+  stage B  ``mapInPandas`` over the vector table: each Arrow batch is the
+           GEMM tile; a per-partition TopKAccumulator keeps nq×k
+           candidates (map-side partial aggregation).
+  stage C  the only shuffle: ≤ num_partitions × nq × k candidate rows
+           (tiny) are re-ranked with a window for the global top-k
+           (final aggregation, = faiss ResultHeap merge).
+
+At 1000 executors × 100 TB this plan scans every partition exactly once,
+shuffles O(P·nq·k) rows, and never sorts the full distance matrix.
+
+Scale notes:
+- Queries are assumed to fit in a broadcast (≤ ~1 GB, i.e. millions of
+  vectors at d=64). For larger query sets, chunk the query side and union
+  the results (same plan, run per chunk) — see ``knn_join`` for the
+  self-join case.
+- ``.explain``: stage B shows a single WholeStageCodegen scan feeding
+  MapInPandas (filter/pruning pushed below it); stage C is one small
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from faiss_spark.kernels import (
+    SIMILARITY_METRICS,
+    TopKAccumulator,
+    as_matrix,
+    pairwise_distances,
+)
+
+_RESULT_SCHEMA = "qid bigint, id bigint, dist double"
+
+
+def _validate_metric(metric: str) -> None:
+    from faiss_spark.kernels import METRICS
+
+    if metric not in METRICS:
+        raise ValueError(
+            f"unknown metric {metric!r}; expected one of {sorted(METRICS)}"
+        )
+
+
+def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str):
+    """Collect the (small) query side to the driver as (ids, matrix)."""
+    pdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = pdf[qid_col].to_numpy(dtype=np.int64)
+    Q = as_matrix(pdf[qvec_col])
+    return qids, Q
+
+
+def _scan_partitions(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    make_emit,
+):
+    """mapInPandas scan of the vector table; `make_emit` builds the
+    per-partition batch handler (closure over broadcast queries)."""
+    src = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return src.mapInPandas(make_emit, schema=_RESULT_SCHEMA)
+
+
+def knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors of every query under `metric`.
+
+    Returns DataFrame(qid bigint, id bigint, dist double, rank int) —
+    exploded long form (SURVEY §1.1); rows with rank ≤ k; padding rows
+    (fewer than k matches) are simply absent, mirroring faiss's -1 pads
+    (reference faiss/Index.h:118-133).
+    """
+    _validate_metric(metric)
+    largest = metric in SIMILARITY_METRICS
+    spark = vectors.sparkSession
+    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        acc = TopKAccumulator(len(qids_), k, largest)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            D = pairwise_distances(Q_, X, metric)
+            if exclude_same_id:
+                # self-join case: mask q==x pairs before selection
+                mask = qids_[:, None] == ids[None, :]
+                D = np.where(mask, np.inf if not largest else -np.inf, D)
+            acc.push(D, ids)
+        qidx, nid, nd = acc.emit()
+        finite = np.isfinite(nd)
+        yield pd.DataFrame(
+            {"qid": qids_[qidx[finite]], "id": nid[finite], "dist": nd[finite]}
+        )
+
+    candidates = _scan_partitions(vectors, id_col, vec_col, scan)
+    order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """All (query, vector) pairs with dist < radius (similarity metrics:
+    dist > radius), following faiss range_search semantics (reference
+    faiss/Index.h:145-150: "for IP, all distances > radius").
+
+    Fully map-side: matches are emitted directly from the partition scan;
+    there is no shuffle at all (the CSR `lims` of the reference is just a
+    groupBy(qid).count() away if needed — SURVEY §1.1).
+    """
+    _validate_metric(metric)
+    largest = metric in SIMILARITY_METRICS
+    spark = vectors.sparkSession
+    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            D = pairwise_distances(Q_, X, metric)
+            hit_q, hit_x = np.nonzero(D > radius if largest else D < radius)
+            if len(hit_q):
+                yield pd.DataFrame(
+                    {
+                        "qid": qids_[hit_q],
+                        "id": ids[hit_x],
+                        "dist": D[hit_q, hit_x],
+                    }
+                )
+
+    return _scan_partitions(vectors, id_col, vec_col, scan)
+
+
+def knn_join(
+    vectors: DataFrame,
+    k: int,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """k-NN-graph / similarity self-join: top-k neighbors of every vector
+    among all *other* vectors (reference: the kNN-graph construction in
+    benchs/bench_gpu_1bn.py / benchs/README.md:307-330).
+
+    v1 uses the broadcast-queries plan (fine while the table fits a
+    broadcast, i.e. ≤ ~1M rows); the 100 TB path is the IVF-bucketed or
+    LSH-bucketed join (operators/ivf.py, operators/dedup.py), which
+    turns the self-join into per-bucket local joins.
+    """
+    return knn(
+        vectors,
+        vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")),
+        k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_same_id=True,
+    )
+
+
+def distance_expr(a: Column, b: Column, metric: str = "l2") -> Column:
+    """Pure-SQL distance between two array<float> columns, computed in
+    double (reference kernels: faiss/utils/distances.h:28-37).
+
+    JVM-side (whole-stage-codegen'd) — the declarative twin of
+    kernels.pairwise_distances, used where a per-pair expression fits the
+    plan better than a GEMM batch (e.g. after an equi-join that already
+    co-located the pair).
+    """
+    ax = F.transform(a, lambda x: x.cast("double"))
+    bx = F.transform(b, lambda x: x.cast("double"))
+    if metric == "l2":
+        return F.aggregate(
+            F.zip_with(ax, bx, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    if metric == "ip":
+        return F.aggregate(
+            F.zip_with(ax, bx, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+    if metric == "cosine":
+        dot = F.aggregate(
+            F.zip_with(ax, bx, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        na = F.sqrt(
+            F.aggregate(F.transform(ax, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        )
+        nb = F.sqrt(
+            F.aggregate(F.transform(bx, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        )
+        return dot / (na * nb)
+    if metric == "l1":
+        return F.aggregate(
+            F.zip_with(ax, bx, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda s, v: s + v
+        )
+    if metric == "linf":
+        return F.array_max(F.zip_with(ax, bx, lambda x, y: F.abs(x - y)))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def norm_l2_expr(a: Column) -> Column:
+    """Row L2 norm (reference faiss/utils/distances.h:100 fvec_norm_L2sqr)."""
+    ax = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(ax, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )

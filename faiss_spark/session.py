@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs a single JVM (``local[N]``); the configs below are the
+same ones we would set on a real cluster: AQE for runtime re-planning and
+skew handling, Arrow for the Pandas-UDF boundary, shuffle partitions sized
+to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # runtime bloom filters ≈ faiss IDSelectorBatch's bloom front
+        # (reference faiss/impl/IDSelector.h:80-98)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # the driver-generated parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+# TIMESTAMP(NANOS) columns in the driver tables, read as long nanos under
+# nanosAsLong and converted to micros timestamps (= what DuckDB sees).
+_NS_TS_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver-generated parquet tables and register temp views."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    dfs = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in _NS_TS_COLUMNS.get(name, []):
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
