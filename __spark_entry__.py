@@ -1,38 +1,455 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship query (brute-force knn on sf0.001 embeddings)
+queries()      -> one callable per implemented operator (SURVEY.md §2)
+oracle_sql()   -> DuckDB-equivalent ANSI SQL per query key
+
+Conventions shared by both sides so value hashes match:
+- all distances computed in DOUBLE and rounded to 6 decimals in the output
+  (selection/ranking always happens on the full-precision value);
+- ties broken by ORDER BY dist, id everywhere;
+- aggregate/computed columns aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from faiss_spark.functions import text as T  # noqa: E402
+from faiss_spark.operators import dedup as D  # noqa: E402
+from faiss_spark.operators.cluster import KMeans  # noqa: E402
+from faiss_spark.operators.ivf import IVFIndex  # noqa: E402
+from faiss_spark.operators.knn import knn, knn_join, norm_l2_expr, range_search  # noqa: E402
+from faiss_spark.session import load_tables  # noqa: E402
+
+# ---------------------------------------------------------------- parameters
+K = 10  # top-k for knn queries
+NQ = 50  # number of query vectors (vec_id < NQ)
+DIM = 64  # embedding dimension in the driver tables
+RADIUS_L2 = 4.0
+# the synthetic embeddings have no true near-dups (max pairwise cosine
+# ≈ 0.51 at sf0.01); 0.45 exercises the operator with a non-empty result
+COS_NEARDUP = 0.45
+JACCARD_T = 0.5
+ROUND = 6
+
+# id-predicate for the filtered-knn query (faiss IDSelectorRange,
+# reference faiss/impl/IDSelector.h:28-48)
+SEL_MIN, SEL_MAX = 100, 400
+
+
+def _nanos_ok(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("id") < NQ)
+        .select(F.col("id").alias("qid"), "vec")
+    )
+
+
+def _round(df: DataFrame, cols: tuple[str, ...] = ("dist",)) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), ROUND))
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact top-K L2 neighbors of NQ queries in the sf0.001
+    embeddings table (the SURVEY §7.1 minimum slice)."""
+    _nanos_ok(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    return _round(knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K))
+
+
+# =========================================================== Spark queries ==
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "l2"))
+
+
+def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "ip"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "cosine")
+    )
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn with an id-range predicate pushed below the scan (IDSelectorRange)."""
+    vecs = _emb(spark, sf_dir).filter(
+        (F.col("id") >= SEL_MIN) & (F.col("id") < SEL_MAX)
+    )
+    return _round(knn(vecs, _queries_df(spark, sf_dir), K, "l2"))
+
+
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        range_search(_emb(spark, sf_dir), _queries_df(spark, sf_dir), RADIUS_L2)
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN-graph self-join (reference benchs/README.md:307 kNN-graph)."""
+    return _round(knn_join(_emb(spark, sf_dir), 5, "l2"))
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "id", F.round(norm_l2_expr(F.col("vec")), ROUND).alias("norm")
+    )
+
+
+def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == nlist — exact, so oracle-checkable; the
+    approximate regime is covered by recall tests in tests/."""
+    vecs = _emb(spark, sf_dir)
+    idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of a seeded k-means assignment (rows-only
+    check: k-means fit is not SQL-expressible)."""
+    vecs = _emb(spark, sf_dir)
+    model = KMeans(k=16, niter=10, seed=42).fit(vecs)
+    assigned = model.assign(vecs)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.round(F.avg("dist"), 4).alias("avg_dist"))
+        .orderBy("cluster")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T),
+        ("jaccard",),
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T),
+        ("jaccard",),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        D.embedding_neardup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=COS_NEARDUP,
+        ),
+        ("cosine",),
+    )
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("ntok"),
+        F.round(T.punct_ratio(F.col("text")), ROUND).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), ROUND).alias("stop_ratio"),
+        F.round(T.quality_score(F.col("text")), ROUND).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style pricing summary over lineitem — shows the engine keeps
+    full relational capability alongside the vector operators."""
+    _nanos_ok(spark)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup: per-user event counts and value stats."""
+    _nanos_ok(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_l2": q_knn_l2,
+        "knn_ip": q_knn_ip,
+        "knn_cosine": q_knn_cosine,
+        "knn_filtered": q_knn_filtered,
+        "range_search_l2": q_range_search,
+        "knn_graph": q_knn_graph,
+        "vector_norms": q_vector_norms,
+        "ivf_search_exact": q_ivf_search_exact,
+        "kmeans_assign": q_kmeans_assign,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "tpch_q1": q_tpch_q1,
+        "events_sessions": q_events_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ============================================================== oracle SQL ==
+
+# DuckDB fragments mirroring faiss_spark.functions.text exactly
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHN = 3
+_SHINGLES = (
+    f"CASE WHEN len({_TOKS}) >= {_SHN} THEN "
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - {_SHN - 2}), "
+    f"i -> array_to_string(({_TOKS})[i:i+{_SHN - 1}], ' '))) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+_L2 = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), "
+    "i -> (CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) ** 2))"
+)
+_IP = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), "
+    "i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+_NORM_E = (
+    f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) ** 2)))"
+)
+_NORM_Q = (
+    f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), "
+    "i -> CAST(q.qv[i] AS DOUBLE) ** 2)))"
+)
+_COS = f"({_IP}) / (({_NORM_Q}) * ({_NORM_E}))"
+
+_QSET = f"SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {NQ}"
+
+
+def _knn_sql(dist_expr: str, order: str, extra_where: str = "") -> str:
+    return f"""
+        WITH q AS ({_QSET}),
+        d AS (
+          SELECT q.qid, e.vec_id AS id, {dist_expr} AS dist
+          FROM q CROSS JOIN embeddings e {extra_where}
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist {order}, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {K}
     """
-    return {}
+
+
+_PAIR_JACCARD = f"""
+    WITH sh AS (SELECT doc_id AS id, {_SHINGLES} AS s FROM documents),
+    post AS (SELECT id, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM post a JOIN post b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT id, len(s) AS sz FROM sh)
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), {ROUND}) AS jaccard
+    FROM inter i JOIN sz sa ON i.id_a = sa.id JOIN sz sb ON i.id_b = sb.id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= {JACCARD_T}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    sql["knn_l2"] = _knn_sql(_L2, "ASC")
+    sql["knn_ip"] = _knn_sql(_IP, "DESC")
+    sql["knn_cosine"] = _knn_sql(_COS, "DESC")
+    sql["knn_filtered"] = _knn_sql(
+        _L2, "ASC", f"WHERE e.vec_id >= {SEL_MIN} AND e.vec_id < {SEL_MAX}"
+    )
+    sql["range_search_l2"] = f"""
+        WITH q AS ({_QSET})
+        SELECT q.qid, e.vec_id AS id, round({_L2}, {ROUND}) AS dist
+        FROM q CROSS JOIN embeddings e
+        WHERE {_L2} < {RADIUS_L2}
     """
-    return {}
+    sql["knn_graph"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
+        d AS (
+          SELECT q.qid, e.vec_id AS id, {_L2} AS dist
+          FROM q CROSS JOIN embeddings e WHERE q.qid <> e.vec_id
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """
+    sql["vector_norms"] = f"""
+        SELECT e.vec_id AS id, round({_NORM_E}, {ROUND}) AS norm
+        FROM embeddings e
+    """
+    # IVF with nprobe=nlist ≡ exact brute force
+    sql["ivf_search_exact"] = _knn_sql(_L2, "ASC")
+    # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
+    # records the weaker rows-only check)
+    sql["dedup_exact"] = f"""
+        SELECT md5({_NORM}) AS fingerprint, count(*) AS n_docs,
+               min(doc_id) AS rep_id
+        FROM documents GROUP BY 1 HAVING count(*) >= 2
+    """
+    # minhash-LSH candidates are a (deterministic) subset of the exact
+    # jaccard pairs; with our band parameters every pair ≥ threshold that
+    # shares a band appears. The SQL twin reproduces the full pipeline:
+    # same md5 minhashes, same banding, same verification.
+    mh = ",\n          ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS mh{i}"
+        for i in range(12)
+    )
+    bands = ", ".join(
+        f"md5(mh{b * 3} || mh{b * 3 + 1} || mh{b * 3 + 2}) AS band{b}"
+        for b in range(4)
+    )
+    band_arr = ", ".join(f"band{b}" for b in range(4))
+    sql["dedup_minhash_lsh"] = f"""
+        WITH sh AS (SELECT doc_id AS id, {_SHINGLES} AS s FROM documents),
+        sig AS (
+          SELECT id, s,
+          {mh}
+          FROM sh
+        ),
+        banded AS (
+          SELECT id, s, unnest([{band_arr}]) AS bucket
+          FROM (SELECT id, s, {bands} FROM sig)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(s_a, s_b))), {ROUND}) AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(s_a, s_b))) >= {JACCARD_T}
+    """
+    sql["dedup_ngram_jaccard"] = _PAIR_JACCARD
+    sql["dedup_embedding_cosine"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings)
+        SELECT q.qid AS id_a, e.vec_id AS id_b, round({_COS}, {ROUND}) AS cosine
+        FROM q CROSS JOIN embeddings e
+        WHERE q.qid < e.vec_id AND {_COS} >= {COS_NEARDUP}
+    """
+    stop_en = "['the','a','of','and','is','to','in','it','for','on','with','as']"
+    sql["text_features"] = f"""
+        SELECT doc_id,
+               md5({_NORM}) AS fp,
+               len({_TOKS}) AS ntok,
+               round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / greatest(len(text), 1), {ROUND}) AS punct_ratio,
+               round(CAST(len(list_filter({_TOKS}, t -> list_contains({stop_en}, t))) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), {ROUND}) AS stop_ratio,
+               round(
+                 0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * (1.0 - least(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                                      / greatest(len(text), 1) * 4.0, 1.0))
+                 + 0.3 * least(CAST(len(list_filter({_TOKS}, t -> list_contains({stop_en}, t))) AS DOUBLE)
+                               / greatest(len({_TOKS}), 1) * 8.0, 1.0),
+                 {ROUND}) AS quality
+        FROM documents
+    """
+    langs = {
+        "en": "['the','a','of','and','is','to','in']",
+        "es": "['el','la','de','y','que','los','un']",
+        "de": "['der','die','und','das','ein','ist','zu']",
+        "fr": "['le','la','et','les','des','un','est']",
+    }
+    hit_cols = ",\n               ".join(
+        f"len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS h_{l}"
+        for l, arr in langs.items()
+    )
+    sql["lang_id"] = f"""
+        WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                 WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                 WHEN h_es > h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+                 WHEN h_de > h_en AND h_de > h_es AND h_de >= h_fr THEN 'de'
+                 ELSE 'fr'
+               END AS lang_pred
+        FROM h
+    """
+    sql["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    sql["events_sessions"] = """
+        SELECT user_id, event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """
+    return sql

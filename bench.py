@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the throughput-shaped workloads from BASELINE.md's
+interpretation section: exhaustive knn, knn-graph (similarity join),
+k-means train+assign, IVF build+search, minhash dedup, relational agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from faiss_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "knn_l2",
+    "knn_cosine",
+    "knn_graph",
+    "range_search_l2",
+    "ivf_search_exact",
+    "kmeans_assign",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_features",
+    "tpch_q1",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark("faiss_spark_bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/Arrow path once so timings measure the operators
+    qs["knn_l2"](spark, sf_dir).count()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest to richest, all shuffle-disciplined for 100 TB:
+
+  exact        md5-fingerprint groupBy — one shuffle on a 32-byte key.
+               (Reference analogue: IndexIVFFlatDedup, which stores each
+               distinct vector once and multiplies ids at result time —
+               faiss/IndexIVFFlat.h:56-60.)
+  ngram        n-gram Jaccard similarity via token-postings self-join —
+               exact pairwise Jaccard, for verification and small corpora.
+  minhash-LSH  shingle → H seeded minhashes → banded bucket join → verify.
+               The scale path: candidate generation touches only docs that
+               share a band bucket (the IndexBinaryHash prefix-bucket
+               pattern, faiss/IndexBinaryHash.h:26-83).
+  embedding    cosine near-duplicate pairs over the embeddings table
+               (brute range-search here; IVF-bucketed at scale).
+
+Everything except the final embedding kernel is built from JVM-side SQL
+expressions, so each operator has a byte-exact DuckDB oracle. Minhashes
+are *hex strings* (md5), not ints: lexicographic MIN over hex strings is
+identical in every engine, which sidesteps cross-engine integer-hash
+mismatches entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from faiss_spark.functions.text import fingerprint, normalize_text, shingles
+from faiss_spark.operators.knn import range_search
+
+# LSH defaults: 12 hashes = 4 bands × 3 rows → s-curve threshold ≈ 0.63
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_N = 3
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns (fingerprint, n_docs, rep_id) for groups with ≥2 docs;
+    rep_id = smallest id (the representative to keep). One shuffle on the
+    md5 key; partial aggregation is map-side."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).cast("bigint").alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("rep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The actual dedup transform: keep the smallest-id doc per exact
+    fingerprint (IndexIVFFlatDedup semantics: one stored representative,
+    reference faiss/IndexIVFFlat.h:56-60)."""
+    ranked = df.withColumn("__fp", fingerprint(F.col(text_col))).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+        ),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+def _minhash_array(sh_col, num_hashes: int = NUM_HASHES):
+    """All H minhashes in ONE expression: array(i -> min(md5(i|s))).
+
+    The shingle expression is bound once (functions.text.bind) — Spark's
+    interpreted higher-order lambdas would otherwise re-evaluate the whole
+    tokenize+shingle subtree once per (hash, shingle) pair."""
+    from faiss_spark.functions.text import bind
+
+    return bind(
+        sh_col,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+                )
+            ),
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES, n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, mh array<string>) minhash signature table — all JVM expressions."""
+    sh = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    return sh.select("id", _minhash_array(F.col("sh"), num_hashes).alias("mh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Plan shape (the 100 TB path):
+      1. signatures: one scan, no shuffle (JVM expressions only)
+      2. bands: explode H/b band keys per doc → groupBy band bucket —
+         shuffle keyed on md5 band key (uniform, skew-free by construction)
+      3. candidate pairs: self-join *within buckets only*
+      4. verify: exact Jaccard on the candidates' shingle sets — touches
+         only candidate pairs, never all O(n²) pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows = num_hashes // num_bands
+    sig = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("mh", _minhash_array(F.col("sh"), num_hashes))
+    # band key b = md5(mh[b*rows] || ... || mh[b*rows+rows-1])
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws("", F.slice(F.col("mh"), b * rows + 1, rows))
+        ),
+    )
+    banded = sig.select(
+        "id", "sh", F.explode(bands).alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via a token-postings
+    self-join (inverted-index pattern): only doc pairs sharing ≥1 shingle
+    are ever materialized. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Scale note: a shingle shared by f docs contributes f² join rows — at
+    100 TB, cap posting-list length (drop shingles with document frequency
+    above a cutoff, they can't create high-Jaccard pairs on their own) or
+    use minhash_lsh_pairs. Kept exact here as the verification oracle.
+    """
+    sh = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    postings = sh.select("id", F.explode("sh").alias("g"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine similarity ≥ threshold.
+
+    Implementation: cosine range_search of the table against itself
+    (broadcast queries — fine to ~1M rows), keeping a < b. The 100 TB
+    path buckets by IVF cell first (operators/ivf.py) so only intra-cell
+    pairs are scanned."""
+    src = embeddings.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    qs = src.select(F.col("id").alias("qid"), "vec")
+    # range_search is strict >; emit at a slightly lower radius then apply
+    # the inclusive threshold exactly
+    pairs = range_search(src, qs, threshold - 1e-12, metric="cosine")
+    return (
+        pairs.filter((F.col("qid") < F.col("id")) & (F.col("dist") >= threshold))
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("dist").alias("cosine"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""KMeans + IVF: determinism, assignment exactness, IVF recall
+(reference test pattern: tests/test_index_accuracy.py nprobe sweep)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.cluster import KMeans
+from faiss_spark.operators.ivf import IVFIndex
+from faiss_spark.operators.knn import knn
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def test_kmeans_deterministic(vectors):
+    m1 = KMeans(k=8, niter=10, seed=42).fit(vectors)
+    m2 = KMeans(k=8, niter=10, seed=42).fit(vectors)
+    assert np.array_equal(m1.centroids, m2.centroids)
+    # objective decreases monotonically (Lloyd's invariant)
+    assert all(b <= a + 1e-9 for a, b in zip(m1.obj, m1.obj[1:]))
+
+
+def test_kmeans_assign_is_argmin(vectors, spark):
+    model = KMeans(k=8, niter=10, seed=42).fit(vectors)
+    assigned = model.assign(vectors).toPandas().set_index("id")
+    X = np.stack(vectors.orderBy("id").toPandas()["vec"]).astype(np.float64)
+    C = model.centroids
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    expect = d2.argmin(1)
+    got = assigned.sort_index()["cluster"].to_numpy()
+    assert np.array_equal(got, expect)
+
+
+def test_ivf_exact_when_full_probe(vectors):
+    """nprobe == nlist must equal brute force (SURVEY §2.B IndexIVF row)."""
+    nlist = 8
+    idx = IVFIndex.train(vectors, nlist=nlist, seed=42, niter=10).add(vectors)
+    queries = vectors.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    ivf = idx.search(queries, k=5, nprobe=nlist)
+    flat = knn(vectors, queries, 5, metric="l2")
+    a = {(r["qid"], r["rank"], r["id"]) for r in ivf.collect()}
+    b = {(r["qid"], r["rank"], r["id"]) for r in flat.collect()}
+    assert a == b
+
+
+def test_ivf_recall_improves_with_nprobe(vectors):
+    idx = IVFIndex.train(vectors, nlist=16, seed=42, niter=10).add(vectors)
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {
+        (r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["qid"], r["id"])
+            for r in idx.search(queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 + 1e-9 <= r16 + 2e-9
+    assert r16 == 1.0  # full probe = exact
+    assert r4 >= 0.5  # reference-style loose recall floor
+
+
+def test_ivf_persist_roundtrip(vectors, spark, tmp_path):
+    path = str(tmp_path / "ivf_table")
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(
+        vectors, path=path
+    )
+    loaded = IVFIndex.load(spark, path)
+    queries = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    a = {(r["qid"], r["rank"], r["id"]) for r in idx.search(queries, 3, 8).collect()}
+    b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 3, 8).collect()}
+    assert a == b

@@ -1,0 +1,159 @@
+"""Text analysis + dedup operators vs DuckDB oracle on the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.functions import text as T
+from faiss_spark.operators import dedup as D
+from tests.conftest import duck_set, rows_set
+
+# --- oracle SQL fragments (mirrored in __spark_entry__.py) -----------------
+
+DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+DUCK_TOKS = f"string_split({DUCK_NORM}, ' ')"
+
+
+def duck_shingles(n=3):
+    return (
+        f"CASE WHEN len({DUCK_TOKS}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({DUCK_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({DUCK_TOKS})[i:i+{n - 1}], ' '))) "
+        f"ELSE [array_to_string({DUCK_TOKS}, ' ')] END"
+    )
+
+
+def test_fingerprint_matches_duckdb(tables, oracle):
+    got = rows_set(
+        tables["documents"].select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp")
+        )
+    )
+    expect = duck_set(oracle, f"SELECT doc_id, md5({DUCK_NORM}) AS fp FROM documents")
+    assert got == expect
+
+
+def test_token_count_matches_duckdb(tables, oracle):
+    got = rows_set(
+        tables["documents"].select(
+            "doc_id", T.token_count(F.col("text")).alias("ntok")
+        )
+    )
+    expect = duck_set(
+        oracle, f"SELECT doc_id, len({DUCK_TOKS}) AS ntok FROM documents"
+    )
+    assert got == expect
+
+
+def test_shingles_match_duckdb(tables, oracle):
+    got = {
+        (r["doc_id"], tuple(sorted(r["sh"])))
+        for r in tables["documents"]
+        .select("doc_id", T.shingles(F.col("text")).alias("sh"))
+        .collect()
+    }
+    expect = {
+        (r[0], tuple(sorted(r[1])))
+        for r in oracle.execute(
+            f"SELECT doc_id, {duck_shingles()} AS sh FROM documents"
+        ).fetchall()
+    }
+    assert got == expect
+
+
+def test_exact_dedup_counts(tables, oracle):
+    got = rows_set(D.exact_dedup(tables["documents"]))
+    expect = duck_set(
+        oracle,
+        f"""
+        SELECT md5({DUCK_NORM}) AS fingerprint, count(*) AS n_docs,
+               min(doc_id) AS rep_id
+        FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+    )
+    assert got == expect
+    # dedup_keep_first drops exactly (total - distinct) rows
+    total = tables["documents"].count()
+    kept = D.dedup_keep_first(tables["documents"]).count()
+    distinct = oracle.execute(
+        f"SELECT count(DISTINCT md5({DUCK_NORM})) FROM documents"
+    ).fetchone()[0]
+    assert kept == distinct <= total
+
+
+def test_exact_dedup_finds_planted_dups(tables):
+    base = tables["documents"]
+    planted = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    groups = D.exact_dedup(base.unionByName(planted)).collect()
+    assert len(groups) == 5
+    assert all(g["n_docs"] == 2 for g in groups)
+    assert sorted(g["rep_id"] for g in groups) == [0, 1, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_exact_dups(tables):
+    """Exact duplicates have identical signatures -> must appear as pairs
+    with jaccard == 1.0. The small-SF corpus has no exact dups, so plant
+    some: copy 20 docs with shifted ids."""
+    base = tables["documents"]
+    offset = 1_000_000
+    planted = base.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + offset
+    )
+    docs = base.unionByName(planted)
+    dup_groups = D.exact_dedup(docs).collect()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.99).collect()
+    }
+    # for each exact-dup group, every pair within it must be found
+    from itertools import combinations
+
+    fp_ids = {}
+    fps = docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    for r in fps:
+        fp_ids.setdefault(r["fp"], []).append(r["doc_id"])
+    n_groups = 0
+    for g in dup_groups:
+        ids = sorted(fp_ids[g["fingerprint"]])
+        assert len(ids) == g["n_docs"]
+        n_groups += 1
+        for a, b in combinations(ids, 2):
+            assert pairs.get((a, b)) == pytest.approx(1.0)
+    assert n_groups > 0, "testdata should contain exact dups"
+
+
+def test_ngram_jaccard_matches_minhash_verified_jaccard(tables):
+    """Both operators compute the same exact jaccard for shared pairs."""
+    docs = tables["documents"].limit(200)
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    # LSH pairs ⊆ exact pairs, with identical jaccard values
+    for k, v in lsh.items():
+        assert exact[k] == pytest.approx(v)
+
+
+def test_lang_id_and_quality_deterministic(tables):
+    feats = tables["documents"].select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    rows = feats.collect()
+    assert all(r["lang_pred"] in ("en", "es", "de", "fr", "und") for r in rows)
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_embedding_neardup_symmetric_ordering(tables):
+    pairs = D.embedding_neardup_pairs(tables["embeddings"], threshold=0.9)
+    rows = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cosine"] >= 0.9 for r in rows)
