@@ -191,6 +191,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codec roundtrip: per-id max reconstruction error. Fully
+    SQL-expressible (faiss ScalarQuantizer 8-bit uniform semantics:
+    code = clamp(floor((x-lo)/unit)), decode = lo + (code+0.5)*unit)."""
+    from faiss_spark.operators.codecs import ScalarQuantizer
+
+    vecs = _emb(spark, sf_dir)
+    model = ScalarQuantizer(bits=8).fit(vecs)
+    decoded = model.decode(model.encode(vecs)).withColumnRenamed("vec", "dvec")
+    joined = vecs.join(decoded, "id")
+    err = F.array_max(
+        F.zip_with(
+            F.transform("vec", lambda x: x.cast("double")),
+            "dvec",
+            lambda a, b: F.abs(a - b.cast("double")),
+        )
+    )
+    return joined.select("id", F.round(err, ROUND).alias("max_err"))
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA to 8 dims: per-id projected L2 norm (rows-only: eigenvectors
+    are not SQL-expressible; exactness covered in tests/)."""
+    from faiss_spark.operators.knn import norm_l2_expr
+    from faiss_spark.operators.transforms import PCAMatrix
+
+    vecs = _emb(spark, sf_dir)
+    model = PCAMatrix(d_out=8).fit(vecs)
+    out = model.apply(vecs)
+    return out.select("id", F.round(norm_l2_expr(F.col("vec")), 4).alias("pnorm"))
+
+
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the table then ADC top-k (rows-only: codebooks are
+    k-means artifacts; ADC≡decoded-L2 identity is tested in tests/)."""
+    from faiss_spark.operators.codecs import ProductQuantizer
+
+    vecs = _emb(spark, sf_dir)
+    model = ProductQuantizer(M=8, niter=8, seed=3).fit(vecs)
+    codes = model.encode(vecs)
+    return _round(model.adc_search(codes, _queries_df(spark, sf_dir), K))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-style pricing summary over lineitem — shows the engine keeps
     full relational capability alongside the vector operators."""
@@ -242,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_features": q_text_features,
         "lang_id": q_lang_id,
+        "sq8_reconstruction": q_sq8_reconstruction,
+        "pca_project": q_pca_project,
+        "pq_adc_search": q_pq_adc_search,
         "tpch_q1": q_tpch_q1,
         "events_sessions": q_events_sessions,
     }
@@ -433,6 +479,29 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'fr'
                END AS lang_pred
         FROM h
+    """
+    # SQ8 roundtrip: replicate encode/decode arithmetic in SQL (all double)
+    sql["sq8_reconstruction"] = f"""
+        WITH vals AS (
+          SELECT vec_id AS id, unnest(range(1, {DIM + 1})) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        stats AS (
+          SELECT pos, min(x) AS lo, max(x) AS hi FROM vals GROUP BY pos
+        ),
+        rt AS (
+          -- decoded values are stored as float32 on the Spark side; cast
+          -- the double-precision decode to REAL so both sides round alike
+          SELECT v.id, v.x,
+                 CAST(CASE WHEN s.hi = s.lo THEN v.x
+                      ELSE s.lo + (least(greatest(floor((v.x - s.lo) / ((s.hi - s.lo) / 256)), 0), 255) + 0.5)
+                           * ((s.hi - s.lo) / 256)
+                 END AS REAL) AS y
+          FROM vals v JOIN stats s USING (pos)
+        )
+        SELECT id, round(max(abs(x - y)), {ROUND}) AS max_err
+        FROM rt GROUP BY id
     """
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,342 @@
+"""Quantizer codecs: ScalarQuantizer, ProductQuantizer — SURVEY §2.D.
+
+Reference: faiss/impl/ScalarQuantizer.h:26-48 (QT_8bit/4bit/fp16 &c),
+faiss/impl/ProductQuantizer.h:25-147. A codec is an estimator producing a
+small artifact (ranges / codebooks) plus `encode` (vec -> BINARY column)
+and `decode` (BINARY -> vec) distributed transforms — the Spark face of
+``sa_encode``/``sa_decode`` (faiss/Index.h:255-271).
+
+Encoded tables keep the (id, code BINARY) layout of IndexFlatCodes
+(faiss/IndexFlatCodes.h:23-28); `adc_search` scans codes with a per-query
+lookup table exactly like IndexPQ's ADC (faiss/IndexPQ.h:24).
+
+Quantization semantics (match the reference so error bounds carry over):
+  SQ8/SQ4: code = floor((x − vmin) / unit), clamped to [0, 2^bits − 1];
+  decode  = vmin + (code + 0.5) · unit   (ScalarQuantizer.cpp Codec8bit)
+  fp16   : IEEE half roundtrip via numpy float16.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from faiss_spark.kernels import TopKAccumulator, as_matrix
+
+
+def _kmeans_np(X: np.ndarray, k: int, niter: int, seed: int) -> tuple:
+    """Small deterministic Lloyd's for codebook training (driver-side,
+    used for PQ sub-spaces and OPQ; same role as Clustering with
+    a temp IndexFlat in the reference)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.permutation(len(X))[:k]].copy()
+    labels = None
+    for _ in range(niter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        labels = d2.argmin(1)
+        for ci in range(k):
+            mask = labels == ci
+            if mask.any():
+                C[ci] = X[mask].mean(0)
+    return C, labels
+
+
+def _sampled_matrix(df: DataFrame, vec_col: str, max_train: int, seed: int):
+    n = df.count()
+    sample = df.select(vec_col)
+    if n > max_train:
+        frac = min(1.0, 1.2 * max_train / n)
+        sample = sample.sample(fraction=frac, seed=seed).limit(max_train)
+    return as_matrix(sample.toPandas()[vec_col])
+
+
+def _map_codec(df: DataFrame, id_col: str, in_col: str, fn, out_schema: str):
+    src = df.select(F.col(id_col).cast("bigint").alias("id"), F.col(in_col))
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield fn(pdf)
+
+    return src.mapInPandas(do, schema=out_schema)
+
+
+# ============================================================ ScalarQuantizer
+
+
+@dataclass
+class ScalarQuantizerModel:
+    """Per-dimension linear quantizer (reference ScalarQuantizer, trained
+    ranges = per-dim min/max, faiss/impl/ScalarQuantizer.h:40-48)."""
+
+    vmin: np.ndarray  # (d,)
+    vdiff: np.ndarray  # (d,)
+    bits: int  # 8, 4, or 16 (fp16)
+
+    @property
+    def d(self) -> int:
+        return len(self.vmin)
+
+    def code_size(self) -> int:
+        """Bytes per vector (reference sa_code_size)."""
+        if self.bits == 16:
+            return 2 * self.d
+        return (self.d * self.bits + 7) // 8
+
+    # -- numpy kernels (shared by the distributed transforms) --------------
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        if self.bits == 16:
+            return X.astype(np.float16).view(np.uint8).reshape(len(X), -1)
+        levels = (1 << self.bits) - 1
+        unit = self.vdiff / (levels + 1)
+        unit[unit == 0] = 1.0
+        q = np.floor((X - self.vmin) / unit)
+        q = np.clip(q, 0, levels).astype(np.uint8)
+        if self.bits == 8:
+            return q
+        # 4-bit: pack two components per byte, low nibble first
+        if self.d % 2:
+            q = np.concatenate([q, np.zeros((len(q), 1), np.uint8)], axis=1)
+        return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        if self.bits == 16:
+            return codes.view(np.float16).astype(np.float64)
+        levels = (1 << self.bits) - 1
+        unit = self.vdiff / (levels + 1)
+        if self.bits == 8:
+            q = codes.astype(np.float64)
+        else:
+            lo = codes & 0x0F
+            hi = codes >> 4
+            q = np.empty((len(codes), codes.shape[1] * 2), np.float64)
+            q[:, 0::2] = lo
+            q[:, 1::2] = hi
+            q = q[:, : self.d]
+        return self.vmin + (q + 0.5) * unit
+
+    # -- distributed transforms --------------------------------------------
+    def encode(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            codes = model.encode_np(X)
+            return pd.DataFrame(
+                {"id": pdf["id"].to_numpy(np.int64), "code": list(map(bytes, codes))}
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+    def decode(self, df: DataFrame, id_col: str = "id", code_col: str = "code") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            X = model.decode_np(codes)
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "vec": list(X.astype(np.float32)),
+                }
+            )
+
+        return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
+
+
+class ScalarQuantizer:
+    """Estimator: per-dim min/max ranges via one distributed aggregation
+    (exact — the QT_*_uniform 'trained range' form uses global min/max)."""
+
+    def __init__(self, bits: int = 8):
+        if bits not in (4, 8, 16):
+            raise ValueError("bits must be 4, 8 (int codes) or 16 (fp16)")
+        self.bits = bits
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> ScalarQuantizerModel:
+        d = df.select(F.size(vec_col)).first()[0]
+        if self.bits == 16:
+            return ScalarQuantizerModel(
+                vmin=np.zeros(d), vdiff=np.ones(d), bits=16
+            )
+        # exact per-dimension min/max: posexplode + agg (map-side partials)
+        stats = (
+            df.select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .orderBy("pos")
+            .collect()
+        )
+        vmin = np.array([r["lo"] for r in stats], dtype=np.float64)
+        vmax = np.array([r["hi"] for r in stats], dtype=np.float64)
+        return ScalarQuantizerModel(vmin=vmin, vdiff=vmax - vmin, bits=self.bits)
+
+
+# =========================================================== ProductQuantizer
+
+
+@dataclass
+class ProductQuantizerModel:
+    """M sub-space codebooks, (M, ksub, dsub) — reference
+    faiss/impl/ProductQuantizer.h:25-147."""
+
+    codebooks: np.ndarray  # (M, ksub, dsub) float64
+
+    @property
+    def M(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    def code_size(self) -> int:
+        return self.M  # 8-bit codes: one byte per sub-space
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        n = len(X)
+        codes = np.empty((n, self.M), np.uint8)
+        for m in range(self.M):
+            sub = X[:, m * self.dsub : (m + 1) * self.dsub]
+            C = self.codebooks[m]
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (sub @ C.T)
+            )
+            codes[:, m] = d2.argmin(1)
+        return codes
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        n = len(codes)
+        X = np.empty((n, self.M * self.dsub), np.float64)
+        for m in range(self.M):
+            X[:, m * self.dsub : (m + 1) * self.dsub] = self.codebooks[m][
+                codes[:, m]
+            ]
+        return X
+
+    def distance_table(self, q: np.ndarray) -> np.ndarray:
+        """(M, ksub) per-query ADC lookup table (reference
+        compute_distance_table, ProductQuantizer.h:103)."""
+        T = np.empty((self.M, self.ksub), np.float64)
+        for m in range(self.M):
+            sub = q[m * self.dsub : (m + 1) * self.dsub]
+            T[m] = ((self.codebooks[m] - sub) ** 2).sum(1)
+        return T
+
+    def encode(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "code": list(map(bytes, model.encode_np(X))),
+                }
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+    def decode(self, df: DataFrame, id_col: str = "id", code_col: str = "code") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "vec": list(model.decode_np(codes).astype(np.float32)),
+                }
+            )
+
+        return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
+
+    def adc_search(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Asymmetric-distance top-k over an encoded table: per-partition
+        LUT gather-sum (the IndexPQ ADC scan, reference faiss/IndexPQ.h:24;
+        LUT trick of faiss/impl/ProductQuantizer.h:117 'search')."""
+        spark = codes_df.sparkSession
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        luts = np.stack([self.distance_table(q) for q in Q])  # (nq, M, ksub)
+        bc = spark.sparkContext.broadcast((qids, luts))
+        k_ = k
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, luts_ = bc.value
+            nq, M, ksub = luts_.shape
+            flat = luts_.reshape(nq, M * ksub)
+            offs = (np.arange(M) * ksub).astype(np.int64)
+            acc = TopKAccumulator(nq, k_, largest=False)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+                idx = codes.astype(np.int64) + offs[None, :]  # (n, M)
+                # D[q, x] = sum_m lut[q, m, code[x, m]]
+                D = flat[:, idx].sum(axis=2)  # (nq, n)
+                acc.push(D, pdf["id"].to_numpy(np.int64))
+            qidx, nid, nd = acc.emit()
+            yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+
+        cands = codes_df.select("id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )
+
+
+class ProductQuantizer:
+    """Estimator: M independent k-means on a seeded driver sample (the
+    reference trains PQ on a subsample too)."""
+
+    def __init__(
+        self, M: int = 8, nbits: int = 8, niter: int = 25, seed: int = 1234,
+        max_train_points: int = 65536,
+    ):
+        if nbits != 8:
+            raise NotImplementedError("8-bit PQ codes only (ksub=256)")
+        self.M = M
+        self.ksub = 1 << nbits
+        self.niter = niter
+        self.seed = seed
+        self.max_train_points = max_train_points
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> ProductQuantizerModel:
+        X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
+        d = X.shape[1]
+        if d % self.M:
+            raise ValueError(f"d={d} not divisible by M={self.M}")
+        dsub = d // self.M
+        ksub = min(self.ksub, len(X))
+        books = np.empty((self.M, ksub, dsub), np.float64)
+        for m in range(self.M):
+            C, _ = _kmeans_np(
+                X[:, m * dsub : (m + 1) * dsub], ksub, self.niter, self.seed + m
+            )
+            books[m] = C
+        return ProductQuantizerModel(codebooks=books)

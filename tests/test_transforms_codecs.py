@@ -1,0 +1,173 @@
+"""Transforms (§2.C) and codecs (§2.D): roundtrip error bounds, codec
+consistency, PCA variance ordering — the reference's codec test patterns
+(tests/test_standalone_codec.py, test_product_quantizer.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.codecs import ProductQuantizer, ScalarQuantizer
+from faiss_spark.operators.knn import knn
+from faiss_spark.operators.transforms import (
+    CenteringTransform,
+    ITQTransform,
+    OPQMatrix,
+    PCAMatrix,
+    Pipeline,
+    RandomRotation,
+    normalize_expr,
+    remap_dimensions_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def _mat(df, col="vec"):
+    pdf = df.orderBy("id").toPandas()
+    return np.stack(pdf[col]).astype(np.float64)
+
+
+# ------------------------------------------------------------- transforms --
+
+
+def test_centering_zeroes_mean(vectors):
+    model = CenteringTransform().fit(vectors)
+    out = model.apply(vectors)
+    M = _mat(out)
+    assert np.abs(M.mean(0)).max() < 1e-4  # float32 storage tolerance
+
+
+def test_pca_orders_variance_and_preserves_distances_full_rank(vectors):
+    model = PCAMatrix(d_out=16).fit(vectors)
+    out = _mat(model.apply(vectors))
+    var = out.var(0)
+    assert all(var[i] >= var[i + 1] - 1e-6 for i in range(15))
+    # full-rank PCA preserves pairwise L2 (orthonormal)
+    full = PCAMatrix(d_out=64).fit(vectors)
+    Y = _mat(full.apply(vectors))
+    X = _mat(vectors)
+    d_x = ((X[0] - X[1]) ** 2).sum()
+    d_y = ((Y[0] - Y[1]) ** 2).sum()
+    assert d_y == pytest.approx(d_x, rel=1e-4)
+
+
+def test_pca_whitening_unit_variance(vectors):
+    model = PCAMatrix(d_out=8, eigen_power=-0.5).fit(vectors)
+    out = _mat(model.apply(vectors))
+    assert np.allclose(out.var(0), 1.0, atol=0.05)
+
+
+def test_random_rotation_preserves_norms(vectors):
+    model = RandomRotation(seed=7).fit(vectors)
+    X = _mat(vectors)
+    Y = _mat(model.apply(vectors))
+    assert np.allclose(
+        np.linalg.norm(X, axis=1), np.linalg.norm(Y, axis=1), rtol=1e-4
+    )
+    # reverse recovers input
+    back = _mat(model.reverse(model.apply(vectors)))
+    assert np.allclose(back, X, atol=1e-3)
+
+
+def test_opq_rotation_is_orthonormal(vectors):
+    model = OPQMatrix(M=8, niter=3, seed=5).fit(vectors)
+    RtR = model.A @ model.A.T
+    assert np.allclose(RtR, np.eye(model.A.shape[0]), atol=1e-8)
+
+
+def test_itq_rotation_is_orthonormal(vectors):
+    model = ITQTransform(niter=5, seed=5).fit(vectors)
+    RtR = model.A @ model.A.T
+    assert np.allclose(RtR, np.eye(model.A.shape[0]), atol=1e-8)
+
+
+def test_pipeline_chains(vectors):
+    pipe = Pipeline([CenteringTransform(), PCAMatrix(d_out=8)]).fit(vectors)
+    out = pipe.apply(vectors)
+    assert out.select(F.size("vec")).first()[0] == 8
+
+
+def test_normalize_expr(vectors, spark):
+    out = vectors.select(normalize_expr(F.col("vec")).alias("nv"))
+    norms = out.select(
+        F.aggregate(
+            F.transform("nv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("n2")
+    ).collect()
+    assert all(abs(r["n2"] - 1.0) < 1e-5 for r in norms)
+
+
+def test_remap_pad_and_slice(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "vec array<float>")
+    sliced = df.select(remap_dimensions_expr(F.col("vec"), 2).alias("v")).first()[0]
+    padded = df.select(remap_dimensions_expr(F.col("vec"), 5).alias("v")).first()[0]
+    assert sliced == [1.0, 2.0]
+    assert padded == [1.0, 2.0, 3.0, 0.0, 0.0]
+
+
+# ----------------------------------------------------------------- codecs --
+
+
+def test_sq8_roundtrip_error_bound(vectors):
+    model = ScalarQuantizer(bits=8).fit(vectors)
+    codes = model.encode(vectors)
+    decoded = model.decode(codes)
+    X = _mat(vectors)
+    Y = _mat(decoded)
+    # error per component ≤ unit (bin width)
+    unit = model.vdiff / 256
+    assert (np.abs(X - Y) <= unit[None, :] + 1e-9).all()
+    assert model.code_size() == 64
+
+
+def test_sq4_roundtrip_error_bound(vectors):
+    model = ScalarQuantizer(bits=4).fit(vectors)
+    Y = _mat(model.decode(model.encode(vectors)))
+    X = _mat(vectors)
+    unit = model.vdiff / 16
+    assert (np.abs(X - Y) <= unit[None, :] + 1e-9).all()
+    assert model.code_size() == 32
+
+
+def test_fp16_roundtrip_exactish(vectors):
+    model = ScalarQuantizer(bits=16).fit(vectors)
+    Y = _mat(model.decode(model.encode(vectors)))
+    X = _mat(vectors)
+    assert np.allclose(X, Y, rtol=1e-3, atol=1e-3)
+    assert model.code_size() == 128
+
+
+def test_pq_roundtrip_beats_coarser_pq(vectors):
+    """More sub-quantizers -> lower reconstruction error (reference
+    monotonicity pattern, tests/test_product_quantizer.py)."""
+    X = _mat(vectors)
+
+    def mse(M):
+        model = ProductQuantizer(M=M, niter=8, seed=3).fit(vectors)
+        Y = _mat(model.decode(model.encode(vectors)))
+        return ((X - Y) ** 2).mean()
+
+    e8, e16 = mse(8), mse(16)
+    assert e16 < e8
+
+
+def test_pq_adc_consistent_with_decoded_l2(vectors):
+    """ADC(q, code) == L2(q, decode(code)) — the defining identity."""
+    model = ProductQuantizer(M=8, niter=8, seed=3).fit(vectors)
+    codes = model.encode(vectors)
+    queries = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    adc = model.adc_search(codes, queries, k=10)
+    exact_on_decoded = knn(model.decode(codes), queries, 10, metric="l2")
+    a = {(r["qid"], r["rank"], r["id"], round(r["dist"], 6)) for r in adc.collect()}
+    b = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in exact_on_decoded.collect()
+    }
+    assert a == b
