@@ -234,6 +234,63 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(model.adc_search(codes, _queries_df(spark, sf_dir), K))
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprint, 4 byte-bands bucket
+    join, exact-hamming verify ≤ 3."""
+    from faiss_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph by NN-Descent (rows-only: iterative
+    algorithm; edge recall vs the exact graph is asserted in tests/)."""
+    from faiss_spark.operators.graph import nn_descent
+
+    return _round(nn_descent(_emb(spark, sf_dir), k=5, niter=3))
+
+
+def q_factory_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_factory('PCA16,IVF8,Flat'): parse → fit → search (rows-only:
+    PCA/k-means artifacts; factory-equals-manual is tested in tests/)."""
+    from faiss_spark.plans.factory import index_factory
+
+    plan = index_factory("PCA16,IVF8,Flat").fit(_emb(spark, sf_dir), seed=42)
+    return _round(plan.search(_queries_df(spark, sf_dir), K, nprobe=8))
+
+
+BIN_T = 0.5  # binarization threshold (embeddings live in ~[0,1])
+
+
+def _bin_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from faiss_spark.operators.binary import binarize
+
+    return binarize(_emb(spark, sf_dir), DIM, threshold=BIN_T)
+
+
+def q_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary index: sign-bit codes + brute-force Hamming top-k
+    (IndexBinaryFlat / METRIC_HAMMING)."""
+    from faiss_spark.operators.binary import hamming_knn
+
+    codes = _bin_codes(spark, sf_dir)
+    qcodes = codes.filter(F.col("id") < NQ).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    return hamming_knn(codes, qcodes, K)
+
+
+def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary Jaccard distance top-k (the fork's METRIC_JACCARD)."""
+    from faiss_spark.operators.binary import jaccard_knn
+
+    codes = _bin_codes(spark, sf_dir)
+    qcodes = codes.filter(F.col("id") < NQ).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    return _round(jaccard_knn(codes, qcodes, K))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-style pricing summary over lineitem — shows the engine keeps
     full relational capability alongside the vector operators."""
@@ -288,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_reconstruction": q_sq8_reconstruction,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
+        "hamming_knn": q_hamming_knn,
+        "jaccard_knn": q_jaccard_knn,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_graph_nndescent": q_knn_graph_nndescent,
+        "factory_pipeline": q_factory_pipeline,
         "tpch_q1": q_tpch_q1,
         "events_sessions": q_events_sessions,
     }
@@ -502,6 +564,75 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, round(max(abs(x - y)), {ROUND}) AS max_err
         FROM rt GROUP BY id
+    """
+    # simhash: 32-bit fingerprint from md5 token hashes; 4 byte-bands
+    _SH_H = f"list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    _SH_CODE = (
+        f"CAST(list_sum(list_transform(range(0, 32), j -> "
+        f"CASE WHEN list_sum(list_transform(hs, h -> (CAST(floor(h / 2 ** j) AS BIGINT) % 2) * 2 - 1)) > 0 "
+        f"THEN 2 ** j ELSE 0 END)) AS BIGINT)"
+    )
+    sh_bands = ", ".join(
+        f"CAST(floor(sh / {1 << (8 * b)}) AS BIGINT) % 256 + {b * 512} AS band{b}"
+        for b in range(4)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH hs AS (SELECT doc_id AS id, {_SH_H} AS hs FROM documents),
+        sig AS (SELECT id, {_SH_CODE} AS sh FROM hs),
+        banded AS (
+          SELECT id, sh, unnest([band0, band1, band2, band3]) AS bucket
+          FROM (SELECT id, sh, {sh_bands} FROM sig)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+    # binary codes: word w = bits of dims 32w+1..32w+32 (exact in doubles)
+    def bword(tbl: str, w: int) -> str:
+        lo = 32 * w + 1
+        hi = 32 * (w + 1)
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi + 1}), "
+            f"i -> CASE WHEN {tbl}.embedding[i] > {BIN_T} THEN 2 ** (i - {lo}) ELSE 0 END)) AS BIGINT)"
+        )
+
+    _BCODES = f"""
+        SELECT vec_id AS id, {bword('embeddings', 0)} AS c0,
+               {bword('embeddings', 1)} AS c1
+        FROM embeddings
+    """
+    sql["hamming_knn"] = f"""
+        WITH c AS ({_BCODES}),
+        q AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE id < {NQ}),
+        d AS (
+          SELECT q.qid, c.id,
+                 CAST(bit_count(xor(q.q0, c.c0)) + bit_count(xor(q.q1, c.c1)) AS DOUBLE) AS dist
+          FROM q CROSS JOIN c
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= {K}
+    """
+    sql["jaccard_knn"] = f"""
+        WITH c AS ({_BCODES}),
+        q AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE id < {NQ}),
+        d AS (
+          SELECT q.qid, c.id,
+                 CASE WHEN bit_count(q.q0 | c.c0) + bit_count(q.q1 | c.c1) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(bit_count(q.q0 & c.c0) + bit_count(q.q1 & c.c1) AS DOUBLE)
+                                 / (bit_count(q.q0 | c.c0) + bit_count(q.q1 | c.c1))
+                 END AS dist
+          FROM q CROSS JOIN c
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {K}
     """
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,

@@ -26,8 +26,11 @@ BENCH_QUERIES = [
     "knn_graph",
     "range_search_l2",
     "ivf_search_exact",
+    "pq_adc_search",
+    "hamming_knn",
     "kmeans_assign",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "text_features",
     "tpch_q1",

@@ -208,6 +208,98 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; pigeonhole: hamming ≤ 3 ⇒ a band matches
+SIMHASH_HAM_T = 3
+
+
+def simhash_expr(text_col, bits: int = SIMHASH_BITS):
+    """SimHash of the token multiset as a BIGINT (bits ≤ 32 so every
+    arithmetic step is double-exact and has a byte-identical SQL twin).
+
+    Token hash = first 8 md5 hex chars as an int; bit j of the simhash is
+    the sign of Σ_tokens (2·bit_j(h) − 1). Everything JVM-side."""
+    from faiss_spark.functions.text import bind, tokens
+
+    def build(toks):
+        return bind(
+            F.transform(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            ),
+            lambda hs: F.aggregate(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.when(
+                    F.aggregate(
+                        hs,
+                        F.lit(0).cast("long"),
+                        lambda s, h: s
+                        + (
+                            F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
+                        )
+                        * 2
+                        - 1,
+                    )
+                    > 0,
+                    F.pow(F.lit(2.0), j),
+                ).otherwise(F.lit(0.0)),
+            ).cast("bigint"),
+        )
+
+    return build(tokens(text_col))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_HAM_T,
+    bands: int = SIMHASH_BANDS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share ≥1 of `bands`
+    byte-bands of the fingerprint (the classic Charikar/Manku dedup
+    layout: groupBy band value = one skew-free shuffle), verified with the
+    exact Hamming distance ≤ max_hamming. With 4×8-bit bands the
+    pigeonhole guarantees every pair with hamming ≤ 3 is found.
+
+    Returns (id_a, id_b, hamming)."""
+    band_bits = bits // bands
+    sig = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        simhash_expr(F.col(text_col), bits).alias("sh"),
+    )
+    band_arr = F.array(
+        *[
+            (
+                F.floor(F.col("sh") / F.lit(float(1 << (band_bits * b)))).cast("long")
+                % (1 << band_bits)
+                # tag with the band index so band b only matches band b
+                + F.lit(b * (1 << band_bits) * 2)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sh", F.explode(band_arr).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,144 @@
+"""Batch k-NN-graph construction by NN-Descent — SURVEY §7.6.
+
+Reference: IndexNNDescent (faiss/IndexNNDescent.h:23, faiss/impl/
+NNDescent.cpp): iteratively refine each node's neighbor list with
+neighbors-of-neighbors. This is the batch replacement for HNSW/NSG (north star: no
+online ANN serving; graph building is what a 100 TB pipeline needs for
+dedup / similarity joins).
+
+Spark shape per iteration (all DataFrame ops, shuffle-disciplined):
+  1. candidate generation: edges ⋈ edges on (dst = src) → 2-hop pairs,
+     plus reversed edges (NN-Descent's "old ∪ new ∪ reverse" neighbor
+     union) — one shuffle keyed on node id;
+  2. distance evaluation: join candidate pairs to the vector table twice
+     (broadcast when vectors fit, shuffle-hash otherwise), distance via
+     the JVM expression — no Python in the loop;
+  3. selection: per-src top-k window (WindowGroupLimit keeps the shuffle
+     at ≤ P·k rows per node).
+
+Determinism: seeded ring init (node i starts with neighbors i±1..i±k/2 by
+id order), deterministic tie-breaks — same graph every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.knn import distance_expr
+
+
+def nn_descent(
+    vectors: DataFrame,
+    k: int,
+    niter: int = 4,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample_candidates: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN graph: returns (src, dst, dist, rank), rank ≤ k.
+
+    sample_candidates caps the per-node 2-hop fanout (ρ·k sampling of the
+    reference, NNDescent.cpp S parameter) — at k=20 the unsampled fanout
+    is 400 pairs/node/iter, which is usually fine; set it when k is big.
+    """
+    vecs = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    n = vecs.count()
+    k_eff = min(k, n - 1)
+
+    # --- deterministic scattered init: k pseudo-random neighbors per node
+    # via xxhash64(src, j) mod n — spread across the whole graph (random
+    # init is what makes NN-Descent converge; a local init propagates too
+    # slowly, reference NNDescent.cpp init_graph uses random neighbors)
+    ids = vecs.select("id")
+    w_id = Window.orderBy("id")
+    pos = ids.withColumn("pos", F.row_number().over(w_id) - 1)
+    cand = (
+        pos.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k_eff)),
+                    lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(n)),
+                )
+            ).alias("npos"),
+        )
+        .join(
+            pos.select(F.col("id").alias("dst"), F.col("pos").alias("npos")),
+            "npos",
+        )
+        .select("src", "dst")
+    )
+    edges = _select_topk(cand.filter(F.col("src") != F.col("dst")), vecs, k_eff, metric)
+    # iterative algorithm: truncate lineage each round or the logical plan
+    # (and analysis time) grows exponentially with niter
+    edges = edges.localCheckpoint(eager=True)
+
+    # --- refinement iterations ------------------------------------------
+    for _ in range(niter):
+        fwd = edges.select("src", "dst")
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        undirected = fwd.unionByName(rev)
+        a = undirected.alias("a")
+        b = undirected.alias("b")
+        two_hop = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        )
+        cand = (
+            fwd.unionByName(rev)
+            .unionByName(two_hop)
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        if sample_candidates:
+            w = Window.partitionBy("src").orderBy(F.xxhash64("src", "dst"))
+            cand = (
+                cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= sample_candidates)
+                .drop("__rn")
+            )
+        edges = _select_topk(cand, vecs, k_eff, metric).localCheckpoint(
+            eager=True
+        )
+    return edges
+
+
+def _select_topk(
+    pairs: DataFrame, vecs: DataFrame, k: int, metric: str
+) -> DataFrame:
+    """Evaluate distances for candidate (src, dst) pairs and keep the best
+    k per src. Distance is the JVM expression — the candidate set is
+    O(n·k²) rows, each a single zip_with/aggregate, fully codegen'd."""
+    sv = vecs.select(F.col("id").alias("src"), F.col("vec").alias("svec"))
+    dv = vecs.select(F.col("id").alias("dst"), F.col("vec").alias("dvec"))
+    largest = metric in ("ip", "cosine")
+    scored = (
+        pairs.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            distance_expr(F.col("svec"), F.col("dvec"), metric).alias("dist"),
+        )
+    )
+    order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("dst").asc()]
+    w = Window.partitionBy("src").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "dist", "rank")
+    )
+
+
+def knn_graph_recall(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Edge recall of the approximate graph vs the exact knn_join result
+    (reference evaluation: knn-graph intersection, benchs/README.md:313)."""
+    a = approx.filter(F.col("rank") <= k).select("src", "dst")
+    e = exact.filter(F.col("rank") <= k).select(
+        F.col("qid").alias("src"), F.col("id").alias("dst")
+    )
+    inter = a.join(e, ["src", "dst"]).count()
+    return inter / e.count()

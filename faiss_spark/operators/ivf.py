@@ -46,6 +46,7 @@ from faiss_spark.kernels import (
     pairwise_distances,
 )
 from faiss_spark.operators.cluster import KMeans, KMeansModel
+from faiss_spark.operators.codecs import ProductQuantizer, ProductQuantizerModel
 
 
 @dataclass
@@ -219,5 +220,197 @@ class IVFIndex:
         return (
             candidates.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .select("qid", "id", "dist", "rank")
+        )
+
+
+@dataclass
+class IVFPQIndex:
+    """IVF + PQ-on-residuals — the reference's flagship composite
+    (IndexIVFPQ, faiss/IndexIVFPQ.h:34-49; search lifecycle SURVEY §3.2).
+
+    Layout: partitioned codes table (list_no, id, code BINARY) — the PQ
+    code of the RESIDUAL x − centroid[list_no] (by_residual=true default,
+    faiss/IndexIVFPQ.h:38). Artifacts: coarse centroids + PQ codebooks,
+    both broadcast at search time.
+
+    Search stage B builds one ADC lookup table per (query, probed list):
+    LUT[m][j] = ‖(q − c_list)_m − codebook[m][j]‖² — computed vectorized
+    for all probes of a partition at once, then gather-sum over codes
+    (the scan_codes of faiss/IndexIVFPQ.cpp, numpy instead of SIMD).
+    """
+
+    centroids: np.ndarray  # (nlist, d)
+    pq: ProductQuantizerModel
+    codes: DataFrame | None = None
+    path: str | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        M: int = 8,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 20,
+        pq_niter: int = 15,
+    ) -> "IVFPQIndex":
+        """train_q1 (coarse k-means) then PQ on residuals of the training
+        sample (reference IndexIVF::train + train_residual,
+        faiss/IndexIVF.h:189)."""
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+        C = km.centroids
+        # residuals of a seeded sample for PQ training
+        from faiss_spark.operators.codecs import _sampled_matrix
+
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        d2 = (
+            (X * X).sum(1)[:, None]
+            + (C * C).sum(1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        resid = X - C[d2.argmin(1)]
+        import pandas as _pd
+
+        # train PQ codebooks on the residual sample (driver-side numpy)
+        from faiss_spark.operators.codecs import _kmeans_np
+
+        d = X.shape[1]
+        if d % M:
+            raise ValueError(f"d={d} not divisible by M={M}")
+        dsub = d // M
+        ksub = min(256, len(resid))
+        books = np.empty((M, ksub, dsub), np.float64)
+        for m in range(M):
+            books[m], _ = _kmeans_np(
+                resid[:, m * dsub : (m + 1) * dsub], ksub, pq_niter, seed + m
+            )
+        return IVFPQIndex(centroids=C, pq=ProductQuantizerModel(codebooks=books))
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFPQIndex":
+        """Encode: assign list, PQ-encode the residual, write partitioned
+        (reference IndexIVFPQ::encode_vectors)."""
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast((self.centroids, self.pq.codebooks))
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, books = bc.value
+            pqm = ProductQuantizerModel(codebooks=books)
+            cn = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+                lists = d2.argmin(1)
+                codes = pqm.encode_np(X - C[lists])
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, codes)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        if path is not None:
+            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """ADC search over the probed partitions (SURVEY §3.2 stage B)."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        nlist = len(self.centroids)
+        nprobe = min(nprobe, nlist)
+
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        CD = pairwise_distances(Q, self.centroids, "l2")
+        probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                list_to_q[int(c)].append(qi)
+        bc = spark.sparkContext.broadcast(
+            (
+                qids,
+                Q,
+                self.centroids,
+                self.pq.codebooks,
+                {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+            )
+        )
+        k_ = k
+        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, C, books, l2q = bc.value
+            M, ksub, dsub = books.shape
+            acc: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    # residual queries for this cell
+                    R = Q_[qsel] - C[int(list_no)][None, :]  # (nq_l, d)
+                    # LUTs: (nq_l, M, ksub)
+                    Rs = R.reshape(len(R), M, dsub)
+                    luts = (
+                        (Rs * Rs).sum(2)[:, :, None]
+                        + (books * books).sum(2)[None, :, :]
+                        - 2.0 * np.einsum("qmd,mkd->qmk", Rs, books)
+                    )
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    flat = luts.reshape(len(R), M * ksub)
+                    idx = codes.astype(np.int64) + (np.arange(M) * ksub)[None, :]
+                    D = flat[:, idx].sum(axis=2)  # (nq_l, n_codes)
+                    key = int(list_no)
+                    if key not in acc:
+                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+            for key, a in acc.items():
+                qidx, nid, nd = a.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )

@@ -43,21 +43,21 @@ def _apply_linear(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = as_matrix(pdf["vec"])
+            X = as_matrix(pdf["__vec"])
             Y = X @ A_.T
             if b_ is not None:
                 Y += b_
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
                     out_col: list(Y.astype(np.float32)),
                 }
             )
 
     src = df.select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col).alias("__vec")
     )
-    return src.mapInPandas(do, schema=f"id bigint, {out_col} array<float>")
+    return src.mapInPandas(do, schema=f"{id_col} bigint, {out_col} array<float>")
 
 
 @dataclass

@@ -1,0 +1,226 @@
+"""index_factory: the faiss string DSL → a build/search pipeline.
+
+Reference: faiss/index_factory.h:17 + index_factory.cpp (grammar at
+:192-804; SURVEY §2.J row 'index_factory'). The DSL is pure string →
+config, so the grammar ports directly; what it *builds* here is Spark
+pipelines: transform chain (operators/transforms.py) + index stage
+(Flat / IVF / IVFPQ / PQ / SQ).
+
+Supported round-1 subset (the workhorse combinations):
+  transforms : PCAn | PCARn | PCAWn | RRn | ITQn | L2norm | Padn
+  main       : Flat | IVF<nlist>,Flat | IVF<nlist>,PQ<M> | PQ<M> |
+               SQ4 | SQ8 | SQfp16 | IVF<nlist>,SQ8
+e.g. "PCA32,IVF256,PQ8" or "L2norm,Flat" or "OPQ8,IVF64,PQ8".
+
+Unsupported tokens raise ValueError with the offending token — same
+contract as the reference's FAISS_THROW on parse failure.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.transforms import (
+    ITQTransform,
+    OPQMatrix,
+    PCAMatrix,
+    Pipeline,
+    RandomRotation,
+    normalize_expr,
+    remap_dimensions_expr,
+)
+
+_TRANSFORM_RES = [
+    (re.compile(r"^PCA(\d+)$"), lambda m: PCAMatrix(int(m.group(1)))),
+    (re.compile(r"^PCAR(\d+)$"), lambda m: PCAMatrix(int(m.group(1)), random_rotation=True)),
+    (re.compile(r"^PCAW(\d+)$"), lambda m: PCAMatrix(int(m.group(1)), eigen_power=-0.5)),
+    (re.compile(r"^RR(\d+)?$"), lambda m: RandomRotation()),
+    (re.compile(r"^ITQ(\d+)?$"), lambda m: ITQTransform()),
+    (re.compile(r"^OPQ(\d+)$"), lambda m: OPQMatrix(int(m.group(1)))),
+]
+
+
+@dataclass
+class IndexPlan:
+    """Parsed factory string: transform estimators + index config."""
+
+    transforms: list = field(default_factory=list)
+    sql_transforms: list = field(default_factory=list)  # ("l2norm"|"pad", arg)
+    index_type: str = "flat"  # flat | ivfflat | ivfpq | pq | sq
+    nlist: int | None = None
+    pq_m: int | None = None
+    sq_bits: int | None = None
+    metric: str = "l2"
+
+    # fitted state
+    pipeline: Pipeline | None = None
+    index: object | None = None
+
+    def fit(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
+        seed: int = 1234,
+    ) -> "IndexPlan":
+        """train + add (reference EP3 lifecycle, SURVEY §3.3)."""
+        cur = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        for kind, arg in self.sql_transforms:
+            if kind == "l2norm":
+                cur = cur.select("id", normalize_expr(F.col("vec")).alias("vec"))
+            else:
+                cur = cur.select(
+                    "id", remap_dimensions_expr(F.col("vec"), arg).alias("vec")
+                )
+        if self.transforms:
+            self.pipeline = Pipeline(list(self.transforms)).fit(cur)
+            cur = self.pipeline.apply(cur)
+        cur = cur.localCheckpoint(eager=False)
+        self._transformed = cur
+
+        from faiss_spark.operators.codecs import ProductQuantizer, ScalarQuantizer
+        from faiss_spark.operators.ivf import IVFIndex, IVFPQIndex
+
+        if self.index_type == "flat":
+            self.index = None  # brute force over the transformed table
+        elif self.index_type == "ivfflat":
+            self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
+        elif self.index_type == "ivfpq":
+            self.index = IVFPQIndex.train(cur, nlist=self.nlist, M=self.pq_m, seed=seed).add(cur)
+        elif self.index_type == "pq":
+            model = ProductQuantizer(M=self.pq_m, seed=seed).fit(cur)
+            self._pq_model = model
+            self._pq_codes = model.encode(cur)
+            self.index = model
+        elif self.index_type == "sq":
+            model = ScalarQuantizer(bits=self.sq_bits).fit(cur)
+            self._sq_model = model
+            self._sq_codes = model.encode(cur)
+            self.index = model
+        return self
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 8,
+               qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+        from faiss_spark.operators.knn import knn
+
+        q = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+        )
+        for kind, arg in self.sql_transforms:
+            if kind == "l2norm":
+                q = q.select("qid", normalize_expr(F.col("vec")).alias("vec"))
+            else:
+                q = q.select("qid", remap_dimensions_expr(F.col("vec"), arg).alias("vec"))
+        if self.pipeline:
+            q = self.pipeline.apply(q, id_col="qid")
+        if self.index_type == "flat":
+            return knn(self._transformed, q, k, metric=self.metric, qid_col="qid")
+        if self.index_type in ("ivfflat", "ivfpq"):
+            return self.index.search(q, k, nprobe=nprobe, qid_col="qid")
+        if self.index_type == "pq":
+            return self._pq_model.adc_search(self._pq_codes, q, k, qid_col="qid")
+        # sq: decode + exact scan (SQ is a codec, search = refine on decode)
+        decoded = self._sq_model.decode(self._sq_codes)
+        return knn(decoded, q, k, metric=self.metric, qid_col="qid")
+
+
+def index_factory(description: str, metric: str = "l2") -> IndexPlan:
+    """Parse a faiss factory string (reference index_factory.cpp:192-804
+    grammar, round-1 subset) into an IndexPlan."""
+    plan = IndexPlan(metric=metric)
+    tokens = [t.strip() for t in description.split(",") if t.strip()]
+    i = 0
+    # leading transforms
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok == "L2norm":
+            plan.sql_transforms.append(("l2norm", None))
+            i += 1
+            continue
+        m = re.match(r"^Pad(\d+)$", tok)
+        if m:
+            plan.sql_transforms.append(("pad", int(m.group(1))))
+            i += 1
+            continue
+        matched = False
+        for rx, make in _TRANSFORM_RES:
+            m = rx.match(tok)
+            if m:
+                plan.transforms.append(make(m))
+                i += 1
+                matched = True
+                break
+        if not matched:
+            break
+    if i >= len(tokens):
+        raise ValueError(f"factory string {description!r} has no index stage")
+    tok = tokens[i]
+    m = re.match(r"^IVF(\d+)$", tok)
+    if m:
+        plan.nlist = int(m.group(1))
+        i += 1
+        if i >= len(tokens):
+            raise ValueError(f"IVF{plan.nlist} needs a code stage (Flat/PQm/SQ8)")
+        code = tokens[i]
+        if code == "Flat":
+            plan.index_type = "ivfflat"
+        elif re.match(r"^PQ(\d+)$", code):
+            plan.index_type = "ivfpq"
+            plan.pq_m = int(code[2:])
+        elif code == "SQ8":
+            # IVF+SQ approximated as ivfflat on v1 (SQ refinement is a
+            # codec detail; recall path identical) — reference parity gap
+            # tracked for round 2
+            plan.index_type = "ivfflat"
+        else:
+            raise ValueError(f"unsupported IVF code stage {code!r}")
+        i += 1
+    elif tok == "Flat":
+        plan.index_type = "flat"
+        i += 1
+    elif re.match(r"^PQ(\d+)$", tok):
+        plan.index_type = "pq"
+        plan.pq_m = int(tok[2:])
+        i += 1
+    elif re.match(r"^SQ(4|8|fp16)$", tok):
+        plan.index_type = "sq"
+        plan.sq_bits = {"4": 4, "8": 8, "fp16": 16}[tok[2:]]
+        i += 1
+    else:
+        raise ValueError(f"unsupported factory token {tok!r} in {description!r}")
+    if i != len(tokens):
+        raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
+    return plan
+
+
+def reverse_index_factory(plan: IndexPlan) -> str:
+    """IndexPlan → factory string (reference contrib/factory_tools.py:76)."""
+    parts = []
+    for kind, arg in plan.sql_transforms:
+        parts.append("L2norm" if kind == "l2norm" else f"Pad{arg}")
+    for t in plan.transforms:
+        if isinstance(t, PCAMatrix):
+            prefix = "PCAW" if t.eigen_power else ("PCAR" if t.random_rotation else "PCA")
+            parts.append(f"{prefix}{t.d_out}")
+        elif isinstance(t, OPQMatrix):
+            parts.append(f"OPQ{t.M}")
+        elif isinstance(t, RandomRotation):
+            parts.append("RR")
+        elif isinstance(t, ITQTransform):
+            parts.append("ITQ")
+    if plan.index_type == "flat":
+        parts.append("Flat")
+    elif plan.index_type == "ivfflat":
+        parts.append(f"IVF{plan.nlist}")
+        parts.append("Flat")
+    elif plan.index_type == "ivfpq":
+        parts.append(f"IVF{plan.nlist}")
+        parts.append(f"PQ{plan.pq_m}")
+    elif plan.index_type == "pq":
+        parts.append(f"PQ{plan.pq_m}")
+    elif plan.index_type == "sq":
+        parts.append({4: "SQ4", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
+    return ",".join(parts)

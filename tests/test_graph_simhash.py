@@ -1,0 +1,58 @@
+"""NN-Descent knn-graph recall + SimHash dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.dedup import simhash_expr, simhash_neardup_pairs
+from faiss_spark.operators.graph import knn_graph_recall, nn_descent
+from faiss_spark.operators.knn import knn_join
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    # keep the graph small: NN-Descent does several self-joins per iter
+    return (
+        tables["embeddings"]
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .filter("id < 200")
+    )
+
+
+def test_nn_descent_recall_improves(vectors):
+    exact = knn_join(vectors, 10, "l2")
+    g1 = nn_descent(vectors, k=10, niter=1)
+    g3 = nn_descent(vectors, k=10, niter=3)
+    r1 = knn_graph_recall(g1, exact, 10)
+    r3 = knn_graph_recall(g3, exact, 10)
+    assert r3 >= r1 - 1e-9
+    assert r3 >= 0.85, (r1, r3)
+
+
+def test_nn_descent_no_self_edges_and_k_per_node(vectors):
+    g = nn_descent(vectors, k=5, niter=1)
+    rows = g.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    from collections import Counter
+
+    counts = Counter(r["src"] for r in rows)
+    assert set(counts.values()) == {5}
+
+
+def test_simhash_identical_docs_zero_hamming(tables, spark):
+    base = tables["documents"].limit(50)
+    planted = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    pairs = simhash_neardup_pairs(base.unionByName(planted)).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for i in range(5):
+        assert found.get((i, i + 1_000_000)) == 0
+
+
+def test_simhash_deterministic(tables):
+    docs = tables["documents"].limit(100)
+    a = docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()
+    b = docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # 32-bit range
+    assert all(0 <= r["sh"] < (1 << 32) for r in a)
