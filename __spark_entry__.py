@@ -234,6 +234,28 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(model.adc_search(codes, _queries_df(spark, sf_dir), K))
 
 
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension data profiling (MatrixStats)."""
+    from faiss_spark.operators.maintenance import matrix_stats
+
+    s = matrix_stats(_emb(spark, sf_dir))
+    return s.select(
+        "pos",
+        F.round("mean", ROUND).alias("mean"),
+        F.round("std", ROUND).alias("std"),
+        F.round("min", ROUND).alias("min"),
+        F.round("max", ROUND).alias("max"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+    )
+
+
+def q_knn_selector_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn under an IDSelectorBatch-style membership predicate (id % 7 = 0
+    stands in for the explicit id set; Catalyst pushes it below the scan)."""
+    vecs = _emb(spark, sf_dir).filter(F.col("id") % 7 == 0)
+    return _round(knn(vecs, _queries_df(spark, sf_dir), K, "l2"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprint, 4 byte-bands bucket
     join, exact-hamming verify ≤ 3."""
@@ -348,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
         "dedup_simhash": q_dedup_simhash,
+        "matrix_stats": q_matrix_stats,
+        "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "factory_pipeline": q_factory_pipeline,
         "tpch_q1": q_tpch_q1,
@@ -565,6 +589,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, round(max(abs(x - y)), {ROUND}) AS max_err
         FROM rt GROUP BY id
     """
+    sql["matrix_stats"] = f"""
+        WITH vals AS (
+          SELECT unnest(range(0, {DIM})) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        )
+        SELECT pos, round(avg(x), {ROUND}) AS mean,
+               round(stddev_pop(x), {ROUND}) AS std,
+               round(min(x), {ROUND}) AS min, round(max(x), {ROUND}) AS max,
+               CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM vals GROUP BY pos
+    """
+    sql["knn_selector_batch"] = _knn_sql(_L2, "ASC", "WHERE e.vec_id % 7 = 0")
     # simhash: 32-bit fingerprint from md5 token hashes; 4 byte-bands
     _SH_H = f"list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
     _SH_CODE = (
