@@ -129,10 +129,18 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // num_bands
-    sig = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("mh", _minhash_array(F.col("sh"), num_hashes))
+    spark = df.sparkSession
+    # the md5-minhash projection is CPU-bound interpreted-HOF work: make
+    # sure it runs on all cores even when the source is one parquet file
+    par = spark.sparkContext.defaultParallelism
+    sig = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+        .repartition(par, "id")
+        .withColumn("mh", _minhash_array(F.col("sh"), num_hashes))
+    )
     # band key b = md5(mh[b*rows] || ... || mh[b*rows+rows-1])
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -140,21 +148,22 @@ def minhash_lsh_pairs(
             F.concat_ws("", F.slice(F.col("mh"), b * rows + 1, rows))
         ),
     )
-    banded = sig.select(
-        "id", "sh", F.explode(bands).alias("bucket")
-    )
+    # shingle sets are needed twice below; materialize once
+    sig = sig.localCheckpoint(eager=False)
+    # bucket join on (id, bucket) ONLY — don't drag the shingle arrays
+    # through the band shuffle; candidates are deduped as bare id pairs
+    banded = sig.select("id", F.explode(bands).alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification joins fetch the shingle sets only for candidate pairs
+    sh_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cands = cands.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -267,9 +276,13 @@ def simhash_neardup_pairs(
 
     Returns (id_a, id_b, hamming)."""
     band_bits = bits // bands
-    sig = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        simhash_expr(F.col(text_col), bits).alias("sh"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # repartition BEFORE the simhash projection: 32 bits × ntok interpreted
+    # lambda steps per row must spread across cores
+    sig = (
+        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
+        .repartition(par, "id")
+        .select("id", simhash_expr(F.col(text_col), bits).alias("sh"))
     )
     band_arr = F.array(
         *[
