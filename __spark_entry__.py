@@ -313,6 +313,82 @@ def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(jaccard_knn(codes, qcodes, K))
 
 
+def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D k-NN over part.p_retailprice (IndexFlat1D)."""
+    from faiss_spark.operators.refine import knn_1d
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vals = part.select(F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("x"))
+    qs = vals.filter("id <= 10").select(F.col("id").alias("qid"), F.col("x").alias("qx"))
+    return knn_1d(vals, qs, 5).withColumn("dist", F.round("dist", ROUND))
+
+
+def q_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ candidates (k·4) re-ranked exactly to top-k (IndexRefine;
+    rows-only: the candidate set is index-dependent)."""
+    from faiss_spark.operators.ivf import IVFPQIndex
+    from faiss_spark.operators.refine import refine_search
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = IVFPQIndex.train(vecs, nlist=8, M=8, seed=42, niter=5, pq_niter=5).add(vecs)
+    cands = idx.search(qs, K * 4, nprobe=8)
+    return _round(refine_search(cands, vecs, qs, K))
+
+
+def q_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-level exact dedup summary (IndexIVFFlatDedup storage stat):
+    distinct vector count + total rows."""
+    from faiss_spark.operators.refine import dedup_flat
+
+    vecs = _emb(spark, sf_dir)
+    table = dedup_flat(vecs)
+    return table.agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("n_dup").alias("n_total"),
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top revenue orders for one market segment —
+    broadcast dimension join + agg + top-k."""
+    _nanos_ok(spark)
+    t = load_tables(spark, sf_dir)
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: predicate-heavy single-table agg (every filter
+    reaches the parquet scan as a PushedFilter)."""
+    _nanos_ok(spark)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-style pricing summary over lineitem — shows the engine keeps
     full relational capability alongside the vector operators."""
@@ -374,7 +450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "factory_pipeline": q_factory_pipeline,
+        "knn_1d": q_knn_1d,
+        "refine_search": q_refine_search,
+        "vector_dedup": q_vector_dedup,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "events_sessions": q_events_sessions,
     }
 
@@ -681,6 +762,38 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """
+    sql["knn_1d"] = """
+        WITH q AS (SELECT p_partkey AS qid, p_retailprice AS qx FROM part WHERE p_partkey <= 10),
+        d AS (SELECT q.qid, p.p_partkey AS id, abs(p.p_retailprice - q.qx) AS dist
+              FROM q CROSS JOIN part p),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """
+    sql["vector_dedup"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM (SELECT embedding, count(*) AS n FROM embeddings GROUP BY embedding)
+    """
+    sql["tpch_q3"] = """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+    sql["tpch_q6"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """
     sql["events_sessions"] = """
         SELECT user_id, event_type, count(*) AS n_events,
