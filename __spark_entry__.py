@@ -99,6 +99,20 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_canberra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra metric: Canberra distance top-k (faiss METRIC_Canberra)."""
+    return _round(
+        knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "canberra")
+    )
+
+
+def q_knn_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra metric: Bray-Curtis distance top-k (faiss METRIC_BrayCurtis)."""
+    return _round(
+        knn(_emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "braycurtis")
+    )
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn with an id-range predicate pushed below the scan (IDSelectorRange)."""
     vecs = _emb(spark, sf_dir).filter(
@@ -429,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
         "knn_filtered": q_knn_filtered,
+        "knn_canberra": q_knn_canberra,
+        "knn_braycurtis": q_knn_braycurtis,
         "range_search_l2": q_range_search,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
@@ -530,6 +546,25 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_l2"] = _knn_sql(_L2, "ASC")
     sql["knn_ip"] = _knn_sql(_IP, "DESC")
     sql["knn_cosine"] = _knn_sql(_COS, "DESC")
+    _CANB = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        "CASE WHEN abs(CAST(q.qv[i] AS DOUBLE)) + abs(CAST(e.embedding[i] AS DOUBLE)) > 0 "
+        "THEN abs(CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) "
+        "/ (abs(CAST(q.qv[i] AS DOUBLE)) + abs(CAST(e.embedding[i] AS DOUBLE))) "
+        "ELSE 0 END))"
+    )
+    _BC_NUM = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        "abs(CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    _BC_DEN = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        "abs(CAST(q.qv[i] AS DOUBLE) + CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    sql["knn_canberra"] = _knn_sql(_CANB, "ASC")
+    sql["knn_braycurtis"] = _knn_sql(
+        f"CASE WHEN {_BC_DEN} > 0 THEN ({_BC_NUM}) / ({_BC_DEN}) ELSE 0 END", "ASC"
+    )
     sql["knn_filtered"] = _knn_sql(
         _L2, "ASC", f"WHERE e.vec_id >= {SEL_MIN} AND e.vec_id < {SEL_MAX}"
     )

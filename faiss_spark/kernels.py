@@ -24,7 +24,9 @@ import numpy as np
 
 #: metrics where larger values are better (similarities)
 SIMILARITY_METRICS = frozenset({"ip", "cosine"})
-METRICS = frozenset({"l2", "ip", "cosine", "l1", "linf"})
+METRICS = frozenset(
+    {"l2", "ip", "cosine", "l1", "linf", "canberra", "braycurtis", "jensenshannon"}
+)
 
 
 def as_matrix(col) -> np.ndarray:
@@ -61,6 +63,29 @@ def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
         return np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
     if metric == "linf":
         return np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    # extra metrics (reference faiss/utils/extra_distances.h:23-48,
+    # faiss/MetricType.h:23-33) — pairwise elementwise forms
+    if metric == "canberra":
+        num = np.abs(Q[:, None, :] - X[None, :, :])
+        den = np.abs(Q)[:, None, :] + np.abs(X)[None, :, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(den > 0, num / den, 0.0)
+        return frac.sum(axis=2)
+    if metric == "braycurtis":
+        num = np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
+        den = np.abs(Q[:, None, :] + X[None, :, :]).sum(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(den > 0, num / den, 0.0)
+    if metric == "jensenshannon":
+        # faiss convention (extra_distances-inl.h KLD form): accumulate
+        # x·log(2x/(x+y)) + y·log(2y/(x+y)) over components with guards
+        Qe = Q[:, None, :]
+        Xe = X[None, :, :]
+        s = Qe + Xe
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = np.where(Qe > 0, Qe * np.log(np.where(s > 0, 2 * Qe / s, 1.0)), 0.0)
+            t2 = np.where(Xe > 0, Xe * np.log(np.where(s > 0, 2 * Xe / s, 1.0)), 0.0)
+        return (t1 + t2).sum(axis=2)
     raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}")
 
 

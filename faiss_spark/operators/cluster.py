@@ -178,19 +178,28 @@ class KMeans:
         self.spherical = spherical
         self.max_points_per_centroid = max_points_per_centroid
 
-    def fit(self, df: DataFrame, vec_col: str = "vec") -> KMeansModel:
+    def fit(
+        self, df: DataFrame, vec_col: str = "vec", weight_col: str | None = None
+    ) -> KMeansModel:
+        """weight_col: optional per-point weights for the centroid update
+        (reference weighted k-means, faiss/python/extra_wrappers.py:286)."""
         max_train = self.max_points_per_centroid * self.k
         n = df.count()
-        sample = df.select(vec_col)
+        cols = [vec_col] + ([weight_col] if weight_col else [])
+        sample = df.select(*cols)
         if n > max_train:
             # seeded sample, slight over-draw then exact limit → deterministic
             frac = min(1.0, 1.2 * max_train / n)
             sample = sample.sample(fraction=frac, seed=self.seed).limit(max_train)
-        X = as_matrix(sample.toPandas()[vec_col])
+        pdf = sample.toPandas()
+        X = as_matrix(pdf[vec_col])
+        weights = (
+            pdf[weight_col].to_numpy(dtype=np.float64) if weight_col else None
+        )
         best = None
         for redo in range(self.nredo):
             C, objs = _lloyd(
-                X, self.k, self.niter, self.seed + redo, self.spherical
+                X, self.k, self.niter, self.seed + redo, self.spherical, weights
             )
             if best is None or objs[-1] < best[1][-1]:
                 best = (C, objs)
@@ -198,3 +207,46 @@ class KMeans:
         return KMeansModel(
             centroids=C, obj=objs, k=self.k, d=C.shape[1], spherical=self.spherical
         )
+
+
+def kmeans_1d(values: np.ndarray, k: int) -> np.ndarray:
+    """Exact optimal 1-D k-means via dynamic programming (reference
+    Clustering1D::train_exact, faiss/Clustering.h:118-123,
+    faiss/impl/kmeans1d.cpp). Returns sorted centroids (k,).
+
+    O(n·k) with prefix sums + divide-and-conquer optimal splits would be
+    fancier; n here is a training sample, so the plain O(n²k) DP is fine
+    and exactly optimal."""
+    x = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(x)
+    k = min(k, n)
+    ps = np.concatenate([[0.0], np.cumsum(x)])
+    ps2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def cost(i, j):  # cluster cost of x[i:j] (j exclusive)
+        cnt = j - i
+        if cnt <= 0:
+            return 0.0
+        s = ps[j] - ps[i]
+        s2 = ps2[j] - ps2[i]
+        return s2 - s * s / cnt
+
+    INF = float("inf")
+    D = np.full((k + 1, n + 1), INF)
+    B = np.zeros((k + 1, n + 1), np.int64)
+    D[0, 0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(c, n + 1):
+            for i in range(c - 1, j):
+                v = D[c - 1, i] + cost(i, j)
+                if v < D[c, j]:
+                    D[c, j] = v
+                    B[c, j] = i
+    # backtrack boundaries → means
+    bounds = [n]
+    for c in range(k, 0, -1):
+        bounds.append(int(B[c, bounds[-1]]))
+    bounds = bounds[::-1]
+    return np.array(
+        [x[bounds[i] : bounds[i + 1]].mean() for i in range(k)]
+    )

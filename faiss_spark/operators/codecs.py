@@ -340,3 +340,122 @@ class ProductQuantizer:
             )
             books[m] = C
         return ProductQuantizerModel(codebooks=books)
+
+
+# ========================================================= ResidualQuantizer
+
+
+@dataclass
+class ResidualQuantizerModel:
+    """M additive codebooks over successive residuals (reference
+    faiss/impl/ResidualQuantizer.h:25; AdditiveQuantizer decode =
+    gather-sum, faiss/impl/AdditiveQuantizer.h:25)."""
+
+    codebooks: np.ndarray  # (M, ksub, d) float64
+    beam: int = 4
+
+    @property
+    def M(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    def code_size(self) -> int:
+        return self.M  # 8-bit per level
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        """Beam-search encoding (reference max_beam_size semantics):
+        keep `beam` best prefix expansions per vector per level."""
+        n, d = X.shape
+        B = self.beam
+        # beams: residuals (n, B, d); codes (n, B, M)
+        resid = X[:, None, :].copy()  # start with beam=1
+        codes = np.zeros((n, 1, self.M), np.uint8)
+        for m in range(self.M):
+            C = self.codebooks[m]  # (ksub, d)
+            b = resid.shape[1]
+            # candidate residuals: (n, b, ksub, d)
+            cand = resid[:, :, None, :] - C[None, None, :, :]
+            errs = (cand**2).sum(3).reshape(n, b * self.ksub)
+            keep = min(B, b * self.ksub)
+            sel = np.argpartition(errs, keep - 1, axis=1)[:, :keep]
+            # order selections for determinism
+            row = np.arange(n)[:, None]
+            sel = np.take_along_axis(
+                sel, np.argsort(errs[row, sel], axis=1, kind="stable"), axis=1
+            )
+            b_idx = sel // self.ksub
+            k_idx = (sel % self.ksub).astype(np.uint8)
+            resid = cand.reshape(n, b * self.ksub, d)[row, sel]
+            new_codes = np.take_along_axis(
+                codes, b_idx[:, :, None], axis=1
+            ).copy()
+            new_codes[:, :, m] = k_idx
+            codes = new_codes
+        return codes[:, 0, :]  # best beam
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(codes), self.codebooks.shape[2]), np.float64)
+        for m in range(self.M):
+            out += self.codebooks[m][codes[:, m]]
+        return out
+
+    def encode(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "code": list(map(bytes, model.encode_np(X))),
+                }
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+    def decode(self, df: DataFrame, id_col: str = "id", code_col: str = "code") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "vec": list(model.decode_np(codes).astype(np.float32)),
+                }
+            )
+
+        return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
+
+
+class ResidualQuantizer:
+    """Estimator: greedy per-level k-means on residuals of the training
+    sample (reference ResidualQuantizer::train)."""
+
+    def __init__(
+        self, M: int = 4, nbits: int = 8, beam: int = 4, niter: int = 15,
+        seed: int = 1234, max_train_points: int = 65536,
+    ):
+        if nbits != 8:
+            raise NotImplementedError("8-bit RQ codes only (ksub=256)")
+        self.M = M
+        self.ksub = 1 << nbits
+        self.beam = beam
+        self.niter = niter
+        self.seed = seed
+        self.max_train_points = max_train_points
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualQuantizerModel:
+        X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
+        d = X.shape[1]
+        ksub = min(self.ksub, len(X))
+        books = np.empty((self.M, ksub, d), np.float64)
+        resid = X.copy()
+        for m in range(self.M):
+            C, labels = _kmeans_np(resid, ksub, self.niter, self.seed + m)
+            books[m] = C
+            resid = resid - C[labels]
+        return ResidualQuantizerModel(codebooks=books, beam=self.beam)

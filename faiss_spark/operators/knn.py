@@ -256,3 +256,87 @@ def norm_l2_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(ax, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
+
+
+def range_search_max_results(
+    vectors: DataFrame,
+    queries: DataFrame,
+    max_results: int,
+    initial_radius: float,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    max_iters: int = 8,
+) -> tuple[DataFrame, float]:
+    """Adaptive-radius range search: shrink the radius until the total
+    result count is ≤ max_results (reference
+    contrib/exhaustive_search.py:180-296 range_search_max_results /
+    apply_maxres; used when the caller can't size the radius a priori).
+
+    Returns (result DataFrame, final radius). Each probe is a counted
+    range_search — the scan is repeated at most max_iters times, which is
+    the same work/accuracy trade the reference makes (it re-runs blocks
+    after shrinking)."""
+    radius = initial_radius
+    res = range_search(vectors, queries, radius, metric, id_col, vec_col)
+    for _ in range(max_iters):
+        n = res.count()
+        if n <= max_results:
+            return res, radius
+        # shrink to the max_results-th smallest distance (exact quantile
+        # of the CURRENT result set — cheap: the result is already ≤ the
+        # previous radius's size)
+        cut = (
+            res.orderBy("dist" if metric == "l2" else F.col("dist").desc())
+            .limit(max_results)
+            .agg(F.max("dist") if metric == "l2" else F.min("dist"))
+            .first()[0]
+        )
+        radius = float(cut)
+        res = res.filter(
+            F.col("dist") < radius if metric == "l2" else F.col("dist") > radius
+        )
+    return res, radius
+
+
+def split_vectors_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    splits: list[tuple[int, int]],
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """IndexSplitVectors (reference faiss/MetaIndexes.h:24): L2 distance
+    decomposes over dimension slices, so compute partial distances per
+    slice and sum — the meta-index pattern for dimension-sharded storage.
+    splits: [(start, length), ...] 1-based starts covering the vector."""
+    partials = None
+    for i, (start, length) in enumerate(splits):
+        v = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.slice(F.col(vec_col), start, length).alias("vec"),
+        )
+        q = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"),
+            F.slice(F.col(qvec_col), start, length).alias("vec"),
+        )
+        # full pairwise partial distances per slice (no top-k yet — the
+        # global ranking needs the SUM of partials)
+        p = range_search(v, q, float("inf"), "l2", "id", "vec").select(
+            "qid", "id", F.col("dist").alias(f"d{i}")
+        )
+        partials = p if partials is None else partials.join(p, ["qid", "id"])
+    total = partials.select(
+        "qid",
+        "id",
+        sum(F.col(f"d{i}") for i in range(len(splits))).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )

@@ -345,3 +345,18 @@ class Pipeline:
         for model in self.models:
             cur = model.apply(cur, id_col=id_col, vec_col=vec_col, out_col=vec_col)
         return cur
+
+
+def rowwise_minmax_expr(vec):
+    """Per-row min/max normalization (reference IndexRowwiseMinMax,
+    faiss/IndexRowwiseMinMax.h:34): y = (x − min(x)) / (max(x) − min(x)).
+    Pure SQL; the inverse needs (min, range) kept as columns — returns a
+    struct (vmin, vrange, scaled)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    rng = F.when(vmax > vmin, vmax - vmin).otherwise(F.lit(1.0))
+    scaled = F.transform(v, lambda x: ((x - vmin) / rng).cast("float"))
+    return F.struct(
+        vmin.alias("vmin"), rng.alias("vrange"), scaled.alias("scaled")
+    )
