@@ -146,6 +146,34 @@ def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
 
 
+def q_ivf_bigbatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed big-batch IVF search (search_preassigned,
+    contrib/ivf_tools shape) at nprobe=nlist — exact, oracle = brute knn."""
+    from faiss_spark.operators.ivf import IVFIndex, search_preassigned
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
+    return _round(
+        search_preassigned(idx, _queries_df(spark, sf_dir), K, nprobe=16)
+    )
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (IVF-cell) cosine near-dup join — the 100 TB scale path
+    (rows-only: bucket boundaries are k-means artifacts; recall vs the
+    brute-force result is asserted in tests/)."""
+    from faiss_spark.operators.dedup import embedding_neardup_bucketed
+
+    return _round(
+        embedding_neardup_bucketed(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=COS_NEARDUP,
+            n_buckets=8,
+        ),
+        ("cosine",),
+    )
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of a seeded k-means assignment (rows-only
     check: k-means fit is not SQL-expressible)."""
@@ -423,6 +451,29 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count via lag window — the classic event-stream analytic."""
+    from pyspark.sql import Window as W
+
+    _nanos_ok(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per-user event counts and value stats."""
     _nanos_ok(spark)
@@ -449,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
         "ivf_search_exact": q_ivf_search_exact,
+        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -473,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "events_sessions": q_events_sessions,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -590,8 +644,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.vec_id AS id, round({_NORM_E}, {ROUND}) AS norm
         FROM embeddings e
     """
-    # IVF with nprobe=nlist ≡ exact brute force
+    # IVF with nprobe=nlist ≡ exact brute force (both search modes)
     sql["ivf_search_exact"] = _knn_sql(_L2, "ASC")
+    sql["ivf_bigbatch_exact"] = _knn_sql(_L2, "ASC")
     # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
     # records the weaker rows-only check)
     sql["dedup_exact"] = f"""
@@ -829,6 +884,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_rows
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+    sql["events_sessionize"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id
     """
     sql["events_sessions"] = """
         SELECT user_id, event_type, count(*) AS n_events,

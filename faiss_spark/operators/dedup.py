@@ -341,3 +341,51 @@ def embedding_neardup_pairs(
             F.col("dist").alias("cosine"),
         )
     )
+
+
+def embedding_neardup_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: k-means bucket the vectors
+    (spherical — cosine cells), then compute cosine pairs ONLY within each
+    bucket. Near-identical vectors land in the same cell with very high
+    probability, so recall at high thresholds stays ≈1 while the join cost
+    drops from O(n²) to Σ |cell|² (the IVF-bucketed similarity join; same
+    idea as the reference's knn-graph sharding, benchs/README.md:313).
+
+    Shuffle discipline: one assign pass (broadcast centroids, no shuffle),
+    one hash shuffle on bucket id (AQE skew-split for hot cells), local
+    per-bucket self-join.
+    """
+    from faiss_spark.operators.cluster import KMeans
+    from faiss_spark.operators.knn import distance_expr
+
+    src = embeddings.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    km = KMeans(
+        k=n_buckets, niter=10, seed=seed, spherical=True
+    ).fit(src, vec_col="vec")
+    assigned = km.assign(src).select("id", F.col("cluster").alias("bucket"))
+    bucketed = src.join(assigned, "id").select("bucket", "id", "vec")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = distance_expr(F.col("a.vec"), F.col("b.vec"), "cosine")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -414,3 +414,255 @@ class IVFPQIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def search_preassigned(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Fully-distributed big-batch IVF search (reference
+    contrib/ivf_tools.py:26-57 search_preassigned; parallel_mode 2 of
+    faiss/IndexIVF.h:109-122 — parallelize over (query, probe) pairs).
+
+    Unlike IVFIndex.search (which plans probes on the driver — right when
+    queries fit in one driver pandas frame), this variant never collects
+    queries: the probe table is computed distributed and JOINED to the
+    codes table on list_no. Use it when the query side is itself huge
+    (e.g. knn-graph over the whole table at 100 TB):
+
+      1. probe assignment: broadcast centroids, top-nprobe per query
+         (mapInPandas, no shuffle)
+      2. probes ⋈ codes on list_no — Catalyst picks shuffle-hash/SMJ;
+         both sides hash-partition by list_no so each task sees one
+         cell's codes against exactly the queries probing it (the
+         ivf_tools regrouping as a JOIN instead of a driver dict)
+      3. per-pair distance (JVM expression) + window top-k.
+
+    AQE's skew-join split handles hot cells (a skewed list_no would
+    otherwise straggle — enabled in session.py).
+    """
+    spark = queries.sparkSession
+    C = index.centroids
+    largest = index.metric in SIMILARITY_METRICS
+    bc = spark.sparkContext.broadcast(C)
+    metric = index.metric
+    nprobe_ = min(nprobe, len(C))
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = as_matrix(pdf["vec"])
+            D = pairwise_distances(Q, C_, metric)
+            order = np.argsort(-D if largest else D, axis=1, kind="stable")[
+                :, :nprobe_
+            ]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(np.int64), nprobe_),
+                    "vec": [
+                        v
+                        for v in pdf["vec"]
+                        for _ in range(nprobe_)
+                    ],
+                    "list_no": order.astype(np.int32).ravel(),
+                }
+            )
+
+    q = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+    )
+    probes = q.mapInPandas(
+        assign_probes, schema="qid bigint, vec array<float>, list_no int"
+    )
+
+    from faiss_spark.operators.knn import distance_expr
+
+    codes = index.codes.select(
+        "list_no", F.col("id"), F.col("vec").alias("__cv")
+    )
+    joined = probes.join(codes, "list_no").select(
+        "qid",
+        "id",
+        distance_expr(F.col("vec"), F.col("__cv"), metric).alias("dist"),
+    )
+    order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+@dataclass
+class IVFSQIndex:
+    """IVF + per-component scalar-quantized codes (reference
+    IndexIVFScalarQuantizer, faiss/IndexScalarQuantizer.h:64): the codes
+    table stores SQ bytes instead of raw floats — 4× smaller scan at
+    SQ8 — and the per-list scan decodes on the fly before the distance
+    GEMM (the reference's SQ InvertedListScanner does exactly this)."""
+
+    centroids: np.ndarray
+    sq: "ScalarQuantizerModel"
+    metric: str = "l2"
+    codes: DataFrame | None = None
+    path: str | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        bits: int = 8,
+        metric: str = "l2",
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 20,
+    ) -> "IVFSQIndex":
+        from faiss_spark.operators.codecs import ScalarQuantizer
+
+        km = KMeans(
+            k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
+        ).fit(vectors, vec_col=vec_col)
+        sq = ScalarQuantizer(bits=bits).fit(vectors, vec_col=vec_col)
+        return IVFSQIndex(centroids=km.centroids, sq=sq, metric=metric)
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFSQIndex":
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.centroids, self.sq.vmin, self.sq.vdiff, self.sq.bits, self.metric)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+            C, vmin, vdiff, bits, metric = bc.value
+            sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                D = pairwise_distances(X, C, metric)
+                lists = (
+                    np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
+                )
+                codes = sqm.encode_np(X)
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, codes)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        if path is not None:
+            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Same plan as IVFIndex.search; the scan decodes SQ bytes to a
+        float block before the GEMM (asymmetric: queries stay exact)."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        nlist = len(self.centroids)
+        nprobe = min(nprobe, nlist)
+        largest = self.metric in SIMILARITY_METRICS
+
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        CD = pairwise_distances(Q, self.centroids, self.metric)
+        order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+        probes = order[:, :nprobe]
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                list_to_q[int(c)].append(qi)
+        bc = spark.sparkContext.broadcast(
+            (
+                qids,
+                Q,
+                {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+                self.sq.vmin,
+                self.sq.vdiff,
+                self.sq.bits,
+            )
+        )
+        metric = self.metric
+        k_ = k
+        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+            qids_, Q_, l2q, vmin, vdiff, bits = bc.value
+            sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
+            acc: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    X = sqm.decode_np(codes)
+                    D = pairwise_distances(Q_[qsel], X, metric)
+                    key = int(list_no)
+                    if key not in acc:
+                        acc[key] = TopKAccumulator(
+                            len(qsel), k_, metric in SIMILARITY_METRICS
+                        )
+                        qsels[key] = qsel
+                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+            for key, a in acc.items():
+                qidx, nid, nd = a.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        sort = [
+            F.col("dist").desc() if largest else F.col("dist").asc(),
+            F.col("id").asc(),
+        ]
+        w = Window.partitionBy("qid").orderBy(*sort)
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )

@@ -1,0 +1,82 @@
+"""Property-based tests for the numpy kernel layer (no Spark session —
+fast): TopKAccumulator vs full sort, metric identities."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from faiss_spark.kernels import TopKAccumulator, pairwise_distances
+
+matrices = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nq=st.integers(1, 6),
+    nx=st.integers(1, 40),
+    d=st.integers(1, 8),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+    largest=st.booleans(),
+)
+def test_topk_accumulator_equals_full_sort(nq, nx, d, k, seed, largest):
+    rng = np.random.default_rng(seed)
+    Q = rng.normal(size=(nq, d))
+    X = rng.normal(size=(nx, d))
+    ids = rng.permutation(nx).astype(np.int64) * 3  # non-contiguous ids
+    D = pairwise_distances(Q, X, "ip" if largest else "l2")
+
+    # stream the columns through the accumulator in 3 chunks
+    acc = TopKAccumulator(nq, k, largest)
+    for chunk in np.array_split(np.arange(nx), 3):
+        if len(chunk):
+            acc.push(D[:, chunk], ids[chunk])
+    qidx, got_ids, got_d = acc.emit()
+
+    # reference: full sort with (key, id) tie-break per query
+    for q in range(nq):
+        key = -D[q] if largest else D[q]
+        order = np.lexsort((ids, key))[:k]
+        expect = ids[order]
+        mine = got_ids[qidx == q]
+        assert list(mine) == list(expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 20),
+    d=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_metric_identities(n, d, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    # L2(x, x) == 0; symmetric
+    D = pairwise_distances(X, X, "l2")
+    assert np.allclose(np.diag(D), 0, atol=1e-9)
+    assert np.allclose(D, D.T, atol=1e-9)
+    # cosine self-similarity == 1 (nonzero rows)
+    C = pairwise_distances(X, X, "cosine")
+    norms = np.linalg.norm(X, axis=1)
+    assert np.allclose(np.diag(C)[norms > 1e-12], 1.0, atol=1e-9)
+    # L2 == ||a||² + ||b||² − 2ab (the GEMM identity vs direct form)
+    direct = ((X[:, None, :] - X[None, :, :]) ** 2).sum(2)
+    assert np.allclose(D, direct, atol=1e-7)
+    # canberra/braycurtis bounded by d and 1
+    Cb = pairwise_distances(X, X, "canberra")
+    assert (Cb <= d + 1e-9).all() and (Cb >= -1e-9).all()
+    Bc = pairwise_distances(X, X, "braycurtis")
+    assert np.allclose(np.diag(Bc), 0, atol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 15), d=st.integers(1, 6))
+def test_jensenshannon_properties(seed, n, d):
+    rng = np.random.default_rng(seed)
+    # JS needs non-negative distributions
+    X = rng.uniform(0.01, 1.0, size=(n, d))
+    X /= X.sum(1, keepdims=True)
+    D = pairwise_distances(X, X, "jensenshannon")
+    assert np.allclose(np.diag(D), 0, atol=1e-9)
+    assert (D >= -1e-9).all()
+    assert np.allclose(D, D.T, atol=1e-9)

@@ -1,0 +1,93 @@
+"""Scale-path variants: distributed big-batch IVF search, bucketed
+embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.dedup import (
+    embedding_neardup_bucketed,
+    embedding_neardup_pairs,
+)
+from faiss_spark.operators.ivf import IVFIndex, search_preassigned
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def test_search_preassigned_equals_driver_planned(vectors):
+    """The distributed big-batch mode must return exactly what the
+    driver-planned mode returns (same probes, same distances)."""
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    for nprobe in (1, 4, 8):
+        a = {
+            (r["qid"], r["rank"], r["id"])
+            for r in search_preassigned(idx, q, 5, nprobe=nprobe).collect()
+        }
+        b = {
+            (r["qid"], r["rank"], r["id"])
+            for r in idx.search(q, 5, nprobe=nprobe).collect()
+        }
+        assert a == b, nprobe
+
+
+def test_bucketed_neardup_recall_vs_brute(tables):
+    emb = tables["embeddings"]
+    # moderate threshold so the brute-force result is non-trivial
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(
+            emb, threshold=0.4, n_buckets=8
+        ).collect()
+    }
+    assert bucketed <= brute  # bucketing can only MISS pairs, never invent
+    if brute:
+        recall = len(bucketed & brute) / len(brute)
+        assert recall >= 0.3, recall  # moderate τ → moderate recall is OK
+
+
+def test_bucketed_neardup_perfect_on_planted_dups(tables):
+    emb = tables["embeddings"]
+    planted = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionByName(planted)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(
+            both, threshold=0.9999, n_buckets=8
+        ).collect()
+    }
+    # identical vectors always share a bucket -> all 10 planted pairs found
+    for i in range(10):
+        assert (i, i + 1_000_000) in got
+
+
+def test_ivfsq_full_probe_recall(vectors):
+    """IVF+SQ8: full probe leaves only SQ quantization error — top-10
+    recall vs exact should be near 1 on 64-d data."""
+    from faiss_spark.operators.ivf import IVFSQIndex
+    from faiss_spark.operators.knn import knn
+
+    idx = IVFSQIndex.train(vectors, nlist=8, bits=8, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, q, 10).collect()}
+    got = {(r["qid"], r["id"]) for r in idx.search(q, 10, nprobe=8).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_ivfsq_code_size_is_quarter_of_float(vectors):
+    from faiss_spark.operators.ivf import IVFSQIndex
+
+    idx = IVFSQIndex.train(vectors, nlist=4, bits=8, seed=42, niter=3).add(vectors)
+    row = idx.codes.first()
+    assert len(row["code"]) == 64  # 64 dims × 1 byte (vs 256 bytes float32)
