@@ -18,9 +18,37 @@ Design (see SURVEY.md):
   (reference faiss/python/extra_wrappers.py:136-174 ResultHeap semantics).
 """
 
+from faiss_spark.operators.binary import binarize, hamming_knn, jaccard_knn
+from faiss_spark.operators.cluster import KMeans, kmeans_1d
+from faiss_spark.operators.codecs import (
+    ProductQuantizer,
+    ResidualQuantizer,
+    ScalarQuantizer,
+)
+from faiss_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from faiss_spark.operators.graph import nn_descent
+from faiss_spark.operators.ivf import (
+    IVFIndex,
+    IVFPQIndex,
+    IVFSQIndex,
+    search_preassigned,
+)
 from faiss_spark.operators.knn import knn, knn_join, range_search
-from faiss_spark.operators.cluster import KMeans
-from faiss_spark.operators.ivf import IVFIndex
+from faiss_spark.operators.refine import dedup_flat, knn_1d, refine_search
+from faiss_spark.operators.transforms import (
+    ITQTransform,
+    OPQMatrix,
+    PCAMatrix,
+    Pipeline,
+    RandomRotation,
+)
+from faiss_spark.plans.factory import index_factory, reverse_index_factory
 
 __version__ = "0.1.0"
 
@@ -28,7 +56,33 @@ __all__ = [
     "knn",
     "knn_join",
     "range_search",
+    "knn_1d",
+    "refine_search",
+    "dedup_flat",
     "KMeans",
+    "kmeans_1d",
     "IVFIndex",
+    "IVFPQIndex",
+    "IVFSQIndex",
+    "search_preassigned",
+    "ScalarQuantizer",
+    "ProductQuantizer",
+    "ResidualQuantizer",
+    "PCAMatrix",
+    "RandomRotation",
+    "OPQMatrix",
+    "ITQTransform",
+    "Pipeline",
+    "binarize",
+    "hamming_knn",
+    "jaccard_knn",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "nn_descent",
+    "index_factory",
+    "reverse_index_factory",
     "__version__",
 ]

@@ -666,3 +666,96 @@ class IVFSQIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def imi_assign(
+    vectors: DataFrame,
+    sub_centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Multi-index (IMI) coarse assignment (reference MultiIndexQuantizer,
+    faiss/IndexPQ.h:139; factory "IMI2x<n>"): the coarse vocabulary is the
+    PRODUCT of two half-space codebooks — nlist = k² cells from only 2k
+    trained centroids. Cell id = argmin(first half) * k + argmin(second
+    half). Broadcast sub-codebooks, per-half GEMM argmin, no shuffle.
+
+    sub_centroids: (2, k, d/2) array."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(sub_centroids)
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        _, k, dsub = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            cells = np.zeros(len(X), np.int64)
+            for h in range(2):
+                sub = X[:, h * dsub : (h + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    + (C[h] * C[h]).sum(1)[None, :]
+                    - 2.0 * (sub @ C[h].T)
+                )
+                cells = cells * k + d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(np.int64), "list_no": cells.astype(np.int32)}
+            )
+
+    src = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return src.mapInPandas(do, schema="id bigint, list_no int")
+
+
+def train_imi(
+    vectors: DataFrame,
+    k: int,
+    vec_col: str = "vec",
+    seed: int = 1234,
+    niter: int = 15,
+) -> np.ndarray:
+    """Train the two half-space codebooks of an IMI2x coarse quantizer:
+    independent k-means per dimension half (reference MultiIndexQuantizer
+    training). Returns (2, k, d/2)."""
+    from faiss_spark.operators.codecs import _kmeans_np, _sampled_matrix
+
+    X = _sampled_matrix(vectors, vec_col, 65536, seed)
+    d = X.shape[1]
+    if d % 2:
+        raise ValueError(f"IMI needs even d, got {d}")
+    dsub = d // 2
+    out = np.empty((2, min(k, len(X)), dsub), np.float64)
+    for h in range(2):
+        C, _ = _kmeans_np(X[:, h * dsub : (h + 1) * dsub], k, niter, seed + h)
+        out[h] = C
+    return out
+
+
+@dataclass
+class IVFPQRIndex:
+    """IVFPQ + exact re-rank — the IVFPQR pattern (reference
+    faiss/IndexIVFPQR.h:19: a second refinement stage re-ranks k·k_factor
+    ADC candidates; here the refinement is EXACT raw-vector distance via
+    refine_search, which strictly dominates the reference's PQR residual
+    codes when the raw table is available — on Spark it always is)."""
+
+    ivfpq: IVFPQIndex
+    vectors: DataFrame
+    k_factor: int = 4
+
+    @staticmethod
+    def train(
+        vectors: DataFrame, nlist: int, M: int = 8, k_factor: int = 4,
+        seed: int = 1234, **kw,
+    ) -> "IVFPQRIndex":
+        idx = IVFPQIndex.train(vectors, nlist=nlist, M=M, seed=seed, **kw).add(vectors)
+        return IVFPQRIndex(ivfpq=idx, vectors=vectors, k_factor=k_factor)
+
+    def search(self, queries: DataFrame, k: int, nprobe: int = 1) -> DataFrame:
+        from faiss_spark.operators.refine import refine_search
+
+        cands = self.ivfpq.search(queries, k * self.k_factor, nprobe=nprobe)
+        return refine_search(cands, self.vectors, queries, k)

@@ -91,3 +91,38 @@ def test_ivfsq_code_size_is_quarter_of_float(vectors):
     idx = IVFSQIndex.train(vectors, nlist=4, bits=8, seed=42, niter=3).add(vectors)
     row = idx.codes.first()
     assert len(row["code"]) == 64  # 64 dims × 1 byte (vs 256 bytes float32)
+
+
+def test_imi_assignment_is_product_of_halves(vectors):
+    import numpy as np
+
+    from faiss_spark.operators.ivf import imi_assign, train_imi
+
+    C = train_imi(vectors, k=4, seed=7, niter=5)
+    assert C.shape == (2, 4, 32)
+    assigned = imi_assign(vectors, C).collect()
+    assert all(0 <= r["list_no"] < 16 for r in assigned)
+    # verify one row against numpy
+    pdf = vectors.orderBy("id").limit(5).toPandas()
+    X = np.stack(pdf["vec"]).astype(np.float64)
+    got = {r["id"]: r["list_no"] for r in assigned}
+    for i, vid in enumerate(pdf["id"]):
+        cell = 0
+        for h in range(2):
+            sub = X[i, h * 32 : (h + 1) * 32]
+            d2 = ((C[h] - sub) ** 2).sum(1)
+            cell = cell * 4 + int(d2.argmin())
+        assert got[vid] == cell
+
+
+def test_ivfpqr_beats_ivfpq(vectors):
+    from faiss_spark.operators.ivf import IVFPQRIndex
+    from faiss_spark.operators.knn import knn
+
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    pqr = IVFPQRIndex.train(vectors, nlist=8, M=8, k_factor=4, seed=42,
+                            niter=5, pq_niter=5)
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, q, 5).collect()}
+    raw = {(r["qid"], r["id"]) for r in pqr.ivfpq.search(q, 5, nprobe=8).collect()}
+    ref = {(r["qid"], r["id"]) for r in pqr.search(q, 5, nprobe=8).collect()}
+    assert len(ref & truth) >= len(raw & truth)
