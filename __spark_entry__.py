@@ -127,6 +127,61 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_lims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSR `lims` view of a range-search result (SURVEY §1.1:
+    RangeSearchResult.lims == groupBy(qid).count())."""
+    res = range_search(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), RADIUS_L2
+    )
+    return res.groupBy("qid").agg(F.count("*").alias("n_results"))
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group over lineitem (the relational twin of the
+    per-query top-k merge: WindowGroupLimit partial pushdown)."""
+    _nanos_ok(spark)
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 2) & (F.col("l_orderkey") <= 100))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on driver data: documents' utf-8 bytes stand in
+    for image payloads (8×6×3, deterministic fake decode) → per-channel
+    stats via mapInPandas (rows-only: the synthetic decode is not SQL)."""
+    from faiss_spark.operators.multimodal import image_features
+
+    docs = _docs(spark, sf_dir).limit(200)
+    images = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("fake").alias("format"),
+        F.lit(8).alias("width"),
+        F.lit(6).alias("height"),
+        F.lit(3).alias("channels"),
+    )
+    feats = image_features(images, fake=True)
+    return feats.select(
+        "id",
+        F.round(F.element_at("mean", 1), 4).alias("mean_c0"),
+        F.round(F.element_at("std", 1), 4).alias("std_c0"),
+        "n_pixels",
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN-graph self-join (reference benchs/README.md:307 kNN-graph)."""
     return _round(knn_join(_emb(spark, sf_dir), 5, "l2"))
@@ -497,6 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_canberra": q_knn_canberra,
         "knn_braycurtis": q_knn_braycurtis,
         "range_search_l2": q_range_search,
+        "range_lims": q_range_lims,
+        "topk_per_group": q_topk_per_group,
+        "image_features": q_image_features,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
         "ivf_search_exact": q_ivf_search_exact,
@@ -627,6 +685,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.qid, e.vec_id AS id, round({_L2}, {ROUND}) AS dist
         FROM q CROSS JOIN embeddings e
         WHERE {_L2} < {RADIUS_L2}
+    """
+    sql["range_lims"] = f"""
+        WITH q AS ({_QSET})
+        SELECT q.qid, count(*) AS n_results
+        FROM q CROSS JOIN embeddings e
+        WHERE {_L2} < {RADIUS_L2}
+        GROUP BY q.qid
+    """
+    sql["topk_per_group"] = """
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price,
+               CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 2 AND l_orderkey <= 100
     """
     sql["knn_graph"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings),
