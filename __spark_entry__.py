@@ -201,6 +201,17 @@ def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
 
 
+def q_ivfsq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 at nprobe=nlist: the candidate set is exact, so the result
+    is brute-force L2 between exact queries and SQ8-DECODED vectors —
+    which the oracle reproduces in pure SQL (asymmetric SQ search)."""
+    from faiss_spark.operators.ivf import IVFSQIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFSQIndex.train(vecs, nlist=16, bits=8, seed=42, niter=10).add(vecs)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
 def q_ivf_bigbatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-distributed big-batch IVF search (search_preassigned,
     contrib/ivf_tools shape) at nprobe=nlist — exact, oracle = brute knn."""
@@ -559,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "ivf_search_exact": q_ivf_search_exact,
         "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
+        "ivfsq_search_exact": q_ivfsq_search_exact,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
@@ -723,6 +735,37 @@ def oracle_sql() -> dict[str, str]:
     # IVF with nprobe=nlist ≡ exact brute force (both search modes)
     sql["ivf_search_exact"] = _knn_sql(_L2, "ASC")
     sql["ivf_bigbatch_exact"] = _knn_sql(_L2, "ASC")
+    # IVF+SQ8 full probe: brute-force L2 of exact queries vs SQ8-decoded
+    # vectors (same decode arithmetic as sq8_reconstruction, kept in
+    # double: the Spark scan decodes to float64 before the GEMM)
+    sql["ivfsq_search_exact"] = f"""
+        WITH vals AS (
+          SELECT vec_id AS id, unnest(range(1, {DIM + 1})) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        stats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM vals GROUP BY pos),
+        dec AS (
+          SELECT v.id, v.pos,
+                 CASE WHEN s.hi = s.lo THEN s.lo + 0.5 * 0
+                      ELSE s.lo + (least(greatest(floor((v.x - s.lo) / ((s.hi - s.lo) / 256)), 0), 255) + 0.5)
+                           * ((s.hi - s.lo) / 256)
+                 END AS y
+          FROM vals v JOIN stats s USING (pos)
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {NQ}),
+        d AS (
+          SELECT q.qid, dec.id,
+                 sum((CAST(q.qv[dec.pos] AS DOUBLE) - dec.y) ** 2) AS dist
+          FROM q CROSS JOIN dec
+          GROUP BY q.qid, dec.id
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {K}
+    """
     # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
     # records the weaker rows-only check)
     sql["dedup_exact"] = f"""

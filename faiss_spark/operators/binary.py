@@ -185,3 +185,151 @@ def hamming_range_search(
         .select("qid", "id", d.cast("double").alias("dist"))
         .filter(F.col("dist") < radius)
     )
+
+
+# ------------------------------------------------------------ IndexBinaryIVF
+
+
+def _words_to_bits(words: np.ndarray, nbits: int) -> np.ndarray:
+    """(n, nwords) int64 word arrays -> (n, nbits) float64 bit matrix."""
+    n, nwords = words.shape
+    bits = ((words[:, :, None] >> np.arange(WORD_BITS)) & 1).reshape(
+        n, nwords * WORD_BITS
+    )
+    return bits[:, :nbits].astype(np.float64)
+
+
+def _bits_to_words(bits: np.ndarray) -> np.ndarray:
+    n, nbits = bits.shape
+    nwords = (nbits + WORD_BITS - 1) // WORD_BITS
+    pad = nwords * WORD_BITS - nbits
+    if pad:
+        bits = np.concatenate([bits, np.zeros((n, pad), bits.dtype)], axis=1)
+    weights = 1 << np.arange(WORD_BITS, dtype=np.int64)
+    return (
+        bits.reshape(n, nwords, WORD_BITS).astype(np.int64) * weights
+    ).sum(2)
+
+
+class BinaryIVFIndex:
+    """IVF over binary codes with Hamming scan (reference IndexBinaryIVF,
+    faiss/IndexBinaryIVF.h:33: the coarse quantizer is k-means on the
+    float-cast bits, centroids re-binarized; lists are scanned with
+    Hamming distance).
+
+    Same partitioned-table layout as IVFIndex — (list_no, id, code) —
+    so partition pruning does the nprobe cell selection."""
+
+    def __init__(self, centroid_words: np.ndarray, nbits: int):
+        self.centroid_words = centroid_words  # (nlist, nwords) int64
+        self.nbits = nbits
+        self.codes: DataFrame | None = None
+
+    @staticmethod
+    def train(
+        codes: DataFrame, nlist: int, nbits: int,
+        code_col: str = "code", seed: int = 1234, niter: int = 15,
+        max_train: int = 65536,
+    ) -> "BinaryIVFIndex":
+        from faiss_spark.operators.codecs import _kmeans_np
+
+        n = codes.count()
+        sample = codes.select(code_col)
+        if n > max_train:
+            frac = min(1.0, 1.2 * max_train / n)
+            sample = sample.sample(fraction=frac, seed=seed).limit(max_train)
+        words = np.stack(
+            [np.asarray(r[code_col], np.int64) for r in sample.collect()]
+        )
+        X = _words_to_bits(words, nbits)
+        C, _ = _kmeans_np(X, nlist, niter, seed)
+        cw = _bits_to_words((C > 0.5).astype(np.int64))
+        return BinaryIVFIndex(centroid_words=cw, nbits=nbits)
+
+    def _hamming_to_centroids(self, words: np.ndarray) -> np.ndarray:
+        xor = words[:, None, :] ^ self.centroid_words[None, :, :]
+        # popcount via numpy: view as uint64 and use bit tricks per word
+        pc = np.zeros(xor.shape[:2], np.int64)
+        v = xor.copy()
+        while v.any():
+            pc += (v & 1).sum(2)
+            v >>= 1
+        return pc
+
+    def add(
+        self, codes: DataFrame, id_col: str = "id", code_col: str = "code",
+        path: str | None = None,
+    ) -> "BinaryIVFIndex":
+        spark = codes.sparkSession
+        bc = spark.sparkContext.broadcast(self.centroid_words)
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                words = np.stack([np.asarray(w, np.int64) for w in pdf[code_col]])
+                xor = words[:, None, :] ^ C[None, :, :]
+                pc = np.zeros(xor.shape[:2], np.int64)
+                v = xor.copy()
+                while v.any():
+                    pc += (v & 1).sum(2)
+                    v >>= 1
+                lists = pc.argmin(1)
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf[id_col if id_col in pdf else "id"].to_numpy(np.int64),
+                        "code": list(words),
+                    }
+                )
+
+        src = codes.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(code_col).alias("code")
+        )
+        out = src.mapInPandas(
+            enc, schema="list_no int, id bigint, code array<bigint>"
+        )
+        if path is not None:
+            out.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self.codes = codes.sparkSession.read.parquet(path)
+        else:
+            self.codes = out
+        return self
+
+    def search(
+        self, qcodes: DataFrame, k: int, nprobe: int = 1,
+        qid_col: str = "qid", qcode_col: str = "qcode",
+    ) -> DataFrame:
+        """Coarse Hamming top-nprobe -> pruned partitions -> JVM bit-op
+        Hamming scan -> window top-k."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        qpdf = qcodes.select(qid_col, qcode_col).toPandas()
+        qwords = np.stack([np.asarray(w, np.int64) for w in qpdf[qcode_col]])
+        pc = self._hamming_to_centroids(qwords)
+        nprobe_ = min(nprobe, len(self.centroid_words))
+        order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
+        probed = sorted({int(c) for c in order.ravel()})
+        # probe table joined on list_no keeps everything JVM-side
+        spark = self.codes.sparkSession
+        probe_rows = [
+            (int(qpdf[qid_col].iloc[i]), [int(w) for w in qwords[i]], int(c))
+            for i in range(len(qpdf))
+            for c in order[i]
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, "qid bigint, qcode array<bigint>, list_no int"
+        )
+        pruned = self.codes.filter(F.col("list_no").isin(probed))
+        joined = pruned.join(F.broadcast(probes), "list_no").select(
+            "qid",
+            "id",
+            hamming_expr(F.col("code"), F.col("qcode")).cast("double").alias("dist"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "id", "dist", "rank")
+        )

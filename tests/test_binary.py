@@ -105,3 +105,28 @@ def test_itq_binarize_beats_signbit_on_hamming_recall(vectors, tables):
     got = hamming_knn(rcodes, q, 3).collect()
     top1 = {r["qid"]: r["id"] for r in got if r["rank"] == 1}
     assert all(top1[q_] == q_ for q_ in top1)
+
+
+def test_binary_ivf_full_probe_equals_flat(codes):
+    from faiss_spark.operators.binary import BinaryIVFIndex
+
+    idx = BinaryIVFIndex.train(codes, nlist=4, nbits=64, seed=11, niter=8).add(codes)
+    q = codes.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    ivf = {(r["qid"], r["rank"], r["id"]) for r in idx.search(q, 5, nprobe=4).collect()}
+    flat = {(r["qid"], r["rank"], r["id"]) for r in hamming_knn(codes, q, 5).collect()}
+    assert ivf == flat
+
+
+def test_binary_ivf_partial_probe_recall(codes):
+    from faiss_spark.operators.binary import BinaryIVFIndex
+
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=64, seed=11, niter=8).add(codes)
+    q = codes.filter(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    truth = {(r["qid"], r["id"]) for r in hamming_knn(codes, q, 5).collect()}
+    got = {(r["qid"], r["id"]) for r in idx.search(q, 5, nprobe=2).collect()}
+    # hamming truth has heavy ties, so partial-probe set recall is loose
+    assert len(got & truth) / len(truth) >= 0.2
