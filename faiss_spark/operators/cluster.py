@@ -250,3 +250,60 @@ def kmeans_1d(values: np.ndarray, k: int) -> np.ndarray:
     return np.array(
         [x[bounds[i] : bounds[i + 1]].mean() for i in range(k)]
     )
+
+
+def progressive_dim_kmeans(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "vec",
+    niter_per_stage: int = 8,
+    seed: int = 1234,
+    stages: int = 3,
+) -> KMeansModel:
+    """ProgressiveDimClustering (reference faiss/Clustering.h:128-173):
+    run k-means on growing dimension prefixes (d/2^(stages-1) … d),
+    warm-starting each stage from the previous centroids padded with the
+    data mean of the newly revealed dimensions. On PCA-rotated input the
+    early prefixes capture most variance, so the warm starts place
+    centroids well before paying full-d assignment cost."""
+    from pyspark.sql import functions as _F
+
+    d = df.select(_F.size(vec_col)).first()[0]
+    max_train = 256 * k
+    n = df.count()
+    sample = df.select(vec_col)
+    if n > max_train:
+        frac = min(1.0, 1.2 * max_train / n)
+        sample = sample.sample(fraction=frac, seed=seed).limit(max_train)
+    X = as_matrix(sample.toPandas()[vec_col])
+
+    dims = sorted({max(1, d >> (stages - 1 - s)) for s in range(stages)} | {d})
+    C = None
+    for di in dims:
+        Xp = X[:, :di]
+        if C is None:
+            C, _ = _kmeans_np_init(Xp, k, niter_per_stage, seed)
+        else:
+            # extend centroids into the new dims with the data mean there
+            extra = np.tile(Xp[:, C.shape[1]:].mean(0), (len(C), 1))
+            C0 = np.concatenate([C, extra], axis=1)
+            C, _ = _kmeans_np_init(Xp, k, niter_per_stage, seed, init=C0)
+    return KMeansModel(centroids=C, k=k, d=d)
+
+
+def _kmeans_np_init(X, k, niter, seed, init=None):
+    """Lloyd with optional warm-start centroids."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = init.copy() if init is not None else X[rng.permutation(len(X))[:k]].copy()
+    labels = None
+    for _ in range(niter):
+        d2 = (
+            (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        )
+        labels = d2.argmin(1)
+        for ci in range(k):
+            mask = labels == ci
+            if mask.any():
+                C[ci] = X[mask].mean(0)
+    return C, labels

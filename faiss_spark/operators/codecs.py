@@ -459,3 +459,201 @@ class ResidualQuantizer:
             books[m] = C
             resid = resid - C[labels]
         return ResidualQuantizerModel(codebooks=books, beam=self.beam)
+
+
+# ====================================================== LocalSearchQuantizer
+
+
+@dataclass
+class LocalSearchQuantizerModel:
+    """LSQ: additive codebooks with ICM (iterated conditional modes)
+    encoding (reference faiss/impl/LocalSearchQuantizer.h:45 — we use
+    deterministic ICM without the simulated-annealing perturbations, so
+    encodings are reproducible; the annealing is a quality knob, not a
+    semantic)."""
+
+    codebooks: np.ndarray  # (M, ksub, d)
+    icm_iters: int = 3
+
+    @property
+    def M(self) -> int:
+        return self.codebooks.shape[0]
+
+    def code_size(self) -> int:
+        return self.M
+
+    def _icm_encode(self, X: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """Refine codes level-by-level: fix all levels but m, re-pick m."""
+        n = len(X)
+        recon = np.zeros_like(X)
+        for m in range(self.M):
+            recon += self.codebooks[m][codes[:, m]]
+        for _ in range(self.icm_iters):
+            for m in range(self.M):
+                recon -= self.codebooks[m][codes[:, m]]
+                target = X - recon  # what level m should explain
+                C = self.codebooks[m]
+                d2 = (
+                    (target * target).sum(1)[:, None]
+                    + (C * C).sum(1)[None, :]
+                    - 2.0 * (target @ C.T)
+                )
+                codes[:, m] = d2.argmin(1)
+                recon += C[codes[:, m]]
+        return codes
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        # greedy init (RQ-style) then ICM refinement
+        n, d = X.shape
+        codes = np.zeros((n, self.M), np.uint8)
+        resid = X.copy()
+        for m in range(self.M):
+            C = self.codebooks[m]
+            d2 = (
+                (resid * resid).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (resid @ C.T)
+            )
+            codes[:, m] = d2.argmin(1)
+            resid -= C[codes[:, m]]
+        return self._icm_encode(X, codes)
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(codes), self.codebooks.shape[2]), np.float64)
+        for m in range(self.M):
+            out += self.codebooks[m][codes[:, m]]
+        return out
+
+    def encode(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "code": list(map(bytes, model.encode_np(X))),
+                }
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+    def decode(self, df: DataFrame, id_col: str = "id", code_col: str = "code") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "vec": list(model.decode_np(codes).astype(np.float32)),
+                }
+            )
+
+        return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
+
+
+class LocalSearchQuantizer:
+    """Estimator: alternate ICM encoding ↔ least-squares codebook update
+    (each codebook entry = mean of the residuals assigned to it)."""
+
+    def __init__(
+        self, M: int = 4, nbits: int = 8, train_iters: int = 3,
+        icm_iters: int = 3, niter_init: int = 10, seed: int = 1234,
+        max_train_points: int = 65536,
+    ):
+        if nbits != 8:
+            raise NotImplementedError("8-bit LSQ codes only")
+        self.M = M
+        self.ksub = 1 << nbits
+        self.train_iters = train_iters
+        self.icm_iters = icm_iters
+        self.niter_init = niter_init
+        self.seed = seed
+        self.max_train_points = max_train_points
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> LocalSearchQuantizerModel:
+        X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
+        ksub = min(self.ksub, len(X))
+        # init codebooks like RQ
+        books = np.empty((self.M, ksub, X.shape[1]), np.float64)
+        resid = X.copy()
+        for m in range(self.M):
+            C, labels = _kmeans_np(resid, ksub, self.niter_init, self.seed + m)
+            books[m] = C
+            resid = resid - C[labels]
+        model = LocalSearchQuantizerModel(codebooks=books, icm_iters=self.icm_iters)
+        for _ in range(self.train_iters):
+            codes = model.encode_np(X)
+            # least-squares-ish update: each entry = mean of its residuals
+            for m in range(self.M):
+                recon_others = model.decode_np(codes) - books[m][codes[:, m]]
+                target = X - recon_others
+                for kk in range(ksub):
+                    mask = codes[:, m] == kk
+                    if mask.any():
+                        books[m][kk] = target[mask].mean(0)
+            model = LocalSearchQuantizerModel(
+                codebooks=books, icm_iters=self.icm_iters
+            )
+        return model
+
+
+# ================================================== ProductAdditiveQuantizer
+
+
+class ProductAdditiveQuantizer:
+    """Product of additive (residual) quantizers (reference
+    faiss/impl/ProductAdditiveQuantizer.h:28): split d into `nsplits`
+    groups, each encoded by an independent RQ — combines PQ's dimension
+    split with RQ's additive refinement."""
+
+    def __init__(self, nsplits: int = 2, M_per_split: int = 2,
+                 niter: int = 10, seed: int = 1234):
+        self.nsplits = nsplits
+        self.M_per_split = M_per_split
+        self.niter = niter
+        self.seed = seed
+
+    def fit(self, df: DataFrame, vec_col: str = "vec"):
+        from pyspark.sql import functions as _F
+
+        d = df.select(_F.size(vec_col)).first()[0]
+        if d % self.nsplits:
+            raise ValueError(f"d={d} not divisible by nsplits={self.nsplits}")
+        dsub = d // self.nsplits
+        subs = []
+        for s in range(self.nsplits):
+            sub_df = df.select(
+                _F.slice(_F.col(vec_col), s * dsub + 1, dsub).alias("vec")
+            )
+            rq = ResidualQuantizer(
+                M=self.M_per_split, niter=self.niter, seed=self.seed + s
+            ).fit(sub_df, vec_col="vec")
+            subs.append(rq)
+        return ProductAdditiveQuantizerModel(subs=subs, dsub=dsub)
+
+
+@dataclass
+class ProductAdditiveQuantizerModel:
+    subs: list  # of ResidualQuantizerModel
+    dsub: int
+
+    def code_size(self) -> int:
+        return sum(s.code_size() for s in self.subs)
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        parts = [
+            s.encode_np(X[:, i * self.dsub : (i + 1) * self.dsub])
+            for i, s in enumerate(self.subs)
+        ]
+        return np.concatenate(parts, axis=1)
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        outs = []
+        off = 0
+        for s in self.subs:
+            m = s.code_size()
+            outs.append(s.decode_np(codes[:, off : off + m]))
+            off += m
+        return np.concatenate(outs, axis=1)
