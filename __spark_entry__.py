@@ -293,6 +293,17 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the LLM data-budgeting proxy):
+    whitespace count vs pre-tokenizer piece count per doc."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
@@ -579,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_features": q_text_features,
         "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
         "sq8_reconstruction": q_sq8_reconstruction,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
@@ -832,6 +844,15 @@ def oracle_sql() -> dict[str, str]:
                  + 0.3 * least(CAST(len(list_filter({_TOKS}, t -> list_contains({stop_en}, t))) AS DOUBLE)
                                / greatest(len({_TOKS}), 1) * 8.0, 1.0),
                  {ROUND}) AS quality
+        FROM documents
+    """
+    from faiss_spark.functions.text import BPE_PATTERN
+
+    bpe_sql = BPE_PATTERN.replace("'", "''")  # escape for the SQL literal
+    sql["token_count_bpe"] = f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_ws,
+               len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe
         FROM documents
     """
     langs = {

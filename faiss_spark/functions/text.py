@@ -142,3 +142,17 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     (The classic "document fingerprinting" primitive.)"""
     grams = shingles(text, window)
     return F.array_min(F.transform(grams, F.md5))
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style, ASCII simplification — no
+# unicode property classes so the same pattern runs on Java regex and
+# RE2/DuckDB identically): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: number of BPE pre-tokenizer pieces
+    (the "BPE-ish regex" token counter for LLM data budgeting — counts
+    pieces, not merged BPE ids, which is the standard cheap proxy)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))

@@ -340,3 +340,49 @@ def split_vectors_knn(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
+
+
+def knn_chunked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    chunk_size: int = 100_000,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Exact knn for query sets too large to broadcast at once: process
+    the query side in qid-range chunks of ≤ chunk_size, one broadcast
+    scan per chunk, union of results (the exponential_query_iterator
+    concern of the reference, contrib/exhaustive_search.py:297, resolved
+    by chunking instead of growing batches).
+
+    Each chunk re-scans the vector table — total cost chunks × scan,
+    the same trade the reference's blocked ground-truth loop makes. For
+    query sets so big this is prohibitive, use the IVF path
+    (ivf.search_preassigned) which joins instead of broadcasting."""
+    bounds = (
+        queries.select(F.col(qid_col).alias("q"))
+        .agg(F.min("q"), F.max("q"), F.count("q"))
+        .first()
+    )
+    lo, hi, n = bounds[0], bounds[1], bounds[2]
+    if n == 0:
+        spark = vectors.sparkSession
+        return spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
+    if n <= chunk_size:
+        return knn(vectors, queries, k, metric, id_col, vec_col, qid_col, qvec_col)
+    n_chunks = -(-n // chunk_size)
+    span = (hi - lo + 1) / n_chunks
+    out = None
+    for c in range(n_chunks):
+        a = lo + int(c * span)
+        b = lo + int((c + 1) * span) if c < n_chunks - 1 else hi + 1
+        part = queries.filter(
+            (F.col(qid_col) >= a) & (F.col(qid_col) < b)
+        )
+        res = knn(vectors, part, k, metric, id_col, vec_col, qid_col, qvec_col)
+        out = res if out is None else out.unionByName(res)
+    return out

@@ -82,3 +82,26 @@ def test_range_search_max_results_shrinks(vectors, queries):
     )
     assert res.count() <= 50
     assert radius < 10.0
+
+
+def test_knn_chunked_equals_knn(vectors):
+    from faiss_spark.operators.knn import knn_chunked
+
+    qs = vectors.filter("id < 60").select(F.col("id").alias("qid"), "vec")
+    a = {
+        (r["qid"], r["rank"], r["id"])
+        for r in knn_chunked(vectors, qs, 5, chunk_size=17).collect()
+    }
+    b = {(r["qid"], r["rank"], r["id"]) for r in knn(vectors, qs, 5).collect()}
+    assert a == b
+
+
+def test_bpe_token_count(spark):
+    from faiss_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("I don't have 42 apples, okay?!",), ("",)], "text string"
+    )
+    got = [r[0] for r in df.select(bpe_token_count(F.col("text"))).collect()]
+    # 'I', ' don', "'t", ' have', ' 42', ' apples', ',', ' okay', '?!'
+    assert got == [9, 0]
