@@ -759,3 +759,149 @@ class IVFPQRIndex:
 
         cands = self.ivfpq.search(queries, k * self.k_factor, nprobe=nprobe)
         return refine_search(cands, self.vectors, queries, k)
+
+
+@dataclass
+class TwoLayerCodes:
+    """Index2Layer (reference faiss/Index2Layer.h:29): IVFPQ-style codes
+    stored FLAT — (id, list_no, code) without list partitioning — for
+    random-access reconstruction (it exists in faiss to feed HNSW's
+    storage). On Spark random access is a join on id, so the value here
+    is the codec: reconstruct(id) = centroid[list_no] + pq_decode(code)."""
+
+    centroids: np.ndarray
+    pq: ProductQuantizerModel
+    codes: DataFrame | None = None
+
+    @staticmethod
+    def from_ivfpq(idx: IVFPQIndex) -> "TwoLayerCodes":
+        """Re-layout an IVFPQ index's codes flat (the reference builds
+        Index2Layer from a trained IVFPQ the same way)."""
+        return TwoLayerCodes(
+            centroids=idx.centroids, pq=idx.pq,
+            codes=idx.codes.select("id", "list_no", "code"),
+        )
+
+    def reconstruct(self, ids: list[int]) -> DataFrame:
+        """Random-access decode: join on id, add back the cell centroid."""
+        spark = self.codes.sparkSession
+        bc = spark.sparkContext.broadcast((self.centroids, self.pq.codebooks))
+
+        def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, books = bc.value
+            pqm = ProductQuantizerModel(codebooks=books)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+                X = pqm.decode_np(codes) + C[pdf["list_no"].to_numpy(np.int64)]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "vec": list(X.astype(np.float32)),
+                    }
+                )
+
+        sel = self.codes.filter(F.col("id").isin(ids))
+        return sel.mapInPandas(dec, schema="id bigint, vec array<float>")
+
+
+class IVFSpectralHash:
+    """IVF + per-list binary codes scanned with Hamming (reference
+    IndexIVFSpectralHash, faiss/IndexIVFSpectralHash.h:31 — simplified:
+    global median thresholds instead of the trained spectral transform;
+    the structural semantics — IVF partitioning + binarized residual scan
+    — are what the Spark layout demonstrates)."""
+
+    def __init__(self, centroids: np.ndarray, thresholds: np.ndarray):
+        self.centroids = centroids
+        self.thresholds = thresholds  # (d,) per-dim binarization thresholds
+        self.codes: DataFrame | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame, nlist: int, vec_col: str = "vec",
+        seed: int = 1234, niter: int = 10,
+    ) -> "IVFSpectralHash":
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+        # per-dim median ≈ balanced bits (driver sample, like SQ fit)
+        from faiss_spark.operators.codecs import _sampled_matrix
+
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        return IVFSpectralHash(
+            centroids=km.centroids, thresholds=np.median(X, axis=0)
+        )
+
+    def add(self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"):
+        from faiss_spark.operators.binary import _bits_to_words
+
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast((self.centroids, self.thresholds))
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, thr = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                d2 = (
+                    (X * X).sum(1)[:, None]
+                    + (C * C).sum(1)[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                lists = d2.argmin(1)
+                words = _bits_to_words((X > thr).astype(np.int64))
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(words),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        self.codes = src.mapInPandas(
+            enc, schema="list_no int, id bigint, code array<bigint>"
+        )
+        return self
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 1,
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Coarse L2 probes + Hamming scan over binarized codes (JVM bit
+        ops after the partition-pruned join)."""
+        from faiss_spark.operators.binary import _bits_to_words, hamming_expr
+
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        Q = as_matrix(qpdf[qvec_col])
+        CD = pairwise_distances(Q, self.centroids, "l2")
+        nprobe_ = min(nprobe, len(self.centroids))
+        order = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
+        probed = sorted({int(c) for c in order.ravel()})
+        qwords = _bits_to_words((Q > self.thresholds).astype(np.int64))
+        probe_rows = [
+            (int(qpdf[qid_col].iloc[i]), [int(w) for w in qwords[i]], int(c))
+            for i in range(len(qpdf))
+            for c in order[i]
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, "qid bigint, qcode array<bigint>, list_no int"
+        )
+        pruned = self.codes.filter(F.col("list_no").isin(probed))
+        joined = pruned.join(F.broadcast(probes), "list_no").select(
+            "qid",
+            "id",
+            hamming_expr(F.col("code"), F.col("qcode")).cast("double").alias("dist"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "id", "dist", "rank")
+        )

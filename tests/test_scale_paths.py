@@ -126,3 +126,31 @@ def test_ivfpqr_beats_ivfpq(vectors):
     raw = {(r["qid"], r["id"]) for r in pqr.ivfpq.search(q, 5, nprobe=8).collect()}
     ref = {(r["qid"], r["id"]) for r in pqr.search(q, 5, nprobe=8).collect()}
     assert len(ref & truth) >= len(raw & truth)
+
+
+def test_two_layer_reconstruct(vectors):
+    from faiss_spark.operators.ivf import IVFPQIndex, TwoLayerCodes
+    import numpy as np
+
+    idx = IVFPQIndex.train(vectors, nlist=8, M=8, seed=42, niter=5, pq_niter=5).add(vectors)
+    tl = TwoLayerCodes.from_ivfpq(idx)
+    got = {r["id"]: np.asarray(r["vec"]) for r in tl.reconstruct([1, 5, 9]).collect()}
+    orig = {
+        r["id"]: np.asarray(r["vec"])
+        for r in vectors.filter("id in (1,5,9)").collect()
+    }
+    assert got.keys() == orig.keys()
+    for i in got:  # lossy codec: reconstruction close, not exact
+        err = np.abs(got[i] - orig[i]).mean()
+        assert err < 0.2, err
+
+
+def test_ivf_spectral_hash(vectors):
+    from faiss_spark.operators.ivf import IVFSpectralHash
+
+    idx = IVFSpectralHash.train(vectors, nlist=4, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    rows = idx.search(q, 3, nprobe=4).collect()
+    top1 = {r["qid"]: r["dist"] for r in rows if r["rank"] == 1}
+    # each query's own binarized code is in the scan -> rank-1 dist is 0
+    assert all(d == 0.0 for d in top1.values())
