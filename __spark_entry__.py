@@ -187,6 +187,37 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(knn_join(_emb(spark, sf_dir), 5, "l2"))
 
 
+def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-d feature vectors derived from lineitem numerics — the big-table
+    vector workload (600k rows at sf0.1): id = orderkey*10 + linenumber."""
+    _nanos_ok(spark)
+    li = load_tables(spark, sf_dir)["lineitem"]
+    feat = F.array(
+        F.col("l_quantity").cast("float"),
+        (F.col("l_extendedprice") / 1000.0).cast("float"),
+        (F.col("l_discount") * 10.0).cast("float"),
+        (F.col("l_tax") * 10.0).cast("float"),
+        (F.col("l_partkey") % 100).cast("float"),
+        (F.col("l_suppkey") % 100).cast("float"),
+        F.month("l_shipdate").cast("float"),
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        feat.alias("vec"),
+    )
+
+
+def q_knn_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact knn over the full lineitem-derived feature table — the
+    kernel-throughput benchmark (at sf0.1: 200 queries × 600k vectors)."""
+    vecs = _lineitem_features(spark, sf_dir)
+    qs = (
+        vecs.filter(F.col("id") < 500)
+        .select(F.col("id").alias("qid"), "vec")
+    )
+    return _round(knn(vecs, qs, K, "l2"))
+
+
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(
         "id", F.round(norm_l2_expr(F.col("vec")), ROUND).alias("norm")
@@ -209,6 +240,17 @@ def q_ivfsq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _emb(spark, sf_dir)
     idx = IVFSQIndex.train(vecs, nlist=16, bits=8, seed=42, niter=10).add(vecs)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
+def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + additive-quantizer (RQ-on-residuals) search at full probe
+    (rows-only: RQ codebooks are iterative k-means artifacts no SQL oracle
+    can reproduce; recall vs exact knn is pinned in tests/)."""
+    from faiss_spark.operators.ivf import IVFAQIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFAQIndex.train(vecs, nlist=16, M=8, seed=42, niter=10).add(vecs)
     return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
 
 
@@ -381,6 +423,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faiss_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs as two 32-bit words (lo/hi md5
+    halves — single 64-bit words overflow double-exact HOF arithmetic),
+    8 byte-bands, exact two-word hamming verify ≤ 3."""
+    from faiss_spark.operators.dedup import simhash64_neardup_pairs
+
+    return simhash64_neardup_pairs(_docs(spark, sf_dir))
 
 
 def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,9 +630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
+        "knn_tabular": q_knn_tabular,
         "ivf_search_exact": q_ivf_search_exact,
         "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "ivfsq_search_exact": q_ivfsq_search_exact,
+        "ivfaq_search": q_ivfaq_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
@@ -597,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
@@ -938,6 +992,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """
+    # 64-bit simhash = two independent 32-bit words from the two md5
+    # halves (single 64-bit ints overflow double-exact HOF arithmetic)
+    _SH_H_HI = f"list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT)"
+    sh64_bands = ", ".join(
+        f"CAST(floor({w} / {1 << (8 * b)}) AS BIGINT) % 256 + {(i * 4 + b) * 512} AS band{i * 4 + b}"
+        for i, w in enumerate(("lo", "hi"))
+        for b in range(4)
+    )
+    sql["dedup_simhash64"] = f"""
+        WITH hs AS (SELECT doc_id AS id, {_SH_H} AS hs, {_SH_H_HI} AS hs2 FROM documents),
+        sig AS (SELECT id, {_SH_CODE} AS lo,
+                       {_SH_CODE.replace('hs', 'hs2')} AS hi
+                FROM hs),
+        banded AS (
+          SELECT id, lo, hi,
+                 unnest([band0, band1, band2, band3, band4, band5, band6, band7]) AS bucket
+          FROM (SELECT id, lo, hi, {sh64_bands} FROM sig)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+    """
     # binary codes: word w = bits of dims 32w+1..32w+32 (exact in doubles)
     def bword(tbl: str, w: int) -> str:
         lo = 32 * w + 1
@@ -992,6 +1073,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """
+    # lineitem feature vectors: every component cast to REAL exactly as
+    # the Spark side stores array<float>
+    _LIFEAT = """
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               [CAST(l_quantity AS REAL), CAST(l_extendedprice / 1000.0 AS REAL),
+                CAST(l_discount * 10.0 AS REAL), CAST(l_tax * 10.0 AS REAL),
+                CAST(l_partkey % 100 AS REAL), CAST(l_suppkey % 100 AS REAL),
+                CAST(month(l_shipdate) AS REAL)] AS vec
+        FROM lineitem
+    """
+    sql["knn_tabular"] = f"""
+        WITH v AS ({_LIFEAT}),
+        q AS (SELECT id AS qid, vec AS qv FROM v WHERE id < 500),
+        d AS (
+          SELECT q.qid, v.id,
+                 list_sum(list_transform(range(1, 8),
+                   i -> (CAST(q.qv[i] AS DOUBLE) - CAST(v.vec[i] AS DOUBLE)) ** 2)) AS dist
+          FROM q CROSS JOIN v
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {K}
     """
     sql["knn_1d"] = """
         WITH q AS (SELECT p_partkey AS qid, p_retailprice AS qx FROM part WHERE p_partkey <= 10),

@@ -34,6 +34,7 @@ from faiss_spark.operators.dedup import (
 )
 from faiss_spark.operators.graph import nn_descent
 from faiss_spark.operators.ivf import (
+    IVFAQIndex,
     IVFIndex,
     IVFPQIndex,
     IVFSQIndex,
@@ -63,6 +64,7 @@ __all__ = [
     "kmeans_1d",
     "IVFIndex",
     "IVFPQIndex",
+    "IVFAQIndex",
     "IVFSQIndex",
     "search_preassigned",
     "ScalarQuantizer",

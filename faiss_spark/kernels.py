@@ -43,7 +43,24 @@ def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
     faiss/utils/distances.h:232 ``knn_L2sqr``).
     """
     if metric == "l2":
-        # ||q||^2 + ||x||^2 - 2 q.x  (same decomposition as the reference)
+        if Q.shape[1] <= 16:
+            # small d: direct Σ(q−x)² — bit-identical to the SQL oracle's
+            # sequential sum, which matters because low-d/discrete data has
+            # EXACT distance ties and the GEMM decomposition perturbs
+            # mathematically-equal values by ~1e-14, reordering ties.
+            # Dimension-at-a-time with REUSED buffers: a broadcast 3-D temp
+            # would allocate nq×m×d×8 bytes per batch, and that churn
+            # drives kernel memory-reclaim storms on big scans.
+            nq, m = Q.shape[0], X.shape[0]
+            d2 = np.zeros((nq, m), dtype=np.float64)
+            buf = np.empty((nq, m), dtype=np.float64)
+            for j in range(Q.shape[1]):
+                np.subtract.outer(Q[:, j], X[:, j], out=buf)
+                buf *= buf
+                d2 += buf
+            return d2
+        # ||q||^2 + ||x||^2 - 2 q.x  (same decomposition as the reference
+        # BLAS path, faiss/utils/distances.cpp:271)
         d2 = (
             (Q * Q).sum(axis=1)[:, None]
             + (X * X).sum(axis=1)[None, :]
@@ -108,10 +125,28 @@ class TopKAccumulator:
 
     def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:
         """block_dist: (nq, m); block_ids: (m,)"""
-        ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
+        m = block_dist.shape[1]
+        k = self.k
+        if m > 4 * k:
+            # pre-reduce the batch with O(m) argpartition — but tie-SAFE:
+            # keep at least every entry whose key ≤ the per-row kth
+            # smallest, so equal-distance candidates with smaller ids can
+            # never be dropped before the lexicographic shrink
+            key = -block_dist if self.largest else block_dist
+            kth = np.partition(key, min(k, m) - 1, axis=1)[:, min(k, m) - 1 : min(k, m)]
+            need = int((key <= kth).sum(axis=1).max())
+            w = min(m, max(need, k))
+            if w < m:
+                part = np.argpartition(key, w - 1, axis=1)[:, :w]
+                block_dist = np.take_along_axis(block_dist, part, axis=1)
+                ids = block_ids[part]
+            else:
+                ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
+        else:
+            ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
         self.dist = np.concatenate([self.dist, block_dist], axis=1)
         self.ids = np.concatenate([self.ids, ids], axis=1)
-        if self.dist.shape[1] > 4 * self.k:
+        if self.dist.shape[1] > 8 * self.k:
             self._shrink()
 
     def _shrink(self) -> None:
@@ -119,11 +154,16 @@ class TopKAccumulator:
         if m <= self.k:
             return
         key = -self.dist if self.largest else self.dist
-        part = np.argpartition(key, self.k - 1, axis=1)[:, : self.k]
-        rows = np.arange(self.nq)[:, None]
-        self.dist = np.take_along_axis(self.dist, part, axis=1)
-        self.ids = np.take_along_axis(self.ids, part, axis=1)
-        del rows
+        # tie-aware truncation: rows with equal dist at the k boundary must
+        # keep the SMALLEST ids (ORDER BY dist, id semantics) — a plain
+        # argpartition on dist would keep an arbitrary tie subset and the
+        # dropped candidate can't be recovered at the final merge
+        idx_by_id = np.argsort(self.ids, axis=1, kind="stable")
+        k_sorted = np.take_along_axis(key, idx_by_id, axis=1)
+        idx_by_key = np.argsort(k_sorted, axis=1, kind="stable")[:, : self.k]
+        sel = np.take_along_axis(idx_by_id, idx_by_key, axis=1)
+        self.dist = np.take_along_axis(self.dist, sel, axis=1)
+        self.ids = np.take_along_axis(self.ids, sel, axis=1)
 
     def emit(self):
         """Return (qidx, id, dist) 1-D arrays of the final per-query top-k,

@@ -222,19 +222,24 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits; pigeonhole: hamming ≤ 3 ⇒ a band mat
 SIMHASH_HAM_T = 3
 
 
-def simhash_expr(text_col, bits: int = SIMHASH_BITS):
+def simhash_expr(text_col, bits: int = SIMHASH_BITS, hex_offset: int = 0):
     """SimHash of the token multiset as a BIGINT (bits ≤ 32 so every
     arithmetic step is double-exact and has a byte-identical SQL twin).
 
-    Token hash = first 8 md5 hex chars as an int; bit j of the simhash is
-    the sign of Σ_tokens (2·bit_j(h) − 1). Everything JVM-side."""
+    Token hash = 8 md5 hex chars starting at `hex_offset` as an int; bit j
+    of the simhash is the sign of Σ_tokens (2·bit_j(h) − 1). Everything
+    JVM-side. A 64-bit simhash is two calls with hex_offset 0 and 8
+    (independent md5 halves) — wider single words would overflow the
+    double-exact range of higher-order-function arithmetic."""
     from faiss_spark.functions.text import bind, tokens
 
     def build(toks):
         return bind(
             F.transform(
                 toks,
-                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+                lambda t: F.conv(
+                    F.substring(F.md5(t), 1 + hex_offset, 8), 16, 10
+                ).cast("long"),
             ),
             lambda hs: F.aggregate(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
@@ -300,6 +305,56 @@ def simhash_neardup_pairs(
     b = banded.alias("b")
     ham = F.bit_count(
         F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash64_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_HAM_T,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs as TWO 32-bit words (lo = md5 hex
+    chars 1-8, hi = chars 9-16): Spark's interpreted HOF arithmetic is
+    double-based, so a single 64-bit word would lose bits past 2^53 —
+    the two-word layout keeps every step integer-exact AND has an exact
+    DuckDB twin. 8 byte-bands (4 per word) bucket candidates; pigeonhole
+    guarantees every pair with hamming ≤ 7 shares a band. Hamming =
+    popcount(xor lo) + popcount(xor hi). Same single skew-free shuffle
+    as the 32-bit variant. Returns (id_a, id_b, hamming)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
+        .repartition(par, "id")
+        .select(
+            "id",
+            simhash_expr(F.col(text_col), SIMHASH_BITS, hex_offset=0).alias("lo"),
+            simhash_expr(F.col(text_col), SIMHASH_BITS, hex_offset=8).alias("hi"),
+        )
+    )
+    bands = []
+    for w, col in enumerate(("lo", "hi")):
+        for b in range(4):
+            bands.append(
+                F.floor(F.col(col) / F.lit(float(1 << (8 * b)))).cast("long") % 256
+                + F.lit((w * 4 + b) * 512)
+            )
+    banded = sig.select("id", "lo", "hi", F.explode(F.array(*bands)).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
     )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

@@ -905,3 +905,232 @@ class IVFSpectralHash:
             .filter(F.col("rank") <= k)
             .select("qid", "id", "dist", "rank")
         )
+
+
+@dataclass
+class IVFAQIndex:
+    """IVF + additive-quantizer (residual-quantizer) codes on residuals —
+    the reference IndexIVFAdditiveQuantizer family
+    (faiss/IndexIVFAdditiveQuantizer.h:26,64 — IVFRQ is the default
+    variant; by_residual=true default there too).
+
+    Layout is the standard partitioned-table pattern: codes table
+    (list_no, id, code BINARY) where code = RQ beam-search encoding of
+    x − centroid[list_no]. Search is asymmetric: the per-list scan
+    gather-sums the M codebook rows (AdditiveQuantizer decode,
+    faiss/impl/AdditiveQuantizer.h:25), re-adds the list centroid, and
+    GEMMs against the exact queries — same plan shape (partition-pruned
+    scan + one candidate merge) as IVFSQIndex, so the 100 TB posture is
+    identical."""
+
+    centroids: np.ndarray  # (nlist, d)
+    rq: "ResidualQuantizerModel"
+    metric: str = "l2"
+    codes: DataFrame | None = None
+    path: str | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        M: int = 8,
+        beam: int = 4,
+        metric: str = "l2",
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 20,
+        rq_niter: int = 15,
+    ) -> "IVFAQIndex":
+        """train_q1 (coarse k-means) then RQ codebooks on residuals of the
+        training sample (reference IndexIVFAdditiveQuantizer::train_residual)."""
+        from faiss_spark.operators.codecs import (
+            ResidualQuantizerModel,
+            _kmeans_np,
+            _sampled_matrix,
+        )
+
+        km = KMeans(
+            k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
+        ).fit(vectors, vec_col=vec_col)
+        C = km.centroids
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        d2 = (
+            (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        )
+        resid = X - C[d2.argmin(1)]
+        ksub = min(256, len(resid))
+        books = np.empty((M, ksub, X.shape[1]), np.float64)
+        r = resid.copy()
+        for m in range(M):
+            books[m], labels = _kmeans_np(r, ksub, rq_niter, seed + m)
+            r = r - books[m][labels]
+        return IVFAQIndex(
+            centroids=C,
+            rq=ResidualQuantizerModel(codebooks=books, beam=beam),
+            metric=metric,
+        )
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFAQIndex":
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.centroids, self.rq.codebooks, self.rq.beam, self.metric)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from faiss_spark.operators.codecs import ResidualQuantizerModel
+
+            C, books, beam, metric = bc.value
+            rqm = ResidualQuantizerModel(codebooks=books, beam=beam)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                D = pairwise_distances(X, C, metric)
+                lists = (
+                    np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
+                )
+                codes = rqm.encode_np(X - C[lists])
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, codes)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        if path is not None:
+            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def reconstruct(self, ids: DataFrame | None = None) -> DataFrame:
+        """Decode stored codes back to approximate vectors:
+        centroid[list_no] + Σ codebook[m][code[m]] (sa_decode)."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        bc = spark.sparkContext.broadcast((self.centroids, self.rq.codebooks))
+
+        def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, books = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+                X = C[pdf["list_no"].to_numpy(np.int64)].astype(np.float64)
+                for m in range(books.shape[0]):
+                    X += books[m][codes[:, m]]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "vec": list(X.astype(np.float32)),
+                    }
+                )
+
+        src = self.codes
+        if ids is not None:
+            src = src.join(ids.select("id"), "id", "left_semi")
+        return src.select("list_no", "id", "code").mapInPandas(
+            dec, schema="id bigint, vec array<float>"
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Same partition-pruned plan as IVFSQIndex.search; the scan
+        decodes AQ codes (gather-sum + centroid) before the GEMM."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        nlist = len(self.centroids)
+        nprobe = min(nprobe, nlist)
+        largest = self.metric in SIMILARITY_METRICS
+
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        CD = pairwise_distances(Q, self.centroids, self.metric)
+        order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+        probes = order[:, :nprobe]
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                list_to_q[int(c)].append(qi)
+        bc = spark.sparkContext.broadcast(
+            (
+                qids,
+                Q,
+                {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+                self.centroids,
+                self.rq.codebooks,
+            )
+        )
+        metric = self.metric
+        k_ = k
+        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, l2q, C, books = bc.value
+            acc: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    X = np.broadcast_to(
+                        C[int(list_no)], (len(codes), C.shape[1])
+                    ).astype(np.float64)
+                    for m in range(books.shape[0]):
+                        X = X + books[m][codes[:, m]]
+                    D = pairwise_distances(Q_[qsel], X, metric)
+                    key = int(list_no)
+                    if key not in acc:
+                        acc[key] = TopKAccumulator(
+                            len(qsel), k_, metric in SIMILARITY_METRICS
+                        )
+                        qsels[key] = qsel
+                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+            for key, a in acc.items():
+                qidx, nid, nd = a.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        sort = [
+            F.col("dist").desc() if largest else F.col("dist").asc(),
+            F.col("id").asc(),
+        ]
+        w = Window.partitionBy("qid").orderBy(*sort)
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )

@@ -76,6 +76,13 @@ def _scan_partitions(
     src = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
+    # CPU-bound scan: when the source is a handful of splits (small local
+    # files), fan it out across cores first. At cluster scale real tables
+    # already have ≥ parallelism splits, so this no-ops there.
+    spark = vectors.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     return src.mapInPandas(make_emit, schema=_RESULT_SCHEMA)
 
 

@@ -56,3 +56,33 @@ def test_simhash_deterministic(tables):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # 32-bit range
     assert all(0 <= r["sh"] < (1 << 32) for r in a)
+
+
+def test_simhash64_identical_docs_zero_hamming(tables, spark):
+    from faiss_spark.operators.dedup import simhash64_neardup_pairs
+
+    base = tables["documents"].limit(50)
+    planted = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    pairs = simhash64_neardup_pairs(base.unionByName(planted)).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for i in range(5):
+        assert found.get((i, i + 1_000_000)) == 0
+
+
+def test_simhash64_words_are_32bit_and_stricter_than_32(tables):
+    """Each word stays in the double-exact 32-bit range, and the 64-bit
+    fingerprint (same threshold) accepts a subset of the 32-bit pairs —
+    doubling the bits can only make hamming ≤ t harder to satisfy."""
+    from faiss_spark.operators.dedup import simhash64_neardup_pairs
+
+    docs = tables["documents"].limit(200)
+    sig = docs.select(
+        simhash_expr(F.col("text"), hex_offset=0).alias("lo"),
+        simhash_expr(F.col("text"), hex_offset=8).alias("hi"),
+    ).collect()
+    assert all(0 <= r["lo"] < (1 << 32) and 0 <= r["hi"] < (1 << 32) for r in sig)
+    p32 = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(docs).collect()}
+    p64 = {(r["id_a"], r["id_b"]) for r in simhash64_neardup_pairs(docs).collect()}
+    assert p64 <= p32

@@ -154,3 +154,38 @@ def test_ivf_spectral_hash(vectors):
     top1 = {r["qid"]: r["dist"] for r in rows if r["rank"] == 1}
     # each query's own binarized code is in the scan -> rank-1 dist is 0
     assert all(d == 0.0 for d in top1.values())
+
+
+def test_ivfaq_full_probe_recall(vectors):
+    """IVF+RQ codes: full-probe search must recover ≥0.9 of exact
+    neighbors (AQ is lossy; reference IndexIVFAdditiveQuantizer gets the
+    same class of recall on smooth data)."""
+    from faiss_spark.operators.ivf import IVFAQIndex
+    from faiss_spark.operators.knn import knn
+
+    idx = IVFAQIndex.train(vectors, nlist=8, M=8, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, q, 10).collect()}
+    got = {(r["qid"], r["id"]) for r in idx.search(q, 10, nprobe=8).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_ivfaq_reconstruct_beats_coarse_only(vectors):
+    """sa_decode: centroid + gather-sum must reduce reconstruction error
+    vs the coarse centroid alone (each RQ level refines the residual)."""
+    import numpy as np
+
+    from faiss_spark.operators.ivf import IVFAQIndex
+
+    idx = IVFAQIndex.train(vectors, nlist=4, M=8, seed=42, niter=5).add(vectors)
+    rec = {r["id"]: np.array(r["vec"]) for r in idx.reconstruct().collect()}
+    raw = {r["id"]: np.array(r["vec"]) for r in vectors.collect()}
+    lists = {r["id"]: r["list_no"] for r in idx.codes.select("id", "list_no").collect()}
+    err_rec = np.mean([((rec[i] - raw[i]) ** 2).sum() for i in raw])
+    err_coarse = np.mean(
+        [((idx.centroids[lists[i]] - raw[i]) ** 2).sum() for i in raw]
+    )
+    assert err_rec < err_coarse * 0.8, (err_rec, err_coarse)
+    assert idx.codes.first()["code"] is not None
+    assert len(idx.codes.first()["code"]) == 8  # M bytes per vector
