@@ -218,6 +218,50 @@ def q_knn_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(knn(vecs, qs, K, "l2"))
 
 
+def _prob_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability vectors p_i = |v_i| / Σ|v| from the embeddings table —
+    JS divergence needs non-negative inputs. Two-step select so the Σ|v|
+    subexpression is computed ONCE per row (a nested HOF reference would
+    re-evaluate it per element: Spark interprets lambda bodies without
+    CSE). Components are cast to float so the DuckDB twin (CAST AS REAL)
+    is bit-identical."""
+    emb = _emb(spark, sf_dir)
+    tot = F.aggregate(
+        F.transform("vec", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    w = emb.select("id", "vec", tot.alias("tot"))
+    p = F.transform(
+        "vec", lambda x: (F.abs(x.cast("double")) / F.col("tot")).cast("float")
+    )
+    return w.select("id", p.alias("vec"))
+
+
+def q_knn_jensenshannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra metric: Jensen-Shannon divergence top-k over probability
+    vectors (faiss METRIC_JensenShannon, extra_distances KLD form)."""
+    pv = _prob_vectors(spark, sf_dir)
+    qs = pv.filter(F.col("id") < NQ).select(F.col("id").alias("qid"), "vec")
+    return _round(knn(pv, qs, K, "jensenshannon"))
+
+
+def q_knn_tabular_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same workload as knn_tabular through the chunked-query scale path
+    (query side processed in qid-range chunks, one broadcast scan per
+    chunk). Chunking is plan-level only, so the oracle is identical —
+    proving the huge-query-side path returns exactly the broadcast
+    path's results."""
+    from faiss_spark.operators.knn import knn_chunked
+
+    vecs = _lineitem_features(spark, sf_dir)
+    qs = (
+        vecs.filter(F.col("id") < 500)
+        .select(F.col("id").alias("qid"), "vec")
+    )
+    return _round(knn_chunked(vecs, qs, K, "l2", chunk_size=16))
+
+
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(
         "id", F.round(norm_l2_expr(F.col("vec")), ROUND).alias("norm")
@@ -630,7 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
+        "knn_jensenshannon": q_knn_jensenshannon,
         "knn_tabular": q_knn_tabular,
+        "knn_tabular_chunked": q_knn_tabular_chunked,
         "ivf_search_exact": q_ivf_search_exact,
         "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "ivfsq_search_exact": q_ivfsq_search_exact,
@@ -752,6 +798,30 @@ def oracle_sql() -> dict[str, str]:
         "abs(CAST(q.qv[i] AS DOUBLE) + CAST(e.embedding[i] AS DOUBLE))))"
     )
     sql["knn_canberra"] = _knn_sql(_CANB, "ASC")
+    # JS over probability vectors |v|/Σ|v| (REAL-cast like the Spark side)
+    _PV = (
+        "SELECT vec_id AS id, list_transform(embedding, x -> "
+        "CAST(abs(CAST(x AS DOUBLE)) / "
+        "list_sum(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS REAL)) AS p "
+        "FROM embeddings"
+    )
+    _JS = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        "CASE WHEN CAST(q.qp[i] AS DOUBLE) > 0 THEN CAST(q.qp[i] AS DOUBLE) "
+        "* ln(2 * CAST(q.qp[i] AS DOUBLE) / (CAST(q.qp[i] AS DOUBLE) + CAST(t.p[i] AS DOUBLE))) ELSE 0 END "
+        "+ CASE WHEN CAST(t.p[i] AS DOUBLE) > 0 THEN CAST(t.p[i] AS DOUBLE) "
+        "* ln(2 * CAST(t.p[i] AS DOUBLE) / (CAST(q.qp[i] AS DOUBLE) + CAST(t.p[i] AS DOUBLE))) ELSE 0 END))"
+    )
+    sql["knn_jensenshannon"] = f"""
+        WITH t AS ({_PV}),
+        q AS (SELECT id AS qid, p AS qp FROM t WHERE id < {NQ}),
+        d AS (SELECT q.qid, t.id, {_JS} AS dist FROM q CROSS JOIN t),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id) AS rank
+              FROM d)
+        SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {K}
+    """
     sql["knn_braycurtis"] = _knn_sql(
         f"CASE WHEN {_BC_DEN} > 0 THEN ({_BC_NUM}) / ({_BC_DEN}) ELSE 0 END", "ASC"
     )
@@ -1099,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {K}
     """
+    sql["knn_tabular_chunked"] = sql["knn_tabular"]
     sql["knn_1d"] = """
         WITH q AS (SELECT p_partkey AS qid, p_retailprice AS qx FROM part WHERE p_partkey <= 10),
         d AS (SELECT q.qid, p.p_partkey AS id, abs(p.p_retailprice - q.qx) AS dist

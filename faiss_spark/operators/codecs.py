@@ -38,12 +38,16 @@ def _kmeans_np(X: np.ndarray, k: int, niter: int, seed: int) -> tuple:
     C = X[rng.permutation(len(X))[:k]].copy()
     labels = None
     for _ in range(niter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        # argmin needs only ||c||² − 2x·c (||x||² is constant per row);
+        # GEMM form instead of an n×k×d broadcast temp
+        d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         labels = d2.argmin(1)
-        for ci in range(k):
-            mask = labels == ci
-            if mask.any():
-                C[ci] = X[mask].mean(0)
+        # scatter-add centroid update (no per-cluster python loop)
+        sums = np.zeros_like(C)
+        np.add.at(sums, labels, X)
+        counts = np.bincount(labels, minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     return C, labels
 
 
