@@ -478,6 +478,25 @@ def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_neardup_pairs(_docs(spark, sf_dir))
 
 
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats (tokenizer-training input): term frequency
+    + document frequency per distinct token, df >= 3."""
+    from faiss_spark.functions.text import term_frequencies
+
+    return term_frequencies(_docs(spark, sf_dir), min_df=3)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: connected components over the MinHash-LSH pair
+    graph, each node labeled with its group's smallest id (the canonical
+    doc a dedup pass keeps). Min-label propagation, one shuffle per
+    round, O(component diameter) rounds."""
+    from faiss_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+    return dedup_components(pairs)
+
+
 def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph by NN-Descent (rows-only: iterative
     algorithm; edge recall vs the exact graph is asserted in tests/)."""
@@ -685,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
+        "term_frequencies": q_term_frequencies,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_features": q_text_features,
@@ -946,6 +967,32 @@ def oracle_sql() -> dict[str, str]:
               / len(list_distinct(list_concat(s_a, s_b))) >= {JACCARD_T}
     """
     sql["dedup_ngram_jaccard"] = _PAIR_JACCARD
+    sql["term_frequencies"] = f"""
+        WITH post AS (
+          SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents
+        )
+        SELECT token, count(*) AS tf, count(DISTINCT id) AS df
+        FROM post WHERE token != '' GROUP BY token
+        HAVING count(DISTINCT id) >= 3
+    """
+
+    # components of the minhash pair graph via recursive CTE (min
+    # reachable id == the propagated min label)
+    sql["dedup_components"] = f"""
+        WITH RECURSIVE prs AS (
+          SELECT id_a, id_b FROM ({sql['dedup_minhash_lsh']}) mh
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id, min(r) AS rep_id FROM reach GROUP BY id
+    """
+
     sql["dedup_embedding_cosine"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings)
         SELECT q.qid AS id_a, e.vec_id AS id_b, round({_COS}, {ROUND}) AS cosine

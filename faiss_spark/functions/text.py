@@ -156,3 +156,31 @@ def bpe_token_count(text: Column) -> Column:
     (the "BPE-ish regex" token counter for LLM data budgeting — counts
     pieces, not merged BPE ids, which is the standard cheap proxy)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def term_frequencies(
+    df, text_col: str = "text", id_col: str = "doc_id", min_df: int = 1
+):
+    """Corpus vocabulary statistics: one row per distinct token with
+    term frequency (total occurrences) and document frequency (docs
+    containing it). The input to tokenizer/vocab training and to
+    df-based shingle pruning in the dedup pipeline.
+
+    Plan: explode(tokens) → one hash shuffle keyed on the token with
+    map-side partial aggregation; token keys are near-uniform so the
+    shuffle is skew-safe (natural-language head tokens like 'the' are
+    hot but partial aggregation collapses them map-side first).
+    Returns (token, tf, df) with df ≥ min_df."""
+    from pyspark.sql import functions as F
+
+    posted = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        posted.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("id").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -444,3 +444,67 @@ def embedding_neardup_bucketed(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: connected components of the
+    pair graph, labeled by the smallest member id (the canonical
+    representative a dedup pass keeps). Returns (id, rep_id).
+
+    This is the step after any pairer (minhash/simhash/embedding): pairs
+    say "a≈b"; components say "keep one of {a,b,c,…}". Algorithm is
+    min-label propagation (the map-reduce connected-components loop, à la
+    Hash-to-Min): every node repeatedly adopts the smallest label among
+    itself and its neighbors, O(diameter) rounds — near-dup clusters are
+    tiny (dozens), so this converges in a handful of one-shuffle rounds
+    at any corpus size. Each round is checkpointed so lineage stays flat
+    (Spark re-executes exponentially otherwise).
+
+    Termination: stop when a round changes no label (count of changed
+    rows — cheap, the frame is already materialized by the checkpoint).
+    """
+    # undirected edge list, both directions + self-loop keeps singletons
+    e = pairs.select(
+        F.col(id_a_col).cast("bigint").alias("src"),
+        F.col(id_b_col).cast("bigint").alias("dst"),
+    )
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.col("src").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over self and neighbors' labels
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), F.col("rep").alias("rep_id"))

@@ -157,3 +157,34 @@ def test_embedding_neardup_symmetric_ordering(tables):
     rows = pairs.collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert all(r["cosine"] >= 0.9 for r in rows)
+
+
+def test_dedup_components_chains_and_singletons(spark):
+    """A path a-b-c collapses into one group labeled min(a,b,c); disjoint
+    pairs stay separate; transitivity does NOT leak across components."""
+    from faiss_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dedup_components_on_minhash_pairs(tables):
+    """End-to-end: every pair's two ids land in the same component, and
+    every rep is the min id of its group."""
+    from faiss_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(tables["documents"])
+    labels = {r["id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
+    for r in pairs.collect():
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+    for node, rep in labels.items():
+        assert rep <= node
+        assert labels[rep] == rep
