@@ -1,0 +1,143 @@
+"""Physical-plan assertions: the scale claims in ROUND1_NOTES are CHECKED,
+not assumed. Each test pins a plan property that a 100 TB deployment
+relies on — if a refactor breaks pushdown/pruning/partial aggregation,
+these fail even though results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.knn import knn, range_search
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+
+
+def test_id_predicate_pushed_to_parquet_scan(emb, queries):
+    """IDSelectorRange ≡ parquet row-group pruning: the id filter must
+    reach the scan as PushedFilters, not run post-scan."""
+    vecs = emb.filter((F.col("id") >= 100) & (F.col("id") < 400))
+    p = plan(knn(vecs, queries, 3))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(vec_id,100)" in p.replace(" ", "").replace(
+        "vec_id#", "vec_id"
+    ) or "GreaterThanOrEqual" in p
+    assert "LessThan" in p
+
+
+def test_column_pruning_reaches_scan(tables):
+    """A 2-column projection over the 5-column documents table must scan
+    only those columns (ReadSchema pruning)."""
+    from faiss_spark.functions.text import token_count
+
+    df = tables["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("ntok")
+    )
+    p = plan(df)
+    scan = [seg for seg in p.split("(1) Scan")[1:2]]
+    body = scan[0] if scan else p
+    assert "ReadSchema" in p
+    # untouched columns must not be read
+    assert "n_chars" not in body.split("ReadSchema")[1].splitlines()[0]
+    assert "source" not in body.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_ivf_search_prunes_partitions(emb, queries, tmp_path):
+    """nprobe cell selection IS Catalyst partition pruning: the codes
+    scan must carry a PartitionFilters entry on list_no, and prune to
+    nprobe of nlist partitions."""
+    from faiss_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.train(emb, nlist=8, seed=42, niter=5).add(
+        emb, path=str(tmp_path / "ivf_codes")
+    )
+    res = idx.search(queries, 3, nprobe=2)
+    p = plan(res)
+    assert "PartitionFilters" in p
+    assert "list_no" in p.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_range_search_has_no_keyed_shuffle(emb, queries):
+    """Range search is embarrassingly parallel: scan + mapInPandas. The
+    only Exchange allowed is the explicit RoundRobin fan-out of a
+    single-split local file (a no-op on real multi-split tables); any
+    KEYED shuffle would be a scale bug."""
+    p = plan(range_search(emb, queries, 4.0))
+    assert "hashpartitioning" not in p
+    assert "rangepartitioning" not in p
+    assert p.count("RoundRobinPartitioning") <= 1
+    assert "MapInPandas" in p
+
+
+def test_knn_shuffles_only_candidates(emb, queries):
+    """The only data-dependent shuffle in brute knn is the candidate
+    merge (plus at most one explicit fan-out repartition of a
+    single-split local file). The full vector table is never exchanged
+    by key."""
+    p = plan(knn(emb, queries, 3))
+    assert "MapInPandas" in p
+    # exactly one keyed shuffle: the candidate merge, partitioned by qid
+    assert p.count("hashpartitioning") == 1
+    assert "hashpartitioning(qid" in p
+    assert p.count("RoundRobinPartitioning") <= 1
+
+
+def test_topk_per_group_uses_window_group_limit(tables, spark):
+    """row_number <= k over a window must trigger WindowGroupLimit
+    (partial top-k pushdown below the shuffle) — the JVM-side twin of
+    the knn partial/final merge."""
+    from pyspark.sql import Window as W
+
+    li = tables["lineitem"]
+    w = W.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc())
+    df = li.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)
+    p = plan(df)
+    assert "WindowGroupLimit" in p
+
+
+def test_term_frequencies_aggregates_map_side(tables):
+    """The token shuffle must be preceded by a partial aggregate —
+    natural-language head tokens (the, a, …) collapse map-side, so the
+    shuffle is skew-safe."""
+    from faiss_spark.functions.text import term_frequencies
+
+    p = plan(term_frequencies(tables["documents"]))
+    # formatted mode prints the tree top-down (final agg first); the
+    # partial_count functions prove the map-side combine exists
+    assert "partial_count" in p
+
+
+def test_exact_dedup_aggregates_map_side(tables):
+    from faiss_spark.operators.dedup import exact_dedup
+
+    p = plan(exact_dedup(tables["documents"]))
+    assert "partial_count" in p or "partial_min" in p
+
+
+def test_text_pipeline_stays_in_codegen(tables):
+    """The pure-JVM operators (text features, dedup aggregations) must
+    compile into WholeStageCodegen spans — no interpreted row loops in
+    the hot path. (knn's own plan is MapInPandas + Window, which Spark
+    never codegens; its JVM hot path is the scan below the UDF.)"""
+    from faiss_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(tables["documents"])
+    df.collect()  # AQE finalizes the plan on execution
+    p = plan(df, "simple")
+    assert "isFinalPlan=true" in p
+    assert "*(" in p  # whole-stage-codegen stage markers
