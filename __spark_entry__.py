@@ -486,6 +486,25 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(_docs(spark, sf_dir), min_df=3)
 
 
+def q_autotune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParameterSpace sweep (reference AutoTune): recall-vs-exact of an
+    IVF index across nprobe values. Rows-only: wall-times (and hence the
+    Pareto flags) are machine-dependent, so the entry emits just the
+    deterministic (nprobe, recall) curve."""
+    from faiss_spark.operators.knn import knn
+    from faiss_spark.operators.maintenance import parameter_sweep
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
+    truth = knn(vecs, qs, K)
+    pts = parameter_sweep(idx, qs, truth, K, nprobes=[1, 2, 4, 8, 16])
+    return spark.createDataFrame(
+        [(int(p.params["nprobe"]), round(float(p.recall), ROUND)) for p in pts],
+        "nprobe int, recall double",
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: connected components over the MinHash-LSH pair
     graph, each node labeled with its group's smallest id (the canonical
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
         "term_frequencies": q_term_frequencies,
+        "autotune_nprobe": q_autotune_nprobe,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_features": q_text_features,

@@ -80,3 +80,33 @@ def test_jensenshannon_properties(seed, n, d):
     assert np.allclose(np.diag(D), 0, atol=1e-9)
     assert (D >= -1e-9).all()
     assert np.allclose(D, D.T, atol=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    nq=st.integers(1, 4),
+    nx=st.integers(50, 400),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+)
+def test_topk_accumulator_tie_safe_on_discrete_data(nq, nx, k, seed):
+    """Integer-valued low-d data produces MANY exact distance ties, and
+    nx >> 4k exercises the argpartition pre-reduce: the accumulator must
+    keep the smallest ids among equal distances (ORDER BY dist, id), no
+    matter how candidates are chunked or pre-reduced."""
+    rng = np.random.default_rng(seed)
+    Q = rng.integers(0, 3, size=(nq, 2)).astype(np.float64)
+    X = rng.integers(0, 3, size=(nx, 2)).astype(np.float64)
+    ids = rng.permutation(nx).astype(np.int64)
+    D = pairwise_distances(Q, X, "l2")
+
+    acc = TopKAccumulator(nq, k, largest=False)
+    for chunk in np.array_split(np.arange(nx), 2):
+        if len(chunk):
+            acc.push(D[:, chunk], ids[chunk])
+    qidx, got_ids, got_d = acc.emit()
+
+    for q in range(nq):
+        order = np.lexsort((ids, D[q]))[:k]
+        assert list(got_ids[qidx == q]) == list(ids[order])
+        assert list(got_d[qidx == q]) == list(D[q][order])
