@@ -179,39 +179,73 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = SHINGLE_N,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold via a token-postings
+    """All-pairs n-gram Jaccard ≥ threshold via a token-postings
     self-join (inverted-index pattern): only doc pairs sharing ≥1 shingle
     are ever materialized. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Scale note: a shingle shared by f docs contributes f² join rows — at
-    100 TB, cap posting-list length (drop shingles with document frequency
-    above a cutoff, they can't create high-Jaccard pairs on their own) or
-    use minhash_lsh_pairs. Kept exact here as the verification oracle.
-    """
+    Scale lever: a shingle shared by f docs contributes f² join rows —
+    `max_df` drops shingles with document frequency > max_df from
+    CANDIDATE GENERATION only (one extra groupBy on the shingle key);
+    the jaccard of surviving candidates is still computed on the FULL
+    shingle sets, so emitted values are exact. A pair is missed only if
+    every shingle it shares is df-hot — near-dup pairs virtually always
+    share rare shingles, the same bet MinHash banding makes. max_df=None
+    is fully exact (the verification oracle)."""
     sh = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
     )
     sizes = sh.select("id", F.size("sh").alias("sz"))
     postings = sh.select("id", F.explode("sh").alias("g"))
-    a = postings.alias("a")
-    b = postings.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")),
+    if max_df is not None:
+        rare = (
+            postings.groupBy("g")
+            .agg(F.countDistinct("id").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
         )
+        cand_postings = postings.join(rare, "g", "left_semi")
+    else:
+        cand_postings = postings
+    a = cand_postings.alias("a")
+    b = cand_postings.alias("b")
+    if max_df is None:
+        # exact path: the join itself counts the full intersection
+        inter = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        return (
+            inter.join(sa, F.col("id_a") == F.col("sa.id"))
+            .join(sb, F.col("id_b") == F.col("sb.id"))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # pruned path: bare-id candidates from rare shingles, then exact
+    # verify on the full shingle sets (the minhash_lsh_pairs shape)
+    cands = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union_sz = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter_sz / union_sz)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -188,3 +188,28 @@ def test_dedup_components_on_minhash_pairs(tables):
     for node, rep in labels.items():
         assert rep <= node
         assert labels[rep] == rep
+
+
+def test_ngram_jaccard_max_df_pruned_subset_with_exact_values(tables):
+    """The df-capped path may only DROP pairs (candidate pruning), never
+    change a surviving pair's jaccard — values verify on full shingle
+    sets. With a generous cap on this corpus it finds every exact pair."""
+    from faiss_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for pair, j in pruned.items():
+        assert exact[pair] == j
+    generous = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=10**6).collect()
+    }
+    assert generous == exact
