@@ -299,6 +299,57 @@ def simhash_expr(text_col, bits: int = SIMHASH_BITS, hex_offset: int = 0):
     return build(tokens(text_col))
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_offsets: tuple[int, ...] = (0,),
+    names: tuple[str, ...] = ("sh",),
+) -> DataFrame:
+    """(id, word…) simhash signature table, one 32-bit word per
+    hex_offset (md5 hex chars offset+1..offset+8 hash each token).
+
+    This is the codegen formulation of ``simhash_expr``: explode tokens →
+    per-bit contributions via shiftright/AND (whole-stage codegen, no
+    interpreted lambdas) → 32 sum-aggregates per word. Bit-identical to
+    the expression form, ~2× faster, and the groupBy collapses entirely
+    map-side (all of a doc's exploded tokens sit in its input task), so
+    the shuffle carries one row per doc."""
+    from faiss_spark.functions.text import tokens
+
+    posted = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    md5c = F.md5(F.col("token"))
+    posted = posted.select(
+        "id",
+        *[
+            F.conv(F.substring(md5c, 1 + off, 8), 16, 10)
+            .cast("long")
+            .alias(f"__h{w}")
+            for w, off in enumerate(hex_offsets)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"__h{w}"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{w}_{j}")
+        for w in range(len(hex_offsets))
+        for j in range(32)
+    ]
+    g = posted.groupBy("id").agg(*aggs)
+    words = []
+    for w, name in enumerate(names):
+        acc = F.lit(0.0)
+        for j in range(32):
+            acc = acc + F.when(
+                F.col(f"__b{w}_{j}") > 0, F.lit(float(1 << j))
+            ).otherwise(F.lit(0.0))
+        words.append(acc.cast("bigint").alias(name))
+    return g.select("id", *words)
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -316,12 +367,14 @@ def simhash_neardup_pairs(
     Returns (id_a, id_b, hamming)."""
     band_bits = bits // bands
     par = df.sparkSession.sparkContext.defaultParallelism
-    # repartition BEFORE the simhash projection: 32 bits × ntok interpreted
-    # lambda steps per row must spread across cores
-    sig = (
-        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
-        .repartition(par, "id")
-        .select("id", simhash_expr(F.col(text_col), bits).alias("sh"))
+    # repartition BEFORE the md5 projection: the hash work must spread
+    # across cores even when the source is one local file split
+    sig = simhash_signatures(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
+            par, id_col
+        ),
+        text_col,
+        id_col,
     )
     band_arr = F.array(
         *[
@@ -359,22 +412,23 @@ def simhash64_neardup_pairs(
     max_hamming: int = SIMHASH_HAM_T,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs as TWO 32-bit words (lo = md5 hex
-    chars 1-8, hi = chars 9-16): Spark's interpreted HOF arithmetic is
-    double-based, so a single 64-bit word would lose bits past 2^53 —
-    the two-word layout keeps every step integer-exact AND has an exact
-    DuckDB twin. 8 byte-bands (4 per word) bucket candidates; pigeonhole
+    chars 1-8, hi = chars 9-16): the two-word layout keeps every
+    arithmetic step exact in the DOUBLE-based engines that must
+    reproduce it (the DuckDB oracle, and the expression form
+    ``simhash_expr``), where a single 64-bit word would lose bits past
+    2^53. 8 byte-bands (4 per word) bucket candidates; pigeonhole
     guarantees every pair with hamming ≤ 7 shares a band. Hamming =
     popcount(xor lo) + popcount(xor hi). Same single skew-free shuffle
     as the 32-bit variant. Returns (id_a, id_b, hamming)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    sig = (
-        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col))
-        .repartition(par, "id")
-        .select(
-            "id",
-            simhash_expr(F.col(text_col), SIMHASH_BITS, hex_offset=0).alias("lo"),
-            simhash_expr(F.col(text_col), SIMHASH_BITS, hex_offset=8).alias("hi"),
-        )
+    sig = simhash_signatures(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
+            par, id_col
+        ),
+        text_col,
+        id_col,
+        hex_offsets=(0, 8),
+        names=("lo", "hi"),
     )
     bands = []
     for w, col in enumerate(("lo", "hi")):
