@@ -7,10 +7,12 @@ pipelines: transform chain (operators/transforms.py) + index stage
 (Flat / IVF / IVFPQ / PQ / SQ).
 
 Supported round-1 subset (the workhorse combinations):
-  transforms : PCAn | PCARn | PCAWn | RRn | ITQn | L2norm | Padn
-  main       : Flat | IVF<nlist>,Flat | IVF<nlist>,PQ<M> | PQ<M> |
-               SQ4 | SQ8 | SQfp16 | IVF<nlist>,SQ8
-e.g. "PCA32,IVF256,PQ8" or "L2norm,Flat" or "OPQ8,IVF64,PQ8".
+  transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
+  main       : Flat | IVF<nlist>,{Flat|PQ<M>|SQ8|RQ<M>} | PQ<M> |
+               SQ4 | SQ8 | SQfp16 | RQ<M>
+  refinement : RFlat (exact re-rank of k*k_factor candidates, reference
+               IndexRefineFlat)
+e.g. "PCA32,IVF256,PQ8" or "L2norm,Flat" or "OPQ8,IVF64,PQ8,RFlat".
 
 Unsupported tokens raise ValueError with the offending token — same
 contract as the reference's FAISS_THROW on parse failure.
@@ -50,10 +52,13 @@ class IndexPlan:
 
     transforms: list = field(default_factory=list)
     sql_transforms: list = field(default_factory=list)  # ("l2norm"|"pad", arg)
-    index_type: str = "flat"  # flat | ivfflat | ivfpq | pq | sq
+    index_type: str = "flat"  # flat | ivfflat | ivfpq | ivfsq | ivfrq | pq | sq | rq
     nlist: int | None = None
     pq_m: int | None = None
     sq_bits: int | None = None
+    rq_m: int | None = None
+    refine_flat: bool = False
+    k_factor: int = 4
     metric: str = "l2"
 
     # fitted state
@@ -81,8 +86,17 @@ class IndexPlan:
         cur = cur.localCheckpoint(eager=False)
         self._transformed = cur
 
-        from faiss_spark.operators.codecs import ProductQuantizer, ScalarQuantizer
-        from faiss_spark.operators.ivf import IVFIndex, IVFPQIndex
+        from faiss_spark.operators.codecs import (
+            ProductQuantizer,
+            ResidualQuantizer,
+            ScalarQuantizer,
+        )
+        from faiss_spark.operators.ivf import (
+            IVFAQIndex,
+            IVFIndex,
+            IVFPQIndex,
+            IVFSQIndex,
+        )
 
         if self.index_type == "flat":
             self.index = None  # brute force over the transformed table
@@ -90,6 +104,19 @@ class IndexPlan:
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
         elif self.index_type == "ivfpq":
             self.index = IVFPQIndex.train(cur, nlist=self.nlist, M=self.pq_m, seed=seed).add(cur)
+        elif self.index_type == "ivfsq":
+            self.index = IVFSQIndex.train(
+                cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
+            ).add(cur)
+        elif self.index_type == "ivfrq":
+            self.index = IVFAQIndex.train(
+                cur, nlist=self.nlist, M=self.rq_m, metric=self.metric, seed=seed
+            ).add(cur)
+        elif self.index_type == "rq":
+            model = ResidualQuantizer(M=self.rq_m, seed=seed).fit(cur)
+            self._rq_model = model
+            self._rq_codes = model.encode(cur)
+            self.index = model
         elif self.index_type == "pq":
             model = ProductQuantizer(M=self.pq_m, seed=seed).fit(cur)
             self._pq_model = model
@@ -116,15 +143,25 @@ class IndexPlan:
                 q = q.select("qid", remap_dimensions_expr(F.col("vec"), arg).alias("vec"))
         if self.pipeline:
             q = self.pipeline.apply(q, id_col="qid")
+        k_cand = k * self.k_factor if self.refine_flat else k
         if self.index_type == "flat":
-            return knn(self._transformed, q, k, metric=self.metric, qid_col="qid")
-        if self.index_type in ("ivfflat", "ivfpq"):
-            return self.index.search(q, k, nprobe=nprobe, qid_col="qid")
-        if self.index_type == "pq":
-            return self._pq_model.adc_search(self._pq_codes, q, k, qid_col="qid")
-        # sq: decode + exact scan (SQ is a codec, search = refine on decode)
-        decoded = self._sq_model.decode(self._sq_codes)
-        return knn(decoded, q, k, metric=self.metric, qid_col="qid")
+            res = knn(self._transformed, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq"):
+            res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
+        elif self.index_type == "pq":
+            res = self._pq_model.adc_search(self._pq_codes, q, k_cand, qid_col="qid")
+        elif self.index_type == "rq":
+            decoded = self._rq_model.decode(self._rq_codes)
+            res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        else:
+            # sq: decode + exact scan (SQ is a codec, search = refine on decode)
+            decoded = self._sq_model.decode(self._sq_codes)
+            res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        if self.refine_flat:
+            from faiss_spark.operators.refine import refine_search
+
+            res = refine_search(res, self._transformed, q, k, metric=self.metric)
+        return res
 
 
 def index_factory(description: str, metric: str = "l2") -> IndexPlan:
@@ -170,11 +207,12 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif re.match(r"^PQ(\d+)$", code):
             plan.index_type = "ivfpq"
             plan.pq_m = int(code[2:])
-        elif code == "SQ8":
-            # IVF+SQ approximated as ivfflat on v1 (SQ refinement is a
-            # codec detail; recall path identical) — reference parity gap
-            # tracked for round 2
-            plan.index_type = "ivfflat"
+        elif re.match(r"^SQ(4|8)$", code):
+            plan.index_type = "ivfsq"
+            plan.sq_bits = int(code[2:])
+        elif re.match(r"^RQ(\d+)$", code):
+            plan.index_type = "ivfrq"
+            plan.rq_m = int(code[2:])
         else:
             raise ValueError(f"unsupported IVF code stage {code!r}")
         i += 1
@@ -189,8 +227,15 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "sq"
         plan.sq_bits = {"4": 4, "8": 8, "fp16": 16}[tok[2:]]
         i += 1
+    elif re.match(r"^RQ(\d+)$", tok):
+        plan.index_type = "rq"
+        plan.rq_m = int(tok[2:])
+        i += 1
     else:
         raise ValueError(f"unsupported factory token {tok!r} in {description!r}")
+    if i < len(tokens) and tokens[i] == "RFlat":
+        plan.refine_flat = True
+        i += 1
     if i != len(tokens):
         raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
     return plan
@@ -219,8 +264,18 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "ivfpq":
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"PQ{plan.pq_m}")
+    elif plan.index_type == "ivfsq":
+        parts.append(f"IVF{plan.nlist}")
+        parts.append(f"SQ{plan.sq_bits}")
+    elif plan.index_type == "ivfrq":
+        parts.append(f"IVF{plan.nlist}")
+        parts.append(f"RQ{plan.rq_m}")
     elif plan.index_type == "pq":
         parts.append(f"PQ{plan.pq_m}")
     elif plan.index_type == "sq":
         parts.append({4: "SQ4", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
+    elif plan.index_type == "rq":
+        parts.append(f"RQ{plan.rq_m}")
+    if plan.refine_flat:
+        parts.append("RFlat")
     return ",".join(parts)

@@ -90,3 +90,33 @@ def test_streaming_incremental_add(vectors, spark, tmp_path):
     probe = vectors.filter("id = 450").select(F.col("id").alias("qid"), "vec")
     top1 = idx.search(probe, k=1, nprobe=8).collect()[0]
     assert top1["id"] == 450 and top1["dist"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_factory_ivfsq_ivfrq_rflat_roundtrip(vectors):
+    """New grammar arms parse, reverse, and search with high full-probe
+    recall (IVFSQ exact-candidate; IVFRQ refined by RFlat is exact@k on
+    the surviving candidates)."""
+    from faiss_spark.operators.knn import knn
+    from faiss_spark.plans.factory import index_factory, reverse_index_factory
+
+    q = vectors.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, q, 5).collect()}
+
+    for desc, min_recall in [("IVF8,SQ8", 0.9), ("IVF8,RQ8,RFlat", 0.9), ("RQ8", 0.8)]:
+        plan = index_factory(desc)
+        assert reverse_index_factory(plan) == desc
+        plan.fit(vectors, seed=42)
+        got = {(r["qid"], r["id"]) for r in plan.search(q, 5, nprobe=8).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= min_recall, (desc, recall)
+
+
+def test_factory_rejects_bad_refine_position(vectors):
+    import pytest as _pytest
+
+    from faiss_spark.plans.factory import index_factory
+
+    with _pytest.raises(ValueError):
+        index_factory("RFlat,Flat")  # refinement before index stage
+    with _pytest.raises(ValueError):
+        index_factory("IVF8,Flat,RFlat,Extra")
