@@ -95,16 +95,34 @@ def _minhash_array(sh_col, num_hashes: int = NUM_HASHES):
     )
 
 
+def _minhash_min_aggs(num_hashes: int, shingle_col: str = "s") -> list:
+    """The codegen formulation of ``_minhash_array``: one MIN aggregate
+    per hash over exploded shingles (min(md5(i|s)) — lexicographic min on
+    hex strings, identical in every engine). Bit-identical to the HOF
+    form, ~2× faster, and the groupBy collapses map-side (a doc's
+    exploded shingles never leave its input task)."""
+    return [
+        F.min(
+            F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col(shingle_col)))
+        ).alias(f"__mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES, n: int = SHINGLE_N,
 ) -> DataFrame:
-    """(id, mh array<string>) minhash signature table — all JVM expressions."""
-    sh = df.select(
+    """(id, mh array<string>) minhash signature table — all JVM
+    expressions, min-aggregated over exploded shingles."""
+    posted = df.select(
         F.col(id_col).cast("bigint").alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
     )
-    return sh.select("id", _minhash_array(F.col("sh"), num_hashes).alias("mh"))
+    g = posted.groupBy("id").agg(*_minhash_min_aggs(num_hashes))
+    return g.select(
+        "id", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("mh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -130,29 +148,36 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // num_bands
     spark = df.sparkSession
-    # the md5-minhash projection is CPU-bound interpreted-HOF work: make
-    # sure it runs on all cores even when the source is one parquet file
+    # the md5-minhash projection is CPU-bound: make sure it runs on all
+    # cores even when the source is one parquet file
     par = spark.sparkContext.defaultParallelism
-    sig = (
+    sh = (
         df.select(
             F.col(id_col).cast("bigint").alias("id"),
             shingles(F.col(text_col), n).alias("sh"),
         )
         .repartition(par, "id")
-        .withColumn("mh", _minhash_array(F.col("sh"), num_hashes))
+        # shingle sets feed the signature aggregation AND the two verify
+        # joins below; materialize once
+        .localCheckpoint(eager=False)
     )
+    # signatures via codegen min-aggregates over exploded shingles
+    # (bit-identical to the HOF transform form, ~2× faster; the groupBy
+    # collapses map-side since a doc's shingles stay in its input task)
+    posted = sh.select("id", F.explode("sh").alias("s"))
+    sig = posted.groupBy("id").agg(*_minhash_min_aggs(num_hashes))
     # band key b = md5(mh[b*rows] || ... || mh[b*rows+rows-1])
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws("", F.slice(F.col("mh"), b * rows + 1, rows))
-        ),
-    )
-    # shingle sets are needed twice below; materialize once
-    sig = sig.localCheckpoint(eager=False)
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "", *[F.col(f"__mh{b * rows + r}") for r in range(rows)]
+            )
+        )
+        for b in range(num_bands)
+    ]
     # bucket join on (id, bucket) ONLY — don't drag the shingle arrays
     # through the band shuffle; candidates are deduped as bare id pairs
-    banded = sig.select("id", F.explode(bands).alias("bucket"))
+    banded = sig.select("id", F.explode(F.array(*bands)).alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -161,8 +186,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # verification joins fetch the shingle sets only for candidate pairs
-    sh_a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     cands = cands.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
