@@ -26,12 +26,15 @@ from faiss_spark.operators.codecs import (
     ScalarQuantizer,
 )
 from faiss_spark.operators.dedup import (
+    dedup_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash64_neardup_pairs,
     simhash_neardup_pairs,
 )
+from faiss_spark.functions.text import term_frequencies
 from faiss_spark.operators.graph import nn_descent
 from faiss_spark.operators.ivf import (
     IVFAQIndex,
@@ -78,12 +81,15 @@ __all__ = [
     "binarize",
     "hamming_knn",
     "jaccard_knn",
+    "dedup_components",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "nn_descent",
+    "simhash64_neardup_pairs",
+    "term_frequencies",
     "index_factory",
     "reverse_index_factory",
     "__version__",
