@@ -302,8 +302,10 @@ def _kmeans_np_init(X, k, niter, seed, init=None):
             (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         )
         labels = d2.argmin(1)
-        for ci in range(k):
-            mask = labels == ci
-            if mask.any():
-                C[ci] = X[mask].mean(0)
+        # scatter-add centroid update (no per-cluster python loop)
+        sums = np.zeros_like(C)
+        np.add.at(sums, labels, X)
+        counts = np.bincount(labels, minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     return C, labels
