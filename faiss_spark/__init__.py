@@ -35,7 +35,7 @@ from faiss_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from faiss_spark.functions.text import term_frequencies
-from faiss_spark.operators.graph import nn_descent
+from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
     IVFAQIndex,
     IVFIndex,
@@ -87,6 +87,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "knn_graph_bucketed",
     "nn_descent",
     "simhash64_neardup_pairs",
     "term_frequencies",

@@ -59,20 +59,31 @@ def _lloyd(
         C /= norms
     w = weights if weights is not None else np.ones(n, dtype=np.float64)
     obj_history = []
+    xsq = (X * X).sum(1)
     for _ in range(niter):
-        # assign: argmin squared L2 (or argmax IP when spherical)
+        # assign: argmin squared L2 (or argmax IP when spherical) —
+        # BLOCK-WISE so memory stays O(block × k): at n=262k, k=1024 the
+        # full n×k double matrix is 2 GB and its broadcast temporaries
+        # dominated the fit wall-clock
+        labels = np.empty(n, dtype=np.int64)
+        best = np.empty(n, dtype=np.float64)
+        cn = (C * C).sum(1)
+        for lo in range(0, n, 16384):
+            hi = min(lo + 16384, n)
+            G = X[lo:hi] @ C.T
+            if spherical:
+                lb = np.argmax(G, axis=1)
+                labels[lo:hi] = lb
+                best[lo:hi] = G[np.arange(hi - lo), lb]
+            else:
+                d2 = cn[None, :] - 2.0 * G
+                lb = np.argmin(d2, axis=1)
+                labels[lo:hi] = lb
+                best[lo:hi] = d2[np.arange(hi - lo), lb] + xsq[lo:hi]
         if spherical:
-            sim = X @ C.T
-            labels = np.argmax(sim, axis=1)
-            obj = float((w * sim[np.arange(n), labels]).sum())
+            obj = float((w * best).sum())
         else:
-            d2 = (
-                (X * X).sum(1)[:, None]
-                + (C * C).sum(1)[None, :]
-                - 2.0 * (X @ C.T)
-            )
-            labels = np.argmin(d2, axis=1)
-            obj = float((w * np.maximum(d2[np.arange(n), labels], 0.0)).sum())
+            obj = float((w * np.maximum(best, 0.0)).sum())
         obj_history.append(obj)
         # update
         sums = np.zeros((k, d), dtype=np.float64)

@@ -142,3 +142,145 @@ def knn_graph_recall(approx: DataFrame, exact: DataFrame, k: int) -> float:
     )
     inter = a.join(e, ["src", "dst"]).count()
     return inter / e.count()
+
+
+def knn_graph_bucketed(
+    vectors: DataFrame,
+    k: int,
+    nlist: int = 64,
+    nprobe: int = 2,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    seed: int = 1234,
+    niter: int = 4,
+) -> DataFrame:
+    """Approximate k-NN graph by IVF-cell bucketing — the 100 TB graph
+    path (reference: the Deep1B kNN-graph bench, benchs/README.md:307,
+    runs exactly this shape sharded over GPUs).
+
+    Plan:
+      1. train a coarse k-means on a seeded sample (small artifact);
+      2. assign every vector to its `nprobe` nearest cells — every copy
+         is BOTH query and candidate, so an edge (s, t) is found whenever
+         the probe sets of s and t overlap (symmetric coverage; border
+         nodes meet in whichever cell both probe);
+      3. the data shuffle: one exchange keyed on cell (nprobe× the
+         table); per-cell local GEMM k-NN via applyInPandas;
+      4. candidate-edge dedup (same edge can surface in every shared
+         cell) + per-src top-k merge — two more exchanges, but over
+         candidate EDGES (≤ n·k·nprobe rows), not the data.
+
+    Cost at scale: shuffle = nprobe× the table, per-cell work
+    O((n·nprobe/nlist)² · d / nlist); choose nlist ≈ sqrt(n·nprobe) to
+    balance. The per-cell scan is block-wise (bounded memory), but its
+    TIME is quadratic in the cell size, so heavily duplicated vectors
+    (discrete/tabular features) produce hot cells that dominate the
+    stage — dedup exact-duplicate vectors FIRST (refine.dedup_flat, the
+    reference's IndexIVFFlatDedup insight), build the graph over
+    representatives, then explode ids back. Returns (src, dst, dist,
+    rank), rank ≤ k, dst != src; recall vs the exact graph is pinned in
+    tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.kernels import (
+        SIMILARITY_METRICS,
+        as_matrix,
+        pairwise_distances,
+    )
+    from faiss_spark.operators.cluster import KMeans
+
+    vecs = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    # coarse partition quality barely moves graph recall (symmetric
+    # probing recovers border edges), so train rough and cheap: few
+    # iterations, 64 sample points per centroid
+    km = KMeans(
+        k=nlist,
+        niter=niter,
+        seed=seed,
+        spherical=(metric == "cosine"),
+        max_points_per_centroid=64,
+    ).fit(vecs)
+    C = km.centroids
+    nprobe = min(nprobe, len(C))
+    spark = vecs.sparkSession
+    bc = spark.sparkContext.broadcast((C, metric, nprobe))
+
+    def assign_cells(batches):
+        C_, metric_, nprobe_ = bc.value
+        largest = metric_ in SIMILARITY_METRICS
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            D = pairwise_distances(X, C_, metric_)
+            order = np.argsort(-D if largest else D, axis=1, kind="stable")
+            cells = order[:, :nprobe_]  # (n, nprobe)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.ravel().astype(np.int32),
+                    "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe_),
+                    "vec": [v for v in pdf["vec"] for _ in range(nprobe_)],
+                }
+            )
+
+    assigned = vecs.mapInPandas(
+        assign_cells, schema="cell int, id bigint, vec array<float>"
+    )
+
+    k_ = k
+    largest = metric in SIMILARITY_METRICS
+
+    def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "dist": []}
+            ).astype({"src": np.int64, "dst": np.int64, "dist": np.float64})
+        ids = pdf["id"].to_numpy(np.int64)
+        X = as_matrix(pdf["vec"])
+        m = len(ids)
+        kk = min(k_, m - 1)
+        # block-wise over query rows: memory stays O(block × m) even in a
+        # skew-hot cell (time is still quadratic — dedup first, see above)
+        out_src, out_dst, out_dist = [], [], []
+        for lo in range(0, m, 4096):
+            hi = min(lo + 4096, m)
+            D = pairwise_distances(X[lo:hi], X, metric)
+            same = ids[None, :] == ids[lo:hi][:, None]
+            D[same] = -np.inf if largest else np.inf
+            key = -D if largest else D
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(hi - lo)[:, None]
+            out_src.append(np.repeat(ids[lo:hi], kk))
+            out_dst.append(ids[part].ravel())
+            out_dist.append(D[rows, part].ravel())
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "dist": np.concatenate(out_dist),
+            }
+        )
+
+    cands = assigned.groupBy("cell").applyInPandas(
+        local_knn, schema="src bigint, dst bigint, dist double"
+    )
+    sort = [
+        F.col("dist").desc() if largest else F.col("dist").asc(),
+        F.col("dst").asc(),
+    ]
+    w = Window.partitionBy("src").orderBy(*sort)
+    # dedup candidate edges (the same (src, dst) surfaces in every cell
+    # both nodes probe) before the top-k merge; both exchanges move only
+    # candidate edges, never the vector payloads
+    return (
+        cands.groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_)
+        .select("src", "dst", "dist", "rank")
+    )

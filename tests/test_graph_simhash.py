@@ -86,3 +86,19 @@ def test_simhash64_words_are_32bit_and_stricter_than_32(tables):
     p32 = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(docs).collect()}
     p64 = {(r["id_a"], r["id_b"]) for r in simhash64_neardup_pairs(docs).collect()}
     assert p64 <= p32
+
+
+def test_knn_graph_bucketed_recall(vectors):
+    """IVF-cell graph must recover most exact edges at modest nprobe,
+    every node gets edges, and no self-edges survive."""
+    from faiss_spark.operators.graph import knn_graph_bucketed
+    from faiss_spark.operators.knn import knn_join
+
+    exact = {(r["qid"], r["id"]) for r in knn_join(vectors, 5, "l2").collect()}
+    got_rows = knn_graph_bucketed(vectors, 5, nlist=8, nprobe=3, seed=42).collect()
+    got = {(r["src"], r["dst"]) for r in got_rows}
+    assert all(r["src"] != r["dst"] for r in got_rows)
+    n_nodes = vectors.count()
+    assert len({r["src"] for r in got_rows}) == n_nodes
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
