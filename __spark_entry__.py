@@ -516,6 +516,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+def q_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell bucketed k-NN graph — the 100 TB graph path (rows-only:
+    cell boundaries are k-means artifacts; edge recall vs the exact
+    graph is pinned in tests/)."""
+    from faiss_spark.operators.graph import knn_graph_bucketed
+
+    return _round(knn_graph_bucketed(_emb(spark, sf_dir), 5, nlist=8, nprobe=2, seed=42))
+
+
 def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph by NN-Descent (rows-only: iterative
     algorithm; edge recall vs the exact graph is asserted in tests/)."""
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
+        "knn_graph_bucketed": q_knn_graph_bucketed,
         "factory_pipeline": q_factory_pipeline,
         "knn_1d": q_knn_1d,
         "refine_search": q_refine_search,
