@@ -505,6 +505,24 @@ def q_autotune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality gate: quality score + token band +
+    language allow-list, all JVM predicates (map-only at scale)."""
+    from faiss_spark.functions.text import filter_corpus
+
+    return filter_corpus(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "ntok", "quality"
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup TRANSFORM (not just the groups view): keep the
+    smallest-id doc per exact fingerprint."""
+    from faiss_spark.operators.dedup import dedup_keep_first
+
+    return dedup_keep_first(_docs(spark, sf_dir)).select("doc_id")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: connected components over the MinHash-LSH pair
     graph, each node labeled with its group's smallest id (the canonical
@@ -731,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "filter_corpus": q_filter_corpus,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
         "term_frequencies": q_term_frequencies,
@@ -1077,6 +1097,40 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'fr'
                END AS lang_pred
         FROM h
+    """
+    _QUAL = (
+        f"round(0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 64.0, 1.0) "
+        f"+ 0.3 * (1.0 - least(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) "
+        f"/ greatest(len(text), 1) * 4.0, 1.0)) "
+        f"+ 0.3 * least(CAST(len(list_filter({_TOKS}, t -> list_contains({stop_en}, t))) AS DOUBLE) "
+        f"/ greatest(len({_TOKS}), 1) * 8.0, 1.0), {ROUND})"
+    )
+    sql["filter_corpus"] = f"""
+        WITH h AS (SELECT doc_id, {hit_cols},
+                          len({_TOKS}) AS ntok, {_QUAL} AS quality
+                   FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                   WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                   WHEN h_es > h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+                   WHEN h_de > h_en AND h_de > h_es AND h_de >= h_fr THEN 'de'
+                   ELSE 'fr'
+                 END AS lang_pred,
+                 ntok, quality
+          FROM h
+        )
+        SELECT doc_id, lang_pred, ntok, quality FROM f
+        WHERE quality >= 0.5 AND ntok >= 8 AND ntok <= 512 AND lang_pred = 'en'
+    """
+    sql["dedup_keep_first"] = f"""
+        WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id FROM r WHERE rn = 1
     """
     # SQ8 roundtrip: replicate encode/decode arithmetic in SQL (all double)
     sql["sq8_reconstruction"] = f"""

@@ -184,3 +184,37 @@ def term_frequencies(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def filter_corpus(
+    df,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 8,
+    max_tokens: int = 512,
+    langs: tuple[str, ...] = ("en",),
+):
+    """The quality-filtering pipeline step: keep documents that pass the
+    composite quality score, a token-count band, and a language allow-
+    list — the standard pretraining-corpus gate, as one narrow scan with
+    every predicate in whole-stage codegen (filters evaluated before any
+    shuffle; at 100 TB this is a map-only job).
+
+    Decisions are made on the 6-dp-ROUNDED quality score so an exact SQL
+    twin reaches identical keep/drop choices at float boundaries."""
+    from pyspark.sql import functions as F
+
+    q = F.round(quality_score(F.col(text_col)), 6)
+    nt = token_count(F.col(text_col))
+    lp = lang_id(F.col(text_col))
+    return (
+        df.withColumn("quality", q)
+        .withColumn("ntok", nt)
+        .withColumn("lang_pred", lp)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("ntok") >= min_tokens)
+            & (F.col("ntok") <= max_tokens)
+            & F.col("lang_pred").isin(*langs)
+        )
+    )
