@@ -213,3 +213,20 @@ def test_ngram_jaccard_max_df_pruned_subset_with_exact_values(tables):
         for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=10**6).collect()
     }
     assert generous == exact
+
+
+def test_filter_corpus_predicates_hold(tables):
+    """Every surviving row satisfies all three gate predicates, and the
+    gate is a pure filter (no rows invented)."""
+    from faiss_spark.functions.text import filter_corpus
+
+    docs = tables["documents"]
+    kept = filter_corpus(docs, min_quality=0.5, min_tokens=8, max_tokens=512).collect()
+    assert 0 < len(kept) <= docs.count()
+    for r in kept:
+        assert r["quality"] >= 0.5
+        assert 8 <= r["ntok"] <= 512
+        assert r["lang_pred"] == "en"
+    ids = {r["doc_id"] for r in kept}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
