@@ -33,9 +33,18 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_bucketed",
     "text_features",
     "tpch_q1",
 ]
+
+# entries whose queries() form is an oracle property check (computes
+# ground truth alongside the operator) — bench times the RAW workload
+BENCH_OVERRIDES = {
+    "pq_adc_search": lambda: entrymod._pq_adc_raw,
+    "kmeans_assign": lambda: entrymod._kmeans_raw,
+    "dedup_embedding_bucketed": lambda: entrymod._dedup_bucketed_raw,
+}
 
 
 def main() -> None:
@@ -52,10 +61,11 @@ def main() -> None:
         # best-of-2: this host shows 2-4× run-to-run variance from
         # external contention; min-of-two is the engine's number, not
         # the noise's
+        fn = BENCH_OVERRIDES[name]() if name in BENCH_OVERRIDES else qs[name]
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
+            n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

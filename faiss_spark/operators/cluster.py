@@ -212,7 +212,13 @@ class KMeans:
             C, objs = _lloyd(
                 X, self.k, self.niter, self.seed + redo, self.spherical, weights
             )
-            if best is None or objs[-1] < best[1][-1]:
+            # spherical objective is a summed SIMILARITY (larger = better);
+            # the plain objective is summed squared error (smaller = better)
+            better = (
+                best is None
+                or (objs[-1] > best[1][-1] if self.spherical else objs[-1] < best[1][-1])
+            )
+            if better:
                 best = (C, objs)
         C, objs = best
         return KMeansModel(

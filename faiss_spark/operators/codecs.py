@@ -11,8 +11,11 @@ Encoded tables keep the (id, code BINARY) layout of IndexFlatCodes
 lookup table exactly like IndexPQ's ADC (faiss/IndexPQ.h:24).
 
 Quantization semantics (match the reference so error bounds carry over):
-  SQ8/SQ4: code = floor((x − vmin) / unit), clamped to [0, 2^bits − 1];
-  decode  = vmin + (code + 0.5) · unit   (ScalarQuantizer.cpp Codec8bit)
+  SQ8/SQ4: unit = vdiff / (2^bits − 1);
+           code = floor((x − vmin) / unit), clamped to [0, 2^bits − 1];
+           decode = vmin + (code + 0.5) · unit — the reference Codec8bit
+           form (ScalarQuantizer.cpp: code = int(255·x), decode
+           (code + 0.5)/255), so reconstructions are value-compatible.
   fp16   : IEEE half roundtrip via numpy float16.
 """
 
@@ -77,11 +80,22 @@ def _map_codec(df: DataFrame, id_col: str, in_col: str, fn, out_schema: str):
 @dataclass
 class ScalarQuantizerModel:
     """Per-dimension linear quantizer (reference ScalarQuantizer, trained
-    ranges = per-dim min/max, faiss/impl/ScalarQuantizer.h:40-48)."""
+    ranges, faiss/impl/ScalarQuantizer.h:26-48).
+
+    variant:
+      "trained"  per-dim (vmin, vdiff) — QT_4bit/6bit/8bit (the default
+                 non-uniform trained form; faiss train_NonUniform)
+      "uniform"  one global (vmin, vdiff) for every dim — QT_*bit_uniform
+                 (faiss train_Uniform; vmin/vdiff still stored as (d,)
+                 arrays with identical entries so the kernels are shared)
+      "direct"   QT_8bit_direct: code = uint8(x), decode = float(code) —
+                 for data already laid out as byte values
+    """
 
     vmin: np.ndarray  # (d,)
     vdiff: np.ndarray  # (d,)
-    bits: int  # 8, 4, or 16 (fp16)
+    bits: int  # 8, 6, 4, or 16 (fp16)
+    variant: str = "trained"
 
     @property
     def d(self) -> int:
@@ -98,31 +112,44 @@ class ScalarQuantizerModel:
         if self.bits == 16:
             return X.astype(np.float16).view(np.uint8).reshape(len(X), -1)
         levels = (1 << self.bits) - 1
-        unit = self.vdiff / (levels + 1)
-        unit[unit == 0] = 1.0
+        if self.variant == "direct":
+            # Codec8bitDirect: truncate to the byte value itself
+            return np.clip(np.floor(X), 0, 255).astype(np.uint8)
+        unit = self.vdiff / levels
+        unit = np.where(unit == 0, 1.0, unit)
         q = np.floor((X - self.vmin) / unit)
         q = np.clip(q, 0, levels).astype(np.uint8)
         if self.bits == 8:
             return q
-        # 4-bit: pack two components per byte, low nibble first
-        if self.d % 2:
-            q = np.concatenate([q, np.zeros((len(q), 1), np.uint8)], axis=1)
-        return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+        if self.bits == 4:
+            # pack two components per byte, low nibble first
+            if self.d % 2:
+                q = np.concatenate([q, np.zeros((len(q), 1), np.uint8)], axis=1)
+            return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+        # 6-bit (reference Codec6bit): bit-pack 6 bits per component
+        bits6 = (q[:, :, None] >> np.arange(5, -1, -1)[None, None, :]) & 1
+        return np.packbits(bits6.reshape(len(q), -1), axis=1)
 
     def decode_np(self, codes: np.ndarray) -> np.ndarray:
         if self.bits == 16:
             return codes.view(np.float16).astype(np.float64)
+        if self.variant == "direct":
+            return codes.astype(np.float64)
         levels = (1 << self.bits) - 1
-        unit = self.vdiff / (levels + 1)
+        unit = self.vdiff / levels
         if self.bits == 8:
             q = codes.astype(np.float64)
-        else:
+        elif self.bits == 4:
             lo = codes & 0x0F
             hi = codes >> 4
             q = np.empty((len(codes), codes.shape[1] * 2), np.float64)
             q[:, 0::2] = lo
             q[:, 1::2] = hi
             q = q[:, : self.d]
+        else:  # 6-bit unpack
+            flat = np.unpackbits(codes, axis=1)[:, : self.d * 6]
+            weights = (1 << np.arange(5, -1, -1)).astype(np.float64)
+            q = flat.reshape(len(codes), self.d, 6) @ weights
         return self.vmin + (q + 0.5) * unit
 
     # -- distributed transforms --------------------------------------------
@@ -155,13 +182,57 @@ class ScalarQuantizerModel:
 
 
 class ScalarQuantizer:
-    """Estimator: per-dim min/max ranges via one distributed aggregation
-    (exact — the QT_*_uniform 'trained range' form uses global min/max)."""
+    """Estimator for the ScalarQuantizer variants (reference
+    faiss/impl/ScalarQuantizer.h:26-48):
 
-    def __init__(self, bits: int = 8):
-        if bits not in (4, 8, 16):
-            raise ValueError("bits must be 4, 8 (int codes) or 16 (fp16)")
+      bits=4/6/8, uniform=False  QT_4bit/6bit/8bit — per-dim trained
+                                 ranges (non-uniform, the quality default)
+      bits=4/8,  uniform=True    QT_4bit_uniform/8bit_uniform — one global
+                                 range across dims
+      bits=8,    direct=True     QT_8bit_direct — no training, code=uint8(x)
+      bits=16                    QT_fp16
+
+    rangestat: "minmax" (RS_minmax, exact distributed min/max) or
+    "meanstd" (RS_meanstd: lo = mean − rs_arg·std, hi = mean + rs_arg·std,
+    reference ScalarQuantizer.cpp train ranges). Every statistic is one
+    distributed aggregation over posexploded components — exact,
+    partition-order independent, map-side partial."""
+
+    def __init__(
+        self,
+        bits: int = 8,
+        uniform: bool = False,
+        direct: bool = False,
+        rangestat: str = "minmax",
+        rs_arg: float = 3.0,
+    ):
+        if bits not in (4, 6, 8, 16):
+            raise ValueError("bits must be 4, 6, 8 (int codes) or 16 (fp16)")
+        if direct and bits != 8:
+            raise ValueError("8bit_direct requires bits=8")
+        if rangestat not in ("minmax", "meanstd"):
+            raise ValueError("rangestat must be 'minmax' or 'meanstd'")
         self.bits = bits
+        self.uniform = uniform
+        self.direct = direct
+        self.rangestat = rangestat
+        self.rs_arg = rs_arg
+
+    @staticmethod
+    def from_qtype(qtype: str) -> "ScalarQuantizer":
+        """faiss QuantizerType names → estimator config."""
+        table = {
+            "QT_8bit": dict(bits=8),
+            "QT_4bit": dict(bits=4),
+            "QT_6bit": dict(bits=6),
+            "QT_8bit_uniform": dict(bits=8, uniform=True),
+            "QT_4bit_uniform": dict(bits=4, uniform=True),
+            "QT_fp16": dict(bits=16),
+            "QT_8bit_direct": dict(bits=8, direct=True),
+        }
+        if qtype not in table:
+            raise ValueError(f"unknown/unsupported quantizer type {qtype!r}")
+        return ScalarQuantizer(**table[qtype])
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> ScalarQuantizerModel:
         d = df.select(F.size(vec_col)).first()[0]
@@ -169,17 +240,38 @@ class ScalarQuantizer:
             return ScalarQuantizerModel(
                 vmin=np.zeros(d), vdiff=np.ones(d), bits=16
             )
-        # exact per-dimension min/max: posexplode + agg (map-side partials)
-        stats = (
-            df.select(F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("pos")
-            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-            .orderBy("pos")
-            .collect()
+        if self.direct:
+            return ScalarQuantizerModel(
+                vmin=np.zeros(d), vdiff=np.full(d, 255.0), bits=8,
+                variant="direct",
+            )
+        comp = df.select(F.posexplode(vec_col).alias("pos", "x"))
+        if self.rangestat == "meanstd":
+            stats = (
+                comp.groupBy("pos")
+                .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+                .orderBy("pos")
+                .collect()
+            )
+            mu = np.array([r["mu"] for r in stats], dtype=np.float64)
+            sd = np.array([r["sd"] for r in stats], dtype=np.float64)
+            vmin, vmax = mu - self.rs_arg * sd, mu + self.rs_arg * sd
+        else:
+            stats = (
+                comp.groupBy("pos")
+                .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                .orderBy("pos")
+                .collect()
+            )
+            vmin = np.array([r["lo"] for r in stats], dtype=np.float64)
+            vmax = np.array([r["hi"] for r in stats], dtype=np.float64)
+        if self.uniform:
+            vmin = np.full(d, vmin.min())
+            vmax = np.full(d, vmax.max())
+        return ScalarQuantizerModel(
+            vmin=vmin, vdiff=vmax - vmin, bits=self.bits,
+            variant="uniform" if self.uniform else "trained",
         )
-        vmin = np.array([r["lo"] for r in stats], dtype=np.float64)
-        vmax = np.array([r["hi"] for r in stats], dtype=np.float64)
-        return ScalarQuantizerModel(vmin=vmin, vdiff=vmax - vmin, bits=self.bits)
 
 
 # =========================================================== ProductQuantizer
@@ -349,6 +441,42 @@ class ProductQuantizer:
 # ========================================================= ResidualQuantizer
 
 
+def beam_search_np(
+    X: np.ndarray, codebooks: np.ndarray, beam: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Additive-quantizer beam search (reference
+    faiss/impl/ResidualQuantizer.cpp beam_search_encode_step): keep the
+    `beam` best prefix expansions per vector per level. Returns
+    (codes (n, B, M) uint8 sorted best-first, errs (n, B) = squared L2
+    distance from X to each kept reconstruction)."""
+    M, ksub, d = codebooks.shape
+    n = len(X)
+    resid = X[:, None, :].copy()  # start with beam=1
+    codes = np.zeros((n, 1, M), np.uint8)
+    errs = np.zeros((n, 1))
+    for m in range(M):
+        C = codebooks[m]  # (ksub, d)
+        b = resid.shape[1]
+        # candidate residuals: (n, b, ksub, d)
+        cand = resid[:, :, None, :] - C[None, None, :, :]
+        cerrs = (cand**2).sum(3).reshape(n, b * ksub)
+        keep = min(beam, b * ksub)
+        sel = np.argpartition(cerrs, keep - 1, axis=1)[:, :keep]
+        # order selections for determinism
+        row = np.arange(n)[:, None]
+        sel = np.take_along_axis(
+            sel, np.argsort(cerrs[row, sel], axis=1, kind="stable"), axis=1
+        )
+        b_idx = sel // ksub
+        k_idx = (sel % ksub).astype(np.uint8)
+        resid = cand.reshape(n, b * ksub, d)[row, sel]
+        new_codes = np.take_along_axis(codes, b_idx[:, :, None], axis=1).copy()
+        new_codes[:, :, m] = k_idx
+        codes = new_codes
+        errs = cerrs[row, sel]
+    return codes, errs
+
+
 @dataclass
 class ResidualQuantizerModel:
     """M additive codebooks over successive residuals (reference
@@ -372,32 +500,7 @@ class ResidualQuantizerModel:
     def encode_np(self, X: np.ndarray) -> np.ndarray:
         """Beam-search encoding (reference max_beam_size semantics):
         keep `beam` best prefix expansions per vector per level."""
-        n, d = X.shape
-        B = self.beam
-        # beams: residuals (n, B, d); codes (n, B, M)
-        resid = X[:, None, :].copy()  # start with beam=1
-        codes = np.zeros((n, 1, self.M), np.uint8)
-        for m in range(self.M):
-            C = self.codebooks[m]  # (ksub, d)
-            b = resid.shape[1]
-            # candidate residuals: (n, b, ksub, d)
-            cand = resid[:, :, None, :] - C[None, None, :, :]
-            errs = (cand**2).sum(3).reshape(n, b * self.ksub)
-            keep = min(B, b * self.ksub)
-            sel = np.argpartition(errs, keep - 1, axis=1)[:, :keep]
-            # order selections for determinism
-            row = np.arange(n)[:, None]
-            sel = np.take_along_axis(
-                sel, np.argsort(errs[row, sel], axis=1, kind="stable"), axis=1
-            )
-            b_idx = sel // self.ksub
-            k_idx = (sel % self.ksub).astype(np.uint8)
-            resid = cand.reshape(n, b * self.ksub, d)[row, sel]
-            new_codes = np.take_along_axis(
-                codes, b_idx[:, :, None], axis=1
-            ).copy()
-            new_codes[:, :, m] = k_idx
-            codes = new_codes
+        codes, _ = beam_search_np(X, self.codebooks, self.beam)
         return codes[:, 0, :]  # best beam
 
     def decode_np(self, codes: np.ndarray) -> np.ndarray:
@@ -443,8 +546,8 @@ class ResidualQuantizer:
         self, M: int = 4, nbits: int = 8, beam: int = 4, niter: int = 15,
         seed: int = 1234, max_train_points: int = 65536,
     ):
-        if nbits != 8:
-            raise NotImplementedError("8-bit RQ codes only (ksub=256)")
+        if not 1 <= nbits <= 8:
+            raise NotImplementedError("RQ supports 1..8 bits per level")
         self.M = M
         self.ksub = 1 << nbits
         self.beam = beam
@@ -463,6 +566,155 @@ class ResidualQuantizer:
             books[m] = C
             resid = resid - C[labels]
         return ResidualQuantizerModel(codebooks=books, beam=self.beam)
+
+
+# ================================================= ResidualCoarseQuantizer
+
+
+@dataclass
+class ResidualCoarseQuantizerModel:
+    """Additive quantizer used AS the coarse quantizer of a large-nlist
+    IVF (reference ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h
+    :161-191): the centroid set is the VIRTUAL cross-product of the M
+    codebooks (nlist = ksub^M) — never materialized for assignment, which
+    is a beam search over the codebooks instead of an argmin over nlist
+    rows. Training cost is M small k-means instead of one k=nlist k-means;
+    assignment cost is O(M·beam·ksub·d) instead of O(nlist·d).
+
+    list_no layout matches the reference's bitstring order: level m
+    occupies bits [m·nbits, (m+1)·nbits), i.e.
+    list_no = Σ code[m] << (m·nbits).
+    """
+
+    codebooks: np.ndarray  # (M, ksub, d) float64
+    beam_factor: float = 4.0  # reference default beam_factor = 4
+
+    @property
+    def M(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def nbits(self) -> int:
+        return int(self.ksub - 1).bit_length()
+
+    @property
+    def nlist(self) -> int:
+        return self.ksub ** self.M
+
+    def _codes_to_lists(self, codes: np.ndarray) -> np.ndarray:
+        """(…, M) level codes → flat list numbers (bitstring order)."""
+        shifts = (np.arange(self.M) * self.nbits).astype(np.int64)
+        return (codes.astype(np.int64) << shifts).sum(axis=-1)
+
+    def _lists_to_codes(self, lists: np.ndarray) -> np.ndarray:
+        shifts = (np.arange(self.M) * self.nbits).astype(np.int64)
+        return ((lists[:, None] >> shifts) & (self.ksub - 1)).astype(np.uint8)
+
+    def search_np(self, Q: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k nearest virtual centroids per query via beam search
+        (reference ResidualCoarseQuantizer::search: beam size =
+        beam_factor·k, report the k best beam members). Returns
+        (lists (nq, k), dists (nq, k) squared L2)."""
+        beam = max(int(self.beam_factor * k), k)
+        codes, errs = beam_search_np(
+            np.asarray(Q, np.float64), self.codebooks, beam
+        )
+        kk = min(k, codes.shape[1])
+        return self._codes_to_lists(codes[:, :kk, :]), errs[:, :kk]
+
+    def assign_np(self, X: np.ndarray) -> np.ndarray:
+        """Coarse assignment = argmin over the beam (reference
+        quantize_LUT-free path: best beam member IS the assignment)."""
+        lists, _ = self.search_np(X, 1)
+        return lists[:, 0]
+
+    def reconstruct_np(self, lists: np.ndarray) -> np.ndarray:
+        """Virtual centroid of a list number = additive decode of its
+        level codes (reference ResidualCoarseQuantizer::reconstruct)."""
+        codes = self._lists_to_codes(np.asarray(lists, np.int64))
+        out = np.zeros((len(codes), self.codebooks.shape[2]))
+        for m in range(self.M):
+            out += self.codebooks[m][codes[:, m]]
+        return out
+
+    def centroids_np(self, max_nlist: int = 1 << 20) -> np.ndarray:
+        """Materialize every virtual centroid (small-nlist / test path —
+        the scale path never calls this)."""
+        if self.nlist > max_nlist:
+            raise ValueError(f"refusing to materialize {self.nlist} centroids")
+        return self.reconstruct_np(np.arange(self.nlist))
+
+    def assign(
+        self, df: DataFrame, vec_col: str = "vec", id_col: str = "id"
+    ) -> DataFrame:
+        """Distributed beam-search assignment: broadcast the (tiny)
+        codebooks, Arrow-batch GEMM per partition — no shuffle, scales
+        with rows like every other map-side codec here."""
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "cluster": model.assign_np(X),
+                }
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, cluster bigint")
+
+
+class ResidualCoarseQuantizer:
+    """Estimator: greedy residual k-means (same training as RQ) packaged
+    as a coarse quantizer (reference faiss/IndexAdditiveQuantizer.h:161).
+    nlist of the resulting IVF = 2^(M·nbits)."""
+
+    def __init__(
+        self, M: int = 2, nbits: int = 4, beam_factor: float = 4.0,
+        niter: int = 15, seed: int = 1234, max_train_points: int = 65536,
+    ):
+        self.rq = ResidualQuantizer(
+            M=M, nbits=nbits, niter=niter, seed=seed,
+            max_train_points=max_train_points,
+        )
+        self.beam_factor = beam_factor
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualCoarseQuantizerModel:
+        m = self.rq.fit(df, vec_col=vec_col)
+        return ResidualCoarseQuantizerModel(
+            codebooks=m.codebooks, beam_factor=self.beam_factor
+        )
+
+
+class LSCoarseQuantizer:
+    """LocalSearchCoarseQuantizer (reference
+    faiss/IndexAdditiveQuantizer.h:193): identical serving surface to
+    ResidualCoarseQuantizerModel, codebooks trained with LSQ instead of
+    greedy residual k-means."""
+
+    def __init__(
+        self, M: int = 2, nbits: int = 4, beam_factor: float = 4.0,
+        niter: int = 15, seed: int = 1234, max_train_points: int = 65536,
+    ):
+        self.M = M
+        self.nbits = nbits
+        self.beam_factor = beam_factor
+        self.niter = niter
+        self.seed = seed
+        self.max_train_points = max_train_points
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualCoarseQuantizerModel:
+        lsq = LocalSearchQuantizer(
+            M=self.M, nbits=self.nbits, niter=self.niter, seed=self.seed,
+            max_train_points=self.max_train_points,
+        ).fit(df, vec_col=vec_col)
+        return ResidualCoarseQuantizerModel(
+            codebooks=lsq.codebooks, beam_factor=self.beam_factor
+        )
 
 
 # ====================================================== LocalSearchQuantizer

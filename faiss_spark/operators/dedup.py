@@ -518,6 +518,7 @@ def embedding_neardup_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234,
+    nprobe: int = 1,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: k-means bucket the vectors
     (spherical — cosine cells), then compute cosine pairs ONLY within each
@@ -527,11 +528,23 @@ def embedding_neardup_bucketed(
     idea as the reference's knn-graph sharding, benchs/README.md:313).
 
     Shuffle discipline: one assign pass (broadcast centroids, no shuffle),
-    one hash shuffle on bucket id (AQE skew-split for hot cells), local
-    per-bucket self-join.
+    one hash shuffle on bucket id (AQE skew-split for hot cells), then a
+    per-bucket vectorized GEMM (applyInPandas) that emits only the pairs
+    at/above the threshold — the same per-cell kernel shape as
+    graph.knn_graph_bucketed. An earlier version scored each candidate
+    pair with an interpreted zip_with/aggregate expression; the GEMM does
+    the whole cell in one BLAS call instead of one lambda walk per pair.
+
+    nprobe > 1 assigns every vector to its nprobe nearest cells
+    (symmetric multi-probe, the knn_graph_bucketed recall lever): a pair
+    is found whenever the two probe sets overlap, so border pairs recover
+    at the cost of an nprobe× bigger bucket shuffle.
     """
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.kernels import as_matrix, pairwise_distances
     from faiss_spark.operators.cluster import KMeans
-    from faiss_spark.operators.knn import distance_expr
 
     src = embeddings.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -539,24 +552,74 @@ def embedding_neardup_bucketed(
     km = KMeans(
         k=n_buckets, niter=10, seed=seed, spherical=True
     ).fit(src, vec_col="vec")
-    assigned = km.assign(src).select("id", F.col("cluster").alias("bucket"))
-    bucketed = src.join(assigned, "id").select("bucket", "id", "vec")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cos = distance_expr(F.col("a.vec"), F.col("b.vec"), "cosine")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    nprobe = max(1, min(nprobe, len(km.centroids)))
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast((km.centroids, nprobe))
+
+    def assign_cells(batches):
+        C_, nprobe_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            # spherical cells: nearest by cosine similarity
+            sims = pairwise_distances(X, C_, "cosine")
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_]
+            yield pd.DataFrame(
+                {
+                    "bucket": order.ravel().astype(np.int32),
+                    "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe_),
+                    "vec": [v for v in pdf["vec"] for _ in range(nprobe_)],
+                }
+            )
+
+    bucketed = src.mapInPandas(
+        assign_cells, schema="bucket int, id bigint, vec array<float>"
     )
+    thr = float(threshold)
+
+    def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        ids = pdf["id"].to_numpy(np.int64)
+        X = as_matrix(pdf["vec"])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        # block-wise over rows: memory stays O(block × m) in a hot cell
+        for lo in range(0, m, 4096):
+            hi = min(lo + 4096, m)
+            S = Xn[lo:hi] @ Xn.T
+            keep = (S >= thr) & (ids[lo:hi][:, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            if len(r):
+                out_a.append(ids[lo:hi][r])
+                out_b.append(ids[c])
+                out_c.append(S[r, c])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        local_pairs, schema="id_a bigint, id_b bigint, cosine double"
+    )
+    if nprobe > 1:
+        # the same pair surfaces in every cell both members probe — dedup
+        # on the (tiny) pair edges, never re-shuffling vector payloads
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    return pairs
 
 def dedup_components(
     pairs: DataFrame,

@@ -36,42 +36,29 @@ def nn_descent(
     id_col: str = "id",
     vec_col: str = "vec",
     sample_candidates: int | None = None,
+    k_build: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: returns (src, dst, dist, rank), rank ≤ k.
 
+    k_build is the INTERNAL graph degree the descent iterates with
+    (default 3·k): the reference keeps a graph K well above the query k
+    for the same reason (NNDescent.h K vs search k) — a degree-k graph
+    generates too few 2-hop candidates to converge (recall plateaus
+    ~0.5 on uniform data; 3·k reaches ≥0.95). The output is truncated
+    back to rank ≤ k.
+
     sample_candidates caps the per-node 2-hop fanout (ρ·k sampling of the
-    reference, NNDescent.cpp S parameter) — at k=20 the unsampled fanout
-    is 400 pairs/node/iter, which is usually fine; set it when k is big.
+    reference, NNDescent.cpp S parameter) — at k_build=20 the unsampled
+    fanout is 400 pairs/node/iter, which is usually fine; set it when
+    k_build is big.
     """
     vecs = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
     n = vecs.count()
-    k_eff = min(k, n - 1)
+    k_eff = min(k_build if k_build is not None else 3 * k, n - 1)
 
-    # --- deterministic scattered init: k pseudo-random neighbors per node
-    # via xxhash64(src, j) mod n — spread across the whole graph (random
-    # init is what makes NN-Descent converge; a local init propagates too
-    # slowly, reference NNDescent.cpp init_graph uses random neighbors)
-    ids = vecs.select("id")
-    w_id = Window.orderBy("id")
-    pos = ids.withColumn("pos", F.row_number().over(w_id) - 1)
-    cand = (
-        pos.select(
-            F.col("id").alias("src"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(k_eff)),
-                    lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(n)),
-                )
-            ).alias("npos"),
-        )
-        .join(
-            pos.select(F.col("id").alias("dst"), F.col("pos").alias("npos")),
-            "npos",
-        )
-        .select("src", "dst")
-    )
+    cand = _random_init_candidates(vecs, k_eff)
     edges = _select_topk(cand.filter(F.col("src") != F.col("dst")), vecs, k_eff, metric)
     # iterative algorithm: truncate lineage each round or the logical plan
     # (and analysis time) grows exponentially with niter
@@ -103,7 +90,38 @@ def nn_descent(
         edges = _select_topk(cand, vecs, k_eff, metric).localCheckpoint(
             eager=True
         )
-    return edges
+    return edges.filter(F.col("rank") <= k)
+
+
+def _random_init_candidates(vecs: DataFrame, k_eff: int) -> DataFrame:
+    """Deterministic scattered init: k pseudo-random neighbors per node
+    via xxhash64(src, j) mapped into the [min_id, max_id] range and
+    inner-joined against the real ids (hash misses on sparse id spaces
+    just thin the init a little — NN-Descent only needs SOME random
+    partners, reference faiss/impl/NNDescent.cpp init_graph). No global
+    window / single-partition sort anywhere: the id→position
+    densification an earlier version did (row_number over an
+    unpartitioned window) pulled every id through one task — the
+    textbook driver-scale bottleneck (test_plans pins its absence)."""
+    ids = vecs.select("id")
+    lo, hi = vecs.agg(F.min("id"), F.max("id")).first()
+    span = int(hi) - int(lo) + 1
+    return (
+        vecs.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.transform(
+                    # a few extra probes compensate for self-hits and
+                    # (on sparse id spaces) hash misses
+                    F.sequence(F.lit(0), F.lit(k_eff + 2)),
+                    lambda j: F.lit(int(lo))
+                    + F.pmod(F.xxhash64(F.col("id"), j), F.lit(span)),
+                )
+            ).alias("dst"),
+        )
+        .join(ids.select(F.col("id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
 
 
 def _select_topk(

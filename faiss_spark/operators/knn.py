@@ -284,24 +284,27 @@ def range_search_max_results(
     range_search — the scan is repeated at most max_iters times, which is
     the same work/accuracy trade the reference makes (it re-runs blocks
     after shrinking)."""
+    # similarity metrics (ip/cosine) keep the LARGEST values; every
+    # distance metric (l2/l1/linf/canberra/...) keeps the smallest
+    largest = metric in SIMILARITY_METRICS
     radius = initial_radius
     res = range_search(vectors, queries, radius, metric, id_col, vec_col)
     for _ in range(max_iters):
         n = res.count()
         if n <= max_results:
             return res, radius
-        # shrink to the max_results-th smallest distance (exact quantile
+        # shrink to the max_results-th best distance (exact quantile
         # of the CURRENT result set — cheap: the result is already ≤ the
         # previous radius's size)
         cut = (
-            res.orderBy("dist" if metric == "l2" else F.col("dist").desc())
+            res.orderBy(F.col("dist").desc() if largest else F.col("dist").asc())
             .limit(max_results)
-            .agg(F.max("dist") if metric == "l2" else F.min("dist"))
+            .agg(F.min("dist") if largest else F.max("dist"))
             .first()[0]
         )
         radius = float(cut)
         res = res.filter(
-            F.col("dist") < radius if metric == "l2" else F.col("dist") > radius
+            F.col("dist") > radius if largest else F.col("dist") < radius
         )
     return res, radius
 

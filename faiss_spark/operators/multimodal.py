@@ -82,10 +82,11 @@ def image_features(
             if len(pdf) == 0:
                 continue
             means, stds, npx = [], [], []
-            for _, r in pdf.iterrows():
-                img = decode_image(
-                    r["payload"], r["width"], r["height"], r["channels"], fake
-                ).astype(np.float64)
+            # decode is inherently per-row; zip over raw columns (no
+            # pandas Series boxing per cell, unlike iterrows)
+            cols = (pdf["payload"], pdf["width"], pdf["height"], pdf["channels"])
+            for payload, w, h, c in zip(*(col.to_numpy() for col in cols)):
+                img = decode_image(payload, w, h, c, fake).astype(np.float64)
                 means.append(img.mean(axis=(0, 1)).tolist())
                 stds.append(img.std(axis=(0, 1)).tolist())
                 npx.append(img.shape[0] * img.shape[1])
@@ -118,12 +119,11 @@ def resize_images(
             if len(pdf) == 0:
                 continue
             payloads, fmts = [], []
-            for _, r in pdf.iterrows():
-                img = decode_image(
-                    r["payload"], r["width"], r["height"], r["channels"], fake
-                )
-                ys = (np.arange(out_h) * r["height"] // out_h).astype(int)
-                xs = (np.arange(out_w) * r["width"] // out_w).astype(int)
+            cols = (pdf["payload"], pdf["width"], pdf["height"], pdf["channels"])
+            for payload, w, h, c in zip(*(col.to_numpy() for col in cols)):
+                img = decode_image(payload, w, h, c, fake)
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
                 resized = img[ys][:, xs]
                 payloads.append(resized.tobytes())
                 fmts.append("raw")

@@ -207,7 +207,7 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif re.match(r"^PQ(\d+)$", code):
             plan.index_type = "ivfpq"
             plan.pq_m = int(code[2:])
-        elif re.match(r"^SQ(4|8)$", code):
+        elif re.match(r"^SQ(4|6|8)$", code):
             plan.index_type = "ivfsq"
             plan.sq_bits = int(code[2:])
         elif re.match(r"^RQ(\d+)$", code):
@@ -223,9 +223,9 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "pq"
         plan.pq_m = int(tok[2:])
         i += 1
-    elif re.match(r"^SQ(4|8|fp16)$", tok):
+    elif re.match(r"^SQ(4|6|8|fp16)$", tok):
         plan.index_type = "sq"
-        plan.sq_bits = {"4": 4, "8": 8, "fp16": 16}[tok[2:]]
+        plan.sq_bits = {"4": 4, "6": 6, "8": 8, "fp16": 16}[tok[2:]]
         i += 1
     elif re.match(r"^RQ(\d+)$", tok):
         plan.index_type = "rq"
@@ -273,7 +273,7 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "pq":
         parts.append(f"PQ{plan.pq_m}")
     elif plan.index_type == "sq":
-        parts.append({4: "SQ4", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
+        parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":
         parts.append(f"RQ{plan.rq_m}")
     if plan.refine_flat:

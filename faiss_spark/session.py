@@ -71,8 +71,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in _NS_TS_COLUMNS.get(name, []):
             if isinstance(df.schema[c].dataType, LongType):
+                # integer division: `/ 1000` goes through double and loses
+                # precision above 2^53 nanos (~1970+104 days), which would
+                # put arbitrary event timestamps ±1 µs off DuckDB's epoch_us
                 df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
                 )
         df.createOrReplaceTempView(name)
         dfs[name] = df

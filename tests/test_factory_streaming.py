@@ -92,6 +92,49 @@ def test_streaming_incremental_add(vectors, spark, tmp_path):
     assert top1["id"] == 450 and top1["dist"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_update_vectors_in_place(vectors, spark, tmp_path):
+    """update_vectors (reference faiss/IndexIVF.h:269): search after an
+    update returns the NEW vectors; only affected partitions rewritten."""
+    import numpy as np
+
+    from faiss_spark.streaming.incremental import update_vectors
+
+    path = str(tmp_path / "codes_upd")
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors, path=path)
+    # move ids 7 and 11 onto the exact position of id 499's vector
+    target = vectors.filter("id = 499").first()["vec"]
+    upd = spark.createDataFrame(
+        [(7, list(target)), (11, list(target))], "id bigint, vec array<float>"
+    )
+    update_vectors(idx, upd, path=path)
+    assert idx.codes.count() == vectors.count()  # replaced, not duplicated
+    q = spark.createDataFrame([(0, list(target))], "qid bigint, vec array<float>")
+    top3 = {r["id"] for r in idx.search(q, k=3, nprobe=8).collect()}
+    assert top3 == {7, 11, 499}  # the updated ids are now exact matches
+
+
+def test_sliding_window_drop_is_directory_level(vectors, spark, tmp_path):
+    """Sliding-window retention (reference tests/test_sliding_ivf.cpp):
+    windowed batches land in (list_no, batch_no) partitions; dropping the
+    oldest window removes directories without touching newer rows."""
+    from faiss_spark.streaming.incremental import add_windowed, drop_window_before
+
+    path = str(tmp_path / "codes_win")
+    idx = IVFIndex.train(vectors, nlist=4, seed=42, niter=5)
+    for b, lo, hi in ((0, 0, 100), (1, 100, 200), (2, 200, 300)):
+        add_windowed(idx, vectors.filter(f"id >= {lo} and id < {hi}"), path, b)
+    assert spark.read.parquet(path).count() == 300
+    dropped = drop_window_before(spark, path, min_batch=1)
+    assert dropped > 0
+    left = spark.read.parquet(path)
+    assert left.count() == 200
+    assert left.agg(F.min("id")).first()[0] >= 100
+    # the table still searches (old window gone, new windows intact)
+    idx.codes = left.select("list_no", "id", "vec")
+    probe = vectors.filter("id = 250").select(F.col("id").alias("qid"), "vec")
+    assert idx.search(probe, k=1, nprobe=4).collect()[0]["id"] == 250
+
+
 def test_factory_ivfsq_ivfrq_rflat_roundtrip(vectors):
     """New grammar arms parse, reverse, and search with high full-probe
     recall (IVFSQ exact-candidate; IVFRQ refined by RFlat is exact@k on

@@ -129,6 +129,26 @@ def test_exact_dedup_aggregates_map_side(tables):
     assert "partial_count" in p or "partial_min" in p
 
 
+def test_nn_descent_init_has_no_single_partition_exchange(emb):
+    """NN-Descent's random init must not funnel the table through one
+    task: no SinglePartition exchange, no global (unpartitioned) sort —
+    the earlier row_number-over-unpartitioned-window init did exactly
+    that and was a driver-scale bottleneck."""
+    from faiss_spark.operators.graph import (
+        _random_init_candidates,
+        _select_topk,
+    )
+
+    cand = _random_init_candidates(emb, 5)
+    scored = _select_topk(cand.filter(F.col("src") != F.col("dst")), emb, 5, "l2")
+    p = plan(scored)
+    assert "SinglePartition" not in p
+    # every window/sort in the plan must be partitioned by a key
+    for line in p.splitlines():
+        if "rangepartitioning" in line:
+            raise AssertionError(f"global sort in init plan: {line}")
+
+
 def test_text_pipeline_stays_in_codegen(tables):
     """The pure-JVM operators (text features, dedup aggregations) must
     compile into WholeStageCodegen spans — no interpreted row loops in

@@ -136,6 +136,75 @@ def test_sq4_roundtrip_error_bound(vectors):
     assert model.code_size() == 32
 
 
+def test_sq6_roundtrip_error_bound(vectors):
+    """QT_6bit (reference ScalarQuantizer.h:30 Codec6bit): 6-bit packed
+    codes, 3/4 the bytes of SQ8 at 4× finer grid than SQ4."""
+    model = ScalarQuantizer(bits=6).fit(vectors)
+    Y = _mat(model.decode(model.encode(vectors)))
+    X = _mat(vectors)
+    unit = model.vdiff / 63
+    # + 1e-6: the decoded column is array<float>, so the exact unit/2
+    # bound picks up float32 rounding (~1e-7 relative) on the way out
+    assert (np.abs(X - Y) <= unit[None, :] / 2 + 1e-6).all()
+    assert model.code_size() == 48  # 64 dims × 6 bits = 384 bits
+
+def test_sq_uniform_single_range(vectors):
+    """QT_8bit_uniform: one global range across dimensions."""
+    model = ScalarQuantizer(bits=8, uniform=True).fit(vectors)
+    assert len(set(model.vmin.tolist())) == 1
+    assert len(set(model.vdiff.tolist())) == 1
+    Y = _mat(model.decode(model.encode(vectors)))
+    X = _mat(vectors)
+    assert (np.abs(X - Y) <= model.vdiff[0] / 255 / 2 + 1e-9).all()
+
+
+def test_sq_8bit_direct(spark):
+    """QT_8bit_direct: code = uint8(x), decode = float(code) — exact on
+    byte-valued data."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [0, 1], "vec": [[0.0, 5.0, 255.0, 7.0], [1.0, 2.0, 3.0, 4.0]]}
+        )
+    )
+    model = ScalarQuantizer.from_qtype("QT_8bit_direct").fit(df)
+    got = {
+        r["id"]: r["vec"] for r in model.decode(model.encode(df)).collect()
+    }
+    assert got[0] == [0.0, 5.0, 255.0, 7.0]
+    assert got[1] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_sq_meanstd_rangestat(vectors):
+    """RS_meanstd trained ranges: lo/hi = mean ∓ rs_arg·std per dim —
+    narrower than min/max on heavy-tailed dims, clipping outliers."""
+    mm = ScalarQuantizer(bits=8, rangestat="minmax").fit(vectors)
+    ms = ScalarQuantizer(bits=8, rangestat="meanstd", rs_arg=1.0).fit(vectors)
+    assert (ms.vdiff <= mm.vdiff + 1e-12).all()
+    # roundtrip error on IN-RANGE values is bounded by the finer unit
+    X = _mat(vectors)
+    Y = _mat(ms.decode(ms.encode(vectors)))
+    in_range = (X >= ms.vmin[None, :]) & (X <= (ms.vmin + ms.vdiff)[None, :])
+    err_ok = np.abs(X - Y) <= (ms.vdiff / 255)[None, :] / 2 + 1e-9
+    assert (err_ok | ~in_range).all()
+
+
+def test_sq6_factory_string(vectors):
+    from faiss_spark.plans.factory import index_factory, reverse_index_factory
+
+    plan = index_factory("SQ6")
+    assert plan.index_type == "sq" and plan.sq_bits == 6
+    assert reverse_index_factory(plan) == "SQ6"
+    plan2 = index_factory("IVF4,SQ6")
+    assert plan2.index_type == "ivfsq" and plan2.sq_bits == 6
+    fitted = plan2.fit(vectors, seed=42)
+    q = vectors.filter("id < 3").select(F.col("id").alias("qid"), "vec")
+    res = fitted.search(q, 3, nprobe=4).collect()
+    top1 = {r["qid"]: r["id"] for r in res if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # SQ6 error ≪ inter-point distance
+
+
 def test_fp16_roundtrip_exactish(vectors):
     model = ScalarQuantizer(bits=16).fit(vectors)
     Y = _mat(model.decode(model.encode(vectors)))
