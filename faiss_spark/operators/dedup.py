@@ -425,8 +425,13 @@ def simhash_neardup_pairs(
             F.col("b.id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE dedup: hamming is computed map-side in the join
+        # task, so the dropDuplicates shuffle carries only the matching
+        # pairs (a few k), not every band-collision candidate (tens of
+        # millions at 83k docs — the round-1 bench outlier was exactly
+        # this shuffle)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -476,8 +481,9 @@ def simhash64_neardup_pairs(
             F.col("b.id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify before dedup — see simhash_neardup_pairs
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
