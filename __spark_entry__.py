@@ -330,6 +330,21 @@ def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prop_df(spark, [("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85)])
 
 
+def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an additive (residual) COARSE quantizer (reference
+    ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h:161 — the
+    large-nlist `IVFn(RCQMxB)` factory family): nlist = 2^(M·nbits)
+    virtual cells, beam-search assignment instead of argmin over
+    materialized centroids. ORACLE-EXACT: at nprobe = nlist every cell is
+    probed, so results equal brute-force L2 knn regardless of where the
+    beam assigned each vector — the oracle is the same exact-knn SQL."""
+    from faiss_spark.operators.ivf import IVFRCQIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFRCQIndex.train(vecs, M=2, nbits=3, seed=42).add(vecs)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=idx.nlist))
+
+
 def q_ivf_bigbatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-distributed big-batch IVF search (search_preassigned,
     contrib/ivf_tools shape) at nprobe=nlist — exact, oracle = brute knn."""
@@ -766,6 +781,21 @@ def q_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_knn(codes, qcodes, K)
 
 
+def q_bivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexBinaryIVF via the binary factory string `BIVF8` (reference
+    faiss/index_factory.cpp:895 + IndexBinaryIVF.h:33). ORACLE-EXACT:
+    nprobe = nlist probes every list, so results equal brute-force
+    Hamming knn — the same SQL twin as hamming_knn."""
+    from faiss_spark.plans.factory import index_binary_factory
+
+    codes = _bin_codes(spark, sf_dir)
+    qcodes = codes.filter(F.col("id") < NQ).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    plan = index_binary_factory("BIVF8").fit(codes, nbits=DIM, seed=42)
+    return plan.search(qcodes, K, nprobe=8)
+
+
 def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary Jaccard distance top-k (the fork's METRIC_JACCARD)."""
     from faiss_spark.operators.binary import jaccard_knn
@@ -932,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "ivfsq_search_exact": q_ivfsq_search_exact,
         "ivfaq_search": q_ivfaq_search,
+        "rcq_ivf_search": q_rcq_ivf_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "dedup_exact": q_dedup_exact,
@@ -951,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
         "hamming_knn": q_hamming_knn,
+        "bivf_search": q_bivf_search,
         "jaccard_knn": q_jaccard_knn,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -1038,6 +1070,8 @@ _PAIR_JACCARD = f"""
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["knn_l2"] = _knn_sql(_L2, "ASC")
+    # RCQ-coarse IVF at nprobe=nlist probes every cell → exact L2 knn
+    sql["rcq_ivf_search"] = _knn_sql(_L2, "ASC")
     sql["knn_ip"] = _knn_sql(_IP, "DESC")
     sql["knn_cosine"] = _knn_sql(_COS, "DESC")
     _CANB = (
@@ -1456,6 +1490,8 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
         SELECT qid, id, dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= {K}
     """
+    # BIVF at nprobe=nlist scans every list: exact Hamming knn
+    sql["bivf_search"] = sql["hamming_knn"]
     sql["jaccard_knn"] = f"""
         WITH c AS ({_BCODES}),
         q AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE id < {NQ}),

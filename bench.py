@@ -70,6 +70,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    kernel = _kernel_bench(spark, cpus)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -79,9 +80,65 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kernel_knn": kernel,
             }
         )
     )
+
+
+def _kernel_bench(spark, cpus: int) -> dict:
+    """Kernel-dominated throughput probe, baseline-comparable: exact knn
+    over 600k×64d base with 10k queries (≈0.77 TFLOP of distance GEMM —
+    the shape of BASELINE.md's brute-force rows, reference
+    faiss/utils/distances.cpp:271-354 knn_L2sqr BLAS path). Alongside it,
+    the raw numpy-BLAS GEMM roofline for the SAME flops on this host, so
+    the JSON carries engine-vs-roofline directly. Synthetic vectors are
+    hash-generated in codegen and materialized OUTSIDE the timed region."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.knn import knn
+
+    nv, nq, d, k = 600_000, 10_000, 64, 10
+
+    def synth(n: int, salt: int):
+        return spark.range(n).select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {d - 1}), j -> "
+                f"cast(pmod(xxhash64(id * {d} + j + {salt}), 100000) "
+                "as float) / 100000.0 - 0.5)"
+            ).alias("vec"),
+        )
+
+    base = synth(nv, 0).repartition(cpus).localCheckpoint(eager=True)
+    queries = synth(nq, 7_777_777).select(F.col("id").alias("qid"), "vec")
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = knn(base, queries, k).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert n == nq * k
+    flops = 2.0 * nv * nq * d
+    # numpy roofline: the identical GEMM (f64, chunked over base rows),
+    # BLAS free to use every core — the "perfect kernel, zero engine" bar
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((nq, d))
+    chunk = rng.standard_normal((nv // 10, d))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        (Q @ chunk.T)
+    np_sec = time.perf_counter() - t0
+    return {
+        "spark_sec": round(best, 3),
+        "numpy_gemm_sec": round(np_sec, 3),
+        "ratio_vs_blas": round(best / np_sec, 2),
+        "gflops": round(flops / best / 1e9, 1),
+        "qvd_per_core_sec": round(nv * nq * d / best / cpus / 1e9, 3),
+        "unit_qvd": "1e9 query·vector·dims per core-second",
+        "nv": nv, "nq": nq, "d": d, "k": k,
+    }
 
 
 if __name__ == "__main__":

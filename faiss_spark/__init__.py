@@ -18,10 +18,18 @@ Design (see SURVEY.md):
   (reference faiss/python/extra_wrappers.py:136-174 ResultHeap semantics).
 """
 
-from faiss_spark.operators.binary import binarize, hamming_knn, jaccard_knn
+from faiss_spark.operators.binary import (
+    BinaryHashIndex,
+    BinaryIVFIndex,
+    binarize,
+    hamming_knn,
+    jaccard_knn,
+)
 from faiss_spark.operators.cluster import KMeans, kmeans_1d
 from faiss_spark.operators.codecs import (
+    LSCoarseQuantizer,
     ProductQuantizer,
+    ResidualCoarseQuantizer,
     ResidualQuantizer,
     ScalarQuantizer,
 )
@@ -40,6 +48,7 @@ from faiss_spark.operators.ivf import (
     IVFAQIndex,
     IVFIndex,
     IVFPQIndex,
+    IVFRCQIndex,
     IVFSQIndex,
     search_preassigned,
 )
@@ -52,7 +61,12 @@ from faiss_spark.operators.transforms import (
     Pipeline,
     RandomRotation,
 )
-from faiss_spark.plans.factory import index_factory, reverse_index_factory
+from faiss_spark.plans.factory import (
+    index_binary_factory,
+    index_factory,
+    reverse_index_binary_factory,
+    reverse_index_factory,
+)
 
 __version__ = "0.1.0"
 
@@ -70,6 +84,13 @@ __all__ = [
     "IVFAQIndex",
     "IVFSQIndex",
     "search_preassigned",
+    "IVFRCQIndex",
+    "ResidualCoarseQuantizer",
+    "LSCoarseQuantizer",
+    "BinaryIVFIndex",
+    "BinaryHashIndex",
+    "index_binary_factory",
+    "reverse_index_binary_factory",
     "ScalarQuantizer",
     "ProductQuantizer",
     "ResidualQuantizer",

@@ -709,8 +709,8 @@ class LSCoarseQuantizer:
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualCoarseQuantizerModel:
         lsq = LocalSearchQuantizer(
-            M=self.M, nbits=self.nbits, niter=self.niter, seed=self.seed,
-            max_train_points=self.max_train_points,
+            M=self.M, nbits=self.nbits, niter_init=self.niter,
+            seed=self.seed, max_train_points=self.max_train_points,
         ).fit(df, vec_col=vec_col)
         return ResidualCoarseQuantizerModel(
             codebooks=lsq.codebooks, beam_factor=self.beam_factor
@@ -818,8 +818,8 @@ class LocalSearchQuantizer:
         icm_iters: int = 3, niter_init: int = 10, seed: int = 1234,
         max_train_points: int = 65536,
     ):
-        if nbits != 8:
-            raise NotImplementedError("8-bit LSQ codes only")
+        if not 1 <= nbits <= 8:
+            raise NotImplementedError("LSQ supports 1..8 bits per level")
         self.M = M
         self.ksub = 1 << nbits
         self.train_iters = train_iters

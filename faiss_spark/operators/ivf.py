@@ -153,7 +153,6 @@ class IVFIndex:
         (IndexIVF.cpp:315). With nprobe == nlist results are exact."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
-        spark = self.codes.sparkSession
         nlist = len(self.centroids)
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
@@ -166,62 +165,204 @@ class IVFIndex:
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
         probes = order[:, :nprobe]  # (nq, nprobe)
+        return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
-        # invert: list_no -> local query indexes (the ivf_tools big-batch
-        # regrouping, contrib/ivf_tools.py:26)
-        probed_lists = sorted({int(c) for c in probes.ravel()})
-        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
-        for qi in range(len(qids)):
-            for c in probes[qi]:
-                list_to_q[int(c)].append(qi)
-        bc = spark.sparkContext.broadcast(
-            (qids, Q, {c: np.asarray(v, dtype=np.int64) for c, v in list_to_q.items()})
-        )
-        metric = self.metric
 
-        # stage B — partition-pruned scan: Catalyst turns the IN-filter on
-        # the partitioning column into reading only nprobe'd directories
-        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+def _scan_probed_lists(
+    codes: DataFrame,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    probes: np.ndarray,
+    k: int,
+    metric: str,
+) -> DataFrame:
+    """Stages B+C of the IVF search lifecycle, shared by every coarse
+    quantizer (k-means IVFIndex, beam-search IVFRCQIndex): given the
+    per-query probe lists, scan only those partitions and merge top-k."""
+    spark = codes.sparkSession
+    largest = metric in SIMILARITY_METRICS
+    # invert: list_no -> local query indexes (the ivf_tools big-batch
+    # regrouping, contrib/ivf_tools.py:26)
+    probed_lists = sorted({int(c) for c in probes.ravel()})
+    list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            list_to_q[int(c)].append(qi)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, {c: np.asarray(v, dtype=np.int64) for c, v in list_to_q.items()})
+    )
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids_, Q_, l2q = bc.value
-            acc: dict[int, TopKAccumulator] = {}
-            touched: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+    # stage B — partition-pruned scan: Catalyst turns the IN-filter on
+    # the partitioning column into reading only nprobe'd directories
+    pruned = codes.filter(F.col("list_no").isin(probed_lists))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, l2q = bc.value
+        acc: dict[int, TopKAccumulator] = {}
+        touched: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for list_no, grp in pdf.groupby("list_no"):
+                qsel = l2q.get(int(list_no))
+                if qsel is None or len(qsel) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    X = as_matrix(grp["vec"])
-                    ids = grp["id"].to_numpy(dtype=np.int64)
-                    D = pairwise_distances(Q_[qsel], X, metric)
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
-                        touched[key] = qsel
-                    acc[key].push(D, ids)
-            for key, a in acc.items():
-                qidx, nid, nd = a.emit()
-                qsel = touched[key]
-                yield pd.DataFrame(
-                    {"qid": qids_[qsel[qidx]], "id": nid, "dist": nd}
+                X = as_matrix(grp["vec"])
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                D = pairwise_distances(Q_[qsel], X, metric)
+                key = int(list_no)
+                if key not in acc:
+                    acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
+                    touched[key] = qsel
+                acc[key].push(D, ids)
+        for key, a in acc.items():
+            qidx, nid, nd = a.emit()
+            qsel = touched[key]
+            yield pd.DataFrame(
+                {"qid": qids_[qsel[qidx]], "id": nid, "dist": nd}
+            )
+
+    candidates = pruned.select("list_no", "id", "vec").mapInPandas(
+        scan, schema="qid bigint, id bigint, dist double"
+    )
+
+    # stage C — global merge (a vector can only appear in one list, so
+    # no dedup needed; just re-rank the small candidate set)
+    sort = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
+    w = Window.partitionBy("qid").orderBy(*sort)
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+@dataclass
+class IVFRCQIndex:
+    """IVF whose coarse quantizer is an additive quantizer (reference
+    ResidualCoarseQuantizer / LocalSearchCoarseQuantizer,
+    faiss/IndexAdditiveQuantizer.h:161,193 — the `IVF65536(RQ…)` factory
+    family): nlist = ksub^M virtual cells, assignment and probe selection
+    by beam search over the M codebooks instead of an argmin over nlist
+    materialized centroids.
+
+    Why it matters at scale: a 100 TB corpus wants nlist ~ 2^16..2^20;
+    training one k-means with k = nlist is the bottleneck the reference
+    invented RCQ for. Here training is M small k-means, the centroid
+    artifact is M·ksub·d floats (KBs, always broadcastable), and the add
+    path is the same map-side Arrow batch as every other codec. The
+    codes table layout, partition pruning, scan, and merge are IDENTICAL
+    to IVFIndex — only stage A (probe selection) differs.
+
+    L2 only, like the reference (AQ beam search minimizes squared L2).
+    """
+
+    cq: "ResidualCoarseQuantizerModel"
+    metric: str = "l2"
+    path: str | None = None
+    codes: DataFrame | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        M: int = 2,
+        nbits: int = 4,
+        beam_factor: float = 4.0,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 15,
+        lsq: bool = False,
+    ) -> "IVFRCQIndex":
+        from faiss_spark.operators.codecs import (
+            LSCoarseQuantizer,
+            ResidualCoarseQuantizer,
+        )
+
+        est = (LSCoarseQuantizer if lsq else ResidualCoarseQuantizer)(
+            M=M, nbits=nbits, beam_factor=beam_factor, niter=niter, seed=seed
+        )
+        return IVFRCQIndex(cq=est.fit(vectors, vec_col=vec_col))
+
+    @property
+    def nlist(self) -> int:
+        return self.cq.nlist
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFRCQIndex":
+        """Beam-search assignment (distributed, no shuffle) + the same
+        list_no-partitioned layout as IVFIndex.add. Empty virtual cells
+        simply have no partition directory — exactly how faiss's RCQ IVF
+        leaves most of its 2^16 invlists empty."""
+        assigned = self.cq.assign(vectors, vec_col=vec_col, id_col=id_col).select(
+            "id", F.col("cluster").alias("list_no")
+        )
+        codes = (
+            vectors.select(
+                F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+            )
+            .join(assigned, "id")
+            .select("list_no", "id", "vec")
+        )
+        if path is not None:
+            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            spark = vectors.sparkSession
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, "_rcq_codebooks.npy"), self.cq.codebooks)
+            with open(os.path.join(path, "_rcq_meta.json"), "w") as f:
+                json.dump(
+                    {
+                        "metric": self.metric,
+                        "beam_factor": self.cq.beam_factor,
+                        "nlist": self.nlist,
+                    },
+                    f,
                 )
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
 
-        candidates = pruned.select("list_no", "id", "vec").mapInPandas(
-            scan, schema="qid bigint, id bigint, dist double"
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFRCQIndex":
+        from faiss_spark.operators.codecs import ResidualCoarseQuantizerModel
+
+        with open(os.path.join(path, "_rcq_meta.json")) as f:
+            meta = json.load(f)
+        return IVFRCQIndex(
+            cq=ResidualCoarseQuantizerModel(
+                codebooks=np.load(os.path.join(path, "_rcq_codebooks.npy")),
+                beam_factor=meta["beam_factor"],
+            ),
+            metric=meta["metric"],
+            path=path,
+            codes=spark.read.parquet(path),
         )
 
-        # stage C — global merge (a vector can only appear in one list, so
-        # no dedup needed; just re-rank the small candidate set)
-        sort = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
-        w = Window.partitionBy("qid").orderBy(*sort)
-        return (
-            candidates.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "id", "dist", "rank")
-        )
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Stage A = ResidualCoarseQuantizer::search (beam of
+        beam_factor·nprobe, keep the nprobe best cells per query);
+        stages B+C shared with IVFIndex."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        nprobe = min(nprobe, self.nlist)
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(dtype=np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        probes, _ = self.cq.search_np(Q, nprobe)
+        return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
 
 @dataclass

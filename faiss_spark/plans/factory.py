@@ -6,13 +6,17 @@ config, so the grammar ports directly; what it *builds* here is Spark
 pipelines: transform chain (operators/transforms.py) + index stage
 (Flat / IVF / IVFPQ / PQ / SQ).
 
-Supported round-1 subset (the workhorse combinations):
+Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
-  main       : Flat | IVF<nlist>,{Flat|PQ<M>|SQ8|RQ<M>} | PQ<M> |
-               SQ4 | SQ8 | SQfp16 | RQ<M>
+  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)],{Flat|PQ<M>|
+               SQ4|SQ6|SQ8|RQ<M>} | PQ<M> | SQ4 | SQ6 | SQ8 | SQfp16 |
+               RQ<M>
   refinement : RFlat (exact re-rank of k*k_factor candidates, reference
                IndexRefineFlat)
-e.g. "PCA32,IVF256,PQ8" or "L2norm,Flat" or "OPQ8,IVF64,PQ8,RFlat".
+  binary     : BFlat | BIVF<nlist> | BHash<b> (index_binary_factory,
+               reference faiss/index_factory.cpp:895-915)
+e.g. "PCA32,IVF256,PQ8", "L2norm,Flat", "OPQ8,IVF64,PQ8,RFlat",
+"IVF65536(RCQ2x8),Flat".
 
 Unsupported tokens raise ValueError with the offending token — same
 contract as the reference's FAISS_THROW on parse failure.
@@ -57,6 +61,11 @@ class IndexPlan:
     pq_m: int | None = None
     sq_bits: int | None = None
     rq_m: int | None = None
+    # additive coarse quantizer (reference RCQ/LSQ-as-quantizer factory
+    # strings, faiss/index_factory.cpp parse of "IVFn(RCQMxB)")
+    coarse: str | None = None  # None (k-means) | "rcq" | "lsq"
+    coarse_m: int | None = None
+    coarse_nbits: int | None = None
     refine_flat: bool = False
     k_factor: int = 4
     metric: str = "l2"
@@ -100,6 +109,13 @@ class IndexPlan:
 
         if self.index_type == "flat":
             self.index = None  # brute force over the transformed table
+        elif self.index_type == "ivfflat" and self.coarse is not None:
+            from faiss_spark.operators.ivf import IVFRCQIndex
+
+            self.index = IVFRCQIndex.train(
+                cur, M=self.coarse_m, nbits=self.coarse_nbits, seed=seed,
+                lsq=(self.coarse == "lsq"),
+            ).add(cur)
         elif self.index_type == "ivfflat":
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
         elif self.index_type == "ivfpq":
@@ -195,13 +211,26 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     if i >= len(tokens):
         raise ValueError(f"factory string {description!r} has no index stage")
     tok = tokens[i]
-    m = re.match(r"^IVF(\d+)$", tok)
+    m = re.match(r"^IVF(\d+)(?:\((RCQ|LSQ)(\d+)x(\d+)\))?$", tok)
     if m:
         plan.nlist = int(m.group(1))
+        if m.group(2):
+            plan.coarse = m.group(2).lower()
+            plan.coarse_m = int(m.group(3))
+            plan.coarse_nbits = int(m.group(4))
+            if plan.nlist != 1 << (plan.coarse_m * plan.coarse_nbits):
+                raise ValueError(
+                    f"{tok!r}: nlist {plan.nlist} != 2^(M·nbits) = "
+                    f"{1 << (plan.coarse_m * plan.coarse_nbits)}"
+                )
         i += 1
         if i >= len(tokens):
             raise ValueError(f"IVF{plan.nlist} needs a code stage (Flat/PQm/SQ8)")
         code = tokens[i]
+        if plan.coarse is not None and code != "Flat":
+            raise ValueError(
+                f"additive coarse quantizer supports Flat codes only, got {code!r}"
+            )
         if code == "Flat":
             plan.index_type = "ivfflat"
         elif re.match(r"^PQ(\d+)$", code):
@@ -259,7 +288,13 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     if plan.index_type == "flat":
         parts.append("Flat")
     elif plan.index_type == "ivfflat":
-        parts.append(f"IVF{plan.nlist}")
+        if plan.coarse is not None:
+            parts.append(
+                f"IVF{plan.nlist}({plan.coarse.upper()}"
+                f"{plan.coarse_m}x{plan.coarse_nbits})"
+            )
+        else:
+            parts.append(f"IVF{plan.nlist}")
         parts.append("Flat")
     elif plan.index_type == "ivfpq":
         parts.append(f"IVF{plan.nlist}")
@@ -279,3 +314,85 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     if plan.refine_flat:
         parts.append("RFlat")
     return ",".join(parts)
+
+
+# ----------------------------------------------------------- binary factory
+
+
+@dataclass
+class BinaryIndexPlan:
+    """Parsed binary factory string (reference index_binary_factory,
+    faiss/index_factory.cpp:895-915: BFlat | BIVF<nlist> | BHash<b>).
+    Operates on binarized code tables (id, code array<bigint>) — produce
+    them with operators/binary.binarize or binarize_rotated."""
+
+    kind: str  # "bflat" | "bivf" | "bhash"
+    nlist: int | None = None
+    hash_b: int | None = None
+
+    index: object | None = None
+    _codes = None
+
+    def fit(
+        self, codes: DataFrame, nbits: int, id_col: str = "id",
+        code_col: str = "code", seed: int = 1234,
+    ) -> "BinaryIndexPlan":
+        from faiss_spark.operators.binary import BinaryHashIndex, BinaryIVFIndex
+
+        if self.kind == "bflat":
+            self._codes = codes.select(
+                F.col(id_col).cast("bigint").alias("id"),
+                F.col(code_col).alias("code"),
+            )
+        elif self.kind == "bivf":
+            self.index = BinaryIVFIndex.train(
+                codes, nlist=self.nlist, nbits=nbits, code_col=code_col, seed=seed
+            ).add(codes, id_col=id_col, code_col=code_col)
+        else:
+            self.index = BinaryHashIndex(self.hash_b).add(
+                codes, id_col=id_col, code_col=code_col
+            )
+        return self
+
+    def search(
+        self, qcodes: DataFrame, k: int, nprobe: int = 1, radius: int = 1,
+        qid_col: str = "qid", qcode_col: str = "qcode",
+    ) -> DataFrame:
+        from faiss_spark.operators.binary import hamming_knn
+
+        if self.kind == "bflat":
+            return hamming_knn(
+                self._codes, qcodes.select(
+                    F.col(qid_col).cast("bigint").alias("qid"),
+                    F.col(qcode_col).alias("qcode"),
+                ), k,
+            )
+        if self.kind == "bivf":
+            return self.index.search(
+                qcodes, k, nprobe=nprobe, qid_col=qid_col, qcode_col=qcode_col
+            )
+        return self.index.search(
+            qcodes, k, radius=radius, qid_col=qid_col, qcode_col=qcode_col
+        )
+
+
+def index_binary_factory(description: str) -> BinaryIndexPlan:
+    """Binary factory strings (reference faiss/index_factory.cpp:895)."""
+    desc = description.strip()
+    if desc == "BFlat":
+        return BinaryIndexPlan(kind="bflat")
+    m = re.match(r"^BIVF(\d+)$", desc)
+    if m:
+        return BinaryIndexPlan(kind="bivf", nlist=int(m.group(1)))
+    m = re.match(r"^BHash(\d+)$", desc)
+    if m:
+        return BinaryIndexPlan(kind="bhash", hash_b=int(m.group(1)))
+    raise ValueError(f"unsupported binary factory string {description!r}")
+
+
+def reverse_index_binary_factory(plan: BinaryIndexPlan) -> str:
+    if plan.kind == "bflat":
+        return "BFlat"
+    if plan.kind == "bivf":
+        return f"BIVF{plan.nlist}"
+    return f"BHash{plan.hash_b}"

@@ -1,0 +1,194 @@
+"""ResidualCoarseQuantizer / LSCoarseQuantizer (reference
+faiss/IndexAdditiveQuantizer.h:161,193) and the binary factory strings
+(reference faiss/index_factory.cpp:895-915)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.binary import binarize, hamming_knn
+from faiss_spark.operators.codecs import (
+    LSCoarseQuantizer,
+    ResidualCoarseQuantizer,
+    ResidualCoarseQuantizerModel,
+)
+from faiss_spark.operators.ivf import IVFRCQIndex
+from faiss_spark.operators.knn import knn
+from faiss_spark.plans.factory import (
+    index_binary_factory,
+    index_factory,
+    reverse_index_binary_factory,
+    reverse_index_factory,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return vectors.filter("id < 8").select(F.col("id").alias("qid"), "vec")
+
+
+@pytest.fixture(scope="module")
+def rcq(vectors):
+    return ResidualCoarseQuantizer(M=2, nbits=3, seed=42).fit(vectors)
+
+
+def _mat(df, col="vec"):
+    pdf = df.orderBy("id").toPandas()
+    return np.stack(pdf[col]).astype(np.float64)
+
+
+def test_rcq_full_beam_assignment_is_exact_argmin(vectors, rcq):
+    """Reference semantics: assignment = argmin over the beam; with the
+    beam covering the whole virtual centroid set it must equal the exact
+    argmin over all ksub^M materialized centroids."""
+    X = _mat(vectors)
+    full = ResidualCoarseQuantizerModel(
+        codebooks=rcq.codebooks, beam_factor=float(rcq.nlist)
+    )
+    C = full.centroids_np()
+    assert C.shape == (64, X.shape[1])  # 2 levels × 3 bits → 64 cells
+    exact = ((X[:, None, :] - C[None]) ** 2).sum(2).argmin(1)
+    np.testing.assert_array_equal(full.assign_np(X), exact)
+
+
+def test_rcq_distributed_assign_matches_numpy(vectors, rcq):
+    got = {
+        r["id"]: r["cluster"] for r in rcq.assign(vectors).collect()
+    }
+    X = _mat(vectors)
+    ids = sorted(got)
+    np.testing.assert_array_equal(
+        np.array([got[i] for i in ids]), rcq.assign_np(X)
+    )
+
+
+def test_rcq_reconstruct_roundtrip(rcq):
+    lists = np.arange(rcq.nlist)
+    codes = rcq._lists_to_codes(lists)
+    np.testing.assert_array_equal(rcq._codes_to_lists(codes), lists)
+    # reconstruct = additive decode of the level codes
+    rec = rcq.reconstruct_np(lists)
+    manual = rcq.codebooks[0][codes[:, 0]] + rcq.codebooks[1][codes[:, 1]]
+    np.testing.assert_allclose(rec, manual)
+
+
+def test_ivfrcq_full_probe_is_exact(vectors, queries, rcq):
+    """nprobe = nlist with a covering beam probes every cell → results
+    equal exact brute-force knn (the IVF invariant, nprobe=nlist)."""
+    idx = IVFRCQIndex(cq=rcq).add(vectors)
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(queries, 5, nprobe=rcq.nlist).collect()
+    }
+    expect = {
+        (r["qid"], r["rank"], r["id"]) for r in knn(vectors, queries, 5).collect()
+    }
+    assert got == expect
+
+
+def test_ivfrcq_persist_load_roundtrip(vectors, queries, rcq, spark, tmp_path):
+    path = str(tmp_path / "rcq_codes")
+    IVFRCQIndex(cq=rcq).add(vectors, path=path)
+    idx = IVFRCQIndex.load(spark, path)
+    assert idx.nlist == rcq.nlist
+    top1 = idx.search(queries.limit(1), 1, nprobe=4).collect()[0]
+    assert top1["id"] == top1["qid"] and top1["dist"] == pytest.approx(0.0)
+
+
+def test_lsq_coarse_same_surface(vectors):
+    m = LSCoarseQuantizer(M=2, nbits=3, seed=42, niter=5).fit(vectors)
+    assert m.nlist == 64
+    a = m.assign(vectors.limit(50)).collect()
+    assert all(0 <= r["cluster"] < 64 for r in a)
+
+
+def test_factory_rcq_string_roundtrip(vectors, queries):
+    plan = index_factory("IVF64(RCQ2x3),Flat")
+    assert reverse_index_factory(plan) == "IVF64(RCQ2x3),Flat"
+    plan.fit(vectors, seed=42)
+    rows = plan.search(queries, 3, nprobe=64).collect()
+    by_q = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    assert by_q == {q: q for q in by_q}  # every query finds itself
+    # LSQ arm parses + reverses
+    p2 = index_factory("IVF64(LSQ2x3),Flat")
+    assert reverse_index_factory(p2) == "IVF64(LSQ2x3),Flat"
+
+
+def test_factory_rcq_validates_nlist():
+    with pytest.raises(ValueError):
+        index_factory("IVF100(RCQ2x3),Flat")  # 100 != 2^6
+    with pytest.raises(ValueError):
+        index_factory("IVF64(RCQ2x3),PQ8")  # Flat codes only
+
+
+# --------------------------------------------------------- binary factory --
+
+
+@pytest.fixture(scope="module")
+def bincodes(vectors):
+    return binarize(vectors, d=64)
+
+
+@pytest.fixture(scope="module")
+def binqueries(bincodes):
+    return bincodes.filter("id < 8").select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+
+
+def test_binary_factory_parse_reverse():
+    for s in ["BFlat", "BIVF16", "BHash8"]:
+        assert reverse_index_binary_factory(index_binary_factory(s)) == s
+    with pytest.raises(ValueError):
+        index_binary_factory("BHNSW32")
+
+
+def test_bflat_equals_hamming_knn(bincodes, binqueries):
+    plan = index_binary_factory("BFlat").fit(bincodes, nbits=64)
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in plan.search(binqueries, 4).collect()
+    }
+    expect = {
+        (r["qid"], r["rank"], r["id"])
+        for r in hamming_knn(bincodes, binqueries, 4).collect()
+    }
+    assert got == expect
+
+
+def test_bivf_full_probe_equals_bflat(bincodes, binqueries):
+    plan = index_binary_factory("BIVF8").fit(bincodes, nbits=64, seed=42)
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in plan.search(binqueries, 4, nprobe=8).collect()
+    }
+    expect = {
+        (r["qid"], r["rank"], r["id"])
+        for r in hamming_knn(bincodes, binqueries, 4).collect()
+    }
+    assert got == expect
+
+
+def test_bhash_self_find_and_subset(bincodes, binqueries):
+    """BHash probes buckets within `radius` prefix flips: every query
+    finds itself (its own bucket is always probed), and every returned
+    pair is a true Hamming pair (results are verified, never invented)."""
+    plan = index_binary_factory("BHash8").fit(bincodes, nbits=64)
+    rows = plan.search(binqueries, 3, radius=1).collect()
+    rank1 = {r["qid"]: (r["id"], r["dist"]) for r in rows if r["rank"] == 1}
+    for q, (i, d) in rank1.items():
+        assert i == q and d == 0.0
+    # verified distances: recompute one pair exactly
+    codes = {r["id"]: r["code"] for r in bincodes.filter("id < 200").collect()}
+    for r in rows:
+        if r["id"] in codes and r["qid"] in codes:
+            a, b = codes[r["qid"]], codes[r["id"]]
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            assert ham == int(r["dist"])
