@@ -50,6 +50,7 @@ BENCH_OVERRIDES = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark("faiss_spark_bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
