@@ -37,9 +37,21 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         # runtime bloom filters ≈ faiss IDSelectorBatch's bloom front
         # (reference faiss/impl/IDSelector.h:80-98)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # the driver-generated parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp — read as long and convert in load_tables
+        # robustness: if a table ever ships TIMESTAMP(NANOS) (Spark has no
+        # nanos type), read as long; load_tables converts. The current
+        # driver tables store timestamp[us] (read as TIMESTAMP_NTZ), so
+        # this is a no-op for them.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # one BLAS thread per Python worker: N workers × unpinned BLAS
+        # pools (each defaulting to all cores) oversubscribe the host
+        # N×-fold and thrash the GEMM hot path — the standard Spark+numpy
+        # discipline is one BLAS thread per core-pinned worker, with
+        # parallelism coming from Spark's partitioning
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.VECLIB_MAXIMUM_THREADS", "1")
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,8 +64,12 @@ TABLES = (
 ).split()
 
 
-# TIMESTAMP(NANOS) columns in the driver tables, read as long nanos under
-# nanosAsLong and converted to micros timestamps (= what DuckDB sees).
+# Timestamp columns in the driver tables. Currently stored as
+# timestamp[us] (Spark: TIMESTAMP_NTZ) and need no conversion; the branch
+# below only fires for legacy TIMESTAMP(NANOS) files read as long under
+# nanosAsLong. NTZ columns pass through — queries that need epoch micros
+# cast NTZ -> TIMESTAMP first (session tz is UTC, so the wall clock maps
+# to the same micros DuckDB's epoch_us sees).
 _NS_TS_COLUMNS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
