@@ -72,6 +72,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     kernel = _kernel_bench(spark, cpus)
+    graph = _graph_bench(spark, cpus)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -82,63 +83,118 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kernel_knn": kernel,
+                "graph_bucketed": graph,
             }
         )
     )
 
 
-def _kernel_bench(spark, cpus: int) -> dict:
+def _synth_vecs(spark, n: int, d: int, salt: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        "id",
+        F.expr(
+            f"transform(sequence(0, {d - 1}), j -> "
+            f"cast(pmod(xxhash64(id * {d} + j + {salt}), 100000) "
+            "as float) / 100000.0 - 0.5)"
+        ).alias("vec"),
+    )
+
+
+def _kernel_bench(
+    spark, cpus: int, nv: int = 600_000, nq: int = 10_000
+) -> dict:
     """Kernel-dominated throughput probe, baseline-comparable: exact knn
     over 600k×64d base with 10k queries (≈0.77 TFLOP of distance GEMM —
     the shape of BASELINE.md's brute-force rows, reference
     faiss/utils/distances.cpp:271-354 knn_L2sqr BLAS path). Alongside it,
     the raw numpy-BLAS GEMM roofline for the SAME flops on this host, so
-    the JSON carries engine-vs-roofline directly. Synthetic vectors are
-    hash-generated in codegen and materialized OUTSIDE the timed region."""
+    the JSON carries engine-vs-roofline directly. The roofline GEMM runs
+    into a PREALLOCATED out= buffer (warmed before timing): on this VM a
+    fresh multi-GB temporary costs more in first-touch page faults than
+    the GEMM itself, and the roofline should measure BLAS, not faults.
+    Both f64 (oracle-exact dgemm, default engine path) and f32 (the
+    reference's sgemm) are measured. Synthetic vectors are hash-generated
+    in codegen and materialized OUTSIDE the timed region."""
     import numpy as np
     from pyspark.sql import functions as F
 
     from faiss_spark.operators.knn import knn
 
-    nv, nq, d, k = 600_000, 10_000, 64, 10
+    d, k = 64, 10
+    base = _synth_vecs(spark, nv, d, 0).repartition(cpus).localCheckpoint(
+        eager=True
+    )
+    queries = _synth_vecs(spark, nq, d, 7_777_777).select(
+        F.col("id").alias("qid"), "vec"
+    )
 
-    def synth(n: int, salt: int):
-        return spark.range(n).select(
-            "id",
-            F.expr(
-                f"transform(sequence(0, {d - 1}), j -> "
-                f"cast(pmod(xxhash64(id * {d} + j + {salt}), 100000) "
-                "as float) / 100000.0 - 0.5)"
-            ).alias("vec"),
-        )
+    def best_of_2(dtype: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = knn(base, queries, k, dtype=dtype).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        assert n == nq * k
+        return best
 
-    base = synth(nv, 0).repartition(cpus).localCheckpoint(eager=True)
-    queries = synth(nq, 7_777_777).select(F.col("id").alias("qid"), "vec")
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n = knn(base, queries, k).count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    assert n == nq * k
+    spark_sec = best_of_2("f64")
+    spark_sec_f32 = best_of_2("f32")
     flops = 2.0 * nv * nq * d
-    # numpy roofline: the identical GEMM (f64, chunked over base rows),
-    # BLAS free to use every core — the "perfect kernel, zero engine" bar
-    rng = np.random.default_rng(0)
-    Q = rng.standard_normal((nq, d))
-    chunk = rng.standard_normal((nv // 10, d))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        (Q @ chunk.T)
-    np_sec = time.perf_counter() - t0
+
+    def roofline(np_dtype) -> float:
+        rng = np.random.default_rng(0)
+        rows = min(20_000, max(1, nv // 4))
+        Q = rng.standard_normal((nq, d)).astype(np_dtype)
+        chunk = rng.standard_normal((rows, d)).astype(np_dtype)
+        out = np.empty((nq, rows), dtype=np_dtype)
+        np.dot(Q, chunk.T, out=out)  # warm: fault the buffer once
+        iters = nv // rows
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.dot(Q, chunk.T, out=out)
+        return time.perf_counter() - t0
+
+    np_sec = roofline(np.float64)
+    np_sec_f32 = roofline(np.float32)
     return {
-        "spark_sec": round(best, 3),
+        "spark_sec": round(spark_sec, 3),
         "numpy_gemm_sec": round(np_sec, 3),
-        "ratio_vs_blas": round(best / np_sec, 2),
-        "gflops": round(flops / best / 1e9, 1),
-        "qvd_per_core_sec": round(nv * nq * d / best / cpus / 1e9, 3),
+        "ratio_vs_blas": round(spark_sec / np_sec, 2),
+        "spark_sec_f32": round(spark_sec_f32, 3),
+        "numpy_gemm_sec_f32": round(np_sec_f32, 3),
+        "ratio_vs_blas_f32": round(spark_sec_f32 / np_sec_f32, 2),
+        "gflops": round(flops / spark_sec / 1e9, 1),
+        "gflops_f32": round(flops / spark_sec_f32 / 1e9, 1),
+        "qvd_per_core_sec": round(nv * nq * d / spark_sec / cpus / 1e9, 3),
         "unit_qvd": "1e9 query·vector·dims per core-second",
         "nv": nv, "nq": nq, "d": d, "k": k,
+    }
+
+
+def _graph_bench(spark, cpus: int, nv: int = 600_000) -> dict:
+    """The 100 TB graph workhorse, measured: IVF-cell bucketed k-NN graph
+    over 600k synthetic 64-d vectors (the Deep1B kNN-graph shape,
+    reference benchs/README.md:307). f32 compute — graph builds are
+    recall-bound, not hash-bound."""
+    from faiss_spark.operators.graph import knn_graph_bucketed
+
+    d, k = 64, 10
+    nlist = max(4, min(1024, int((2 * nv) ** 0.5)))
+    base = _synth_vecs(spark, nv, d, 424_242).repartition(cpus).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    g = knn_graph_bucketed(base, k, nlist=nlist, nprobe=2, dtype="f32")
+    edges = g.count()
+    sec = time.perf_counter() - t0
+    return {
+        "sec": round(sec, 3),
+        "nodes": nv,
+        "edges": edges,
+        "edges_per_core_sec": round(edges / sec / cpus, 1),
     }
 
 

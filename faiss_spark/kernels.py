@@ -7,9 +7,18 @@ faiss/utils/distances.cpp:271-354 ``exhaustive_L2sqr_blas``: tiled GEMM of
 the Arrow record batch; the per-partition heap is a running (nq, k)
 candidate set merged with ``np.argpartition`` — O(n) per batch, no sort.
 
-All distance math is float64 so results hash-match a SQL double oracle;
-the GEMM still runs through BLAS (dgemm), which at d≈64-1024 is far from
-the bottleneck relative to shuffle/scan at scale.
+All distance math defaults to float64 so results hash-match a SQL double
+oracle; non-oracle callers (bench, graph builds) can opt into float32,
+mirroring the reference's sgemm kernels (faiss/utils/distances.cpp:271).
+
+Memory discipline: Python workers are reused across tasks, so all large
+scratch arrays come from a module-level workspace (``_wsbuf``) that is
+allocated once per worker and reused for every batch and task. This
+matters far beyond ordinary allocator overhead: on lazily-backed VMs,
+first-touch page faults on a fresh 100 MB+ temporary can cost 10-100× the
+arithmetic, so the hot path never allocates O(nq·m) temporaries — the
+GEMM writes into a reused buffer (``np.dot(..., out=)``) and every
+post-pass is in-place.
 
 Metric conventions follow faiss (reference faiss/MetricType.h:23-33):
   l2      -> squared L2, smaller is better (faiss returns squared L2)
@@ -29,11 +38,28 @@ METRICS = frozenset(
 )
 
 
-def as_matrix(col) -> np.ndarray:
-    """Stack a pandas Series / list of array<float> into (n, d) float64."""
+#: per-worker reusable scratch buffers, keyed by (name, dtype); grown to
+#: the max size ever requested and never freed (workers are long-lived)
+_WS: dict = {}
+
+
+def _wsbuf(name: str, n: int, dtype=np.float64) -> np.ndarray:
+    """A reusable 1-D scratch buffer of ≥ n elements; callers reshape the
+    returned [:n] view (a slice of a 1-D array is always contiguous, so it
+    is valid as a BLAS ``out=``)."""
+    key = (name, np.dtype(dtype))
+    cur = _WS.get(key)
+    if cur is None or cur.size < n:
+        cur = np.empty(n, dtype=dtype)
+        _WS[key] = cur
+    return cur[:n]
+
+
+def as_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Stack a pandas Series / list of array<float> into (n, d) float."""
     if len(col) == 0:
-        return np.empty((0, 0), dtype=np.float64)
-    return np.asarray(np.stack(col), dtype=np.float64)
+        return np.empty((0, 0), dtype=dtype)
+    return np.asarray(np.stack(col), dtype=dtype)
 
 
 def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
@@ -106,97 +132,202 @@ def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
     raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(METRICS)}")
 
 
+#: target scratch size per selection chunk (bytes of the distance block)
+_CHUNK_BYTES = 32 * 1024 * 1024
+
+
 class TopKAccumulator:
     """Running per-query top-k over a stream of candidate blocks.
 
     Spark-side equivalent of faiss's ``ResultHeap`` partial/final merge
-    (reference faiss/python/extra_wrappers.py:136-174): each Arrow batch
-    contributes (nq, block) distances; we keep the best k per query with
-    ``np.argpartition`` (O(n), no full sort) and tie-break (dist, id)
-    deterministically at emit time.
+    (reference faiss/python/extra_wrappers.py:136-174). Candidates are
+    kept as FLAT (qidx, id, dist) arrays: each pushed block is reduced
+    tie-safely to the entries ≤ the per-row kth best (so equal-distance
+    candidates with smaller ids can never be lost), appended, and
+    periodically compacted with one lexsort. All O(nq·m) scratch lives in
+    the per-worker workspace — steady-state pushes allocate only the
+    O(nq·k) survivors.
+
+    The fused scan path (``bind_queries`` + ``push_block``) additionally
+    computes the distance block itself into reused scratch — GEMM with
+    ``out=`` plus in-place post-ops, the Spark-side mirror of the
+    reference's tiled sgemm kernel (faiss/utils/distances.cpp:271-354).
     """
 
     def __init__(self, nq: int, k: int, largest: bool):
         self.nq = nq
         self.k = k
         self.largest = largest
-        self.dist = np.empty((nq, 0), dtype=np.float64)
-        self.ids = np.empty((nq, 0), dtype=np.int64)
+        self._q: list[np.ndarray] = []
+        self._i: list[np.ndarray] = []
+        self._d: list[np.ndarray] = []
+        self._n = 0
+        self._cap = max(4 * k * max(nq, 1), 1 << 16)
+        self._Q = None
+        self._metric = None
+        self._qn = None
 
-    def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:
-        """block_dist: (nq, m); block_ids: (m,)"""
-        m = block_dist.shape[1]
-        k = self.k
-        if m > 4 * k:
-            # pre-reduce the batch with O(m) argpartition — but tie-SAFE:
-            # keep at least every entry whose key ≤ the per-row kth
-            # smallest, so equal-distance candidates with smaller ids can
-            # never be dropped before the lexicographic shrink
-            key = -block_dist if self.largest else block_dist
-            kth = np.partition(key, min(k, m) - 1, axis=1)[:, min(k, m) - 1 : min(k, m)]
-            need = int((key <= kth).sum(axis=1).max())
-            w = min(m, max(need, k))
-            if w < m:
-                part = np.argpartition(key, w - 1, axis=1)[:, :w]
-                block_dist = np.take_along_axis(block_dist, part, axis=1)
-                ids = block_ids[part]
-            else:
-                ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
+    # ------------------------------------------------ fused GEMM scan --
+    def bind_queries(self, Q: np.ndarray, metric: str) -> None:
+        """Precompute per-query terms once per task; enables push_block."""
+        self._metric = metric
+        if metric == "cosine":
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            self._Q = Q / qn
         else:
-            ids = np.broadcast_to(block_ids[None, :], block_dist.shape)
-        self.dist = np.concatenate([self.dist, block_dist], axis=1)
-        self.ids = np.concatenate([self.ids, ids], axis=1)
-        if self.dist.shape[1] > 8 * self.k:
-            self._shrink()
+            self._Q = Q
+            if metric == "l2":
+                self._qn = (Q * Q).sum(axis=1)
 
-    def _shrink(self) -> None:
-        m = self.dist.shape[1]
-        if m <= self.k:
+    def push_block(
+        self,
+        X: np.ndarray,
+        ids: np.ndarray,
+        qids: np.ndarray | None = None,
+        exclude_same_id: bool = False,
+    ) -> None:
+        """Compute distances Q×X and fold them in, never materializing the
+        full (nq, m) block: query rows are processed in scratch-sized
+        chunks (GEMM tile ≈ 32 MB), each selected tie-safely in place."""
+        Q, metric = self._Q, self._metric
+        nq, m = Q.shape[0], X.shape[0]
+        if m == 0:
             return
-        key = -self.dist if self.largest else self.dist
-        # tie-aware truncation: rows with equal dist at the k boundary must
-        # keep the SMALLEST ids (ORDER BY dist, id semantics) — a plain
-        # argpartition on dist would keep an arbitrary tie subset and the
-        # dropped candidate can't be recovered at the final merge
-        idx_by_id = np.argsort(self.ids, axis=1, kind="stable")
-        k_sorted = np.take_along_axis(key, idx_by_id, axis=1)
-        idx_by_key = np.argsort(k_sorted, axis=1, kind="stable")[:, : self.k]
-        sel = np.take_along_axis(idx_by_id, idx_by_key, axis=1)
-        self.dist = np.take_along_axis(self.dist, sel, axis=1)
-        self.ids = np.take_along_axis(self.ids, sel, axis=1)
+        d = X.shape[1]
+        dt = Q.dtype
+        if metric == "cosine":
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            X = X / xn  # fresh per-batch array; cheap relative to GEMM
+        elif metric == "l2":
+            xn = (X * X).sum(axis=1)
+        chunk = max(16, min(nq, int(_CHUNK_BYTES // max(1, m * dt.itemsize))))
+        for r0 in range(0, nq, chunk):
+            r1 = min(nq, r0 + chunk)
+            c = r1 - r0
+            if metric in ("ip", "cosine"):
+                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+                np.dot(Q[r0:r1], X.T, out=D)
+            elif metric == "l2" and d > 16:
+                # (||q||² + ||x||²) − 2 q·x, same op order as
+                # pairwise_distances so oracle values are bit-identical
+                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+                np.dot(Q[r0:r1], X.T, out=D)
+                D *= 2.0
+                t = _wsbuf("tk_T", c * m, dt).reshape(c, m)
+                np.add.outer(self._qn[r0:r1], xn, out=t)
+                np.subtract(t, D, out=D)
+                np.maximum(D, 0.0, out=D)
+            elif metric == "l2":
+                # small d: dimension-at-a-time Σ(q−x)², bit-identical to a
+                # sequential SQL oracle (ties in low-d/discrete data)
+                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+                D[...] = 0.0
+                buf = _wsbuf("tk_T", c * m, dt).reshape(c, m)
+                for j in range(d):
+                    np.subtract.outer(Q[r0:r1, j], X[:, j], out=buf)
+                    buf *= buf
+                    D += buf
+            else:
+                # elementwise metrics (l1/linf/canberra/...): delegate per
+                # chunk; the (c, m, d) temp is bounded by the chunk size
+                D = pairwise_distances(np.ascontiguousarray(Q[r0:r1]), X, metric)
+            if exclude_same_id and qids is not None:
+                hit = qids[r0:r1, None] == ids[None, :]
+                D[hit] = -np.inf if self.largest else np.inf
+            self._select(r0, D, ids)
+
+    # ----------------------------------------------------- plain push --
+    def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:
+        """block_dist: (nq, m) precomputed distances; block_ids: (m,)."""
+        nq, m = block_dist.shape
+        if m == 0:
+            return
+        chunk = max(
+            16, min(nq, int(_CHUNK_BYTES // max(1, m * block_dist.dtype.itemsize)))
+        )
+        for r0 in range(0, nq, chunk):
+            self._select(r0, block_dist[r0 : r0 + chunk], block_ids)
+
+    def _select(self, r0: int, D: np.ndarray, ids: np.ndarray) -> None:
+        """Tie-safe per-row selection of the ≤ kth-best entries of D
+        (rows are queries r0..r0+c); appends flat candidates."""
+        c, m = D.shape
+        kk = min(self.k, m)
+        if m > 2 * kk:
+            kb = _wsbuf("tk_key", c * m, D.dtype).reshape(c, m)
+            if self.largest:
+                np.negative(D, out=kb)
+            else:
+                np.copyto(kb, D)
+            kb.partition(kk - 1, axis=1)
+            kth = kb[:, kk - 1 : kk]
+            mask = _wsbuf("tk_mask", c * m, np.bool_).reshape(c, m)
+            # key ≤ kth  ⇔  D ≥ −kth for similarities (key = −D)
+            if self.largest:
+                np.greater_equal(D, -kth, out=mask)
+            else:
+                np.less_equal(D, kth, out=mask)
+            rq, rc = np.nonzero(mask)
+        else:
+            rq = np.repeat(np.arange(c, dtype=np.int64), m)
+            rc = np.tile(np.arange(m, dtype=np.int64), c)
+        self._q.append(rq.astype(np.int64, copy=False) + r0)
+        self._i.append(ids[rc].astype(np.int64, copy=False))
+        self._d.append(D[rq, rc].astype(np.float64, copy=False))
+        self._n += len(rq)
+        if self._n > self._cap:
+            self._compact()
+
+    def _compact(self) -> None:
+        """One lexsort over the flat candidates; keep top-k per query with
+        (dist, id) tie-break — ORDER BY dist [DESC], id semantics."""
+        if not self._q:
+            return
+        q = np.concatenate(self._q)
+        i = np.concatenate(self._i)
+        dv = np.concatenate(self._d)
+        key = -dv if self.largest else dv
+        order = np.lexsort((i, key, q))
+        qs = q[order]
+        new_grp = np.empty(len(qs), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(qs[1:], qs[:-1], out=new_grp[1:])
+        gstart = np.flatnonzero(new_grp)
+        glen = np.diff(np.append(gstart, len(qs)))
+        rank = np.arange(len(qs)) - np.repeat(gstart, glen)
+        order = order[rank < self.k]
+        self._q = [q[order]]
+        self._i = [i[order]]
+        self._d = [dv[order]]
+        self._n = len(order)
 
     def emit(self):
-        """Return (qidx, id, dist) 1-D arrays of the final per-query top-k,
-        sorted by (dist, id) within each query (ascending for distances,
-        descending dist for similarities — id ascending always)."""
-        self._shrink()
-        nq, m = self.dist.shape
-        if m == 0:
+        """Return (qidx, id, dist) 1-D arrays of the final per-query
+        top-k, sorted by (dist, id) within each query (descending dist
+        for similarities — id ascending always)."""
+        if self._n == 0:
             return (
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.float64),
             )
-        # per-row lexsort: sort by id first (stable), then by key (stable)
-        # => deterministic (dist, id) tie-break, matching ORDER BY dist, id
-        idx_by_id = np.argsort(self.ids, axis=1, kind="stable")
-        d_sorted = np.take_along_axis(self.dist, idx_by_id, axis=1)
-        i_sorted = np.take_along_axis(self.ids, idx_by_id, axis=1)
-        k_sorted = -d_sorted if self.largest else d_sorted
-        idx_by_key = np.argsort(k_sorted, axis=1, kind="stable")
-        d_final = np.take_along_axis(d_sorted, idx_by_key, axis=1)[:, : self.k]
-        i_final = np.take_along_axis(i_sorted, idx_by_key, axis=1)[:, : self.k]
-        kk = d_final.shape[1]
-        qidx = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        return qidx, i_final.ravel(), d_final.ravel()
+        self._compact()
+        # _compact leaves rows sorted by (q, key, id)
+        return self._q[0], self._i[0], self._d[0]
 
 
 def topk_merge(dist: np.ndarray, ids: np.ndarray, k: int, largest: bool):
-    """One-shot top-k of a (nq, m) block; returns (nq, k') dist/id arrays
-    sorted with (dist, id) tie-break."""
-    acc = TopKAccumulator(dist.shape[0], k, largest)
-    acc.push(dist, ids) if ids.ndim == 1 else None
-    if ids.ndim == 2:
-        acc.dist = dist.astype(np.float64, copy=False)
-        acc.ids = ids.astype(np.int64, copy=False)
+    """One-shot top-k of a (nq, m) block with 1-D shared ids or per-row
+    (nq, m) ids; returns flat (qidx, id, dist) with (dist, id) tie-break."""
+    nq, m = dist.shape
+    acc = TopKAccumulator(nq, k, largest)
+    if ids.ndim == 1:
+        acc.push(dist, ids)
+    else:
+        acc._q = [np.repeat(np.arange(nq, dtype=np.int64), m)]
+        acc._i = [ids.ravel().astype(np.int64, copy=False)]
+        acc._d = [dist.ravel().astype(np.float64, copy=False)]
+        acc._n = nq * m
     return acc.emit()

@@ -172,6 +172,7 @@ def knn_graph_bucketed(
     vec_col: str = "vec",
     seed: int = 1234,
     niter: int = 4,
+    dtype: str = "f64",
 ) -> DataFrame:
     """Approximate k-NN graph by IVF-cell bucketing — the 100 TB graph
     path (reference: the Deep1B kNN-graph bench, benchs/README.md:307,
@@ -205,10 +206,14 @@ def knn_graph_bucketed(
 
     from faiss_spark.kernels import (
         SIMILARITY_METRICS,
+        TopKAccumulator,
         as_matrix,
         pairwise_distances,
     )
     from faiss_spark.operators.cluster import KMeans
+    from faiss_spark.operators.knn import _np_dtype
+
+    np_dt = _np_dtype(dtype)
 
     vecs = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -259,28 +264,22 @@ def knn_graph_bucketed(
                 {"src": [], "dst": [], "dist": []}
             ).astype({"src": np.int64, "dst": np.int64, "dist": np.float64})
         ids = pdf["id"].to_numpy(np.int64)
-        X = as_matrix(pdf["vec"])
+        X = as_matrix(pdf["vec"], dtype=np_dt)
         m = len(ids)
         kk = min(k_, m - 1)
-        # block-wise over query rows: memory stays O(block × m) even in a
-        # skew-hot cell (time is still quadratic — dedup first, see above)
-        out_src, out_dst, out_dist = [], [], []
-        for lo in range(0, m, 4096):
-            hi = min(lo + 4096, m)
-            D = pairwise_distances(X[lo:hi], X, metric)
-            same = ids[None, :] == ids[lo:hi][:, None]
-            D[same] = -np.inf if largest else np.inf
-            key = -D if largest else D
-            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(hi - lo)[:, None]
-            out_src.append(np.repeat(ids[lo:hi], kk))
-            out_dst.append(ids[part].ravel())
-            out_dist.append(D[rows, part].ravel())
+        # fused GEMM + tie-safe selection through the per-worker
+        # workspace: memory stays O(tile × m) even in a skew-hot cell
+        # (time is still quadratic — dedup first, see above)
+        acc = TopKAccumulator(m, kk, largest)
+        acc.bind_queries(X, metric)
+        acc.push_block(X, ids, qids=ids, exclude_same_id=True)
+        qidx, nid, nd = acc.emit()
+        fin = np.isfinite(nd)
         return pd.DataFrame(
             {
-                "src": np.concatenate(out_src),
-                "dst": np.concatenate(out_dst),
-                "dist": np.concatenate(out_dist),
+                "src": ids[qidx[fin]],
+                "dst": nid[fin],
+                "dist": nd[fin].astype(np.float64, copy=False),
             }
         )
 

@@ -168,6 +168,70 @@ class IVFIndex:
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
 
+class IVFSearchStats:
+    """Per-call IVF search statistics (reference IndexIVFStats,
+    faiss/IndexIVF.h:42-55, populated by IVFlib's search_with_parameters,
+    faiss/IVFlib.h:129-141). Backed by Spark accumulators: executors add
+    as they scan, the driver reads after the result is materialized.
+
+    nq: queries searched; ndis: distances computed (exact); list_scans:
+    per-task (list, query-group) scans — equals lists-visited when each
+    inverted list lands in one scan partition (the partitioned-parquet
+    layout), an upper bound when a list spans several."""
+
+    def __init__(self, spark, nq: int):
+        sc = spark.sparkContext
+        self.nq = nq
+        self._acc_list_scans = sc.accumulator(0)
+        self._acc_ndis = sc.accumulator(0)
+
+    @property
+    def list_scans(self) -> int:
+        return self._acc_list_scans.value
+
+    @property
+    def ndis(self) -> int:
+        return self._acc_ndis.value
+
+    def as_dict(self) -> dict:
+        return {"nq": self.nq, "list_scans": self.list_scans, "ndis": self.ndis}
+
+
+def search_with_parameters(
+    index,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> tuple[DataFrame, IVFSearchStats]:
+    """IVF search under explicit parameters, returning (results, stats)
+    (reference faiss/IVFlib.h:129-141 ``search_with_parameters`` /
+    ``ivf_search_precomputed`` — the variant that outputs IndexIVFStats).
+
+    The stats object reads Spark accumulators, so its counters are
+    populated only after the returned DataFrame is materialized (count /
+    collect / write) — the lazy-plan analogue of the reference's
+    "stats filled during the call" contract."""
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = index.codes.sparkSession
+    nlist = len(index.centroids)
+    nprobe = min(nprobe, nlist)
+    largest = index.metric in SIMILARITY_METRICS
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = qpdf[qid_col].to_numpy(dtype=np.int64)
+    Q = as_matrix(qpdf[qvec_col])
+    CD = pairwise_distances(Q, index.centroids, index.metric)
+    order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+    probes = order[:, :nprobe]
+    stats = IVFSearchStats(spark, nq=len(qids))
+    res = _scan_probed_lists(
+        index.codes, qids, Q, probes, k, index.metric, stats=stats
+    )
+    return res, stats
+
+
 def _scan_probed_lists(
     codes: DataFrame,
     qids: np.ndarray,
@@ -175,6 +239,7 @@ def _scan_probed_lists(
     probes: np.ndarray,
     k: int,
     metric: str,
+    stats: "IVFSearchStats | None" = None,
 ) -> DataFrame:
     """Stages B+C of the IVF search lifecycle, shared by every coarse
     quantizer (k-means IVFIndex, beam-search IVFRCQIndex): given the
@@ -196,6 +261,9 @@ def _scan_probed_lists(
     # the partitioning column into reading only nprobe'd directories
     pruned = codes.filter(F.col("list_no").isin(probed_lists))
 
+    acc_scans = stats._acc_list_scans if stats is not None else None
+    acc_ndis = stats._acc_ndis if stats is not None else None
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_, l2q = bc.value
         acc: dict[int, TopKAccumulator] = {}
@@ -214,6 +282,10 @@ def _scan_probed_lists(
                 if key not in acc:
                     acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
                     touched[key] = qsel
+                    if acc_scans is not None:
+                        acc_scans.add(len(qsel))
+                if acc_ndis is not None:
+                    acc_ndis.add(int(D.size))
                 acc[key].push(D, ids)
         for key, a in acc.items():
             qidx, nid, nd = a.emit()
@@ -814,6 +886,7 @@ def imi_assign(
     sub_centroids: np.ndarray,
     id_col: str = "id",
     vec_col: str = "vec",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Multi-index (IMI) coarse assignment (reference MultiIndexQuantizer,
     faiss/IndexPQ.h:139; factory "IMI2x<n>"): the coarse vocabulary is the
@@ -821,7 +894,8 @@ def imi_assign(
     trained centroids. Cell id = argmin(first half) * k + argmin(second
     half). Broadcast sub-codebooks, per-half GEMM argmin, no shuffle.
 
-    sub_centroids: (2, k, d/2) array."""
+    sub_centroids: (2, k, d/2) array. keep_vec=True also carries the
+    vector through (the add() path — avoids a join-back shuffle)."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(sub_centroids)
 
@@ -841,14 +915,100 @@ def imi_assign(
                     - 2.0 * (sub @ C[h].T)
                 )
                 cells = cells * k + d2.argmin(1)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(np.int64), "list_no": cells.astype(np.int32)}
-            )
+            out = {"id": pdf["id"].to_numpy(np.int64), "list_no": cells.astype(np.int32)}
+            if keep_vec:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
 
     src = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    return src.mapInPandas(do, schema="id bigint, list_no int")
+    schema = "id bigint, list_no int" + (", vec array<float>" if keep_vec else "")
+    return src.mapInPandas(do, schema=schema)
+
+
+@dataclass
+class IMIIVFIndex:
+    """IVFFlat with a MultiIndexQuantizer coarse — the factory "IMI2x<b>"
+    form (reference faiss/index_factory.cpp:241-289 parse path,
+    faiss/IndexPQ.h:139 MultiIndexQuantizer): nlist = 2^(2b) cells from
+    two 2^b half-space codebooks. Coarse probing evaluates the PRODUCT
+    distance d1[i] + d2[j] over cell (i, j) — the driver-side analogue of
+    the reference's multi-index heap traversal — then the scan is the
+    shared partition-pruned _scan_probed_lists plan. L2 only (as the
+    reference's IMI)."""
+
+    sub_centroids: np.ndarray  # (2, ksub, d/2)
+    metric: str = "l2"
+    codes: DataFrame | None = None
+
+    @property
+    def ksub(self) -> int:
+        return self.sub_centroids.shape[1]
+
+    @property
+    def nlist(self) -> int:
+        return self.ksub * self.ksub
+
+    # duck-typed alias so shared helpers (search_with_parameters) that
+    # read len(index.centroids) see the virtual cell count
+    @property
+    def centroids(self) -> np.ndarray:
+        return np.empty((self.nlist, 0))
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nbits: int,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 15,
+    ) -> "IMIIVFIndex":
+        sub = train_imi(vectors, 1 << nbits, vec_col=vec_col, seed=seed, niter=niter)
+        return IMIIVFIndex(sub_centroids=sub)
+
+    def add(self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"):
+        self.codes = imi_assign(
+            vectors, self.sub_centroids, id_col=id_col, vec_col=vec_col,
+            keep_vec=True,
+        ).select("list_no", "id", "vec")
+        return self
+
+    def _probe(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
+        """Top-nprobe cells per query by product distance (reference
+        MultiIndexQuantizer::search, faiss/IndexPQ.cpp multi-index heap)."""
+        ksub, dsub = self.ksub, self.sub_centroids.shape[2]
+        halves = []
+        for h in range(2):
+            sub = Q[:, h * dsub : (h + 1) * dsub]
+            C = self.sub_centroids[h]
+            halves.append(
+                (sub * sub).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (sub @ C.T)
+            )
+        # (nq, ksub, ksub) product distances; cell = i * ksub + j
+        cd = halves[0][:, :, None] + halves[1][:, None, :]
+        flat = cd.reshape(len(Q), -1)
+        nprobe = min(nprobe, flat.shape[1])
+        part = np.argpartition(flat, nprobe - 1, axis=1)[:, :nprobe]
+        # deterministic probe order: by (distance, cell)
+        order = np.lexsort(
+            (part, np.take_along_axis(flat, part, axis=1)), axis=1
+        )
+        return np.take_along_axis(part, order, axis=1)
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 1,
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        probes = self._probe(Q, nprobe)
+        return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
 
 def train_imi(
@@ -948,39 +1108,112 @@ class TwoLayerCodes:
 
 
 class IVFSpectralHash:
-    """IVF + per-list binary codes scanned with Hamming (reference
-    IndexIVFSpectralHash, faiss/IndexIVFSpectralHash.h:31 — simplified:
-    global median thresholds instead of the trained spectral transform;
-    the structural semantics — IVF partitioning + binarized residual scan
-    — are what the Spark layout demonstrates)."""
+    """IVF + per-list spectral-hash binary codes scanned with Hamming
+    (reference IndexIVFSpectralHash, faiss/IndexIVFSpectralHash.h:31-86,
+    faiss/IndexIVFSpectralHash.cpp:70-207). The trained pipeline:
 
-    def __init__(self, centroids: np.ndarray, thresholds: np.ndarray):
+      1. a linear transform ``vt`` maps d → nbit dims (random rotation by
+         default, PCA optionally — the reference's replace_vt hook);
+      2. per-list thresholds ``trained`` per threshold_type:
+         'global' (c = 0), 'centroid' (vt(centroid)), 'centroid_half'
+         (vt(centroid) − period/4), 'median' (per-list per-bit median of
+         the transformed training sample);
+      3. periodic binarization (cpp:146 binarize_with_freq):
+         bit_j = int64(floor((x_j − c_j) · 2/period)) & 1.
+
+    The query code is list-DEPENDENT (scanner.set_list re-binarizes the
+    query against each probed list's thresholds, cpp:244-258), so the
+    probe table carries one qcode per (query, probed list)."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        A: np.ndarray,
+        b: np.ndarray | None,
+        trained: np.ndarray | None,
+        period: float,
+        threshold_type: str = "global",
+    ):
         self.centroids = centroids
-        self.thresholds = thresholds  # (d,) per-dim binarization thresholds
+        self.A = A  # (nbit, d) vt matrix
+        self.b = b  # (nbit,) vt bias or None
+        self.trained = trained  # (nlist, nbit) thresholds or None (global)
+        self.period = period
+        self.threshold_type = threshold_type
         self.codes: DataFrame | None = None
 
     @staticmethod
     def train(
-        vectors: DataFrame, nlist: int, vec_col: str = "vec",
-        seed: int = 1234, niter: int = 10,
+        vectors: DataFrame,
+        nlist: int,
+        nbit: int | None = None,
+        period: float = 1.0,
+        threshold_type: str = "global",
+        transform: str = "rr",
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 10,
     ) -> "IVFSpectralHash":
-        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
-        # per-dim median ≈ balanced bits (driver sample, like SQ fit)
         from faiss_spark.operators.codecs import _sampled_matrix
-
-        X = _sampled_matrix(vectors, vec_col, 65536, seed)
-        return IVFSpectralHash(
-            centroids=km.centroids, thresholds=np.median(X, axis=0)
+        from faiss_spark.operators.transforms import (
+            PCAMatrix,
+            random_rotation_matrix,
         )
+
+        if threshold_type not in ("global", "centroid", "centroid_half", "median"):
+            raise ValueError(f"unknown threshold_type {threshold_type!r}")
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+        d = km.centroids.shape[1]
+        nbit = nbit if nbit is not None else d
+        if transform == "pca":
+            m = PCAMatrix(d_out=nbit, seed=seed).fit(vectors, vec_col=vec_col)
+            A, b = m.A, m.b
+        else:  # seeded random rotation, the reference default (cpp:36-39)
+            if nbit > d:
+                raise ValueError(f"nbit={nbit} > d={d} needs transform='pca'")
+            A, b = random_rotation_matrix(d, seed)[:nbit], None
+        trained = None
+        if threshold_type in ("centroid", "centroid_half"):
+            trained = km.centroids @ A.T
+            if b is not None:
+                trained = trained + b
+            if threshold_type == "centroid_half":
+                trained = trained - 0.25 * period
+        elif threshold_type == "median":
+            X = _sampled_matrix(vectors, vec_col, 65536, seed)
+            d2 = (
+                (X * X).sum(1)[:, None]
+                + (km.centroids * km.centroids).sum(1)[None, :]
+                - 2.0 * (X @ km.centroids.T)
+            )
+            lists = d2.argmin(1)
+            Xt = X @ A.T + (b if b is not None else 0.0)
+            trained = np.zeros((nlist, nbit))
+            for lno in range(nlist):
+                sel = Xt[lists == lno]
+                if len(sel):
+                    trained[lno] = np.median(sel, axis=0)
+        return IVFSpectralHash(
+            centroids=km.centroids, A=A, b=b, trained=trained,
+            period=period, threshold_type=threshold_type,
+        )
+
+    def _binarize(self, Xt: np.ndarray, lists: np.ndarray) -> np.ndarray:
+        """binarize_with_freq over transformed rows with each row's list
+        thresholds (cpp:146-158)."""
+        c = 0.0 if self.trained is None else self.trained[lists]
+        freq = 2.0 / self.period
+        return (np.floor((Xt - c) * freq).astype(np.int64)) & 1
 
     def add(self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"):
         from faiss_spark.operators.binary import _bits_to_words
 
         spark = vectors.sparkSession
-        bc = spark.sparkContext.broadcast((self.centroids, self.thresholds))
+        bc = spark.sparkContext.broadcast(self)
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            C, thr = bc.value
+            idx = bc.value
+            C = idx.centroids
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -991,7 +1224,8 @@ class IVFSpectralHash:
                     - 2.0 * (X @ C.T)
                 )
                 lists = d2.argmin(1)
-                words = _bits_to_words((X > thr).astype(np.int64))
+                Xt = X @ idx.A.T + (idx.b if idx.b is not None else 0.0)
+                words = _bits_to_words(idx._binarize(Xt, lists))
                 yield pd.DataFrame(
                     {
                         "list_no": lists.astype(np.int32),
@@ -1025,11 +1259,21 @@ class IVFSpectralHash:
         nprobe_ = min(nprobe, len(self.centroids))
         order = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
         probed = sorted({int(c) for c in order.ravel()})
-        qwords = _bits_to_words((Q > self.thresholds).astype(np.int64))
+        Qt = Q @ self.A.T + (self.b if self.b is not None else 0.0)
+        # per-(query, probed list) code: the scanner re-binarizes the query
+        # against each list's thresholds (cpp:244-258)
+        flat_lists = order.ravel()
+        qwords = _bits_to_words(
+            self._binarize(np.repeat(Qt, nprobe_, axis=0), flat_lists)
+        )
         probe_rows = [
-            (int(qpdf[qid_col].iloc[i]), [int(w) for w in qwords[i]], int(c))
+            (
+                int(qpdf[qid_col].iloc[i]),
+                [int(w) for w in qwords[i * nprobe_ + j]],
+                int(order[i, j]),
+            )
             for i in range(len(qpdf))
-            for c in order[i]
+            for j in range(nprobe_)
         ]
         probes = spark.createDataFrame(
             probe_rows, "qid bigint, qcode array<bigint>, list_no int"

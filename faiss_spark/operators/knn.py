@@ -57,12 +57,22 @@ def _validate_metric(metric: str) -> None:
         )
 
 
-def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str):
+def _collect_queries(
+    queries: DataFrame, qid_col: str, qvec_col: str, dtype=np.float64
+):
     """Collect the (small) query side to the driver as (ids, matrix)."""
     pdf = queries.select(qid_col, qvec_col).toPandas()
     qids = pdf[qid_col].to_numpy(dtype=np.int64)
-    Q = as_matrix(pdf[qvec_col])
+    Q = as_matrix(pdf[qvec_col], dtype=dtype)
     return qids, Q
+
+
+def _np_dtype(dtype: str):
+    if dtype in ("f32", "float32"):
+        return np.float32
+    if dtype in ("f64", "float64"):
+        return np.float64
+    raise ValueError(f"unknown dtype {dtype!r}; expected 'f32' or 'f64'")
 
 
 def _scan_partitions(
@@ -96,6 +106,7 @@ def knn(
     qid_col: str = "qid",
     qvec_col: str = "vec",
     exclude_same_id: bool = False,
+    dtype: str = "f64",
 ) -> DataFrame:
     """Exact top-k neighbors of every query under `metric`.
 
@@ -103,11 +114,16 @@ def knn(
     exploded long form (SURVEY §1.1); rows with rank ≤ k; padding rows
     (fewer than k matches) are simply absent, mirroring faiss's -1 pads
     (reference faiss/Index.h:118-133).
+
+    dtype: 'f64' (default) computes in double so results hash-match a SQL
+    double oracle; 'f32' mirrors the reference's sgemm kernels (half the
+    memory traffic / ~2× the GEMM rate) for recall-style workloads.
     """
     _validate_metric(metric)
     largest = metric in SIMILARITY_METRICS
+    np_dt = _np_dtype(dtype)
     spark = vectors.sparkSession
-    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    qids, Q = _collect_queries(queries, qid_col, qvec_col, dtype=np_dt)
     if len(qids) == 0:
         return spark.createDataFrame([], _RESULT_SCHEMA + ", rank int")
     bc = spark.sparkContext.broadcast((qids, Q))
@@ -115,17 +131,16 @@ def knn(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_ = bc.value
         acc = TopKAccumulator(len(qids_), k, largest)
+        acc.bind_queries(Q_, metric)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = as_matrix(pdf["vec"])
+            X = as_matrix(pdf["vec"], dtype=Q_.dtype)
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            D = pairwise_distances(Q_, X, metric)
-            if exclude_same_id:
-                # self-join case: mask q==x pairs before selection
-                mask = qids_[:, None] == ids[None, :]
-                D = np.where(mask, np.inf if not largest else -np.inf, D)
-            acc.push(D, ids)
+            acc.push_block(
+                X, ids, qids=qids_ if exclude_same_id else None,
+                exclude_same_id=exclude_same_id,
+            )
         qidx, nid, nd = acc.emit()
         finite = np.isfinite(nd)
         yield pd.DataFrame(

@@ -311,15 +311,68 @@ def normalize_expr(vec, p: float = 2.0):
     return F.transform(v, lambda x: (x / safe).cast("float"))
 
 
-def remap_dimensions_expr(vec, d_out: int, first: bool = True):
-    """Select-or-pad dimensions (reference RemapDimensionsTransform,
-    VectorTransform.h:257-272; 'Padn' in the factory DSL). Pure SQL."""
+def remap_map(d_in: int, d_out: int, uniform: bool = True) -> list[int]:
+    """The reference's implicit dimension maps (VectorTransform.cpp:
+    1325-1346): uniform spreads input dims evenly across the output
+    (padding the gaps with −1 → 0.0); non-uniform takes the first dims."""
+    m = [-1] * d_out
+    if uniform:
+        if d_in < d_out:
+            for i in range(d_in):
+                m[i * d_out // d_in] = i
+        else:
+            for i in range(d_out):
+                m[i] = i * d_in // d_out
+    else:
+        for i in range(min(d_in, d_out)):
+            m[i] = i
+    return m
+
+
+def remap_dimensions_expr(
+    vec, d_out: int | None = None, first: bool = True, mapping: list[int] | None = None
+):
+    """Remap/insert/drop dimensions (reference RemapDimensionsTransform,
+    VectorTransform.h:256-276, .cpp:1313-1366). Pure SQL.
+
+    mapping: explicit output→input map (−1 emits 0.0), the general form —
+    arbitrary permutations included. Without it: first=True is the
+    factory 'Padn' select-or-pad shortcut (kept as a slice/concat, which
+    Catalyst folds better than a d_out-ary array for the common case)."""
+    if mapping is not None:
+        return F.array(
+            *[
+                F.lit(0.0).cast("float")
+                if j < 0
+                else F.element_at(vec, j + 1).cast("float")
+                for j in mapping
+            ]
+        )
     d_in = F.size(vec)
     if first:
         taken = F.slice(vec, 1, d_out)
         pad = F.array_repeat(F.lit(0.0).cast("float"), F.lit(d_out) - d_in)
         return F.when(d_in >= d_out, taken).otherwise(F.concat(vec, pad))
-    raise NotImplementedError("only first-dims remap (the factory 'Padn' form)")
+    raise NotImplementedError("pass mapping= for non-first-dims remaps")
+
+
+def remap_reverse_expr(vec, mapping: list[int], d_in: int):
+    """Reverse of a remap — exact when the mapping is a permutation
+    (reference VectorTransform.cpp:1358-1366: unmapped inputs become 0)."""
+    inv = [-1] * d_in
+    for j, src in enumerate(mapping):
+        if src >= 0:
+            if src >= d_in:
+                raise ValueError(f"map entry {src} out of range for d_in={d_in}")
+            inv[src] = j
+    return F.array(
+        *[
+            F.lit(0.0).cast("float")
+            if j < 0
+            else F.element_at(vec, j + 1).cast("float")
+            for j in inv
+        ]
+    )
 
 
 @dataclass

@@ -109,6 +109,12 @@ class IndexPlan:
 
         if self.index_type == "flat":
             self.index = None  # brute force over the transformed table
+        elif self.index_type == "ivfflat" and self.coarse == "imi":
+            from faiss_spark.operators.ivf import IMIIVFIndex
+
+            self.index = IMIIVFIndex.train(
+                cur, nbits=self.coarse_nbits, seed=seed
+            ).add(cur)
         elif self.index_type == "ivfflat" and self.coarse is not None:
             from faiss_spark.operators.ivf import IVFRCQIndex
 
@@ -211,6 +217,24 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     if i >= len(tokens):
         raise ValueError(f"factory string {description!r} has no index stage")
     tok = tokens[i]
+    m = re.match(r"^IMI2x(\d+)$", tok)
+    if m:
+        # MultiIndexQuantizer coarse (reference index_factory.cpp:241-289
+        # "IMI2x<b>" → nlist = 2^(2b) product cells); Flat codes only
+        plan.coarse = "imi"
+        plan.coarse_nbits = int(m.group(1))
+        plan.nlist = 1 << (2 * plan.coarse_nbits)
+        i += 1
+        if i >= len(tokens) or tokens[i] != "Flat":
+            raise ValueError(f"{tok!r} supports Flat codes only")
+        plan.index_type = "ivfflat"
+        i += 1
+        if i < len(tokens) and tokens[i] == "RFlat":
+            plan.refine_flat = True
+            i += 1
+        if i != len(tokens):
+            raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
+        return plan
     m = re.match(r"^IVF(\d+)(?:\((RCQ|LSQ)(\d+)x(\d+)\))?$", tok)
     if m:
         plan.nlist = int(m.group(1))
@@ -288,7 +312,9 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     if plan.index_type == "flat":
         parts.append("Flat")
     elif plan.index_type == "ivfflat":
-        if plan.coarse is not None:
+        if plan.coarse == "imi":
+            parts.append(f"IMI2x{plan.coarse_nbits}")
+        elif plan.coarse is not None:
             parts.append(
                 f"IVF{plan.nlist}({plan.coarse.upper()}"
                 f"{plan.coarse_m}x{plan.coarse_nbits})"

@@ -52,6 +52,13 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.executorEnv.VECLIB_MAXIMUM_THREADS", "1")
         .config("spark.executorEnv.NUMEXPR_NUM_THREADS", "1")
+        # keep large numpy temporaries on the heap instead of fresh mmaps:
+        # glibc mmap()s allocations above the threshold and munmap()s them
+        # on free, so every repeated O(nq·m) temp re-faults its pages —
+        # pathological on lazily-backed VMs (first-touch can cost 10-100×
+        # the arithmetic). With a high threshold the same pages recycle.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

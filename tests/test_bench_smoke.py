@@ -1,0 +1,31 @@
+"""Smoke test for bench.py's machinery — a NameError-class regression in
+the bench must fail pytest, not void a round's BENCH artifact (it did
+once: BENCH_r02 recorded rc=1 from an undefined variable). Runs the real
+code paths at toy sizes; the heavy sf0.1 queries are not executed."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+import __spark_entry__ as entrymod
+
+
+def test_bench_query_list_resolves():
+    qs = entrymod.queries()
+    for name in bench.BENCH_QUERIES:
+        assert name in qs, f"BENCH_QUERIES entry {name!r} not in queries()"
+    for name, get in bench.BENCH_OVERRIDES.items():
+        assert callable(get()), f"override {name!r} does not resolve"
+
+
+def test_kernel_bench_machinery(spark):
+    out = bench._kernel_bench(spark, cpus=8, nv=2_000, nq=100)
+    assert out["spark_sec"] > 0 and out["numpy_gemm_sec"] > 0
+    assert out["spark_sec_f32"] > 0 and out["ratio_vs_blas_f32"] > 0
+
+
+def test_graph_bench_machinery(spark):
+    out = bench._graph_bench(spark, cpus=8, nv=1_000)
+    assert out["edges"] > 0 and out["sec"] > 0

@@ -121,6 +121,57 @@ def test_factory_rcq_string_roundtrip(vectors, queries):
     assert reverse_index_factory(p2) == "IVF64(LSQ2x3),Flat"
 
 
+def test_factory_imi_string_roundtrip_and_search(vectors, queries):
+    """IMI2x<b> factory form (reference index_factory.cpp:241-289): parse,
+    reverse round-trip, and full-probe search recovers each query."""
+    plan = index_factory("IMI2x2,Flat")
+    assert plan.nlist == 16 and plan.coarse == "imi"
+    assert reverse_index_factory(plan) == "IMI2x2,Flat"
+    plan.fit(vectors, seed=42)
+    rows = plan.search(queries, 3, nprobe=16).collect()
+    by_q = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    assert by_q == {q: q for q in by_q}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        index_factory("IMI2x2,PQ4")  # Flat codes only
+
+
+def test_imi_full_probe_equals_exact(vectors, queries):
+    """With nprobe = nlist the IMI scan covers every cell → exact knn."""
+    from faiss_spark.operators.ivf import IMIIVFIndex
+
+    idx = IMIIVFIndex.train(vectors, nbits=2, seed=42).add(vectors)
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(queries, 5, nprobe=idx.nlist).collect()
+    }
+    want = {
+        (r["qid"], r["rank"], r["id"])
+        for r in knn(vectors, queries, 5).collect()
+    }
+    assert got == want
+
+
+def test_search_with_parameters_stats(vectors, queries):
+    """search_with_parameters (reference faiss/IVFlib.h:129-141) returns
+    per-call stats via accumulators: ndis under nprobe=1 is a strict
+    subset of the full-probe scan, and both are non-zero after the
+    result materializes."""
+    from faiss_spark.operators.ivf import IVFIndex, search_with_parameters
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    res1, s1 = search_with_parameters(idx, queries, 5, nprobe=1)
+    assert s1.ndis == 0  # lazy: nothing scanned yet
+    res1.count()
+    resF, sF = search_with_parameters(idx, queries, 5, nprobe=8)
+    resF.count()
+    assert 0 < s1.ndis < sF.ndis
+    assert 0 < s1.list_scans < sF.list_scans
+    assert s1.nq == sF.nq == queries.count()
+
+
 def test_factory_rcq_validates_nlist():
     with pytest.raises(ValueError):
         index_factory("IVF100(RCQ2x3),Flat")  # 100 != 2^6

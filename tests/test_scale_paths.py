@@ -1,6 +1,7 @@
 """Scale-path variants: distributed big-batch IVF search, bucketed
 embedding near-dup."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -154,6 +155,62 @@ def test_ivf_spectral_hash(vectors):
     top1 = {r["qid"]: r["dist"] for r in rows if r["rank"] == 1}
     # each query's own binarized code is in the scan -> rank-1 dist is 0
     assert all(d == 0.0 for d in top1.values())
+
+
+def test_ivf_spectral_hash_trained_modes(vectors):
+    """Reference semantics (faiss/IndexIVFSpectralHash.cpp:70-107):
+    threshold_type centroid/centroid_half/median produce per-list
+    (nlist, nbit) thresholds; centroid_half = centroid − period/4; codes
+    use the periodic binarization bit = floor((x−c)·2/period) & 1, and a
+    query probing its own vector's list still scans to Hamming 0."""
+    from faiss_spark.operators.ivf import IVFSpectralHash
+
+    period = 2.0
+    c = IVFSpectralHash.train(
+        vectors, nlist=4, period=period, threshold_type="centroid",
+        seed=42, niter=5,
+    )
+    ch = IVFSpectralHash.train(
+        vectors, nlist=4, period=period, threshold_type="centroid_half",
+        seed=42, niter=5,
+    )
+    d = c.centroids.shape[1]
+    assert c.trained.shape == (4, d)
+    np.testing.assert_allclose(ch.trained, c.trained - 0.25 * period)
+    # trained thresholds live in the TRANSFORMED domain
+    np.testing.assert_allclose(c.trained, c.centroids @ c.A.T, rtol=1e-10)
+
+    for ttype in ("median", "centroid"):
+        idx = IVFSpectralHash.train(
+            vectors, nlist=4, nbit=16, period=period, threshold_type=ttype,
+            transform="pca", seed=42, niter=5,
+        ).add(vectors)
+        assert idx.trained.shape == (4, 16)
+        q = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+        rows = idx.search(q, 3, nprobe=4).collect()
+        top1 = {r["qid"]: r["dist"] for r in rows if r["rank"] == 1}
+        assert all(v == 0.0 for v in top1.values()), (ttype, top1)
+
+
+def test_spectral_hash_binarize_matches_reference_formula(vectors):
+    """_binarize == binarize_with_freq (cpp:146-158) computed by hand."""
+    from faiss_spark.operators.ivf import IVFSpectralHash
+
+    rng = np.random.default_rng(0)
+    idx = IVFSpectralHash(
+        centroids=np.zeros((2, 4)),
+        A=np.eye(4), b=None,
+        trained=rng.normal(size=(2, 4)),
+        period=0.7, threshold_type="median",
+    )
+    X = rng.normal(size=(8, 4))
+    lists = rng.integers(0, 2, size=8)
+    got = idx._binarize(X, lists)
+    freq = 2.0 / 0.7
+    for i in range(8):
+        for j in range(4):
+            xf = X[i, j] - idx.trained[lists[i], j]
+            assert got[i, j] == (int(np.floor(xf * freq)) & 1)
 
 
 def test_ivfaq_full_probe_recall(vectors):

@@ -112,6 +112,33 @@ def test_remap_pad_and_slice(spark):
     assert padded == [1.0, 2.0, 3.0, 0.0, 0.0]
 
 
+def test_remap_general_permutation_and_reverse(spark):
+    """General RemapDimensionsTransform (reference VectorTransform.cpp:
+    1313-1366): arbitrary output→input map with −1 → 0.0 insertions, and
+    the reverse transform exact for permutations."""
+    from faiss_spark.operators.transforms import remap_map, remap_reverse_expr
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "vec array<float>")
+    # permutation
+    perm = [2, 0, 3, 1]
+    out = df.select(
+        remap_dimensions_expr(F.col("vec"), mapping=perm).alias("v")
+    )
+    assert out.first()[0] == [3.0, 1.0, 4.0, 2.0]
+    # roundtrip through the reverse
+    back = out.select(remap_reverse_expr(F.col("v"), perm, 4).alias("v"))
+    assert back.first()[0] == [1.0, 2.0, 3.0, 4.0]
+    # insertion (−1) and drop
+    mixed = df.select(
+        remap_dimensions_expr(F.col("vec"), mapping=[-1, 1, -1, 3]).alias("v")
+    )
+    assert mixed.first()[0] == [0.0, 2.0, 0.0, 4.0]
+    # the reference's implicit maps (cpp:1325-1346)
+    assert remap_map(2, 4, uniform=True) == [0, -1, 1, -1]
+    assert remap_map(4, 2, uniform=True) == [0, 2]
+    assert remap_map(2, 4, uniform=False) == [0, 1, -1, -1]
+
+
 # ----------------------------------------------------------------- codecs --
 
 
