@@ -330,6 +330,45 @@ def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prop_df(spark, [("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85)])
 
 
+def q_imi_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI (MultiIndexQuantizer coarse, reference faiss/IndexPQ.h:139;
+    factory "IMI2x<b>", index_factory.cpp:241-289) at nprobe == nlist:
+    every product cell is probed, so results equal brute-force L2 knn and
+    the oracle is the exact-knn SQL."""
+    from faiss_spark.operators.ivf import IMIIVFIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = IMIIVFIndex.train(vecs, nbits=2, seed=42).add(vecs)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=idx.nlist))
+
+
+def q_spectral_hash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFSpectralHash with the trained pipeline (reference
+    faiss/IndexIVFSpectralHash.cpp:70-207: PCA vt to 32 bits, per-list
+    median thresholds, periodic binarization). Codes are k-means/PCA
+    artifacts no SQL can reproduce, so the oracle is the property pair:
+    probing every list, each query's own code is in the scan → rank-1
+    Hamming distance is exactly 0 for every query, and the scan returns
+    a full k rows per query."""
+    from faiss_spark.operators.ivf import IVFSpectralHash
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFSpectralHash.train(
+        vecs, nlist=8, nbit=32, period=1.0, threshold_type="median",
+        transform="pca", seed=42, niter=5,
+    ).add(vecs)
+    res = idx.search(_queries_df(spark, sf_dir), 3, nprobe=8).cache()
+    top1 = [r["dist"] for r in res.filter("rank = 1").collect()]
+    n = res.count()
+    return _prop_df(
+        spark,
+        [
+            ("sh_top1_hamming_zero", len(top1) == NQ and all(d == 0.0 for d in top1)),
+            ("sh_full_k_rows", n == NQ * 3),
+        ],
+    )
+
+
 def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with an additive (residual) COARSE quantizer (reference
     ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h:161 — the
@@ -955,8 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests + tools/check_oracle.py.
     return {
         "knn_l2": q_knn_l2,
-        "knn_ip": q_knn_ip,
-        "knn_cosine": q_knn_cosine,
+        "imi_search_exact": q_imi_search_exact,
+        "spectral_hash_search": q_spectral_hash_search,
         "knn_filtered": q_knn_filtered,
         "vector_dedup": q_vector_dedup,
         "tpch_q1": q_tpch_q1,
@@ -1006,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "knn_ip": q_knn_ip,
+        "knn_cosine": q_knn_cosine,
         "knn_canberra": q_knn_canberra,
         "knn_braycurtis": q_knn_braycurtis,
         "knn_jensenshannon": q_knn_jensenshannon,
@@ -1675,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
     # bound held (VERDICT r1 'oracle-check the bound' pattern)
     sql["ivfaq_search"] = (
         "SELECT 'ivfaq_full_probe_recall_ge_0.85' AS prop, TRUE AS passed"
+    )
+    sql["imi_search_exact"] = _knn_sql(_L2, "ASC")
+    sql["spectral_hash_search"] = (
+        "SELECT 'sh_top1_hamming_zero' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'sh_full_k_rows', TRUE"
     )
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "

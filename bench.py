@@ -186,10 +186,13 @@ def _graph_bench(spark, cpus: int, nv: int = 600_000) -> dict:
     base = _synth_vecs(spark, nv, d, 424_242).repartition(cpus).localCheckpoint(
         eager=True
     )
-    t0 = time.perf_counter()
-    g = knn_graph_bucketed(base, k, nlist=nlist, nprobe=2, dtype="f32")
-    edges = g.count()
-    sec = time.perf_counter() - t0
+    sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        g = knn_graph_bucketed(base, k, nlist=nlist, nprobe=2, dtype="f32")
+        edges = g.count()
+        dt = time.perf_counter() - t0
+        sec = dt if sec is None else min(sec, dt)
     return {
         "sec": round(sec, 3),
         "nodes": nv,

@@ -136,6 +136,106 @@ def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
 _CHUNK_BYTES = 32 * 1024 * 1024
 
 
+def _row_chunk(nq: int, m: int, d: int, metric: str, dt) -> int:
+    """Query rows per tile so the scratch stays ≈ _CHUNK_BYTES; the
+    elementwise metrics materialize a (c, m, d) broadcast temp, so their
+    per-row footprint is d× the GEMM metrics'."""
+    if metric in ("ip", "cosine", "l2"):
+        per_row = m * dt.itemsize
+    else:
+        per_row = m * d * dt.itemsize
+    return max(1, min(nq, int(_CHUNK_BYTES // max(1, per_row))))
+
+
+def _compute_block(Q, X, r0, r1, metric, qn, xn, dt) -> np.ndarray:
+    """Distances of query rows [r0:r1] × X into reused workspace (the
+    returned view is owned by the workspace — consume before the next
+    call). Op order matches pairwise_distances exactly so f64 results
+    are bit-identical to the full-matrix path (oracle hashing).
+    qn/xn: precomputed (Q*Q).sum(1) / (X*X).sum(1) for l2; for cosine
+    the caller passes pre-normalized Q and X."""
+    c = r1 - r0
+    m = X.shape[0]
+    d = X.shape[1]
+    if metric in ("ip", "cosine"):
+        D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+        np.dot(Q[r0:r1], X.T, out=D)
+        return D
+    if metric == "l2" and d > 16:
+        # (||q||² + ||x||²) − 2 q·x — the reference BLAS decomposition
+        # (faiss/utils/distances.cpp:271)
+        D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+        np.dot(Q[r0:r1], X.T, out=D)
+        D *= 2.0
+        t = _wsbuf("tk_T", c * m, dt).reshape(c, m)
+        np.add.outer(qn[r0:r1], xn, out=t)
+        np.subtract(t, D, out=D)
+        np.maximum(D, 0.0, out=D)
+        return D
+    if metric == "l2":
+        # small d: dimension-at-a-time Σ(q−x)², bit-identical to a
+        # sequential SQL oracle (ties in low-d/discrete data)
+        D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
+        D[...] = 0.0
+        buf = _wsbuf("tk_T", c * m, dt).reshape(c, m)
+        for j in range(d):
+            np.subtract.outer(Q[r0:r1, j], X[:, j], out=buf)
+            buf *= buf
+            D += buf
+        return D
+    # elementwise metrics (l1/linf/canberra/...): delegate per chunk; the
+    # (c, m, d) temp is bounded because _row_chunk divided by d
+    return pairwise_distances(np.ascontiguousarray(Q[r0:r1]), X, metric)
+
+
+def range_pairs(Q: np.ndarray, X: np.ndarray, metric: str, radius: float):
+    """All (query, candidate) index pairs with dist < radius (similarity
+    metrics: dist > radius) — faiss range_search semantics (reference
+    faiss/Index.h:145-150) computed through the reused workspace in
+    ~32 MB tiles. Returns (rq, rc, vals) 1-D arrays."""
+    largest = metric in SIMILARITY_METRICS
+    nq, m = Q.shape[0], X.shape[0]
+    if nq == 0 or m == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.float64)
+    d = X.shape[1]
+    dt = Q.dtype
+    qn = xn = None
+    if metric == "cosine":
+        qnorm = np.linalg.norm(Q, axis=1, keepdims=True)
+        qnorm[qnorm == 0] = 1.0
+        Q = Q / qnorm
+        xnorm = np.linalg.norm(X, axis=1, keepdims=True)
+        xnorm[xnorm == 0] = 1.0
+        X = X / xnorm
+    elif metric == "l2":
+        qn = (Q * Q).sum(axis=1)
+        xn = (X * X).sum(axis=1)
+    out_q, out_c, out_v = [], [], []
+    chunk = _row_chunk(nq, m, d, metric, dt)
+    for r0 in range(0, nq, chunk):
+        r1 = min(nq, r0 + chunk)
+        D = _compute_block(Q, X, r0, r1, metric, qn, xn, dt)
+        mask = _wsbuf("rg_mask", D.size, np.bool_).reshape(D.shape)
+        if largest:
+            np.greater(D, radius, out=mask)
+        else:
+            np.less(D, radius, out=mask)
+        rq, rc = np.nonzero(mask)
+        if len(rq):
+            out_q.append(rq + r0)
+            out_c.append(rc)
+            out_v.append(D[rq, rc].astype(np.float64, copy=False))
+    if not out_q:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_c),
+        np.concatenate(out_v),
+    )
+
+
 class TopKAccumulator:
     """Running per-query top-k over a stream of candidate blocks.
 
@@ -196,43 +296,17 @@ class TopKAccumulator:
             return
         d = X.shape[1]
         dt = Q.dtype
+        xn = None
         if metric == "cosine":
-            xn = np.linalg.norm(X, axis=1, keepdims=True)
-            xn[xn == 0] = 1.0
-            X = X / xn  # fresh per-batch array; cheap relative to GEMM
+            xnorm = np.linalg.norm(X, axis=1, keepdims=True)
+            xnorm[xnorm == 0] = 1.0
+            X = X / xnorm  # fresh per-batch array; cheap relative to GEMM
         elif metric == "l2":
             xn = (X * X).sum(axis=1)
-        chunk = max(16, min(nq, int(_CHUNK_BYTES // max(1, m * dt.itemsize))))
+        chunk = _row_chunk(nq, m, d, metric, dt)
         for r0 in range(0, nq, chunk):
             r1 = min(nq, r0 + chunk)
-            c = r1 - r0
-            if metric in ("ip", "cosine"):
-                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
-                np.dot(Q[r0:r1], X.T, out=D)
-            elif metric == "l2" and d > 16:
-                # (||q||² + ||x||²) − 2 q·x, same op order as
-                # pairwise_distances so oracle values are bit-identical
-                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
-                np.dot(Q[r0:r1], X.T, out=D)
-                D *= 2.0
-                t = _wsbuf("tk_T", c * m, dt).reshape(c, m)
-                np.add.outer(self._qn[r0:r1], xn, out=t)
-                np.subtract(t, D, out=D)
-                np.maximum(D, 0.0, out=D)
-            elif metric == "l2":
-                # small d: dimension-at-a-time Σ(q−x)², bit-identical to a
-                # sequential SQL oracle (ties in low-d/discrete data)
-                D = _wsbuf("tk_D", c * m, dt).reshape(c, m)
-                D[...] = 0.0
-                buf = _wsbuf("tk_T", c * m, dt).reshape(c, m)
-                for j in range(d):
-                    np.subtract.outer(Q[r0:r1, j], X[:, j], out=buf)
-                    buf *= buf
-                    D += buf
-            else:
-                # elementwise metrics (l1/linf/canberra/...): delegate per
-                # chunk; the (c, m, d) temp is bounded by the chunk size
-                D = pairwise_distances(np.ascontiguousarray(Q[r0:r1]), X, metric)
+            D = _compute_block(Q, X, r0, r1, metric, self._qn, xn, dt)
             if exclude_same_id and qids is not None:
                 hit = qids[r0:r1, None] == ids[None, :]
                 D[hit] = -np.inf if self.largest else np.inf

@@ -234,20 +234,47 @@ def knn_graph_bucketed(
     bc = spark.sparkContext.broadcast((C, metric, nprobe))
 
     def assign_cells(batches):
+        from faiss_spark.kernels import _compute_block, _row_chunk
+
         C_, metric_, nprobe_ = bc.value
         largest = metric_ in SIMILARITY_METRICS
+        # match the compute dtype (centroids train in f64)
+        Ch = np.ascontiguousarray(C_, dtype=np_dt)
+        cn = None
+        if metric_ == "cosine":
+            n_ = np.linalg.norm(Ch, axis=1, keepdims=True)
+            n_[n_ == 0] = 1.0
+            Ch = Ch / n_
+        elif metric_ == "l2":
+            cn = (Ch * Ch).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = as_matrix(pdf["vec"])
-            D = pairwise_distances(X, C_, metric_)
-            order = np.argsort(-D if largest else D, axis=1, kind="stable")
-            cells = order[:, :nprobe_]  # (n, nprobe)
+            X = as_matrix(pdf["vec"], dtype=np_dt)
+            if metric_ == "cosine":
+                xnorm = np.linalg.norm(X, axis=1, keepdims=True)
+                xnorm[xnorm == 0] = 1.0
+                X = X / xnorm
+            xq = (X * X).sum(axis=1) if metric_ == "l2" else None
+            n = len(X)
+            cells = np.empty((n, nprobe_), dtype=np.int64)
+            chunk = _row_chunk(n, len(C_), X.shape[1], metric_, X.dtype)
+            for r0 in range(0, n, chunk):
+                r1 = min(n, r0 + chunk)
+                # rows = vectors, cols = centroids; workspace-tiled GEMM
+                D = _compute_block(X, Ch, r0, r1, metric_, xq, cn, X.dtype)
+                key = -D if largest else D
+                part = np.argpartition(key, nprobe_ - 1, axis=1)[:, :nprobe_]
+                # deterministic probe order among the selected few
+                sub = np.take_along_axis(key, part, axis=1)
+                cells[r0:r1] = np.take_along_axis(
+                    part, np.argsort(sub, axis=1, kind="stable"), axis=1
+                )
             yield pd.DataFrame(
                 {
                     "cell": cells.ravel().astype(np.int32),
                     "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe_),
-                    "vec": [v for v in pdf["vec"] for _ in range(nprobe_)],
+                    "vec": np.repeat(pdf["vec"].to_numpy(), nprobe_),
                 }
             )
 

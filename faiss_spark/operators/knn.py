@@ -184,20 +184,21 @@ def range_search(
     bc = spark.sparkContext.broadcast((qids, Q))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from faiss_spark.kernels import range_pairs
+
         qids_, Q_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = as_matrix(pdf["vec"])
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            D = pairwise_distances(Q_, X, metric)
-            hit_q, hit_x = np.nonzero(D > radius if largest else D < radius)
+            hit_q, hit_x, vals = range_pairs(Q_, X, metric, radius)
             if len(hit_q):
                 yield pd.DataFrame(
                     {
                         "qid": qids_[hit_q],
                         "id": ids[hit_x],
-                        "dist": D[hit_q, hit_x],
+                        "dist": vals,
                     }
                 )
 
