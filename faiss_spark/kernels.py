@@ -296,6 +296,8 @@ class TopKAccumulator:
             return
         d = X.shape[1]
         dt = Q.dtype
+        if X.dtype != dt:
+            X = np.ascontiguousarray(X, dtype=dt)
         xn = None
         if metric == "cosine":
             xnorm = np.linalg.norm(X, axis=1, keepdims=True)

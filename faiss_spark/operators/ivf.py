@@ -277,16 +277,18 @@ def _scan_probed_lists(
                     continue
                 X = as_matrix(grp["vec"])
                 ids = grp["id"].to_numpy(dtype=np.int64)
-                D = pairwise_distances(Q_[qsel], X, metric)
                 key = int(list_no)
                 if key not in acc:
                     acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
+                    # fused workspace scan path: per-list query block
+                    # bound once, distance tiles reused across batches
+                    acc[key].bind_queries(np.ascontiguousarray(Q_[qsel]), metric)
                     touched[key] = qsel
                     if acc_scans is not None:
                         acc_scans.add(len(qsel))
                 if acc_ndis is not None:
-                    acc_ndis.add(int(D.size))
-                acc[key].push(D, ids)
+                    acc_ndis.add(int(len(qsel) * len(ids)))
+                acc[key].push_block(X, ids)
         for key, a in acc.items():
             qidx, nid, nd = a.emit()
             qsel = touched[key]
@@ -852,14 +854,16 @@ class IVFSQIndex:
                         [np.frombuffer(c, np.uint8) for c in grp["code"]]
                     )
                     X = sqm.decode_np(codes)
-                    D = pairwise_distances(Q_[qsel], X, metric)
                     key = int(list_no)
                     if key not in acc:
                         acc[key] = TopKAccumulator(
                             len(qsel), k_, metric in SIMILARITY_METRICS
                         )
+                        acc[key].bind_queries(
+                            np.ascontiguousarray(Q_[qsel]), metric
+                        )
                         qsels[key] = qsel
-                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+                    acc[key].push_block(X, grp["id"].to_numpy(np.int64))
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 yield pd.DataFrame(
@@ -1492,14 +1496,16 @@ class IVFAQIndex:
                     ).astype(np.float64)
                     for m in range(books.shape[0]):
                         X = X + books[m][codes[:, m]]
-                    D = pairwise_distances(Q_[qsel], X, metric)
                     key = int(list_no)
                     if key not in acc:
                         acc[key] = TopKAccumulator(
                             len(qsel), k_, metric in SIMILARITY_METRICS
                         )
+                        acc[key].bind_queries(
+                            np.ascontiguousarray(Q_[qsel]), metric
+                        )
                         qsels[key] = qsel
-                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+                    acc[key].push_block(X, grp["id"].to_numpy(np.int64))
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 yield pd.DataFrame(
