@@ -73,6 +73,8 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     kernel = _kernel_bench(spark, cpus)
     graph = _graph_bench(spark, cpus)
+    kmeans = _kmeans_bench(spark, cpus)
+    ivf_add = _ivf_add_bench(spark, cpus)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -84,6 +86,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kernel_knn": kernel,
                 "graph_bucketed": graph,
+                "kmeans": kmeans,
+                "ivf_add": ivf_add,
             }
         )
     )
@@ -171,6 +175,71 @@ def _kernel_bench(
         "qvd_per_core_sec": round(nv * nq * d / spark_sec / cpus / 1e9, 3),
         "unit_qvd": "1e9 query·vector·dims per core-second",
         "nv": nv, "nq": nq, "d": d, "k": k,
+    }
+
+
+def _kmeans_bench(spark, cpus: int, nv: int = 600_000, k: int = 256) -> dict:
+    """k-means iteration throughput — the BASELINE.md MNIST8m row's
+    comparable quantity (n·k·d per iteration wall-clock). Measures the
+    fit (sampled Lloyd, the reference's own subsample discipline,
+    faiss/Clustering.cpp:93) plus one full distributed assign pass."""
+    import time as _t
+
+    from faiss_spark.operators.cluster import KMeans
+
+    d, niter = 64, 10
+    base = _synth_vecs(spark, nv, d, 99_999).repartition(cpus).localCheckpoint(
+        eager=True
+    )
+    t0 = _t.perf_counter()
+    km = KMeans(k=k, niter=niter, seed=7).fit(base)
+    fit_sec = _t.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        n = km.assign(base).count()
+        dt = _t.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert n == nv
+    return {
+        "fit_sec": round(fit_sec, 3),
+        "fit_sec_per_iter": round(fit_sec / niter, 3),
+        "assign_sec": round(best, 3),
+        "assign_nkd_per_core_sec": round(nv * k * d / best / cpus / 1e9, 3),
+        "unit_nkd": "1e9 point·centroid·dims per core-second",
+        "nv": nv, "k": k, "d": d, "niter": niter,
+    }
+
+
+def _ivf_add_bench(spark, cpus: int, nv: int = 600_000) -> dict:
+    """IVF encode + partitioned-layout write throughput — the BASELINE.md
+    'add 1B in 3.1 h' row's comparable quantity (rows/sec through assign
+    + partitioned parquet write)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from faiss_spark.operators.ivf import IVFIndex
+
+    base = _synth_vecs(spark, nv, 64, 31_337).repartition(cpus).localCheckpoint(
+        eager=True
+    )
+    nlist = max(4, min(1024, nv // 64))
+    idx = IVFIndex.train(base, nlist=nlist, seed=7, niter=4)
+    out = tempfile.mkdtemp(prefix="ivf_add_bench_")
+    try:
+        t0 = _t.perf_counter()
+        idx.add(base, path=out)
+        n = idx.codes.count()
+        sec = _t.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    assert n == nv
+    return {
+        "sec": round(sec, 3),
+        "rows_per_sec": round(nv / sec, 1),
+        "rows_per_core_sec": round(nv / sec / cpus, 1),
+        "nv": nv, "nlist": nlist, "d": 64,
     }
 
 

@@ -147,13 +147,16 @@ def _row_chunk(nq: int, m: int, d: int, metric: str, dt) -> int:
     return max(1, min(nq, int(_CHUNK_BYTES // max(1, per_row))))
 
 
-def _compute_block(Q, X, r0, r1, metric, qn, xn, dt) -> np.ndarray:
+def _compute_block(Q, X, r0, r1, metric, qn, xn, dt, clip0=True) -> np.ndarray:
     """Distances of query rows [r0:r1] × X into reused workspace (the
     returned view is owned by the workspace — consume before the next
     call). Op order matches pairwise_distances exactly so f64 results
     are bit-identical to the full-matrix path (oracle hashing).
     qn/xn: precomputed (Q*Q).sum(1) / (X*X).sum(1) for l2; for cosine
-    the caller passes pre-normalized Q and X."""
+    the caller passes pre-normalized Q and X. clip0=False skips the
+    l2 max(·, 0) pass for callers that clip after selection (argmin
+    callers that must see the unclipped −1e-15-class values the
+    full-matrix path ranked on)."""
     c = r1 - r0
     m = X.shape[0]
     d = X.shape[1]
@@ -170,7 +173,8 @@ def _compute_block(Q, X, r0, r1, metric, qn, xn, dt) -> np.ndarray:
         t = _wsbuf("tk_T", c * m, dt).reshape(c, m)
         np.add.outer(qn[r0:r1], xn, out=t)
         np.subtract(t, D, out=D)
-        np.maximum(D, 0.0, out=D)
+        if clip0:
+            np.maximum(D, 0.0, out=D)
         return D
     if metric == "l2":
         # small d: dimension-at-a-time Σ(q−x)², bit-identical to a

@@ -118,46 +118,64 @@ class KMeansModel:
     spherical: bool = False
 
     def assign(
-        self, df: DataFrame, vec_col: str = "vec", id_col: str = "id"
+        self, df: DataFrame, vec_col: str = "vec", id_col: str = "id",
+        keep_vec: bool = False,
     ) -> DataFrame:
         """Distributed 1-NN assignment to centroids (reference
-        faiss/Index.h:158 ``assign``): broadcast centroids, GEMM argmin per
-        Arrow batch. No shuffle; output schema (id, cluster, dist)."""
+        faiss/Index.h:158 ``assign``): broadcast centroids, workspace-tiled
+        GEMM argmin per Arrow batch. No shuffle; output schema
+        (id, cluster, dist[, vec]) — keep_vec carries the vector through
+        so encode-and-layout callers don't need a join-back shuffle."""
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(self.centroids)
         spherical = self.spherical
 
         def do_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            C = bc.value
+            from faiss_spark.kernels import _compute_block, _row_chunk
+
+            C = np.ascontiguousarray(bc.value)
             cnorm = (C * C).sum(1)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 X = as_matrix(pdf["vec"])
-                if spherical:
-                    sim = X @ C.T
-                    labels = np.argmax(sim, axis=1)
-                    dist = sim[np.arange(len(X)), labels]
-                else:
-                    d2 = (
-                        (X * X).sum(1)[:, None]
-                        + cnorm[None, :]
-                        - 2.0 * (X @ C.T)
-                    )
-                    labels = np.argmin(d2, axis=1)
-                    dist = np.maximum(d2[np.arange(len(X)), labels], 0.0)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(dtype=np.int64),
-                        "cluster": labels.astype(np.int32),
-                        "dist": dist,
-                    }
-                )
+                n = len(X)
+                xn = None if spherical else (X * X).sum(1)
+                labels = np.empty(n, dtype=np.int64)
+                dist = np.empty(n, dtype=np.float64)
+                chunk = _row_chunk(n, len(C), X.shape[1], "l2", X.dtype)
+                for r0 in range(0, n, chunk):
+                    r1 = min(n, r0 + chunk)
+                    rows = np.arange(r1 - r0)
+                    if spherical:
+                        D = _compute_block(X, C, r0, r1, "ip", None, None, X.dtype)
+                        lab = np.argmax(D, axis=1)
+                        dist[r0:r1] = D[rows, lab]
+                    else:
+                        # clip0=False: rank on the unclipped values (the
+                        # exact full-matrix argmin order), clip at the end
+                        D = _compute_block(
+                            X, C, r0, r1, "l2", xn, cnorm, X.dtype, clip0=False
+                        )
+                        lab = np.argmin(D, axis=1)
+                        dist[r0:r1] = np.maximum(D[rows, lab], 0.0)
+                    labels[r0:r1] = lab
+                out = {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "cluster": labels.astype(np.int32),
+                    "dist": dist,
+                }
+                if keep_vec:
+                    out["vec"] = pdf["vec"]
+                yield pd.DataFrame(out)
 
         src = df.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        return src.mapInPandas(do_assign, schema="id bigint, cluster int, dist double")
+        schema = "id bigint, cluster int, dist double" + (
+            ", vec array<float>" if keep_vec else ""
+        )
+        return src.mapInPandas(do_assign, schema=schema)
 
     def imbalance_factor(self, assigned: DataFrame) -> float:
         """Cluster balance diagnostic (reference faiss/Clustering.cpp:49,

@@ -92,16 +92,12 @@ class IVFIndex:
             d=self.centroids.shape[1],
             spherical=(self.metric == "cosine"),
         )
-        assigned = model.assign(vectors, vec_col=vec_col, id_col=id_col).select(
-            "id", F.col("cluster").alias("list_no")
-        )
-        codes = (
-            vectors.select(
-                F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
-            )
-            .join(assigned, "id")
-            .select("list_no", "id", "vec")
-        )
+        # keep_vec: the assignment map carries the vector through — the
+        # encode+layout stage is map-only (no join-back shuffle of the
+        # 100 TB vector table; the only exchange is the partitioned write)
+        codes = model.assign(
+            vectors, vec_col=vec_col, id_col=id_col, keep_vec=True
+        ).select(F.col("cluster").alias("list_no"), "id", "vec")
         if path is not None:
             codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
             spark = vectors.sparkSession

@@ -29,3 +29,13 @@ def test_kernel_bench_machinery(spark):
 def test_graph_bench_machinery(spark):
     out = bench._graph_bench(spark, cpus=8, nv=1_000)
     assert out["edges"] > 0 and out["sec"] > 0
+
+
+def test_kmeans_bench_machinery(spark):
+    out = bench._kmeans_bench(spark, cpus=8, nv=2_000, k=16)
+    assert out["fit_sec"] > 0 and out["assign_sec"] > 0
+
+
+def test_ivf_add_bench_machinery(spark):
+    out = bench._ivf_add_bench(spark, cpus=8, nv=2_000)
+    assert out["rows_per_sec"] > 0
