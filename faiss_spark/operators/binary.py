@@ -291,7 +291,7 @@ class BinaryIVFIndex:
             enc, schema="list_no int, id bigint, code array<bigint>"
         )
         if path is not None:
-            out.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            out.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             self.codes = codes.sparkSession.read.parquet(path)
         else:
             self.codes = out

@@ -99,7 +99,7 @@ class IVFIndex:
             vectors, vec_col=vec_col, id_col=id_col, keep_vec=True
         ).select(F.col("cluster").alias("list_no"), "id", "vec")
         if path is not None:
-            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             spark = vectors.sparkSession
             self._save_artifact(path)
             self.codes = spark.read.parquet(path)
@@ -379,7 +379,7 @@ class IVFRCQIndex:
             .select("list_no", "id", "vec")
         )
         if path is not None:
-            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             spark = vectors.sparkSession
             os.makedirs(path, exist_ok=True)
             np.save(os.path.join(path, "_rcq_codebooks.npy"), self.cq.codebooks)
@@ -534,7 +534,7 @@ class IVFPQIndex:
         )
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
-            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
@@ -783,7 +783,7 @@ class IVFSQIndex:
         )
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
-            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
@@ -1394,7 +1394,7 @@ class IVFAQIndex:
         )
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
-            codes.write.mode("overwrite").partitionBy("list_no").parquet(path)
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
