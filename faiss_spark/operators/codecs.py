@@ -366,23 +366,34 @@ class ProductQuantizerModel:
         k: int,
         qid_col: str = "qid",
         qvec_col: str = "vec",
+        polysemous_ht: int | None = None,
     ) -> DataFrame:
         """Asymmetric-distance top-k over an encoded table: per-partition
         LUT gather-sum (the IndexPQ ADC scan, reference faiss/IndexPQ.h:24;
-        LUT trick of faiss/impl/ProductQuantizer.h:117 'search')."""
+        LUT trick of faiss/impl/ProductQuantizer.h:117 'search').
+
+        polysemous_ht: with polysemous-trained codebooks, skip candidates
+        whose code Hamming distance to the query's own code exceeds ht
+        (reference faiss/IndexPQ.h:35 search_core polysemous filter; the
+        SIFT1M rows of BASELINE.md). ht ≥ M·8 disables the filter."""
         spark = codes_df.sparkSession
         qpdf = queries.select(qid_col, qvec_col).toPandas()
         qids = qpdf[qid_col].to_numpy(np.int64)
         Q = as_matrix(qpdf[qvec_col])
         luts = np.stack([self.distance_table(q) for q in Q])  # (nq, M, ksub)
-        bc = spark.sparkContext.broadcast((qids, luts))
+        qcodes = self.encode_np(Q) if polysemous_ht is not None else None
+        bc = spark.sparkContext.broadcast((qids, luts, qcodes))
         k_ = k
+        ht = polysemous_ht
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids_, luts_ = bc.value
+            qids_, luts_, qcodes_ = bc.value
             nq, M, ksub = luts_.shape
             flat = luts_.reshape(nq, M * ksub)
             offs = (np.arange(M) * ksub).astype(np.int64)
+            pop8 = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(1).astype(np.int64)
             acc = TopKAccumulator(nq, k_, largest=False)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -391,9 +402,23 @@ class ProductQuantizerModel:
                 idx = codes.astype(np.int64) + offs[None, :]  # (n, M)
                 # D[q, x] = sum_m lut[q, m, code[x, m]]
                 D = flat[:, idx].sum(axis=2)  # (nq, n)
+                if qcodes_ is not None:
+                    # polysemous filter: per-byte popcount of q⊕x codes,
+                    # accumulated per sub-quantizer (no (nq, n, M) temp)
+                    ham = np.zeros(D.shape, np.int64)
+                    for m in range(M):
+                        ham += pop8[
+                            np.bitwise_xor(
+                                qcodes_[:, m][:, None], codes[None, :, m]
+                            )
+                        ]
+                    D[ham > ht] = np.inf
                 acc.push(D, pdf["id"].to_numpy(np.int64))
             qidx, nid, nd = acc.emit()
-            yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+            fin = np.isfinite(nd)
+            yield pd.DataFrame(
+                {"qid": qids_[qidx[fin]], "id": nid[fin], "dist": nd[fin]}
+            )
 
         cands = codes_df.select("id", "code").mapInPandas(
             scan, schema="qid bigint, id bigint, dist double"
@@ -404,6 +429,139 @@ class ProductQuantizerModel:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def _hamming_table(nbits: int) -> np.ndarray:
+    """(2^nbits, 2^nbits) pairwise popcount(a ^ b) table."""
+    n = 1 << nbits
+    a = np.arange(n)
+    x = a[:, None] ^ a[None, :]
+    H = np.zeros((n, n), np.int64)
+    for _ in range(nbits):
+        H += x & 1
+        x >>= 1
+    return H
+
+
+def polysemous_optimize_permutation(
+    dis_table: np.ndarray,
+    nbits: int,
+    n_iter: int = 20_000,
+    init_temperature: float = 0.7,
+    temperature_decay: float = 0.999,
+    n_redo: int = 1,
+    seed: int = 123,
+    dis_weight_factor: float = float(np.log(2)),
+) -> np.ndarray:
+    """Simulated-annealing centroid-index permutation so that the Hamming
+    distance between PQ codes reproduces the inter-centroid distance
+    table (reference faiss/impl/PolysemousTraining.cpp:
+    ReproduceWithHammingObjective — affine map of the distance table to
+    mean nbits/2 / sd sqrt(nbits/4), weights exp(−dwf·target) so small
+    distances matter most — driven by SimulatedAnnealingOptimizer).
+
+    Vectorized numpy re-derivation, not a translation: a proposed swap's
+    cost delta is the O(n) row/column contribution difference. n_iter
+    defaults far below the reference's 500000 (Python proposal loop);
+    tests pin that the objective and the Hamming/true-distance
+    correlation still improve. Returns perm with new_code = perm[old]."""
+    n = 1 << nbits
+    if dis_table.shape != (n, n):
+        raise ValueError(f"dis_table must be ({n},{n}) for nbits={nbits}")
+    mean = dis_table.mean()
+    std = dis_table.std()
+    if std == 0:
+        return np.arange(n)
+    t = (dis_table - mean) / std * np.sqrt(nbits / 4.0) + nbits / 2.0
+    w = np.exp(-dis_weight_factor * t)
+    H = _hamming_table(nbits).astype(np.float64)
+    rng = np.random.default_rng(seed)
+
+    def cost(p):
+        return float((w * (t - H[np.ix_(p, p)]) ** 2).sum())
+
+    def contrib(p, iw, jw):
+        """Cost of every pair touching rows/cols iw or jw."""
+        c = 0.0
+        mask = np.ones(n, dtype=bool)
+        mask[[iw, jw]] = False
+        for i in (iw, jw):
+            c += float((w[i] * (t[i] - H[p[i], p]) ** 2).sum())
+            c += float((w[mask, i] * (t[mask, i] - H[p[mask], p[i]]) ** 2).sum())
+        return c
+
+    best_perm, best_cost = np.arange(n), cost(np.arange(n))
+    for redo in range(n_redo):
+        p = np.arange(n)
+        if redo > 0:
+            rng.shuffle(p)
+        cur = cost(p)
+        temperature = init_temperature
+        for _ in range(n_iter):
+            iw = int(rng.integers(n))
+            jw = int(rng.integers(n - 1))
+            if jw >= iw:
+                jw += 1
+            before = contrib(p, iw, jw)
+            p[iw], p[jw] = p[jw], p[iw]
+            delta = contrib(p, iw, jw) - before
+            if delta < 0 or rng.random() < temperature:
+                cur += delta
+            else:
+                p[iw], p[jw] = p[jw], p[iw]  # reject
+            temperature *= temperature_decay
+        if cur < best_cost:
+            best_cost, best_perm = cur, p.copy()
+    return best_perm
+
+
+class PolysemousTraining:
+    """Reorder each sub-quantizer's centroid indices so PQ code Hamming
+    distance approximates true distance (reference
+    faiss/impl/PolysemousTraining.h:18-117, OT_ReproduceDistances_affine)
+    — enabling the polysemous filter: prune ADC candidates whose code
+    Hamming distance to the query code exceeds ht
+    (``adc_search(..., polysemous_ht=)``, reference faiss/IndexPQ.h:35
+    search_core polysemous path)."""
+
+    def __init__(
+        self, n_iter: int = 20_000, n_redo: int = 1, seed: int = 123,
+        init_temperature: float = 0.7, temperature_decay: float = 0.999,
+    ):
+        self.n_iter = n_iter
+        self.n_redo = n_redo
+        self.seed = seed
+        self.init_temperature = init_temperature
+        self.temperature_decay = temperature_decay
+
+    def optimize_pq(
+        self, pqm: "ProductQuantizerModel"
+    ) -> tuple["ProductQuantizerModel", np.ndarray]:
+        """Returns (reordered model, perms (M, ksub)). The reordered
+        codebooks represent the SAME codec (decode(perm[c]) == old
+        decode(c)); only code numbering changes, so re-encode after."""
+        ksub = pqm.ksub
+        nbits = int(np.log2(ksub))
+        if (1 << nbits) != ksub:
+            raise ValueError(f"ksub={ksub} is not a power of two")
+        perms = np.empty((pqm.M, ksub), np.int64)
+        new_books = np.empty_like(pqm.codebooks)
+        for m in range(pqm.M):
+            C = pqm.codebooks[m]
+            dis = (
+                (C * C).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (C @ C.T)
+            )
+            np.maximum(dis, 0.0, out=dis)
+            perm = polysemous_optimize_permutation(
+                dis, nbits, n_iter=self.n_iter, n_redo=self.n_redo,
+                seed=self.seed + m, init_temperature=self.init_temperature,
+                temperature_decay=self.temperature_decay,
+            )
+            new_books[m][perm] = C
+            perms[m] = perm
+        return ProductQuantizerModel(codebooks=new_books), perms
 
 
 class ProductQuantizer:

@@ -1,0 +1,89 @@
+"""PolysemousTraining (reference faiss/impl/PolysemousTraining.cpp):
+annealed index permutation makes PQ code Hamming distance track true
+inter-centroid distance; the ht filter then prunes ADC candidates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.codecs import (
+    PolysemousTraining,
+    ProductQuantizer,
+    _hamming_table,
+    polysemous_optimize_permutation,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def _cost(dis_table, nbits, perm):
+    n = 1 << nbits
+    mean, std = dis_table.mean(), dis_table.std()
+    t = (dis_table - mean) / std * np.sqrt(nbits / 4.0) + nbits / 2.0
+    w = np.exp(-np.log(2) * t)
+    H = _hamming_table(nbits).astype(np.float64)
+    return float((w * (t - H[np.ix_(perm, perm)]) ** 2).sum())
+
+
+def test_permutation_lowers_objective_and_correlation():
+    rng = np.random.default_rng(0)
+    nbits = 5
+    n = 1 << nbits
+    C = rng.normal(size=(n, 6))
+    dis = ((C[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    perm = polysemous_optimize_permutation(dis, nbits, n_iter=4000, seed=1)
+    assert sorted(perm) == list(range(n))  # a permutation
+    ident = np.arange(n)
+    assert _cost(dis, nbits, perm) < _cost(dis, nbits, ident)
+    # Hamming(perm_i, perm_j) correlates with the true distances better
+    # than the arbitrary k-means numbering did
+    H = _hamming_table(nbits)
+    iu = np.triu_indices(n, 1)
+
+    def corr(p):
+        return np.corrcoef(dis[iu], H[np.ix_(p, p)][iu])[0, 1]
+
+    assert corr(perm) > corr(ident)
+
+
+def test_optimize_pq_is_same_codec(vectors):
+    """Reordering permutes code numbering but decodes identically:
+    decode(perm[c]) under the new books == decode(c) under the old."""
+    pqm = ProductQuantizer(M=4, seed=42).fit(vectors)
+    new_pqm, perms = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(pqm)
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 256, size=(32, 4)).astype(np.uint8)
+    remapped = np.take_along_axis(perms, codes.astype(np.int64).T, axis=1).T
+    old = pqm.decode_np(codes)
+    new = new_pqm.decode_np(remapped.astype(np.uint8))
+    np.testing.assert_allclose(old, new)
+
+
+def test_polysemous_ht_filter(vectors):
+    """ht ≥ M·8 keeps ADC results identical; a tight ht returns a subset
+    that always contains each query's own encoding (Hamming 0)."""
+    pqm = ProductQuantizer(M=4, seed=42).fit(vectors)
+    new_pqm, _ = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(pqm)
+    codes = new_pqm.encode(vectors)
+    qs = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    full = {
+        (r["qid"], r["rank"], r["id"])
+        for r in new_pqm.adc_search(codes, qs, 5).collect()
+    }
+    loose = {
+        (r["qid"], r["rank"], r["id"])
+        for r in new_pqm.adc_search(codes, qs, 5, polysemous_ht=32).collect()
+    }
+    assert loose == full
+    tight = new_pqm.adc_search(codes, qs, 5, polysemous_ht=4).collect()
+    got_pairs = {(r["qid"], r["id"]) for r in tight}
+    # each query's own code is at Hamming 0 -> never filtered, and the
+    # filter keeps the ADC distance ordering for survivors (rank 1 self)
+    assert all((q, q) in got_pairs for q in range(5))
+    top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
+    assert top1 == {q: q for q in range(5)}
