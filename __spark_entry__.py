@@ -369,6 +369,43 @@ def q_spectral_hash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polysemous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolysemousTraining + Hamming ADC pre-filter (reference
+    faiss/impl/PolysemousTraining.cpp, faiss/IndexPQ.h:35 — the SIFT1M
+    polysemous rows of BASELINE.md). Annealed codebooks are k-means
+    artifacts no SQL reproduces, so the oracle is the property pair: a
+    loose threshold (ht = M·8) returns exactly the unfiltered ADC top-k,
+    and under a tight threshold each query's own code (Hamming 0) is
+    never filtered and stays rank 1."""
+    from faiss_spark.operators.codecs import (
+        PolysemousTraining,
+        ProductQuantizer,
+    )
+
+    vecs = _emb(spark, sf_dir)
+    pqm = ProductQuantizer(M=4, seed=42).fit(vecs)
+    new_pqm, _ = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(pqm)
+    codes = new_pqm.encode(vecs).cache()
+    qs = _queries_df(spark, sf_dir)
+    full = {
+        (r["qid"], r["rank"], r["id"])
+        for r in new_pqm.adc_search(codes, qs, K).collect()
+    }
+    loose = {
+        (r["qid"], r["rank"], r["id"])
+        for r in new_pqm.adc_search(codes, qs, K, polysemous_ht=32).collect()
+    }
+    tight = new_pqm.adc_search(codes, qs, K, polysemous_ht=4).collect()
+    top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
+    return _prop_df(
+        spark,
+        [
+            ("polysemous_loose_ht_equals_unfiltered", loose == full),
+            ("polysemous_self_survives_tight_ht", top1 == {q: q for q in range(NQ)}),
+        ],
+    )
+
+
 def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with an additive (residual) COARSE quantizer (reference
     ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h:161 — the
@@ -996,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": q_knn_l2,
         "imi_search_exact": q_imi_search_exact,
         "spectral_hash_search": q_spectral_hash_search,
+        "polysemous_filter": q_polysemous_filter,
         "knn_filtered": q_knn_filtered,
         "vector_dedup": q_vector_dedup,
         "tpch_q1": q_tpch_q1,
@@ -1035,7 +1073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivf_search": q_bivf_search,
         "jaccard_knn": q_jaccard_knn,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash64": q_dedup_simhash64,
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
@@ -1045,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "dedup_simhash64": q_dedup_simhash64,
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
         "knn_canberra": q_knn_canberra,
@@ -1721,6 +1759,10 @@ def oracle_sql() -> dict[str, str]:
     sql["spectral_hash_search"] = (
         "SELECT 'sh_top1_hamming_zero' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'sh_full_k_rows', TRUE"
+    )
+    sql["polysemous_filter"] = (
+        "SELECT 'polysemous_loose_ht_equals_unfiltered' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'polysemous_self_survives_tight_ht', TRUE"
     )
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "

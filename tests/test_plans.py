@@ -161,3 +161,29 @@ def test_text_pipeline_stays_in_codegen(tables):
     p = plan(df, "simple")
     assert "isFinalPlan=true" in p
     assert "*(" in p  # whole-stage-codegen stage markers
+
+
+def test_ivf_add_is_map_only(emb):
+    """Encode+layout must not join the vector table back to its
+    assignments: the assignment map carries the vector through, so the
+    unpersisted codes plan has NO join and NO exchange at all (the only
+    exchange in the persisted form is the explicit list_no co-location
+    ahead of the partitioned write)."""
+    from faiss_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.train(emb, nlist=4, seed=42, niter=2)
+    idx.add(emb)
+    p = plan(idx.codes)
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
+
+
+def test_imi_search_scan_shape(emb, queries):
+    """IMI search = the shared probed-list scan: one candidate exchange
+    (the final top-k merge), no join of the codes table against itself."""
+    from faiss_spark.operators.ivf import IMIIVFIndex
+
+    idx = IMIIVFIndex.train(emb, nbits=1, seed=42).add(emb)
+    p = plan(idx.search(queries, 3, nprobe=idx.nlist))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") <= 2  # candidate merge (+AQE variants)
