@@ -399,9 +399,11 @@ class ProductQuantizerModel:
                 if len(pdf) == 0:
                     continue
                 codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
-                idx = codes.astype(np.int64) + offs[None, :]  # (n, M)
-                # D[q, x] = sum_m lut[q, m, code[x, m]]
-                D = flat[:, idx].sum(axis=2)  # (nq, n)
+                # D[q, x] = sum_m lut[q, m, code[x, m]] — accumulated per
+                # sub-quantizer so no (nq, n, M) gather temp materializes
+                D = np.zeros((nq, len(codes)), np.float64)
+                for m in range(M):
+                    D += flat[:, codes[:, m].astype(np.int64) + offs[m]]
                 if qcodes_ is not None:
                     # polysemous filter: per-byte popcount of q⊕x codes,
                     # accumulated per sub-quantizer (no (nq, n, M) temp)

@@ -602,9 +602,11 @@ class IVFPQIndex:
                     codes = np.stack(
                         [np.frombuffer(c, np.uint8) for c in grp["code"]]
                     )
-                    flat = luts.reshape(len(R), M * ksub)
-                    idx = codes.astype(np.int64) + (np.arange(M) * ksub)[None, :]
-                    D = flat[:, idx].sum(axis=2)  # (nq_l, n_codes)
+                    # D[q, x] = sum_m lut[q, m, code[x, m]] — per-m
+                    # accumulation, no (nq_l, n_codes, M) gather temp
+                    D = np.zeros((len(R), len(codes)), np.float64)
+                    for m in range(M):
+                        D += luts[:, m, codes[:, m].astype(np.int64)]
                     key = int(list_no)
                     if key not in acc:
                         acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
