@@ -127,6 +127,20 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF range search at nprobe == nlist (reference
+    IndexIVF::range_search, faiss/IndexIVF.cpp:715): every cell probed,
+    so the result equals exact flat range search and shares its SQL
+    oracle. The scan stays fully map-side (no shuffle at all)."""
+    from faiss_spark.operators.ivf import IVFIndex, ivf_range_search
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
+    return _round(
+        ivf_range_search(idx, _queries_df(spark, sf_dir), RADIUS_L2, nprobe=16)
+    )
+
+
 def q_range_lims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSR `lims` view of a range-search result (SURVEY §1.1:
     RangeSearchResult.lims == groupBy(qid).count())."""
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sessionize": q_events_sessionize,
         "range_search_l2": q_range_search,
+        "ivf_range_search": q_ivf_range_search,
         "range_lims": q_range_lims,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
@@ -1066,7 +1081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
-        "sq8_reconstruction": q_sq8_reconstruction,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
         "hamming_knn": q_hamming_knn,
@@ -1082,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "sq8_reconstruction": q_sq8_reconstruction,
         "dedup_simhash64": q_dedup_simhash64,
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
@@ -1218,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         FROM q CROSS JOIN embeddings e
         WHERE {_L2} < {RADIUS_L2}
     """
+    sql["ivf_range_search"] = sql["range_search_l2"]
     sql["range_lims"] = f"""
         WITH q AS ({_QSET})
         SELECT q.qid, count(*) AS n_results

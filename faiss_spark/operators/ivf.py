@@ -193,6 +193,105 @@ class IVFSearchStats:
         return {"nq": self.nq, "list_scans": self.list_scans, "ndis": self.ndis}
 
 
+def ivf_range_search(
+    index,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    stats: IVFSearchStats | None = None,
+) -> DataFrame:
+    """IVF range search (reference IndexIVF::range_search,
+    faiss/IndexIVF.cpp:715-781): probe the nprobe nearest cells per
+    query, then emit every (qid, id, dist) in the scanned lists with
+    dist < radius (similarity metrics: > radius). Fully map-side after
+    the partition-pruned scan — candidates are never ranked, so there is
+    NO shuffle at all. nprobe == nlist degenerates to exact
+    range_search."""
+    from faiss_spark.kernels import range_pairs
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = index.codes.sparkSession
+    metric = index.metric
+    largest = metric in SIMILARITY_METRICS
+    nlist = len(index.centroids)
+    nprobe = min(nprobe, nlist)
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = qpdf[qid_col].to_numpy(np.int64)
+    Q = as_matrix(qpdf[qvec_col])
+    CD = pairwise_distances(Q, index.centroids, metric)
+    order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+    probes = order[:, :nprobe]
+    probed_lists = sorted({int(c) for c in probes.ravel()})
+    list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            list_to_q[int(c)].append(qi)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, {c: np.asarray(v, np.int64) for c, v in list_to_q.items()})
+    )
+    acc_scans = stats._acc_list_scans if stats is not None else None
+    acc_ndis = stats._acc_ndis if stats is not None else None
+    pruned = index.codes.filter(F.col("list_no").isin(probed_lists))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, l2q = bc.value
+        seen: set[int] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for list_no, grp in pdf.groupby("list_no"):
+                qsel = l2q.get(int(list_no))
+                if qsel is None or len(qsel) == 0:
+                    continue
+                X = as_matrix(grp["vec"])
+                ids = grp["id"].to_numpy(np.int64)
+                if acc_scans is not None and int(list_no) not in seen:
+                    seen.add(int(list_no))
+                    acc_scans.add(len(qsel))
+                if acc_ndis is not None:
+                    acc_ndis.add(int(len(qsel) * len(ids)))
+                rq, rc, vals = range_pairs(
+                    np.ascontiguousarray(Q_[qsel]), X, metric, radius
+                )
+                if len(rq):
+                    yield pd.DataFrame(
+                        {
+                            "qid": qids_[qsel[rq]],
+                            "id": ids[rc],
+                            "dist": vals,
+                        }
+                    )
+
+    return pruned.select("list_no", "id", "vec").mapInPandas(
+        scan, schema="qid bigint, id bigint, dist double"
+    )
+
+
+def range_search_with_parameters(
+    index,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> tuple[DataFrame, IVFSearchStats]:
+    """Range-search twin of search_with_parameters (reference
+    faiss/IVFlib.h:141 ``range_search_with_parameters`` — explicit params
+    + IndexIVFStats out). Stats populate once the result materializes."""
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = index.codes.sparkSession
+    stats = IVFSearchStats(spark, nq=queries.count())
+    res = ivf_range_search(
+        index, queries, radius, nprobe=nprobe, qid_col=qid_col,
+        qvec_col=qvec_col, stats=stats,
+    )
+    return res, stats
+
+
 def search_with_parameters(
     index,
     queries: DataFrame,

@@ -342,6 +342,29 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     return ",".join(parts)
 
 
+def get_code_size(d: int, plan: IndexPlan) -> int:
+    """Bytes per encoded vector for a parsed plan (reference
+    contrib/factory_tools.py:10-46 get_code_size). Flat forms store raw
+    float32; SQ packs d values at sq_bits each; PQ/RQ store one byte per
+    sub-quantizer (8-bit codes). Transforms that change dimensionality
+    (PCA/OPQ/Pad) apply first."""
+    for t in plan.transforms:
+        if isinstance(t, PCAMatrix):
+            d = t.d_out
+    for kind, arg in plan.sql_transforms:
+        if kind == "pad":
+            d = max(d, arg)
+    if plan.index_type in ("flat", "ivfflat"):
+        return d * 4
+    if plan.index_type in ("pq", "ivfpq"):
+        return plan.pq_m
+    if plan.index_type in ("rq", "ivfrq"):
+        return plan.rq_m
+    if plan.index_type in ("sq", "ivfsq"):
+        return (d * plan.sq_bits + 7) // 8
+    raise ValueError(f"unknown index_type {plan.index_type!r}")
+
+
 # ----------------------------------------------------------- binary factory
 
 

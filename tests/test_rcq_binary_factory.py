@@ -172,6 +172,51 @@ def test_search_with_parameters_stats(vectors, queries):
     assert s1.nq == sF.nq == queries.count()
 
 
+def test_ivf_range_search_full_probe_exact(vectors, queries):
+    """nprobe=nlist IVF range search == flat range_search (reference
+    IndexIVF::range_search, faiss/IndexIVF.cpp:715) and stats populate."""
+    from faiss_spark.operators.ivf import (
+        IVFIndex,
+        ivf_range_search,
+        range_search_with_parameters,
+    )
+    from faiss_spark.operators.knn import range_search
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    r = 1.0
+    want = {
+        (row["qid"], row["id"], round(row["dist"], 9))
+        for row in range_search(vectors, queries, r).collect()
+    }
+    got = {
+        (row["qid"], row["id"], round(row["dist"], 9))
+        for row in ivf_range_search(idx, queries, r, nprobe=8).collect()
+    }
+    assert got == want and len(want) > 0
+    # partial probe is a subset; stats fill after materialization
+    res, st = range_search_with_parameters(idx, queries, r, nprobe=2)
+    sub = {
+        (row["qid"], row["id"], round(row["dist"], 9))
+        for row in res.collect()
+    }
+    assert sub <= want
+    assert st.ndis > 0 and st.list_scans > 0 and st.nq == queries.count()
+
+
+def test_get_code_size():
+    from faiss_spark.plans.factory import get_code_size
+
+    assert get_code_size(64, index_factory("Flat")) == 256
+    assert get_code_size(64, index_factory("IVF16,Flat")) == 256
+    assert get_code_size(64, index_factory("IVF16,PQ8")) == 8
+    assert get_code_size(64, index_factory("SQ8")) == 64
+    assert get_code_size(64, index_factory("SQ4")) == 32
+    assert get_code_size(64, index_factory("SQ6")) == 48
+    assert get_code_size(64, index_factory("SQfp16")) == 128
+    assert get_code_size(64, index_factory("PCA32,IVF16,Flat")) == 128
+    assert get_code_size(64, index_factory("RQ4")) == 4
+
+
 def test_factory_rcq_validates_nlist():
     with pytest.raises(ValueError):
         index_factory("IVF100(RCQ2x3),Flat")  # 100 != 2^6
