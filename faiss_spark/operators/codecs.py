@@ -574,8 +574,13 @@ class ProductQuantizer:
         self, M: int = 8, nbits: int = 8, niter: int = 25, seed: int = 1234,
         max_train_points: int = 65536,
     ):
-        if nbits != 8:
-            raise NotImplementedError("8-bit PQ codes only (ksub=256)")
+        # reference ProductQuantizer supports arbitrary nbits
+        # (faiss/impl/ProductQuantizer.h:30 "PQ<m>x<b>"); codes here are
+        # stored one byte per sub-quantizer for any nbits ≤ 8 (the
+        # reference bit-packs — a physical-layout detail parquet
+        # dictionary/byte encoding recovers)
+        if not 1 <= nbits <= 8:
+            raise NotImplementedError("PQ codes of 1..8 bits (one byte stored)")
         self.M = M
         self.ksub = 1 << nbits
         self.niter = niter

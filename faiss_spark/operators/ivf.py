@@ -564,6 +564,7 @@ class IVFPQIndex:
         seed: int = 1234,
         niter: int = 20,
         pq_niter: int = 15,
+        nbits: int = 8,
     ) -> "IVFPQIndex":
         """train_q1 (coarse k-means) then PQ on residuals of the training
         sample (reference IndexIVF::train + train_residual,
@@ -589,7 +590,7 @@ class IVFPQIndex:
         if d % M:
             raise ValueError(f"d={d} not divisible by M={M}")
         dsub = d // M
-        ksub = min(256, len(resid))
+        ksub = min(1 << nbits, len(resid))
         books = np.empty((M, ksub, dsub), np.float64)
         for m in range(M):
             books[m], _ = _kmeans_np(
@@ -1444,7 +1445,7 @@ class IVFAQIndex:
             (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         )
         resid = X - C[d2.argmin(1)]
-        ksub = min(256, len(resid))
+        ksub = min(1 << nbits, len(resid))
         books = np.empty((M, ksub, X.shape[1]), np.float64)
         r = resid.copy()
         for m in range(M):

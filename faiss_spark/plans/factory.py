@@ -8,15 +8,15 @@ pipelines: transform chain (operators/transforms.py) + index stage
 
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
-  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)],{Flat|PQ<M>|
-               SQ4|SQ6|SQ8|RQ<M>} | PQ<M> | SQ4 | SQ6 | SQ8 | SQfp16 |
-               RQ<M>
+  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)],{Flat|
+               PQ<M>[x<b>]|SQ4|SQ6|SQ8|RQ<M>} | IMI2x<b>,Flat |
+               PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M>
   refinement : RFlat (exact re-rank of k*k_factor candidates, reference
                IndexRefineFlat)
   binary     : BFlat | BIVF<nlist> | BHash<b> (index_binary_factory,
                reference faiss/index_factory.cpp:895-915)
 e.g. "PCA32,IVF256,PQ8", "L2norm,Flat", "OPQ8,IVF64,PQ8,RFlat",
-"IVF65536(RCQ2x8),Flat".
+"IVF65536(RCQ2x8),Flat", "IMI2x10,Flat", "PQ8x4".
 
 Unsupported tokens raise ValueError with the offending token — same
 contract as the reference's FAISS_THROW on parse failure.
@@ -59,6 +59,7 @@ class IndexPlan:
     index_type: str = "flat"  # flat | ivfflat | ivfpq | ivfsq | ivfrq | pq | sq | rq
     nlist: int | None = None
     pq_m: int | None = None
+    pq_nbits: int = 8
     sq_bits: int | None = None
     rq_m: int | None = None
     # additive coarse quantizer (reference RCQ/LSQ-as-quantizer factory
@@ -125,7 +126,10 @@ class IndexPlan:
         elif self.index_type == "ivfflat":
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
         elif self.index_type == "ivfpq":
-            self.index = IVFPQIndex.train(cur, nlist=self.nlist, M=self.pq_m, seed=seed).add(cur)
+            self.index = IVFPQIndex.train(
+                cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
+                seed=seed,
+            ).add(cur)
         elif self.index_type == "ivfsq":
             self.index = IVFSQIndex.train(
                 cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
@@ -140,7 +144,9 @@ class IndexPlan:
             self._rq_codes = model.encode(cur)
             self.index = model
         elif self.index_type == "pq":
-            model = ProductQuantizer(M=self.pq_m, seed=seed).fit(cur)
+            model = ProductQuantizer(
+                M=self.pq_m, nbits=self.pq_nbits, seed=seed
+            ).fit(cur)
             self._pq_model = model
             self._pq_codes = model.encode(cur)
             self.index = model
@@ -257,9 +263,12 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             )
         if code == "Flat":
             plan.index_type = "ivfflat"
-        elif re.match(r"^PQ(\d+)$", code):
+        elif re.match(r"^PQ(\d+)(x\d+)?$", code):
+            pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
             plan.index_type = "ivfpq"
-            plan.pq_m = int(code[2:])
+            plan.pq_m = int(pm.group(1))
+            if pm.group(2):
+                plan.pq_nbits = int(pm.group(2))
         elif re.match(r"^SQ(4|6|8)$", code):
             plan.index_type = "ivfsq"
             plan.sq_bits = int(code[2:])
@@ -272,9 +281,12 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     elif tok == "Flat":
         plan.index_type = "flat"
         i += 1
-    elif re.match(r"^PQ(\d+)$", tok):
+    elif re.match(r"^PQ(\d+)(x\d+)?$", tok):
+        pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", tok)
         plan.index_type = "pq"
-        plan.pq_m = int(tok[2:])
+        plan.pq_m = int(pm.group(1))
+        if pm.group(2):
+            plan.pq_nbits = int(pm.group(2))
         i += 1
     elif re.match(r"^SQ(4|6|8|fp16)$", tok):
         plan.index_type = "sq"
@@ -324,7 +336,9 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append("Flat")
     elif plan.index_type == "ivfpq":
         parts.append(f"IVF{plan.nlist}")
-        parts.append(f"PQ{plan.pq_m}")
+        parts.append(
+            f"PQ{plan.pq_m}" + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+        )
     elif plan.index_type == "ivfsq":
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"SQ{plan.sq_bits}")
@@ -332,7 +346,9 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"RQ{plan.rq_m}")
     elif plan.index_type == "pq":
-        parts.append(f"PQ{plan.pq_m}")
+        parts.append(
+            f"PQ{plan.pq_m}" + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+        )
     elif plan.index_type == "sq":
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":

@@ -203,6 +203,27 @@ def test_ivf_range_search_full_probe_exact(vectors, queries):
     assert st.ndis > 0 and st.list_scans > 0 and st.nq == queries.count()
 
 
+def test_factory_pq_nbits(vectors, queries):
+    """PQ<m>x<b> factory form (reference index_factory.cpp PQ parse,
+    ProductQuantizer.h:30 arbitrary nbits): parses, reverses, and a
+    4-bit PQ still ranks each query's own encoding first."""
+    plan = index_factory("PQ8x4")
+    assert plan.pq_m == 8 and plan.pq_nbits == 4
+    assert reverse_index_factory(plan) == "PQ8x4"
+    assert index_factory("IVF16,PQ4x6").pq_nbits == 6
+    assert reverse_index_factory(index_factory("IVF16,PQ4x6")) == "IVF16,PQ4x6"
+    assert index_factory("PQ8").pq_nbits == 8  # default unchanged
+
+    from faiss_spark.operators.codecs import ProductQuantizer
+
+    pqm = ProductQuantizer(M=8, nbits=4, seed=42).fit(vectors)
+    assert pqm.ksub == 16
+    codes = pqm.encode(vectors)
+    rows = pqm.adc_search(codes, queries, 3).collect()
+    top1 = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    assert top1 == {q: q for q in top1}
+
+
 def test_get_code_size():
     from faiss_spark.plans.factory import get_code_size
 
