@@ -99,6 +99,18 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_lp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General Minkowski metric with metric_arg (faiss METRIC_Lp,
+    MetricType.h:25; extra_distances-inl.h:66-74): dist = sum|x-y|^p
+    without the root, here p=3."""
+    return _round(
+        knn(
+            _emb(spark, sf_dir), _queries_df(spark, sf_dir), K, "lp",
+            metric_arg=3.0,
+        )
+    )
+
+
 def q_knn_canberra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extra metric: Canberra distance top-k (faiss METRIC_Canberra)."""
     return _round(
@@ -1049,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_hash_search": q_spectral_hash_search,
         "polysemous_filter": q_polysemous_filter,
         "knn_filtered": q_knn_filtered,
+        "knn_lp3": q_knn_lp3,
         "vector_dedup": q_vector_dedup,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1057,7 +1070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "range_search_l2": q_range_search,
         "ivf_range_search": q_ivf_range_search,
-        "range_lims": q_range_lims,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
         "knn_graph": q_knn_graph,
@@ -1096,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "range_lims": q_range_lims,
         "sq8_reconstruction": q_sq8_reconstruction,
         "dedup_simhash64": q_dedup_simhash64,
         "knn_ip": q_knn_ip,
@@ -1196,6 +1209,11 @@ def oracle_sql() -> dict[str, str]:
         f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
         "abs(CAST(q.qv[i] AS DOUBLE) + CAST(e.embedding[i] AS DOUBLE))))"
     )
+    _LP3 = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> abs(CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) ** 3))"
+    )
+    sql["knn_lp3"] = _knn_sql(_LP3, "ASC")
     sql["knn_canberra"] = _knn_sql(_CANB, "ASC")
     # JS over probability vectors |v|/Σ|v| (REAL-cast like the Spark side)
     _PV = (

@@ -34,7 +34,8 @@ import numpy as np
 #: metrics where larger values are better (similarities)
 SIMILARITY_METRICS = frozenset({"ip", "cosine"})
 METRICS = frozenset(
-    {"l2", "ip", "cosine", "l1", "linf", "canberra", "braycurtis", "jensenshannon"}
+    {"l2", "ip", "cosine", "l1", "linf", "lp", "canberra", "braycurtis",
+     "jensenshannon"}
 )
 
 
@@ -62,11 +63,15 @@ def as_matrix(col, dtype=np.float64) -> np.ndarray:
     return np.asarray(np.stack(col), dtype=dtype)
 
 
-def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
+def pairwise_distances(
+    Q: np.ndarray, X: np.ndarray, metric: str, metric_arg: float | None = None
+) -> np.ndarray:
     """Dense (nq, nx) distance/similarity matrix, float64.
 
     l2 follows faiss and returns *squared* L2 (reference
-    faiss/utils/distances.h:232 ``knn_L2sqr``).
+    faiss/utils/distances.h:232 ``knn_L2sqr``); lp returns Σ|x−y|^p
+    without the root, p = metric_arg (reference faiss/MetricType.h:25,
+    utils/extra_distances-inl.h:66-74).
     """
     if metric == "l2":
         if Q.shape[1] <= 16:
@@ -106,6 +111,10 @@ def pairwise_distances(Q: np.ndarray, X: np.ndarray, metric: str) -> np.ndarray:
         return np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
     if metric == "linf":
         return np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    if metric == "lp":
+        if metric_arg is None:
+            raise ValueError("metric 'lp' needs metric_arg (the exponent p)")
+        return (np.abs(Q[:, None, :] - X[None, :, :]) ** metric_arg).sum(axis=2)
     # extra metrics (reference faiss/utils/extra_distances.h:23-48,
     # faiss/MetricType.h:23-33) — pairwise elementwise forms
     if metric == "canberra":
@@ -147,7 +156,7 @@ def _row_chunk(nq: int, m: int, d: int, metric: str, dt) -> int:
     return max(1, min(nq, int(_CHUNK_BYTES // max(1, per_row))))
 
 
-def _compute_block(Q, X, r0, r1, metric, qn, xn, dt, clip0=True) -> np.ndarray:
+def _compute_block(Q, X, r0, r1, metric, qn, xn, dt, clip0=True, metric_arg=None) -> np.ndarray:
     """Distances of query rows [r0:r1] × X into reused workspace (the
     returned view is owned by the workspace — consume before the next
     call). Op order matches pairwise_distances exactly so f64 results
@@ -189,10 +198,11 @@ def _compute_block(Q, X, r0, r1, metric, qn, xn, dt, clip0=True) -> np.ndarray:
         return D
     # elementwise metrics (l1/linf/canberra/...): delegate per chunk; the
     # (c, m, d) temp is bounded because _row_chunk divided by d
-    return pairwise_distances(np.ascontiguousarray(Q[r0:r1]), X, metric)
+    return pairwise_distances(np.ascontiguousarray(Q[r0:r1]), X, metric, metric_arg)
 
 
-def range_pairs(Q: np.ndarray, X: np.ndarray, metric: str, radius: float):
+def range_pairs(Q: np.ndarray, X: np.ndarray, metric: str, radius: float,
+                metric_arg: float | None = None):
     """All (query, candidate) index pairs with dist < radius (similarity
     metrics: dist > radius) — faiss range_search semantics (reference
     faiss/Index.h:145-150) computed through the reused workspace in
@@ -219,7 +229,7 @@ def range_pairs(Q: np.ndarray, X: np.ndarray, metric: str, radius: float):
     chunk = _row_chunk(nq, m, d, metric, dt)
     for r0 in range(0, nq, chunk):
         r1 = min(nq, r0 + chunk)
-        D = _compute_block(Q, X, r0, r1, metric, qn, xn, dt)
+        D = _compute_block(Q, X, r0, r1, metric, qn, xn, dt, metric_arg=metric_arg)
         mask = _wsbuf("rg_mask", D.size, np.bool_).reshape(D.shape)
         if largest:
             np.greater(D, radius, out=mask)
@@ -269,12 +279,16 @@ class TopKAccumulator:
         self._cap = max(4 * k * max(nq, 1), 1 << 16)
         self._Q = None
         self._metric = None
+        self._metric_arg = None
         self._qn = None
 
     # ------------------------------------------------ fused GEMM scan --
-    def bind_queries(self, Q: np.ndarray, metric: str) -> None:
+    def bind_queries(
+        self, Q: np.ndarray, metric: str, metric_arg: float | None = None
+    ) -> None:
         """Precompute per-query terms once per task; enables push_block."""
         self._metric = metric
+        self._metric_arg = metric_arg
         if metric == "cosine":
             qn = np.linalg.norm(Q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
@@ -312,7 +326,8 @@ class TopKAccumulator:
         chunk = _row_chunk(nq, m, d, metric, dt)
         for r0 in range(0, nq, chunk):
             r1 = min(nq, r0 + chunk)
-            D = _compute_block(Q, X, r0, r1, metric, self._qn, xn, dt)
+            D = _compute_block(Q, X, r0, r1, metric, self._qn, xn, dt,
+                               metric_arg=self._metric_arg)
             if exclude_same_id and qids is not None:
                 hit = qids[r0:r1, None] == ids[None, :]
                 D[hit] = -np.inf if self.largest else np.inf

@@ -107,6 +107,7 @@ def knn(
     qvec_col: str = "vec",
     exclude_same_id: bool = False,
     dtype: str = "f64",
+    metric_arg: float | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors of every query under `metric`.
 
@@ -120,6 +121,8 @@ def knn(
     memory traffic / ~2× the GEMM rate) for recall-style workloads.
     """
     _validate_metric(metric)
+    if metric == "lp" and metric_arg is None:
+        raise ValueError("metric 'lp' needs metric_arg (the exponent p)")
     largest = metric in SIMILARITY_METRICS
     np_dt = _np_dtype(dtype)
     spark = vectors.sparkSession
@@ -131,7 +134,7 @@ def knn(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_ = bc.value
         acc = TopKAccumulator(len(qids_), k, largest)
-        acc.bind_queries(Q_, metric)
+        acc.bind_queries(Q_, metric, metric_arg)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -166,6 +169,7 @@ def range_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    metric_arg: float | None = None,
 ) -> DataFrame:
     """All (query, vector) pairs with dist < radius (similarity metrics:
     dist > radius), following faiss range_search semantics (reference
@@ -192,7 +196,7 @@ def range_search(
                 continue
             X = as_matrix(pdf["vec"])
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            hit_q, hit_x, vals = range_pairs(Q_, X, metric, radius)
+            hit_q, hit_x, vals = range_pairs(Q_, X, metric, radius, metric_arg)
             if len(hit_q):
                 yield pd.DataFrame(
                     {
@@ -232,7 +236,9 @@ def knn_join(
     )
 
 
-def distance_expr(a: Column, b: Column, metric: str = "l2") -> Column:
+def distance_expr(
+    a: Column, b: Column, metric: str = "l2", metric_arg: float | None = None
+) -> Column:
     """Pure-SQL distance between two array<float> columns, computed in
     double (reference kernels: faiss/utils/distances.h:28-37).
 
@@ -270,6 +276,15 @@ def distance_expr(a: Column, b: Column, metric: str = "l2") -> Column:
         )
     if metric == "linf":
         return F.array_max(F.zip_with(ax, bx, lambda x, y: F.abs(x - y)))
+    if metric == "lp":
+        if metric_arg is None:
+            raise ValueError("metric 'lp' needs metric_arg (the exponent p)")
+        p = F.lit(float(metric_arg))
+        return F.aggregate(
+            F.zip_with(ax, bx, lambda x, y: F.pow(F.abs(x - y), p)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
     raise ValueError(f"unknown metric {metric!r}")
 
 

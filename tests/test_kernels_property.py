@@ -67,6 +67,12 @@ def test_metric_identities(n, d, seed):
     assert (Cb <= d + 1e-9).all() and (Cb >= -1e-9).all()
     Bc = pairwise_distances(X, X, "braycurtis")
     assert np.allclose(np.diag(Bc), 0, atol=1e-9)
+    # Lp: p=2 equals squared L2 (no root, faiss METRIC_Lp convention);
+    # p=1 equals L1
+    Lp2 = pairwise_distances(X, X, "lp", metric_arg=2.0)
+    assert np.allclose(Lp2, D, atol=1e-7)
+    Lp1 = pairwise_distances(X, X, "lp", metric_arg=1.0)
+    assert np.allclose(Lp1, pairwise_distances(X, X, "l1"), atol=1e-9)
 
 
 @settings(max_examples=20, deadline=None)
