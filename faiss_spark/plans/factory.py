@@ -68,6 +68,7 @@ class IndexPlan:
     coarse_m: int | None = None
     coarse_nbits: int | None = None
     refine_flat: bool = False
+    flat_dedup: bool = False
     k_factor: int = 4
     metric: str = "l2"
 
@@ -123,6 +124,15 @@ class IndexPlan:
                 cur, M=self.coarse_m, nbits=self.coarse_nbits, seed=seed,
                 lsq=(self.coarse == "lsq"),
             ).add(cur)
+        elif self.index_type == "ivfflat" and self.flat_dedup:
+            from faiss_spark.operators.refine import dedup_flat
+
+            dd = dedup_flat(cur).localCheckpoint(eager=False)
+            reps = dd.select(F.col("rep_id").alias("id"), "vec")
+            self._dedup_ids = dd.select(F.col("rep_id").alias("id"), "ids")
+            self.index = IVFIndex.train(
+                reps, nlist=self.nlist, metric=self.metric, seed=seed
+            ).add(reps)
         elif self.index_type == "ivfflat":
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
         elif self.index_type == "ivfpq":
@@ -176,6 +186,12 @@ class IndexPlan:
             res = knn(self._transformed, q, k_cand, metric=self.metric, qid_col="qid")
         elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq"):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
+            if self.flat_dedup:
+                # IndexIVFFlatDedup: duplicated ids materialize at result
+                # time (reference IndexIVFFlatDedup.h:30 instances map)
+                res = res.join(self._dedup_ids, "id").select(
+                    "qid", F.explode("ids").alias("id"), "dist", "rank"
+                )
         elif self.index_type == "pq":
             res = self._pq_model.adc_search(self._pq_codes, q, k_cand, qid_col="qid")
         elif self.index_type == "rq":
@@ -203,6 +219,11 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         tok = tokens[i]
         if tok == "L2norm":
             plan.sql_transforms.append(("l2norm", None))
+            i += 1
+            continue
+        if tok in ("IDMap", "IDMap2"):
+            # id wrappers are free here — ids are a column everywhere
+            # (reference index_factory.cpp:741-751)
             i += 1
             continue
         m = re.match(r"^Pad(\d+)$", tok)
@@ -261,7 +282,12 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             raise ValueError(
                 f"additive coarse quantizer supports Flat codes only, got {code!r}"
             )
-        if code == "Flat":
+        if code == "FlatDedup":
+            # IndexIVFFlatDedup (reference faiss/IndexIVFFlatDedup.h:21):
+            # store one entry per distinct vector, explode ids at result
+            plan.index_type = "ivfflat"
+            plan.flat_dedup = True
+        elif code == "Flat":
             plan.index_type = "ivfflat"
         elif re.match(r"^PQ(\d+)(x\d+)?$", code):
             pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
@@ -333,7 +359,7 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             )
         else:
             parts.append(f"IVF{plan.nlist}")
-        parts.append("Flat")
+        parts.append("FlatDedup" if plan.flat_dedup else "Flat")
     elif plan.index_type == "ivfpq":
         parts.append(f"IVF{plan.nlist}")
         parts.append(

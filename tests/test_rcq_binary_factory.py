@@ -203,6 +203,36 @@ def test_ivf_range_search_full_probe_exact(vectors, queries):
     assert st.ndis > 0 and st.list_scans > 0 and st.nq == queries.count()
 
 
+def test_factory_flat_dedup_and_idmap(vectors, queries):
+    """IVF<n>,FlatDedup (reference IndexIVFFlatDedup, index_factory
+    FlatDedup code) stores one entry per distinct vector and explodes
+    duplicate ids at result time; IDMap tokens parse as no-ops."""
+    plan = index_factory("IDMap,IVF8,FlatDedup")
+    assert plan.flat_dedup
+    assert reverse_index_factory(plan) == "IVF8,FlatDedup"
+    plan.fit(vectors, seed=42)
+    rows = plan.search(queries, 3, nprobe=8).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["id"])
+    # every query finds itself (its vector's rep is in the index; the
+    # explode restores the original id)
+    assert all(q in ids for q, ids in by_q.items())
+    # duplicate groups: ids sharing a vector all materialize together
+    from faiss_spark.operators.refine import dedup_flat
+
+    dups = {
+        frozenset(r["ids"])
+        for r in dedup_flat(vectors).filter("n_dup > 1").collect()
+    }
+    if dups:  # embeddings table has duplicate vectors by construction
+        grp = next(iter(dups))
+        rep = min(grp)
+        hit_qs = [q for q, ids in by_q.items() if rep in ids]
+        for q in hit_qs:
+            assert grp <= by_q[q]
+
+
 def test_factory_pq_nbits(vectors, queries):
     """PQ<m>x<b> factory form (reference index_factory.cpp PQ parse,
     ProductQuantizer.h:30 arbitrary nbits): parses, reverses, and a
