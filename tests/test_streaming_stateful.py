@@ -1,0 +1,121 @@
+"""Stateful streaming operators (applyInPandasWithState): the streaming
+sessionize must reproduce the batch lag-window sessionize when events
+arrive in order across micro-batches; running dedup must emit each key
+once, first-batch-wins."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.session import load_tables
+from faiss_spark.streaming.stateful import (
+    running_dedup_stream,
+    sessionize_stream,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _run_stream(spark, src_dir, schema, make_query, tmp_path):
+    """availableNow + maxFilesPerTrigger=1 → one micro-batch per file;
+    collect every update via foreachBatch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    rows = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        make_query(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return rows
+
+
+def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
+    ev = tables["events"]
+    # two ordered micro-batches: everything before the median ts, then
+    # the rest — per-user cross-batch ordering holds
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(ts_us.alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    src = str(tmp_path / "events_stream")
+    ev.filter(ts_us <= F.lit(int(med))).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    ev.filter(ts_us > F.lit(int(med))).coalesce(1).write.mode("append").parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 2
+
+    rows = _run_stream(
+        spark, src, ev.schema, lambda s: sessionize_stream(s), tmp_path
+    )
+    # last emit per user = final cumulative counts
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    # batch twin (same math as the events_sessionize driver entry)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap = ts_us - prev
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in (
+            ev.withColumn(
+                "new_s",
+                F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_s").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert final == want and len(want) > 0
+
+
+def test_running_dedup_stream_first_batch_wins(spark, tables, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    src = str(tmp_path / "docs_stream")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(src)
+
+    rows = _run_stream(
+        spark,
+        src,
+        docs.schema,
+        lambda s: running_dedup_stream(s, F.md5(F.col("text"))),
+        tmp_path,
+    )
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys))  # each key emitted exactly once
+    # equals the batch keep-first answer on the same ORDERED arrival:
+    # min doc_id per fingerprint
+    want = {
+        (r["key"], r["doc_id"])
+        for r in docs.select(
+            F.md5(F.col("text")).alias("key"), "doc_id"
+        )
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert {(r["key"], r["doc_id"]) for r in rows} == want
