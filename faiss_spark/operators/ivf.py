@@ -1445,7 +1445,7 @@ class IVFAQIndex:
             (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         )
         resid = X - C[d2.argmin(1)]
-        ksub = min(1 << nbits, len(resid))
+        ksub = min(256, len(resid))
         books = np.empty((M, ksub, X.shape[1]), np.float64)
         r = resid.copy()
         for m in range(M):
