@@ -120,3 +120,24 @@ def test_distance_expr_matches_numpy(spark):
     )
     assert r["l1"] == pytest.approx(np.abs(an - bn).sum())
     assert r["linf"] == pytest.approx(np.abs(an - bn).max())
+
+
+def test_knn_f32_matches_f64_neighbors(vectors, queries):
+    """The f32 compute path (sgemm mirror) must return the same neighbor
+    SETS as f64 on well-separated data — only the distance values may
+    differ in low-order bits."""
+    f64 = {(r["qid"], r["id"]) for r in knn(vectors, queries, 5).collect()}
+    f32 = {
+        (r["qid"], r["id"])
+        for r in knn(vectors, queries, 5, dtype="f32").collect()
+    }
+    assert f32 == f64
+
+
+def test_lp_expr_matches_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, 6.0, 8.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>").select(
+        distance_expr(F.col("a"), F.col("b"), "lp", metric_arg=3.0).alias("lp3")
+    )
+    an, bn = np.array(a), np.array(b)
+    assert df.collect()[0]["lp3"] == pytest.approx((np.abs(an - bn) ** 3).sum())
