@@ -563,6 +563,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern counts per document (emails / urls / phone-shaped
+    digit runs) — the redaction signal of a pretraining pipeline; pure
+    codegen regexes with an exact RE2 twin."""
+    from faiss_spark.functions.text import pii_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", pii_features(F.col("text")).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.n_emails").alias("n_emails"),
+        F.col("p.n_urls").alias("n_urls"),
+        F.col("p.n_phones").alias("n_phones"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct 3-gram
+    shingles shared with the doc_id<25 'benchmark' slice; contaminated =
+    ≥2 hits. Broadcast semi-join on content n-grams — the corpus is
+    never self-joined."""
+    from faiss_spark.operators.dedup import decontaminate
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") < 25)
+    return decontaminate(docs, bench, n=3, min_hits=2).orderBy("doc_id")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1070,8 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "range_search_l2": q_range_search,
         "ivf_range_search": q_ivf_range_search,
-        "topk_per_group": q_topk_per_group,
-        "image_features": q_image_features,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
@@ -1091,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_features": q_text_features,
+        "pii_features": q_pii_features,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
         "pca_project": q_pca_project,
@@ -1108,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "topk_per_group": q_topk_per_group,
+        "image_features": q_image_features,
         "range_lims": q_range_lims,
         "sq8_reconstruction": q_sq8_reconstruction,
         "dedup_simhash64": q_dedup_simhash64,
@@ -1714,6 +1745,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id
+    """
+    sql["pii_features"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({_NORM}, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all({_NORM}, 'https?://[^ ]+')) AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(regexp_replace({_NORM}, '[-() ]', '', 'g'), '[0-9]{{7,}}')) AS INT) AS n_phones
+        FROM documents
+    """
+    sql["decontaminate"] = f"""
+        WITH sh AS (SELECT doc_id AS id, {_SHINGLES} AS s FROM documents),
+        bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE id < 25),
+        post AS (SELECT id, unnest(s) AS g FROM sh),
+        h AS (SELECT id, count(*) AS n_hits FROM post JOIN bg USING (g) GROUP BY id)
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) >= 2 AS contaminated
+        FROM documents d LEFT JOIN h ON d.doc_id = h.id
+        ORDER BY d.doc_id
     """
     sql["events_sessions"] = """
         SELECT user_id, event_type, count(*) AS n_events,

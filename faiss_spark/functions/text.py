@@ -218,3 +218,24 @@ def filter_corpus(
             & F.col("lang_pred").isin(*langs)
         )
     )
+
+
+def pii_features(text: Column) -> Column:
+    """Counts of common PII-shaped patterns — the redaction/filter signal
+    of a pretraining pipeline: struct(n_emails, n_urls, n_phones). Pure
+    codegen regexes over the normalized text, patterns chosen to count
+    identically under Java regex and RE2 (the DuckDB oracle): email =
+    user@host.tld tokens, url = http(s) scheme, phone = any ≥7-digit run
+    after separators ('-', '(', ')', ' ') are removed — non-overlapping
+    counts in both engines."""
+    norm = normalize_text(text)
+    emails = F.regexp_count(norm, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"))
+    urls = F.regexp_count(norm, F.lit(r"https?://[^ ]+"))
+    phones = F.regexp_count(
+        F.regexp_replace(norm, r"[-() ]", ""), F.lit(r"[0-9]{7,}")
+    )
+    return F.struct(
+        emails.cast("int").alias("n_emails"),
+        urls.cast("int").alias("n_urls"),
+        phones.cast("int").alias("n_phones"),
+    )

@@ -690,3 +690,48 @@ def dedup_components(
         if changed == 0:
             break
     return labels.select(F.col("src").alias("id"), F.col("rep").alias("rep_id"))
+
+
+def decontaminate(
+    corpus: "DataFrame",
+    benchmark: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+):
+    """Benchmark decontamination — the eval-integrity step of a
+    training-data pipeline: count, per corpus document, how many distinct
+    word n-grams it shares with ANY benchmark document, and flag docs at
+    ≥ min_hits.
+
+    Plan shape at 100 TB: the benchmark n-gram set is tiny (eval suites),
+    so it broadcasts; the corpus side is one scan → explode distinct
+    shingles → broadcast-semi-join → per-doc count. The corpus is never
+    self-joined and never shuffled by content (only the final per-doc
+    count aggregates, keyed on doc id). Set broadcast_benchmark=False to
+    fall back to a shuffle join for very large benchmark sets.
+
+    Returns (doc_id, n_hits, contaminated) for every corpus doc."""
+    from faiss_spark.functions.text import shingles as _sh
+
+    c = corpus.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(_sh(F.col(text_col), n)).alias("g"),
+    )
+    b = benchmark.select(
+        F.explode(_sh(F.col(text_col), n)).alias("g")
+    ).distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hits = c.join(b, "g").groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    ids = corpus.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -230,3 +230,40 @@ def test_filter_corpus_predicates_hold(tables):
     ids = {r["doc_id"] for r in kept}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert ids <= all_ids
+
+
+def test_pii_features_counts(spark):
+    from faiss_spark.functions.text import pii_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact Bob.Smith+x@example.org or https://a.b/c now"),
+            (2, "call (415) 555-0199 x2 or +1 650 555 0100"),
+            (3, "nothing here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["p"]["n_emails"], r["p"]["n_urls"], r["p"]["n_phones"])
+        for r in df.select("doc_id", pii_features(F.col("text")).alias("p")).collect()
+    }
+    assert rows[1] == (1, 1, 0)
+    assert rows[2][2] == 2  # two ≥7-digit runs after separator removal
+    assert rows[3] == (0, 0, 0)
+
+
+def test_decontaminate_flags_benchmark_members(tables, spark):
+    """Docs IN the benchmark slice are maximally contaminated (they share
+    all their shingles); the broadcast plan never shuffles the corpus by
+    content."""
+    from faiss_spark.operators.dedup import decontaminate
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") < 10)
+    res = decontaminate(docs, bench, n=3, min_hits=1)
+    flagged = {r["doc_id"] for r in res.filter("contaminated").collect()}
+    assert set(range(10)) <= flagged
+    clean = res.filter(~F.col("contaminated")).count()
+    assert clean > 0  # most of the corpus is unrelated to the benchmark
+    p = res._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in p
