@@ -592,6 +592,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3, min_hits=2).orderBy("doc_id")
 
 
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fractions (repetition filter signal): per doc,
+    1 − distinct/total over word 2- and 3-grams."""
+    from faiss_spark.functions.text import repetition_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", repetition_features(F.col("text")).alias("r")
+    ).select(
+        "doc_id",
+        F.col("r.rep_2").alias("rep_2"),
+        F.col("r.rep_3").alias("rep_3"),
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1120,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "pii_features": q_pii_features,
         "decontaminate": q_decontaminate,
+        "repetition_features": q_repetition_features,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
         "pca_project": q_pca_project,
@@ -1128,7 +1144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivf_search": q_bivf_search,
         "jaccard_knn": q_jaccard_knn,
         "dedup_simhash": q_dedup_simhash,
-        "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "knn_graph_bucketed": q_knn_graph_bucketed,
@@ -1137,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "matrix_stats": q_matrix_stats,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
         "range_lims": q_range_lims,
@@ -1745,6 +1761,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id
+    """
+    def _rep_frac(n: int) -> str:
+        grams = (
+            f"list_transform(range(1, len({_TOKS}) - {n - 2}), "
+            f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' '))"
+        )
+        return (
+            f"CASE WHEN len({_TOKS}) >= {n} THEN "
+            f"round(CAST(len({grams}) - len(list_distinct({grams})) AS DOUBLE) "
+            f"/ len({grams}), 6) ELSE 0.0 END"
+        )
+
+    sql["repetition_features"] = f"""
+        SELECT doc_id, {_rep_frac(2)} AS rep_2, {_rep_frac(3)} AS rep_3
+        FROM documents
     """
     sql["pii_features"] = f"""
         SELECT doc_id,

@@ -239,3 +239,27 @@ def pii_features(text: Column) -> Column:
         urls.cast("int").alias("n_urls"),
         phones.cast("int").alias("n_phones"),
     )
+
+
+def repetition_features(text: Column, ns: tuple[int, ...] = (2, 3)) -> Column:
+    """Duplicate n-gram fractions — the repetition quality signal of a
+    pretraining pipeline (heavily repeated phrases indicate boilerplate
+    or degenerate text): for each n, 1 − distinct/total over the doc's
+    word n-grams (0 for docs shorter than n words). Pure codegen; struct
+    field names are rep_<n>."""
+
+    def one(n: int) -> Column:
+        def build(t: Column) -> Column:
+            grams = F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+            total = F.size(grams)
+            dup = (total - F.size(F.array_distinct(grams))).cast("double")
+            return F.when(F.size(t) >= n, F.round(dup / total, 6)).otherwise(
+                F.lit(0.0)
+            )
+
+        return bind(tokens(text), build).alias(f"rep_{n}")
+
+    return F.struct(*[one(n) for n in ns])

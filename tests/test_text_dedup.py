@@ -267,3 +267,25 @@ def test_decontaminate_flags_benchmark_members(tables, spark):
     assert clean > 0  # most of the corpus is unrelated to the benchmark
     p = res._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_repetition_features(spark):
+    from faiss_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words here differ fully"),
+            (3, "x"),             # shorter than n -> 0
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["r"]["rep_2"], r["r"]["rep_3"])
+        for r in df.select(
+            "doc_id", repetition_features(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert rows[1][0] == pytest.approx(3 / 5)  # 5 bigrams, 2 distinct
+    assert rows[2] == (0.0, 0.0)
+    assert rows[3] == (0.0, 0.0)
