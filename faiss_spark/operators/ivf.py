@@ -1069,12 +1069,37 @@ class IMIIVFIndex:
         sub = train_imi(vectors, 1 << nbits, vec_col=vec_col, seed=seed, niter=niter)
         return IMIIVFIndex(sub_centroids=sub)
 
-    def add(self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"):
-        self.codes = imi_assign(
+    def add(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
+        path: str | None = None,
+    ):
+        codes = imi_assign(
             vectors, self.sub_centroids, id_col=id_col, vec_col=vec_col,
             keep_vec=True,
         ).select("list_no", "id", "vec")
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy(
+                "list_no"
+            ).parquet(path)
+            spark = vectors.sparkSession
+            os.makedirs(path, exist_ok=True)
+            np.save(os.path.join(path, "_imi_sub_centroids.npy"), self.sub_centroids)
+            with open(os.path.join(path, "_imi_meta.json"), "w") as f:
+                json.dump({"metric": self.metric, "ksub": int(self.ksub)}, f)
+            self.codes = spark.read.parquet(path)
+        else:
+            self.codes = codes
         return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IMIIVFIndex":
+        with open(os.path.join(path, "_imi_meta.json")) as f:
+            meta = json.load(f)
+        return IMIIVFIndex(
+            sub_centroids=np.load(os.path.join(path, "_imi_sub_centroids.npy")),
+            metric=meta["metric"],
+            codes=spark.read.parquet(path),
+        )
 
     def _probe(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
         """Top-nprobe cells per query by product distance (reference
@@ -1343,6 +1368,46 @@ class IVFSpectralHash:
             enc, schema="list_no int, id bigint, code array<bigint>"
         )
         return self
+
+    def save(self, path: str) -> None:
+        """Persist codes (partitioned by list) + model artifacts."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_sh_centroids.npy"), self.centroids)
+        np.save(os.path.join(path, "_sh_A.npy"), self.A)
+        if self.b is not None:
+            np.save(os.path.join(path, "_sh_b.npy"), self.b)
+        if self.trained is not None:
+            np.save(os.path.join(path, "_sh_trained.npy"), self.trained)
+        with open(os.path.join(path, "_sh_meta.json"), "w") as f:
+            json.dump(
+                {"period": self.period, "threshold_type": self.threshold_type},
+                f,
+            )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFSpectralHash":
+        with open(os.path.join(path, "_sh_meta.json")) as f:
+            meta = json.load(f)
+
+        def opt(name):
+            p = os.path.join(path, name)
+            return np.load(p) if os.path.exists(p) else None
+
+        idx = IVFSpectralHash(
+            centroids=np.load(os.path.join(path, "_sh_centroids.npy")),
+            A=np.load(os.path.join(path, "_sh_A.npy")),
+            b=opt("_sh_b.npy"),
+            trained=opt("_sh_trained.npy"),
+            period=meta["period"],
+            threshold_type=meta["threshold_type"],
+        )
+        idx.codes = spark.read.parquet(path)
+        return idx
 
     def search(
         self, queries: DataFrame, k: int, nprobe: int = 1,

@@ -192,6 +192,31 @@ def test_ivf_spectral_hash_trained_modes(vectors):
         assert all(v == 0.0 for v in top1.values()), (ttype, top1)
 
 
+def test_imi_and_spectral_persist_roundtrip(vectors, spark, tmp_path):
+    """write/read for the round-4 index types: results identical after
+    save → load (partitioned codes + npy/json artifacts)."""
+    from faiss_spark.operators.ivf import IMIIVFIndex, IVFSpectralHash
+
+    q = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+
+    imi = IMIIVFIndex.train(vectors, nbits=2, seed=42)
+    imi.add(vectors, path=str(tmp_path / "imi"))
+    want = {tuple(r) for r in imi.search(q, 3, nprobe=imi.nlist).collect()}
+    imi2 = IMIIVFIndex.load(spark, str(tmp_path / "imi"))
+    got = {tuple(r) for r in imi2.search(q, 3, nprobe=imi2.nlist).collect()}
+    assert got == want and len(want) > 0
+
+    sh = IVFSpectralHash.train(
+        vectors, nlist=4, nbit=16, threshold_type="median", transform="pca",
+        seed=42, niter=5,
+    ).add(vectors)
+    want = {tuple(r) for r in sh.search(q, 3, nprobe=4).collect()}
+    sh.save(str(tmp_path / "sh"))
+    sh2 = IVFSpectralHash.load(spark, str(tmp_path / "sh"))
+    got = {tuple(r) for r in sh2.search(q, 3, nprobe=4).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_spectral_hash_binarize_matches_reference_formula(vectors):
     """_binarize == binarize_with_freq (cpp:146-158) computed by hand."""
     from faiss_spark.operators.ivf import IVFSpectralHash
