@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from faiss_spark.functions.text import fingerprint, normalize_text, shingles
+from faiss_spark.functions.text import fingerprint, shingles
 from faiss_spark.operators.knn import range_search
 
 # LSH defaults: 12 hashes = 4 bands × 3 rows → s-curve threshold ≈ 0.63

@@ -208,7 +208,6 @@ def knn_graph_bucketed(
         SIMILARITY_METRICS,
         TopKAccumulator,
         as_matrix,
-        pairwise_distances,
     )
     from faiss_spark.operators.cluster import KMeans
     from faiss_spark.operators.knn import _np_dtype

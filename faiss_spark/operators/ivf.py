@@ -46,7 +46,7 @@ from faiss_spark.kernels import (
     pairwise_distances,
 )
 from faiss_spark.operators.cluster import KMeans, KMeansModel
-from faiss_spark.operators.codecs import ProductQuantizer, ProductQuantizerModel
+from faiss_spark.operators.codecs import ProductQuantizerModel
 
 
 @dataclass
@@ -581,8 +581,6 @@ class IVFPQIndex:
             - 2.0 * (X @ C.T)
         )
         resid = X - C[d2.argmin(1)]
-        import pandas as _pd
-
         # train PQ codebooks on the residual sample (driver-side numpy)
         from faiss_spark.operators.codecs import _kmeans_np
 

@@ -42,7 +42,6 @@ from faiss_spark.kernels import (
     SIMILARITY_METRICS,
     TopKAccumulator,
     as_matrix,
-    pairwise_distances,
 )
 
 _RESULT_SCHEMA = "qid bigint, id bigint, dist double"
