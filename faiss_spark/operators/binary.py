@@ -427,3 +427,133 @@ class BinaryHashIndex:
             .filter(F.col("rank") <= k)
             .select("qid", "id", "dist", "rank")
         )
+
+
+class BinaryMultiHashIndex:
+    """Multi-table hash-bucketed binary index (reference
+    IndexBinaryMultiHash, faiss/IndexBinaryHash.h:81; factory
+    "BHash<nhash>x<b>"): nhash independent hash tables, table h bucketing
+    by bits [h·b, (h+1)·b) of the code. A radius-r search probes every
+    table's flip-enumerated buckets and unions the candidates — each
+    table covers misses of the others, so recall rises with nhash at the
+    same per-table cost.
+
+    Spark layout: the codes are exploded nhash× into (tbl, bucket, id,
+    code) and partitioned by (tbl, bucket) — probing is partition
+    pruning on both keys. The reference pays nhash hash-maps over one
+    code array instead of nhash× rows; on a columnar store the explode
+    is the analogous trade (codes column dictionary-compresses, and the
+    scan only ever reads probed partitions)."""
+
+    def __init__(self, nhash: int, b: int):
+        if not 1 <= b <= WORD_BITS:
+            raise ValueError(f"hash bits b must be in 1..{WORD_BITS}")
+        if nhash < 1:
+            raise ValueError("nhash must be >= 1")
+        self.nhash = nhash
+        self.b = b
+        self.codes: DataFrame | None = None
+
+    def _bucket_expr(self, code_col: str, h: int) -> Column:
+        """Bits [h·b, h·b + b) of the code as an int (crossing word
+        boundaries when needed)."""
+        start = h * self.b
+        w = start // WORD_BITS
+        shift = start % WORD_BITS
+        lo = F.shiftrightunsigned(F.col(code_col)[w], shift)
+        if shift + self.b > WORD_BITS:
+            # slice crosses into the next word: take its low bits, mask
+            # BEFORE shifting left so the long arithmetic cannot overflow
+            hi_bits = shift + self.b - WORD_BITS
+            nxt = F.coalesce(F.col(code_col)[w + 1], F.lit(0))
+            hi = F.shiftleft(
+                nxt.bitwiseAND(F.lit((1 << hi_bits) - 1)), WORD_BITS - shift
+            )
+            val = lo + hi
+        else:
+            val = lo
+        # pmod: at shift=0 the raw signed word can be negative
+        return F.pmod(val, F.lit(1 << self.b)).cast("int")
+
+    def add(
+        self, codes: DataFrame, id_col: str = "id", code_col: str = "code",
+        path: str | None = None,
+    ) -> "BinaryMultiHashIndex":
+        parts = [
+            codes.select(
+                F.lit(h).alias("tbl"),
+                self._bucket_expr(code_col, h).alias("bucket"),
+                F.col(id_col).cast("bigint").alias("id"),
+                F.col(code_col).alias("code"),
+            )
+            for h in range(self.nhash)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if path is not None:
+            out.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
+                "tbl", "bucket"
+            ).parquet(path)
+            self.codes = codes.sparkSession.read.parquet(path)
+        else:
+            self.codes = out
+        return self
+
+    def search(
+        self, qcodes: DataFrame, k: int, radius: int = 1,
+        qid_col: str = "qid", qcode_col: str = "qcode",
+    ) -> DataFrame:
+        """Probe each table's flip-enumerated buckets, union candidates,
+        verify full Hamming once per (query, candidate), top-k."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        qpdf = qcodes.select(qid_col, qcode_col).toPandas()
+        mask = (1 << self.b) - 1
+        probe_rows = []
+        probed: set[tuple[int, int]] = set()
+        for i in range(len(qpdf)):
+            qw = [int(w) for w in qpdf[qcode_col].iloc[i]]
+            qid = int(qpdf[qid_col].iloc[i])
+            for h in range(self.nhash):
+                start = h * self.b
+                w = start // WORD_BITS
+                shift = start % WORD_BITS
+                # words are stored as signed int64 — go through the
+                # unsigned view before shifting (python >> is arithmetic)
+                u = qw[w] & ((1 << WORD_BITS) - 1)
+                val = u >> shift
+                if shift + self.b > WORD_BITS and w + 1 < len(qw):
+                    u2 = qw[w + 1] & ((1 << WORD_BITS) - 1)
+                    val |= u2 << (WORD_BITS - shift)
+                prefix = val & mask
+                for bkt in BinaryHashIndex._flips(prefix, self.b, radius):
+                    probe_rows.append((qid, qw, h, bkt))
+                    probed.add((h, bkt))
+        probes = spark.createDataFrame(
+            probe_rows, "qid bigint, qcode array<bigint>, tbl int, bucket int"
+        )
+        pair_filter = F.struct(F.col("tbl"), F.col("bucket")).isin(
+            [F.struct(F.lit(h), F.lit(b_)) for h, b_ in sorted(probed)]
+        )
+        pruned = self.codes.filter(pair_filter)
+        joined = (
+            pruned.join(F.broadcast(probes), ["tbl", "bucket"])
+            .select(
+                "qid",
+                "id",
+                hamming_expr(F.col("code"), F.col("qcode"))
+                .cast("double")
+                .alias("dist"),
+            )
+            # the same (query, candidate) can surface from several tables
+            .groupBy("qid", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "id", "dist", "rank")
+        )

@@ -417,9 +417,10 @@ class BinaryIndexPlan:
     Operates on binarized code tables (id, code array<bigint>) — produce
     them with operators/binary.binarize or binarize_rotated."""
 
-    kind: str  # "bflat" | "bivf" | "bhash"
+    kind: str  # "bflat" | "bivf" | "bhash" | "bmultihash"
     nlist: int | None = None
     hash_b: int | None = None
+    nhash: int | None = None
 
     index: object | None = None
     _codes = None
@@ -439,6 +440,12 @@ class BinaryIndexPlan:
             self.index = BinaryIVFIndex.train(
                 codes, nlist=self.nlist, nbits=nbits, code_col=code_col, seed=seed
             ).add(codes, id_col=id_col, code_col=code_col)
+        elif self.kind == "bmultihash":
+            from faiss_spark.operators.binary import BinaryMultiHashIndex
+
+            self.index = BinaryMultiHashIndex(self.nhash, self.hash_b).add(
+                codes, id_col=id_col, code_col=code_col
+            )
         else:
             self.index = BinaryHashIndex(self.hash_b).add(
                 codes, id_col=id_col, code_col=code_col
@@ -475,6 +482,12 @@ def index_binary_factory(description: str) -> BinaryIndexPlan:
     m = re.match(r"^BIVF(\d+)$", desc)
     if m:
         return BinaryIndexPlan(kind="bivf", nlist=int(m.group(1)))
+    m = re.match(r"^BHash(\d+)x(\d+)$", desc)
+    if m:
+        # IndexBinaryMultiHash (reference index_factory.cpp:911)
+        return BinaryIndexPlan(
+            kind="bmultihash", nhash=int(m.group(1)), hash_b=int(m.group(2))
+        )
     m = re.match(r"^BHash(\d+)$", desc)
     if m:
         return BinaryIndexPlan(kind="bhash", hash_b=int(m.group(1)))
@@ -486,4 +499,6 @@ def reverse_index_binary_factory(plan: BinaryIndexPlan) -> str:
         return "BFlat"
     if plan.kind == "bivf":
         return f"BIVF{plan.nlist}"
+    if plan.kind == "bmultihash":
+        return f"BHash{plan.nhash}x{plan.hash_b}"
     return f"BHash{plan.hash_b}"

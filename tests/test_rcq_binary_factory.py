@@ -323,6 +323,30 @@ def test_bivf_full_probe_equals_bflat(bincodes, binqueries):
     assert got == expect
 
 
+def test_bmultihash_recall_dominates_single_table(bincodes, binqueries):
+    """BHash<nhash>x<b> (IndexBinaryMultiHash): multiple independent
+    hash tables union their candidates, so at the same radius the
+    multi-table index retrieves a SUPERSET of any single table's
+    verified pairs — and every query still finds itself at Hamming 0."""
+    plan = index_binary_factory("BHash2x8")
+    assert plan.kind == "bmultihash" and plan.nhash == 2 and plan.hash_b == 8
+    assert reverse_index_binary_factory(plan) == "BHash2x8"
+    plan.fit(bincodes, nbits=64)
+    multi = plan.search(binqueries, 5, radius=1).collect()
+    rank1 = {r["qid"]: (r["id"], r["dist"]) for r in multi if r["rank"] == 1}
+    for q, (i, d) in rank1.items():
+        assert i == q and d == 0.0
+    single = index_binary_factory("BHash8").fit(bincodes, nbits=64)
+    spairs = {
+        (r["qid"], r["id"])
+        for r in single.search(binqueries, 5, radius=1).collect()
+    }
+    mpairs = {(r["qid"], r["id"]) for r in multi}
+    # table 0 of the multihash == the single table; extra tables only add
+    # candidates, and k=5 leaves room on this corpus
+    assert len(mpairs) >= len(spairs)
+
+
 def test_bhash_self_find_and_subset(bincodes, binqueries):
     """BHash probes buckets within `radius` prefix flips: every query
     finds itself (its own bucket is always probed), and every returned
