@@ -123,6 +123,21 @@ class IVFIndex:
                 f,
             )
 
+    def save(self, path: str) -> "IVFIndex":
+        """write_index for an already-built index (reference
+        faiss/index_io.h:38): persist the in-memory codes table to the
+        partitioned layout + artifacts and re-point at the stored copy."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._save_artifact(path)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndex":
         with open(os.path.join(path, "_ivf_meta.json")) as f:

@@ -78,3 +78,12 @@ def test_ivf_persist_roundtrip(vectors, spark, tmp_path):
     a = {(r["qid"], r["rank"], r["id"]) for r in idx.search(queries, 3, 8).collect()}
     b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 3, 8).collect()}
     assert a == b
+    # explicit write_index on an in-memory build (save after add)
+    path2 = str(tmp_path / "ivf_table2")
+    mem = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    mem.save(path2)
+    c = {
+        (r["qid"], r["rank"], r["id"])
+        for r in IVFIndex.load(spark, path2).search(queries, 3, 8).collect()
+    }
+    assert c == a
