@@ -91,3 +91,31 @@ def test_parameter_sweep_pareto(vectors):
     assert any(p.pareto for p in pts)
     # max-recall point is always on the frontier
     assert max(pts, key=lambda p: (p.recall, -p.time_sec)).pareto
+
+
+def test_inspect_tools(vectors, spark):
+    """contrib/inspect_tools surface over the table layout: invlist
+    content, sizes (sum == n), PQ centroids, info string."""
+    from faiss_spark.functions.inspect import (
+        get_invlist,
+        get_invlist_sizes,
+        get_pq_centroids,
+        print_index_info,
+    )
+    from faiss_spark.operators.codecs import ProductQuantizer
+    from faiss_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.train(vectors, nlist=4, seed=42, niter=5).add(vectors)
+    sizes = get_invlist_sizes(idx)
+    assert sizes.shape == (4,) and sizes.sum() == vectors.count()
+    busiest = int(sizes.argmax())
+    ids, payload = get_invlist(idx, busiest)
+    assert len(ids) == sizes[busiest] and len(payload) == len(ids)
+    assert sorted(ids) == list(ids)  # ordered by id
+
+    pqm = ProductQuantizer(M=4, seed=42).fit(vectors)
+    cent = get_pq_centroids(pqm)
+    assert cent.shape[0] == 4 and cent.ndim == 3
+
+    info = print_index_info(idx)
+    assert "IVFIndex" in info and "centroids" in info
