@@ -21,6 +21,7 @@ Design (see SURVEY.md):
 from faiss_spark.operators.binary import (
     BinaryHashIndex,
     BinaryIVFIndex,
+    BinaryMultiHashIndex,
     binarize,
     hamming_knn,
     jaccard_knn,
@@ -28,12 +29,14 @@ from faiss_spark.operators.binary import (
 from faiss_spark.operators.cluster import KMeans, kmeans_1d
 from faiss_spark.operators.codecs import (
     LSCoarseQuantizer,
+    PolysemousTraining,
     ProductQuantizer,
     ResidualCoarseQuantizer,
     ResidualQuantizer,
     ScalarQuantizer,
 )
 from faiss_spark.operators.dedup import (
+    decontaminate,
     dedup_components,
     embedding_neardup_pairs,
     exact_dedup,
@@ -45,12 +48,17 @@ from faiss_spark.operators.dedup import (
 from faiss_spark.functions.text import term_frequencies
 from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
+    IMIIVFIndex,
     IVFAQIndex,
     IVFIndex,
     IVFPQIndex,
     IVFRCQIndex,
+    IVFSpectralHash,
     IVFSQIndex,
+    ivf_range_search,
+    range_search_with_parameters,
     search_preassigned,
+    search_with_parameters,
 )
 from faiss_spark.operators.knn import knn, knn_join, range_search
 from faiss_spark.operators.refine import dedup_flat, knn_1d, refine_search
@@ -114,5 +122,13 @@ __all__ = [
     "term_frequencies",
     "index_factory",
     "reverse_index_factory",
+    "IMIIVFIndex",
+    "IVFSpectralHash",
+    "ivf_range_search",
+    "search_with_parameters",
+    "range_search_with_parameters",
+    "BinaryMultiHashIndex",
+    "PolysemousTraining",
+    "decontaminate",
     "__version__",
 ]
