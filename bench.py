@@ -165,10 +165,12 @@ def _kernel_bench(
     np_sec_f32 = roofline(np.float32)
     return {
         "spark_sec": round(spark_sec, 3),
-        "numpy_gemm_sec": round(np_sec, 3),
+        # 6 decimals: at smoke-test toy sizes the roofline is sub-ms and
+        # 3-decimal rounding would truncate it to 0.0
+        "numpy_gemm_sec": round(np_sec, 6),
         "ratio_vs_blas": round(spark_sec / np_sec, 2),
         "spark_sec_f32": round(spark_sec_f32, 3),
-        "numpy_gemm_sec_f32": round(np_sec_f32, 3),
+        "numpy_gemm_sec_f32": round(np_sec_f32, 6),
         "ratio_vs_blas_f32": round(spark_sec_f32 / np_sec_f32, 2),
         "gflops": round(flops / spark_sec / 1e9, 1),
         "gflops_f32": round(flops / spark_sec_f32 / 1e9, 1),
