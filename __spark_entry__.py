@@ -1103,6 +1103,62 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lattice_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexLattice standalone codec (reference faiss/IndexLattice.cpp:
+    17-115, faiss/impl/lattice_Zn.h:25-135): each 8-d sub-block of the
+    64-d embedding quantizes to the nearest Z^8 lattice point on the
+    sphere r2=10 (combinatorially enumerated) plus a 4-bit quantized
+    norm. Lattice codes are combinatorial artifacts no SQL oracle can
+    reproduce, so the oracle states consistency/quality bounds:
+    (1) decode→encode is an exact fixed point (codes are stable),
+    (2) relative reconstruction error ≤ 0.25,
+    (3) the reference's accuracy ordering (test_standalone_codec.py:186
+        compare_accuracy): r2=14 reconstructs strictly better than r2=5."""
+    from faiss_spark.operators.lattice import LatticeIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = LatticeIndex(nsq=8, scale_nbit=4, r2=10).fit(vecs)
+    codes = idx.sa_encode(vecs)
+    dec = idx.sa_decode(codes)
+    codes2 = idx.sa_encode(dec)
+    unstable = (
+        codes.withColumnRenamed("code", "c1")
+        .join(codes2.withColumnRenamed("code", "c2"), "id")
+        .filter("c1 <> c2")
+        .count()
+    )
+
+    def rel_err(index: LatticeIndex) -> float:
+        d = index.sa_decode(index.sa_encode(vecs))
+        return (
+            d.join(vecs.withColumnRenamed("vec", "orig"), "id")
+            .select(
+                F.expr(
+                    "aggregate(zip_with(vec, orig, (a, b) -> (a-b)*(a-b)), "
+                    "cast(0 as double), (acc, x) -> acc + x)"
+                ).alias("se"),
+                F.expr(
+                    "aggregate(orig, cast(0 as double), "
+                    "(acc, x) -> acc + cast(x as double) * x)"
+                ).alias("n2"),
+            )
+            .agg((F.sum("se") / F.sum("n2")).alias("rel"))
+            .first()["rel"]
+        )
+
+    rel = rel_err(idx)
+    coarse = rel_err(LatticeIndex(nsq=8, scale_nbit=4, r2=5).fit(vecs))
+    fine = rel_err(LatticeIndex(nsq=8, scale_nbit=4, r2=14).fit(vecs))
+    return _prop_df(
+        spark,
+        [
+            ("lattice_decode_encode_stable", unstable == 0),
+            ("lattice_rel_recons_err_le_0.25", rel <= 0.25),
+            ("lattice_err_r2_14_lt_r2_5", fine < coarse),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries. Entries are rotated each round so every query accumulates a
@@ -1114,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imi_search_exact": q_imi_search_exact,
         "spectral_hash_search": q_spectral_hash_search,
         "polysemous_filter": q_polysemous_filter,
+        "lattice_codec": q_lattice_codec,
         "knn_filtered": q_knn_filtered,
         "knn_lp3": q_knn_lp3,
         "vector_dedup": q_vector_dedup,
@@ -1883,6 +1940,11 @@ def oracle_sql() -> dict[str, str]:
     sql["spectral_hash_search"] = (
         "SELECT 'sh_top1_hamming_zero' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'sh_full_k_rows', TRUE"
+    )
+    sql["lattice_codec"] = (
+        "SELECT 'lattice_decode_encode_stable' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'lattice_rel_recons_err_le_0.25', TRUE "
+        "UNION ALL SELECT 'lattice_err_r2_14_lt_r2_5', TRUE"
     )
     sql["polysemous_filter"] = (
         "SELECT 'polysemous_loose_ht_equals_unfiltered' AS prop, TRUE AS passed "

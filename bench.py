@@ -134,9 +134,12 @@ def _kernel_bench(
         F.col("id").alias("qid"), "vec"
     )
 
-    def best_of_2(dtype: str) -> float:
+    def best_of(dtype: str, runs: int = 3) -> float:
+        # best-of-3 (not 2): this VM shows multi-second contention
+        # windows that can cover two consecutive runs; a third draw makes
+        # recording a 2-4x outlier as the round's number much less likely
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             n = knn(base, queries, k, dtype=dtype).count()
             dt = time.perf_counter() - t0
@@ -144,8 +147,8 @@ def _kernel_bench(
         assert n == nq * k
         return best
 
-    spark_sec = best_of_2("f64")
-    spark_sec_f32 = best_of_2("f32")
+    spark_sec = best_of("f64")
+    spark_sec_f32 = best_of("f32")
     flops = 2.0 * nv * nq * d
 
     def roofline(np_dtype) -> float:

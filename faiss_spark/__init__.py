@@ -61,6 +61,7 @@ from faiss_spark.operators.ivf import (
     search_with_parameters,
 )
 from faiss_spark.operators.knn import knn, knn_join, range_search
+from faiss_spark.operators.lattice import LatticeIndex, ZnSphereCodec
 from faiss_spark.operators.refine import dedup_flat, knn_1d, refine_search
 from faiss_spark.operators.transforms import (
     ITQTransform,
@@ -130,5 +131,7 @@ __all__ = [
     "BinaryMultiHashIndex",
     "PolysemousTraining",
     "decontaminate",
+    "LatticeIndex",
+    "ZnSphereCodec",
     "__version__",
 ]

@@ -67,6 +67,10 @@ class IndexPlan:
     coarse: str | None = None  # None (k-means) | "rcq" | "lsq"
     coarse_m: int | None = None
     coarse_nbits: int | None = None
+    # ZnLattice<nsq>x<r2>_<scale_nbit> (reference index_factory.cpp:535)
+    lat_nsq: int | None = None
+    lat_r2: int | None = None
+    lat_scale_nbit: int | None = None
     refine_flat: bool = False
     flat_dedup: bool = False
     k_factor: int = 4
@@ -165,6 +169,15 @@ class IndexPlan:
             self._sq_model = model
             self._sq_codes = model.encode(cur)
             self.index = model
+        elif self.index_type == "lattice":
+            from faiss_spark.operators.lattice import LatticeIndex
+
+            idx = LatticeIndex(
+                nsq=self.lat_nsq, scale_nbit=self.lat_scale_nbit,
+                r2=self.lat_r2,
+            ).fit(cur)
+            self._lat_codes = idx.sa_encode(cur)
+            self.index = idx
         return self
 
     def search(self, queries: DataFrame, k: int, nprobe: int = 8,
@@ -196,6 +209,11 @@ class IndexPlan:
             res = self._pq_model.adc_search(self._pq_codes, q, k_cand, qid_col="qid")
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
+            res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type == "lattice":
+            # reference IndexLattice.search throws; here the codec searches
+            # like the other full-table codecs: refine-on-decode
+            decoded = self.index.sa_decode(self._lat_codes)
             res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
         else:
             # sq: decode + exact scan (SQ is a codec, search = refine on decode)
@@ -322,6 +340,13 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
         i += 1
+    elif re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok):
+        lm = re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok)
+        plan.index_type = "lattice"
+        plan.lat_nsq = int(lm.group(1))
+        plan.lat_r2 = int(lm.group(2))
+        plan.lat_scale_nbit = int(lm.group(3))
+        i += 1
     else:
         raise ValueError(f"unsupported factory token {tok!r} in {description!r}")
     if i < len(tokens) and tokens[i] == "RFlat":
@@ -379,6 +404,10 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":
         parts.append(f"RQ{plan.rq_m}")
+    elif plan.index_type == "lattice":
+        parts.append(
+            f"ZnLattice{plan.lat_nsq}x{plan.lat_r2}_{plan.lat_scale_nbit}"
+        )
     if plan.refine_flat:
         parts.append("RFlat")
     return ",".join(parts)
@@ -404,6 +433,13 @@ def get_code_size(d: int, plan: IndexPlan) -> int:
         return plan.rq_m
     if plan.index_type in ("sq", "ivfsq"):
         return (d * plan.sq_bits + 7) // 8
+    if plan.index_type == "lattice":
+        from faiss_spark.operators.lattice import ZnSphereCodec
+
+        nv = ZnSphereCodec(d // plan.lat_nsq, plan.lat_r2).nv
+        lattice_nbit = max(1, (int(nv) - 1).bit_length())
+        total = (lattice_nbit + plan.lat_scale_nbit) * plan.lat_nsq
+        return (total + 7) // 8
     raise ValueError(f"unknown index_type {plan.index_type!r}")
 
 
