@@ -30,7 +30,9 @@ aggregate (slice + aggregate + min/max), so the scan stays in codegen.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -371,6 +373,7 @@ class LatticeIndex:
         self.scale_nbit = scale_nbit
         self.r2 = r2
         self.model: LatticeModel | None = None
+        self.codes: DataFrame | None = None
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> "LatticeIndex":
         """Per-sub-block min/max of the L2 norm (reference
@@ -419,3 +422,39 @@ class LatticeIndex:
 
         decoded = self.sa_decode(self.sa_encode(base))
         return knn(decoded, queries, k, metric=metric, qid_col=qid_col)
+
+    # -- persistence (write_index/read_index parity: the reference
+    # serializes IndexLattice's trained ranges + codec params,
+    # faiss/impl/index_write.cpp; codes live in their own table) ---------
+    def save(self, path: str, codes: DataFrame | None = None) -> None:
+        if self.model is None:
+            raise ValueError("index is not trained; call fit() first")
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_lattice_mins.npy"), self.model.mins)
+        np.save(os.path.join(path, "_lattice_maxs.npy"), self.model.maxs)
+        with open(os.path.join(path, "_lattice_meta.json"), "w") as f:
+            json.dump(
+                {"d": self.model.d, "nsq": self.nsq,
+                 "scale_nbit": self.scale_nbit, "r2": self.r2}, f,
+            )
+        if codes is not None:
+            codes.write.mode("overwrite").parquet(
+                os.path.join(path, "codes")
+            )
+
+    @staticmethod
+    def load(spark, path: str) -> "LatticeIndex":
+        with open(os.path.join(path, "_lattice_meta.json")) as f:
+            meta = json.load(f)
+        idx = LatticeIndex(
+            nsq=meta["nsq"], scale_nbit=meta["scale_nbit"], r2=meta["r2"]
+        )
+        idx.model = LatticeModel(
+            meta["d"], meta["nsq"], meta["scale_nbit"], meta["r2"],
+            np.load(os.path.join(path, "_lattice_mins.npy")),
+            np.load(os.path.join(path, "_lattice_maxs.npy")),
+        )
+        codes_path = os.path.join(path, "codes")
+        if os.path.exists(codes_path):
+            idx.codes = spark.read.parquet(codes_path)
+        return idx

@@ -119,6 +119,37 @@ def test_factory_lattice_accuracy_ordering(spark, tables):
     assert hi < lo
 
 
+def test_lattice_save_load_roundtrip(spark, tables, tmp_path):
+    vecs = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = LatticeIndex(nsq=8, scale_nbit=4, r2=10).fit(vecs)
+    codes = idx.sa_encode(vecs)
+    path = str(tmp_path / "lat_idx")
+    idx.save(path, codes=codes)
+    idx2 = LatticeIndex.load(spark, path)
+    assert idx2.sa_code_size == idx.sa_code_size
+    assert np.allclose(idx2.model.mins, idx.model.mins)
+    # the loaded model encodes identically
+    reenc = idx2.sa_encode(vecs).withColumnRenamed("code", "c2")
+    assert (
+        codes.join(reenc, "id").filter("code <> c2").count() == 0
+    )
+    assert idx2.codes.count() == vecs.count()
+
+
+def test_lattice_encode_is_map_only(spark, tables):
+    """sa_encode must stay a single map stage: scan -> mapInPandas, no
+    exchange/join — the shape that scales to a 100 TB encode."""
+    vecs = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = LatticeIndex(nsq=8, scale_nbit=4, r2=10).fit(vecs)
+    p = idx.sa_encode(vecs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
 def test_factory_lattice_parse_search_reverse(spark, tables):
     vecs = tables["embeddings"].select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
