@@ -106,6 +106,88 @@ def image_features(
     )
 
 
+def _fake_decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in for a real audio decoder: int16 PCM derived
+    from the payload bytes, tiled/truncated to n_samples, scaled to
+    [-1, 1) float32."""
+    src = np.frombuffer(payload, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    reps = -(-int(n_samples) // src.size)
+    pcm = np.tile(src, reps)[:n_samples].astype(np.int32) * 257 - 32768
+    return pcm.astype(np.float32) / 32768.0
+
+
+def decode_audio(payload: bytes, n_samples: int, fake: bool = False) -> np.ndarray:
+    """STUB: real decoding needs an audio library not present in this
+    container. The Spark plumbing calls this through audio_features;
+    pass fake=True there to exercise it."""
+    if fake:
+        return _fake_decode_audio(payload, n_samples)
+    raise NotImplementedError(
+        "audio decode requires an audio library (e.g. soundfile/ffmpeg); "
+        "run with fake=True for the deterministic synthetic decoder"
+    )
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-clip waveform statistics: (id, rms double, peak double,
+    zero_crossings bigint, duration_sec double).
+
+    Same discipline as image_features: the Arrow batch is the unit of
+    work, decode is per-row, stats are vectorized numpy over the decoded
+    waveform. Column pruning: only (id, payload, sample_rate, n_samples)
+    are read."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rms, peak, zc, dur = [], [], [], []
+            cols = (pdf["payload"], pdf["sample_rate"], pdf["n_samples"])
+            for payload, sr, ns in zip(*(col.to_numpy() for col in cols)):
+                wave = decode_audio(payload, ns, fake).astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(wave**2))) if wave.size else 0.0)
+                peak.append(float(np.abs(wave).max()) if wave.size else 0.0)
+                zc.append(int(np.count_nonzero(np.signbit(wave[1:]) != np.signbit(wave[:-1]))))
+                dur.append(float(ns) / float(sr) if sr else 0.0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_crossings": np.asarray(zc, np.int64),
+                    "duration_sec": dur,
+                }
+            )
+
+    src = df.select("id", "payload", "sample_rate", "n_samples")
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "id bigint, rms double, peak double, zero_crossings bigint, "
+            "duration_sec double"
+        ),
+    )
+
+
+def make_fake_audio(spark, n: int, sample_rate: int = 16000,
+                    n_samples: int = 4000, seed: int = 11) -> DataFrame:
+    """Deterministic synthetic audio table (for tests/demos)."""
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            i,
+            bytes(rng.integers(0, 256, 64, dtype=np.uint8).tolist()),
+            "fake",
+            sample_rate,
+            n_samples,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, AUDIO_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, fake: bool = False
 ) -> DataFrame:

@@ -7,9 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from faiss_spark.operators.multimodal import (
+    audio_features,
     audio_windows,
+    decode_audio,
     decode_image,
     image_features,
+    make_fake_audio,
     make_fake_images,
     resize_images,
     sample_video_frames,
@@ -63,6 +66,24 @@ def test_video_frame_sampling_sql_only(spark):
         by_vid.setdefault(r["id"], []).append((r["frame_no"], r["ts_sec"]))
     assert sorted(by_vid[1]) == [(0, 0.0), (30, 1.0), (60, 2.0), (90, 3.0)]
     assert sorted(by_vid[2]) == [(0, 0.0)]
+
+
+def test_audio_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01", 100)
+
+
+def test_audio_features_shapes_and_determinism(spark):
+    aud = make_fake_audio(spark, n=15, sample_rate=8000, n_samples=2000)
+    rows = audio_features(aud, fake=True).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert 0.0 < r["rms"] <= 1.0
+        assert r["rms"] <= r["peak"] <= 1.0
+        assert 0 <= r["zero_crossings"] < 2000
+        assert r["duration_sec"] == 2000 / 8000
+    again = sorted(map(tuple, audio_features(aud, fake=True).collect()))
+    assert sorted(map(tuple, rows)) == again
 
 
 def test_audio_windows_cover_samples(spark):
