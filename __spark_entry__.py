@@ -610,6 +610,27 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop context-window packing (GPT-style pretraining
+    layout): per-source token tapes chopped into 256-token windows; one
+    window cumsum per shard, no sequential state."""
+    from faiss_spark.functions.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing temperature resampling (p_s ~ n_s^alpha, the
+    GPT-3/Pile rule): deterministic md5-draw acceptance, broadcast
+    per-domain rates, map-only corpus scan."""
+    from faiss_spark.functions.corpus import temperature_sample
+
+    kept = temperature_sample(
+        _docs(spark, sf_dir), alpha=0.5, target_frac=0.25
+    )
+    return kept.select("doc_id", "source", F.round("rate", ROUND).alias("rate"))
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1190,8 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rcq_ivf_search": q_rcq_ivf_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
-        "dedup_exact": q_dedup_exact,
-        "dedup_keep_first": q_dedup_keep_first,
+        "pack_sequences": q_pack_sequences,
+        "temperature_sample": q_temperature_sample,
         "filter_corpus": q_filter_corpus,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
@@ -1219,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (driver-green in
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
         "matrix_stats": q_matrix_stats,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
@@ -1509,6 +1532,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.qid AS id_a, e.vec_id AS id_b, round({_COS}, {ROUND}) AS cosine
         FROM q CROSS JOIN embeddings e
         WHERE q.qid < e.vec_id AND {_COS} >= {COS_NEARDUP}
+    """
+    sql["pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id, source AS shard, len({_TOKS}) AS ntok,
+                 sum(len({_TOKS})) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - len({_TOKS}) AS cum_before
+          FROM documents)
+        SELECT id, shard, ntok,
+               cum_before // 256 AS bin_no,
+               cum_before % 256 AS "offset",
+               CASE WHEN ntok = 0 THEN 0
+                    ELSE (cum_before + ntok - 1) // 256 - cum_before // 256 + 1
+               END AS n_bins
+        FROM t
+    """
+    _TSCALE = "CAST(floor(r.rate * 4294967296.0) AS BIGINT)"
+    sql["temperature_sample"] = f"""
+        WITH stats AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.5)) AS wsum FROM stats),
+        rates AS (
+          SELECT source,
+                 round(least(1.0, 0.25 * n_total * pow(n_s, 0.5) / (wsum * n_s)), 9) AS rate
+          FROM stats, tot)
+        SELECT d.doc_id, d.source, round(r.rate, {ROUND}) AS rate
+        FROM documents d JOIN rates r USING (source)
+        WHERE substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':0')), 1, 8) <
+              CASE WHEN {_TSCALE} >= 4294967296 THEN 'g'
+                   ELSE lpad(lower(hex(least({_TSCALE}, 4294967295))), 8, '0')
+              END
     """
     stop_en = "['the','a','of','and','is','to','in','it','for','on','with','as']"
     sql["text_features"] = f"""

@@ -1,0 +1,147 @@
+"""Corpus-level pipeline operators: context-window sequence packing and
+temperature (domain-mixing) sampling.
+
+These are the two corpus-shaping steps between "filtered documents" and
+"training batches" in an LLM data pipeline:
+
+* ``pack_sequences`` — concatenate-and-chop packing: documents, in a
+  deterministic order within each shard, are laid end-to-end on a token
+  tape and chopped into fixed ``budget``-token context windows (the
+  GPT-style pretraining packing; documents may straddle window
+  boundaries). The layout is a closed form over the running token total,
+  so it is ONE window aggregation per shard — no sequential state, no
+  driver loop, embarrassingly parallel across shards at 100 TB.
+
+* ``temperature_sample`` — multinomial temperature resampling of domains
+  (p_s ∝ n_s^alpha, the GPT-3/Pile domain-mixing rule): each document is
+  kept iff a deterministic per-document uniform draw falls under its
+  domain's acceptance rate. The domain statistics are a map-side
+  aggregate over the grouping column (tiny: one row per domain) joined
+  back by broadcast — the scan itself stays map-only.
+
+Determinism discipline: the per-document uniform draw is the first 8 hex
+chars of md5(id:seed) compared lexicographically against the rate
+rendered as 8 lowercase hex digits — Spark's and DuckDB's md5 agree
+byte-for-byte, and fixed-width lowercase-hex string comparison IS
+numeric comparison, so the oracle reaches identical keep/drop decisions
+with no float-boundary ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def uniform_hex(key: Column, seed: int = 0) -> Column:
+    """Deterministic per-row uniform draw as 8 lowercase hex chars
+    (uniform over [0, 2^32) — compare against `rate_hex` strings)."""
+    return F.substring(F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))), 1, 8)
+
+
+def rate_hex(rate: Column) -> Column:
+    """Render an acceptance rate in [0, 1] as the 8-digit lowercase hex
+    threshold floor(rate * 2^32), for comparison against uniform_hex.
+    rate >= 1 renders as 'ffffffff'+ sentinel 'g' so every draw passes."""
+    scaled = F.floor(rate * F.lit(float(2**32))).cast("bigint")
+    hexed = F.lpad(F.lower(F.hex(F.least(scaled, F.lit(2**32 - 1)))), 8, "0")
+    # rate==1 must accept ALL draws, including 'ffffffff'; 'g' > any hex digit
+    return F.when(scaled >= 2**32, F.lit("g")).otherwise(hexed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    ntok_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chop packing layout: within each ``shard_col`` group,
+    documents ordered by ``id_col`` are placed end-to-end on a token tape
+    chopped into ``budget``-token windows.
+
+    Returns one row per document:
+      (id, shard, ntok, bin_no, offset, n_bins) where ``bin_no`` is the
+      window holding the document's first token, ``offset`` the position
+      of that token within the window, and ``n_bins`` how many windows
+      the document spans (straddling documents span > 1).
+
+    Scale shape: one window cumsum per shard — at 100 TB, shards are the
+    parallelism unit (a skewed single global ordering would serialize;
+    per-shard ordering is the standard layout contract). Empty documents
+    (0 tokens) occupy no tape and report n_bins = 0.
+    """
+    ntok = ntok_col if ntok_col is not None else token_count(F.col(text_col))
+    w = Window.partitionBy("shard").orderBy("id")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(shard_col).alias("shard"),
+        ntok.alias("ntok"),
+    ).withColumn("cum_before", F.sum("ntok").over(w) - F.col("ntok"))
+    return out.select(
+        "id",
+        "shard",
+        "ntok",
+        F.floor(F.col("cum_before") / budget).alias("bin_no"),
+        (F.col("cum_before") % budget).alias("offset"),
+        F.when(F.col("ntok") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("cum_before") + F.col("ntok") - 1) / budget)
+            - F.floor(F.col("cum_before") / budget)
+            + 1
+        )
+        .alias("n_bins"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    target_frac: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-resample domains: keep each document of domain s with
+    probability r_s = min(1, target_frac * N * n_s^alpha / (sum_t n_t^alpha * n_s)),
+    i.e. expected kept count per domain proportional to n_s^alpha with an
+    overall expected keep fraction of ``target_frac``. alpha = 1
+    reproduces uniform sampling; alpha < 1 up-weights small domains
+    (the mixing rule used for multilingual/multi-source pretraining).
+
+    Deterministic: document kept iff uniform_hex(id, seed) < rate_hex(r_s).
+    Plan shape: tiny per-domain aggregate, broadcast back, map-only
+    filter over the corpus — no corpus shuffle at any scale.
+
+    Returns the input rows (all columns) plus the domain rate ``rate``
+    rounded to 9 dp for inspection.
+    """
+    stats = df.groupBy(group_col).agg(F.count("*").alias("n_s"))
+    tot = stats.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow("n_s", F.lit(float(alpha)))).alias("wsum"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        # decisions are made on the 9-dp-ROUNDED rate (same discipline as
+        # filter_corpus): the raw rate's last ulp depends on aggregation
+        # order and libm, the rounded rate does not
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.col("n_total")
+                * F.pow("n_s", F.lit(float(alpha)))
+                / (F.col("wsum") * F.col("n_s")),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    joined = df.join(F.broadcast(rates), on=group_col)
+    kept = joined.filter(
+        uniform_hex(F.col(id_col), seed) < rate_hex(F.col("rate"))
+    )
+    return kept.select(*df.columns, "rate")

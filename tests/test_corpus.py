@@ -1,0 +1,98 @@
+"""Corpus-shaping operators: concat-and-chop packing layout and
+temperature domain resampling (functions/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.functions.corpus import (
+    pack_sequences,
+    rate_hex,
+    temperature_sample,
+    uniform_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(120):
+        src = f"s{i % 3}" if i < 108 else "rare"  # 36/36/36 vs 12 docs
+        nwords = (i * 7) % 23 + 1
+        rows.append((i, " ".join(f"w{j}" for j in range(nwords)), src))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_pack_matches_sequential_reference(docs):
+    budget = 16
+    got = {
+        r["id"]: (r["shard"], r["ntok"], r["bin_no"], r["offset"], r["n_bins"])
+        for r in pack_sequences(docs, budget).collect()
+    }
+    rows = sorted(
+        (r["source"], r["doc_id"], len(r["text"].split()))
+        for r in docs.collect()
+    )
+    cum = {}
+    for src, did, ntok in rows:
+        c = cum.get(src, 0)
+        exp_bin, exp_off = divmod(c, budget)
+        exp_span = 0 if ntok == 0 else (c + ntok - 1) // budget - exp_bin + 1
+        assert got[did] == (src, ntok, exp_bin, exp_off, exp_span), did
+        cum[src] = c + ntok
+
+
+def test_pack_tape_is_gapless_per_shard(docs):
+    out = pack_sequences(docs, 16)
+    per_shard = out.groupBy("shard").agg(
+        F.sum("ntok").alias("tape"),
+        F.max(F.col("bin_no") * 16 + F.col("offset") + F.col("ntok")).alias("end"),
+    )
+    for r in per_shard.collect():
+        assert r["tape"] == r["end"]  # last token lands exactly at the tape length
+
+
+def test_temperature_alpha1_is_uniform(docs):
+    kept = temperature_sample(docs, alpha=1.0, target_frac=0.5)
+    rates = {r["source"]: r["rate"] for r in kept.select("source", "rate").distinct().collect()}
+    assert all(abs(v - 0.5) < 1e-9 for v in rates.values())
+
+
+def test_temperature_upweights_small_domains(docs):
+    kept = temperature_sample(docs, alpha=0.3, target_frac=0.5)
+    rates = {r["source"]: r["rate"] for r in kept.select("source", "rate").distinct().collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    small = min(sizes, key=sizes.get)
+    big = max(sizes, key=sizes.get)
+    assert sizes[small] < sizes[big]  # fixture guarantees a size skew
+    assert rates[small] > rates[big]
+
+
+def test_temperature_deterministic_and_seeded(docs):
+    a = sorted(r["doc_id"] for r in temperature_sample(docs, 0.5, 0.4, seed=1).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(docs, 0.5, 0.4, seed=1).collect())
+    c = sorted(r["doc_id"] for r in temperature_sample(docs, 0.5, 0.4, seed=2).collect())
+    assert a == b
+    assert a != c  # a different seed draws a different subset
+
+
+def test_rate_hex_boundaries(spark):
+    df = spark.range(1).select(
+        rate_hex(F.lit(1.0)).alias("one"),
+        rate_hex(F.lit(0.0)).alias("zero"),
+        rate_hex(F.lit(0.5)).alias("half"),
+    )
+    r = df.collect()[0]
+    assert r["one"] == "g"  # accepts every 8-hex-digit draw
+    assert r["zero"] == "00000000"  # accepts nothing
+    assert r["half"] == "80000000"
+
+
+def test_uniform_hex_matches_duckdb(spark):
+    import duckdb
+
+    s = spark.range(5).select(uniform_hex(F.col("id"), seed=3).alias("u")).collect()
+    d = duckdb.sql(
+        "SELECT substr(md5(concat(CAST(range AS VARCHAR), ':3')), 1, 8) AS u "
+        "FROM range(5)"
+    ).fetchall()
+    assert [r["u"] for r in s] == [r[0] for r in d]
