@@ -187,3 +187,28 @@ def test_imi_search_scan_shape(emb, queries):
     p = plan(idx.search(queries, 3, nprobe=idx.nlist))
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Exchange") <= 2  # candidate merge (+AQE variants)
+
+
+def test_temperature_sample_is_broadcast_map_only(tables):
+    """The corpus scan must not shuffle: domain rates arrive by broadcast
+    join, the only exchange in the plan is the tiny per-domain aggregate.
+    At 100 TB the documents table is only read, filtered, and emitted."""
+    from faiss_spark.functions.corpus import temperature_sample
+
+    p = plan(temperature_sample(tables["documents"], 0.5, 0.25))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_pack_sequences_single_shard_shuffle(tables):
+    """Packing is ONE hash exchange on the shard key feeding the window
+    cumsum — no join, no extra exchange, no global (empty-key) window."""
+    from faiss_spark.functions.corpus import pack_sequences
+
+    p = plan(pack_sequences(tables["documents"], 256))
+    # exactly one keyed exchange (formatted mode prints each node in the
+    # tree AND a detail section, so count the argument line instead)
+    assert p.count("hashpartitioning") == 1
+    assert "hashpartitioning(shard" in p
+    assert "Join" not in p
+    assert "SinglePartition" not in p
