@@ -217,11 +217,21 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(knn_join(_emb(spark, sf_dir), 5, "l2"))
 
 
-def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lineitem_features(
+    spark: SparkSession, sf_dir: str, orderkey_below: int | None = None
+) -> DataFrame:
     """7-d feature vectors derived from lineitem numerics — the big-table
-    vector workload (600k rows at sf0.1): id = orderkey*10 + linenumber."""
+    vector workload (600k rows at sf0.1): id = orderkey*10 + linenumber.
+
+    ``orderkey_below`` applies the query-side restriction BEFORE the
+    projection as a plain column predicate so it reaches the parquet scan
+    as a row-group-prunable PushedFilter (the derived ``id < n`` form is
+    an arithmetic expression Catalyst cannot push). With 1 <= linenumber
+    <= 7, ``id < 10*n`` and ``l_orderkey < n`` select identical rows."""
     _nanos_ok(spark)
     li = load_tables(spark, sf_dir)["lineitem"]
+    if orderkey_below is not None:
+        li = li.filter(F.col("l_orderkey") < orderkey_below)
     feat = F.array(
         F.col("l_quantity").cast("float"),
         (F.col("l_extendedprice") / 1000.0).cast("float"),
@@ -242,7 +252,8 @@ def q_knn_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel-throughput benchmark (at sf0.1: 200 queries × 600k vectors)."""
     vecs = _lineitem_features(spark, sf_dir)
     qs = (
-        vecs.filter(F.col("id") < 500)
+        _lineitem_features(spark, sf_dir, orderkey_below=50)
+        .filter(F.col("id") < 500)
         .select(F.col("id").alias("qid"), "vec")
     )
     return _round(knn(vecs, qs, K, "l2"))
@@ -286,7 +297,8 @@ def q_knn_tabular_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _lineitem_features(spark, sf_dir)
     qs = (
-        vecs.filter(F.col("id") < 500)
+        _lineitem_features(spark, sf_dir, orderkey_below=50)
+        .filter(F.col("id") < 500)
         .select(F.col("id").alias("qid"), "vec")
     )
     return _round(knn_chunked(vecs, qs, K, "l2", chunk_size=16))
