@@ -804,6 +804,43 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_sdc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ symmetric-distance (SDC) top-k — both sides quantized, lookups
+    from the (M, ksub, ksub) inter-centroid tables (the BASELINE.md
+    SIFT1M PQ64-SDC row). Oracle properties: (1) the SDC identity — SDC
+    distances ARE ADC distances for the PQ-roundtripped query, so the two
+    top-K sets must coincide (≥ 0.95; slack for f32 rounding at rank
+    boundaries); (2) end-to-end recall vs exact knn ≥ 0.5 (below ADC's
+    0.6 bound: quantizing the query side too costs recall, exactly as the
+    reference's SDC-vs-ADC tables show)."""
+    import pandas as pd
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.codecs import ProductQuantizer
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    model = ProductQuantizer(M=16, niter=8, seed=3).fit(vecs)
+    codes = model.encode(vecs)
+    sdc = model.sdc_search(codes, qs, K).select("qid", "id")
+    qp = qs.toPandas()
+    Qd = model.decode_np(model.encode_np(as_matrix(qp["vec"]))).astype("float32")
+    qs_rt = spark.createDataFrame(
+        pd.DataFrame({"qid": qp["qid"], "vec": list(Qd)})
+    )
+    adc_rt = model.adc_search(codes, qs_rt, K).select("qid", "id")
+    exact = knn(vecs, qs, K).select("qid", "id")
+    identity, _ = _pair_recall(sdc, adc_rt)
+    recall, _ = _pair_recall(sdc, exact)
+    return _prop_df(
+        spark,
+        [
+            ("sdc_equals_adc_of_roundtripped_query_ge_0.95", identity >= 0.95),
+            ("sdc_recall_vs_exact_ge_0.5", recall >= 0.5),
+        ],
+    )
+
+
 def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension data profiling (MatrixStats)."""
     from faiss_spark.operators.maintenance import matrix_stats
@@ -1236,10 +1273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_features": q_pii_features,
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
-        "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
+        "pq_sdc_search": q_pq_sdc_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
         "jaccard_knn": q_jaccard_knn,
@@ -1254,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r01-r03; still covered by tests and tools/check_oracle.py) ---
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
+        "lang_id": q_lang_id,
         "matrix_stats": q_matrix_stats,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
@@ -2019,6 +2057,11 @@ def oracle_sql() -> dict[str, str]:
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'pq_recall_vs_exact_ge_0.6', TRUE"
+    )
+    sql["pq_sdc_search"] = (
+        "SELECT 'sdc_equals_adc_of_roundtripped_query_ge_0.95' AS prop, "
+        "TRUE AS passed "
+        "UNION ALL SELECT 'sdc_recall_vs_exact_ge_0.5', TRUE"
     )
     sql["dedup_embedding_bucketed"] = (
         "SELECT 'bucketed_invents_no_pairs' AS prop, TRUE AS passed "

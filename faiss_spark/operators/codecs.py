@@ -376,12 +376,60 @@ class ProductQuantizerModel:
         whose code Hamming distance to the query's own code exceeds ht
         (reference faiss/IndexPQ.h:35 search_core polysemous filter; the
         SIFT1M rows of BASELINE.md). ht ≥ M·8 disables the filter."""
-        spark = codes_df.sparkSession
         qpdf = queries.select(qid_col, qvec_col).toPandas()
         qids = qpdf[qid_col].to_numpy(np.int64)
         Q = as_matrix(qpdf[qvec_col])
         luts = np.stack([self.distance_table(q) for q in Q])  # (nq, M, ksub)
         qcodes = self.encode_np(Q) if polysemous_ht is not None else None
+        return self._lut_search(codes_df, qids, luts, k, qcodes, polysemous_ht)
+
+    def sdc_table(self) -> np.ndarray:
+        """(M, ksub, ksub) symmetric inter-centroid squared-L2 tables
+        (reference ProductQuantizer::compute_sdc_table,
+        faiss/impl/ProductQuantizer.cpp sdc_table)."""
+        T = np.empty((self.M, self.ksub, self.ksub), np.float64)
+        for m in range(self.M):
+            C = self.codebooks[m]
+            n2 = (C * C).sum(1)
+            T[m] = n2[:, None] + n2[None, :] - 2.0 * (C @ C.T)
+        return T
+
+    def sdc_search(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Symmetric-distance top-k: queries are PQ-ENCODED and distances
+        come from the precomputed (M, ksub, ksub) inter-centroid tables —
+        both sides quantized, no query-time subvector arithmetic
+        (reference IndexPQ SDC search, faiss/IndexPQ.h:49
+        ``search_core`` with ``st == ST_SDC``; the BASELINE.md SIFT1M
+        PQ64-SDC row). After the per-query row gather the scan is
+        byte-identical to the ADC path, so it shares ``_lut_search``."""
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        qcodes = self.encode_np(Q).astype(np.int64)  # (nq, M)
+        sdc = self.sdc_table()
+        # luts[q, m, :] = sdc[m, qcode[q, m], :]
+        luts = sdc[np.arange(self.M)[None, :], qcodes]
+        return self._lut_search(codes_df, qids, luts, k)
+
+    def _lut_search(
+        self,
+        codes_df: DataFrame,
+        qids: np.ndarray,
+        luts: np.ndarray,
+        k: int,
+        qcodes: np.ndarray | None = None,
+        polysemous_ht: int | None = None,
+    ) -> DataFrame:
+        """Shared LUT top-k scan over the codes table (ADC and SDC both
+        reduce to D[q, x] = Σ_m lut[q, m, code[x, m]])."""
+        spark = codes_df.sparkSession
         bc = spark.sparkContext.broadcast((qids, luts, qcodes))
         k_ = k
         ht = polysemous_ht

@@ -267,3 +267,39 @@ def test_pq_adc_consistent_with_decoded_l2(vectors):
         for r in exact_on_decoded.collect()
     }
     assert a == b
+
+
+def test_pq_sdc_table_properties(vectors):
+    """SDC tables are symmetric with a zero diagonal (inter-centroid
+    squared L2)."""
+    import numpy as np
+
+    model = ProductQuantizer(M=8, niter=4, seed=3).fit(vectors)
+    T = model.sdc_table()
+    assert T.shape == (8, model.ksub, model.ksub)
+    assert np.allclose(T, T.transpose(0, 2, 1), atol=1e-9)
+    assert np.allclose(np.diagonal(T, axis1=1, axis2=2), 0.0, atol=1e-9)
+    assert (T > 1e-12).any()
+
+
+def test_pq_sdc_equals_adc_of_roundtripped_query(vectors, spark):
+    """The SDC identity: SDC(q, x) == ADC(decode(encode(q)), x), so the
+    two searches must return identical (qid, rank, id) sets and distances."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.kernels import as_matrix
+
+    model = ProductQuantizer(M=8, niter=8, seed=3).fit(vectors)
+    codes = model.encode(vectors)
+    queries = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    sdc = model.sdc_search(codes, queries, k=10)
+    qp = queries.toPandas()
+    Qd = model.decode_np(model.encode_np(as_matrix(qp["vec"])))
+    qs_rt = spark.createDataFrame(
+        pd.DataFrame({"qid": qp["qid"], "vec": list(Qd.astype(np.float64))})
+    )
+    adc_rt = model.adc_search(codes, qs_rt, k=10)
+    a = {(r["qid"], r["rank"], r["id"], round(r["dist"], 6)) for r in sdc.collect()}
+    b = {(r["qid"], r["rank"], r["id"], round(r["dist"], 6)) for r in adc_rt.collect()}
+    assert a == b
