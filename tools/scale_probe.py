@@ -1,0 +1,139 @@
+"""Scale-linearity probe: run the throughput-shaped kernels at 1× and
+5-10× the bench size and report normalized per-unit costs side by side.
+
+The bench (bench.py) records absolute wall-clock at one size; this tool
+answers the scale question directly — if the per-unit cost (per
+query·vector·dim, per row, per point·centroid·dim, per edge) is flat as
+n grows, the plan has no super-linear term and the 1000-executor
+extrapolation is a partitioning statement, not a hope. Each workload is
+best-of-2 (this VM's page-fault weather varies run-to-run).
+
+Usage: python tools/scale_probe.py [--quick]
+Prints one JSON line; humans read SCALE.md where results are recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _synth_vecs  # noqa: E402
+from faiss_spark.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+D = 64
+
+
+def _best_of(fn, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _base(spark, nv: int, salt: int):
+    return (
+        _synth_vecs(spark, nv, D, salt)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+
+
+def probe_knn(spark, nv: int, nq: int = 10_000) -> dict:
+    from faiss_spark.operators.knn import knn
+
+    base = _base(spark, nv, 1)
+    queries = _synth_vecs(spark, nq, D, 7_777_777).selectExpr(
+        "id as qid", "vec"
+    )
+    sec = _best_of(lambda: knn(base, queries, 10, dtype="f32").count())
+    return {
+        "nv": nv,
+        "sec": round(sec, 3),
+        "qvd_per_core_sec_1e9": round(nv * nq * D / sec / CPUS / 1e9, 3),
+    }
+
+
+def probe_kmeans_assign(spark, nv: int, k: int = 256) -> dict:
+    from faiss_spark.operators.cluster import KMeans
+
+    base = _base(spark, nv, 2)
+    km = KMeans(k=k, niter=5, seed=7).fit(base)
+    sec = _best_of(lambda: km.assign(base).count())
+    return {
+        "nv": nv,
+        "sec": round(sec, 3),
+        "nkd_per_core_sec_1e9": round(nv * k * D / sec / CPUS / 1e9, 3),
+    }
+
+
+def probe_ivf_add(spark, nv: int) -> dict:
+    import shutil
+    import tempfile
+
+    from faiss_spark.operators.ivf import IVFIndex
+
+    base = _base(spark, nv, 3)
+    nlist = max(4, min(4096, int((2 * nv) ** 0.5)))
+    idx = IVFIndex.train(base, nlist=nlist, seed=7, niter=4)
+    out = tempfile.mkdtemp(prefix="scale_ivf_")
+    try:
+        t0 = time.perf_counter()
+        idx.add(base, path=out)
+        idx.codes.count()
+        sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return {
+        "nv": nv,
+        "nlist": nlist,
+        "sec": round(sec, 3),
+        "rows_per_core_sec": round(nv / sec / CPUS, 1),
+    }
+
+
+def probe_graph(spark, nv: int) -> dict:
+    from faiss_spark.operators.graph import knn_graph_bucketed
+
+    base = _base(spark, nv, 4)
+    nlist = max(4, min(4096, int((2 * nv) ** 0.5)))
+    t0 = time.perf_counter()
+    edges = knn_graph_bucketed(base, 10, nlist=nlist, nprobe=2, dtype="f32").count()
+    sec = time.perf_counter() - t0
+    return {
+        "nv": nv,
+        "nlist": nlist,
+        "sec": round(sec, 3),
+        "edges": edges,
+        "edges_per_core_sec": round(edges / sec / CPUS, 1),
+    }
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("scale_probe")
+    small, big = (600_000, 3_000_000) if not quick else (60_000, 300_000)
+    out = {
+        "cpus": CPUS,
+        "d": D,
+        "sizes": [small, big],
+        "knn_f32": [probe_knn(spark, small), probe_knn(spark, big)],
+        "kmeans_assign": [
+            probe_kmeans_assign(spark, small),
+            probe_kmeans_assign(spark, big),
+        ],
+        "ivf_add": [probe_ivf_add(spark, small), probe_ivf_add(spark, big)],
+        "graph_bucketed": [probe_graph(spark, small), probe_graph(spark, big)],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
