@@ -643,6 +643,32 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", F.round("rate", ROUND).alias("rate"))
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_edges_hex(weights: dict) -> list:
+    """The hex thresholds assign_splits compares against, computed with
+    the SAME float accumulation (IEEE doubles on both engines), so the
+    oracle's CASE edges are bit-identical to the Spark runtime's."""
+    total = float(sum(weights.values()))
+    acc, out = 0.0, []
+    for name in list(weights)[:-1]:
+        acc += float(weights[name]) / total
+        out.append(format(min(int(acc * float(2**32)), 2**32 - 1), "08x"))
+    return out
+
+
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashed draw —
+    rows never migrate when other rows come or go (the reproducible-split
+    contract of a training-data pipeline). Map-only at any scale."""
+    from faiss_spark.functions.corpus import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir), SPLIT_WEIGHTS).select(
+        "doc_id", "split"
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1262,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "pack_sequences": q_pack_sequences,
         "temperature_sample": q_temperature_sample,
+        "assign_splits": q_assign_splits,
         "filter_corpus": q_filter_corpus,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
@@ -1273,7 +1300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_features": q_pii_features,
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
-        "token_count_bpe": q_token_count_bpe,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
         "pq_sdc_search": q_pq_sdc_search,
@@ -1292,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
         "matrix_stats": q_matrix_stats,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
@@ -1613,6 +1640,18 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN {_TSCALE} >= 4294967296 THEN 'g'
                    ELSE lpad(lower(hex(least({_TSCALE}, 4294967295))), 8, '0')
               END
+    """
+    e1, e2 = _split_edges_hex(SPLIT_WEIGHTS)
+    names = list(SPLIT_WEIGHTS)
+    sql["assign_splits"] = f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 8) < '{e1}'
+                      THEN '{names[0]}'
+                    WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 8) < '{e2}'
+                      THEN '{names[1]}'
+                    ELSE '{names[2]}'
+               END AS split
+        FROM documents
     """
     stop_en = "['the','a','of','and','is','to','in','it','for','on','with','as']"
     sql["text_features"] = f"""

@@ -97,6 +97,34 @@ def pack_sequences(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets the
+    split whose cumulative-weight interval contains its uniform draw
+    (weights are normalized; interval edges rendered as hex thresholds,
+    same draw discipline as temperature_sample — reproducible across
+    runs, engines, and repartitions, and rows never migrate between
+    splits when OTHER rows are added or removed). Map-only at any scale.
+
+    Returns the input plus a ``split`` column."""
+    names = list(weights)
+    total = float(sum(weights.values()))
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(weights[name]) / total
+        edges.append(acc)
+    u = uniform_hex(F.col(id_col), seed)
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(u < rate_hex(F.lit(edge)), F.lit(name)).otherwise(expr)
+    return df.select("*", expr.alias("split"))
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float,

@@ -96,3 +96,18 @@ def test_uniform_hex_matches_duckdb(spark):
         "FROM range(5)"
     ).fetchall()
     assert [r["u"] for r in s] == [r[0] for r in d]
+
+
+def test_assign_splits_partition_and_stability(docs):
+    from faiss_spark.functions.corpus import assign_splits
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, w, seed=5)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    frac = sum(1 for v in rows.values() if v == "train") / len(rows)
+    assert 0.6 < frac < 0.95  # 120 docs: loose band around 0.8
+    # stability: a row's split never changes when OTHER rows are removed
+    sub = assign_splits(docs.filter("doc_id % 2 = 0"), w, seed=5)
+    for r in sub.collect():
+        assert rows[r["doc_id"]] == r["split"]
