@@ -371,6 +371,34 @@ def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prop_df(spark, [("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85)])
 
 
+def q_ivfpqr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQR (reference faiss/IndexIVFPQR.h:19): IVFPQ proposes
+    k·k_factor ADC candidates, a second stage re-ranks them — here with
+    EXACT raw distances (strictly dominating the reference's PQR residual
+    codes when the raw table exists; it always does on Spark). Oracle
+    properties at full probe: (1) re-ranking dominates — IVFPQR's top-K
+    recall vs exact knn ≥ the plain ADC top-K's recall from the same
+    candidate pool; (2) absolute recall ≥ 0.85 (k_factor=4 widens the
+    pool enough that only deep-ranked true neighbors are lost)."""
+    from faiss_spark.operators.ivf import IVFPQRIndex
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = IVFPQRIndex.train(vecs, nlist=16, M=16, k_factor=4, seed=3, niter=8)
+    got = idx.search(qs, K, nprobe=16).select("qid", "id")
+    plain = idx.ivfpq.search(qs, K, nprobe=16).select("qid", "id")
+    truth = knn(vecs, qs, K).select("qid", "id")
+    recall, _ = _pair_recall(got, truth)
+    recall_plain, _ = _pair_recall(plain, truth)
+    return _prop_df(
+        spark,
+        [
+            ("ivfpqr_rerank_dominates_adc", recall >= recall_plain),
+            ("ivfpqr_recall_ge_0.85", recall >= 0.85),
+        ],
+    )
+
+
 def q_imi_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI (MultiIndexQuantizer coarse, reference faiss/IndexPQ.h:139;
     factory "IMI2x<b>", index_factory.cpp:241-289) at nprobe == nlist:
@@ -1303,10 +1331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
         "pq_sdc_search": q_pq_sdc_search,
+        "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
         "jaccard_knn": q_jaccard_knn,
-        "dedup_simhash": q_dedup_simhash,
         "knn_selector_batch": q_knn_selector_batch,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "knn_graph_bucketed": q_knn_graph_bucketed,
@@ -1319,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
+        "dedup_simhash": q_dedup_simhash,
         "matrix_stats": q_matrix_stats,
         "topk_per_group": q_topk_per_group,
         "image_features": q_image_features,
@@ -2096,6 +2125,10 @@ def oracle_sql() -> dict[str, str]:
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'pq_recall_vs_exact_ge_0.6', TRUE"
+    )
+    sql["ivfpqr_search"] = (
+        "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
     )
     sql["pq_sdc_search"] = (
         "SELECT 'sdc_equals_adc_of_roundtripped_query_ge_0.95' AS prop, "
