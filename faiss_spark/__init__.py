@@ -45,6 +45,11 @@ from faiss_spark.operators.dedup import (
     simhash64_neardup_pairs,
     simhash_neardup_pairs,
 )
+from faiss_spark.functions.corpus import (
+    assign_splits,
+    pack_sequences,
+    temperature_sample,
+)
 from faiss_spark.functions.text import term_frequencies
 from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
@@ -121,6 +126,9 @@ __all__ = [
     "nn_descent",
     "simhash64_neardup_pairs",
     "term_frequencies",
+    "pack_sequences",
+    "temperature_sample",
+    "assign_splits",
     "index_factory",
     "reverse_index_factory",
     "IMIIVFIndex",
