@@ -65,6 +65,10 @@ from faiss_spark.operators.ivf import (
     search_preassigned,
     search_with_parameters,
 )
+from faiss_spark.operators.fastscan import (
+    IVFPQFastScanIndex,
+    pq_fastscan_search,
+)
 from faiss_spark.operators.knn import knn, knn_join, range_search
 from faiss_spark.operators.lattice import LatticeIndex, ZnSphereCodec
 from faiss_spark.operators.refine import dedup_flat, knn_1d, refine_search

@@ -1,0 +1,324 @@
+"""4-bit fast-scan search semantics: affine-quantized LUT scans.
+
+Reference: faiss/IndexFastScan.h:15-28, faiss/IndexPQFastScan.h,
+faiss/IndexIVFPQFastScan.h, faiss/utils/quantize_lut.h:13-25 and
+quantize_lut.cpp:140-285 (quantize_LUT_and_bias).
+
+The reference's fast-scan family changes two things versus plain ADC:
+
+* WHAT is computed — per-query distance lookup tables are affine-quantized
+  to uint8 (``original = quantized / a + per_column_min``), accumulated in
+  SATURATING uint16, and the reported distance is the de-quantized
+  ``acc / a + b``. The coefficient ``a`` is chosen so the whole-code sum
+  fits the uint16 accumulator: ``a = min(255 / max_span_LUT,
+  65535 / max_span_dis)`` (quantize_lut.cpp:153-165).
+* HOW it is computed — codes are laid out in bbs-blocked SIMD registers
+  and the gather is an AVX shuffle (faiss/impl/pq4_fast_scan.h).
+
+The semantic half is reproduced here exactly, with the reference's
+coefficient choices, so recall and the quantization-error envelope match.
+The physical half (register layout) is out of scope per SURVEY §2.B —
+numpy's vectorized gather over Arrow batches is this engine's vector
+unit, and Tungsten/whole-stage-codegen owns the layout above it.
+
+Scale shape: LUT construction is O(nq · nprobe · M · ksub · dsub) on the
+driver (ksub is 16 for 4-bit codes — a few MB even at nq=10k), broadcast
+once; the scan over the codes table is map-only over (pruned) partitions
+with per-worker top-k partials, identical to the ADC scan plans pinned in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, Window
+
+from faiss_spark.kernels import TopKAccumulator, as_matrix, pairwise_distances
+from faiss_spark.operators.codecs import ProductQuantizerModel
+from faiss_spark.operators.ivf import IVFPQIndex
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_lut_flat(luts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize per-query 2-D LUTs, no bias (reference
+    quantize_lut.cpp:152-170, the ``!bias`` branch), vectorized over
+    queries.
+
+    luts: (nq, M, ksub) float. Returns (lutq uint8 (nq, M, ksub),
+    a (nq,), b (nq,)) with ``true_lut[m, j] ≈ lutq[m, j] / a + min_m``
+    and ``true_dist ≈ acc / a + b``.
+    """
+    luts = np.asarray(luts, np.float64)
+    mins = luts.min(axis=2)  # (nq, M)
+    spans = luts.max(axis=2) - mins
+    max_span_lut = spans.max(axis=1)
+    max_span_dis = spans.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        a = np.minimum(255.0 / max_span_lut, 65535.0 / max_span_dis)
+    a = np.where(np.isfinite(a), a, 1.0)  # degenerate all-constant LUTs
+    b = mins.sum(axis=1)
+    lutq = np.floor((luts - mins[:, :, None]) * a[:, None, None] + 0.5)
+    np.clip(lutq, 0.0, 255.0, out=lutq)
+    return lutq.astype(np.uint8), a, b
+
+
+def quantize_lut_ivf(
+    luts: np.ndarray, bias: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Quantize one query's per-probe 3-D LUTs + per-probe bias
+    (reference quantize_lut.cpp:195-237, the 3-D ``biasq`` branch).
+
+    luts: (nprobe, M, ksub); bias: (nprobe,) — the per-list additive term
+    (0 for pure residual LUTs, the coarse term when precomputed tables
+    split it out). Returns (lutq uint8, biasq uint16, a, b) with
+    ``true_dist ≈ (biasq_j + acc) / a + b``.
+    """
+    luts = np.asarray(luts, np.float64)
+    bias = np.asarray(bias, np.float64)
+    mins = luts.min(axis=2)  # (nprobe, M)
+    spans = luts.max(axis=2) - mins
+    bias_min = bias.min()
+    max_span_lut = spans.max()
+    span_dis = (bias - bias_min) + spans.sum(axis=1)  # (nprobe,)
+    max_span_dis = span_dis.max()
+    bias2 = bias + mins.sum(axis=1)  # (nprobe,)
+    b = float(bias2.min())
+    with np.errstate(divide="ignore"):
+        a = float(min(255.0 / max_span_lut, 65535.0 / max_span_dis))
+    if not np.isfinite(a):
+        a = 1.0
+    lutq = np.floor((luts - mins[:, :, None]) * a + 0.5)
+    np.clip(lutq, 0.0, 255.0, out=lutq)
+    biasq = np.floor((bias2 - b) * a + 0.5)
+    np.clip(biasq, 0.0, 65535.0, out=biasq)
+    return lutq.astype(np.uint8), biasq.astype(np.uint16), a, b
+
+
+def _saturating_lut_sum(
+    lutq: np.ndarray, codes: np.ndarray, init: np.ndarray | None = None
+) -> np.ndarray:
+    """acc[q, x] = sat16(init_q + Σ_m lutq[q, m, code[x, m]]).
+
+    Addends are non-negative, so summing in uint32 and clipping once is
+    bit-equal to the reference's per-add saturating uint16 chain.
+    """
+    nq = lutq.shape[0]
+    n, M = codes.shape
+    acc = np.zeros((nq, n), np.uint32)
+    if init is not None:
+        acc += init.astype(np.uint32)[:, None]
+    cols = codes.astype(np.int64)
+    for m in range(M):
+        acc += lutq[:, m, cols[:, m]]
+    return np.minimum(acc, 65535)
+
+
+# ------------------------------------------------------------ flat PQ scan
+
+
+def pq_fastscan_search(
+    model: ProductQuantizerModel,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """IndexPQFastScan search semantics (reference
+    faiss/IndexPQFastScan.h, IndexFastScan.cpp compute_quantized_LUT):
+    top-k over de-quantized uint16 LUT sums. 4-bit codes (ksub ≤ 16) per
+    the reference's fast-scan constraint.
+
+    Plan: broadcast quantized LUTs, one map-only pass over the codes
+    table with per-worker top-k partials, then the k-row window merge —
+    the same shape as ProductQuantizerModel._lut_search.
+    """
+    if model.ksub > 16:
+        raise ValueError(
+            f"fast-scan requires 4-bit codes (ksub ≤ 16), got ksub={model.ksub}"
+        )
+    spark = codes_df.sparkSession
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = qpdf[qid_col].to_numpy(np.int64)
+    Q = as_matrix(qpdf[qvec_col])
+    luts = np.stack([model.distance_table(q) for q in Q])  # (nq, M, ksub)
+    lutq, a, b = quantize_lut_flat(luts)
+    bc = spark.sparkContext.broadcast((qids, lutq, a, b))
+    k_ = k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lutq_, a_, b_ = bc.value
+        nq = len(qids_)
+        acc = TopKAccumulator(nq, k_, largest=False)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+            D16 = _saturating_lut_sum(lutq_, codes)
+            est = D16 / a_[:, None] + b_[:, None]
+            acc.push(est, pdf["id"].to_numpy(np.int64))
+        qidx, nid, nd = acc.emit()
+        yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+
+    cands = codes_df.select("id", "code").mapInPandas(
+        scan, schema="qid bigint, id bigint, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+# ------------------------------------------------------------ IVFPQ scan
+
+
+@dataclass
+class IVFPQFastScanIndex:
+    """IndexIVFPQFastScan semantics (reference faiss/IndexIVFPQFastScan.h):
+    IVF partition pruning + quantized-LUT residual ADC.
+
+    Train/add/storage are the IVFPQIndex layout verbatim (4-bit residual
+    codes partitioned by list_no); only the search arithmetic differs —
+    per-(query, probe) residual LUTs are jointly quantized per query
+    (shared a/b across the query's probes, quantize_lut.cpp:195) so
+    distances from different lists stay comparable in the merge.
+    """
+
+    base: IVFPQIndex
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        M: int = 8,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 20,
+        pq_niter: int = 15,
+    ) -> "IVFPQFastScanIndex":
+        return IVFPQFastScanIndex(
+            base=IVFPQIndex.train(
+                vectors,
+                nlist,
+                M=M,
+                vec_col=vec_col,
+                seed=seed,
+                niter=niter,
+                pq_niter=pq_niter,
+                nbits=4,
+            )
+        )
+
+    def add(self, vectors: DataFrame, **kw) -> "IVFPQFastScanIndex":
+        self.base.add(vectors, **kw)
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        base = self.base
+        if base.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = base.codes.sparkSession
+        C = base.centroids
+        books = base.pq.codebooks
+        M, ksub, dsub = books.shape
+        if ksub > 16:
+            raise ValueError(f"fast-scan requires 4-bit codes, got ksub={ksub}")
+        nlist = len(C)
+        nprobe = min(nprobe, nlist)
+
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        nq = len(Q)
+        CD = pairwise_distances(Q, C, "l2")
+        probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+
+        # Residual LUTs for every (query, probe): (nq, nprobe, M, ksub).
+        # ksub=16 keeps this a few MB even at nq=10k; built once, broadcast.
+        R = Q[:, None, :] - C[probes]  # (nq, nprobe, d)
+        Rs = R.reshape(nq, nprobe, M, dsub)
+        luts = (
+            (Rs * Rs).sum(3)[:, :, :, None]
+            + (books * books).sum(2)[None, None, :, :]
+            - 2.0 * np.einsum("qpmd,mkd->qpmk", Rs, books)
+        )
+        lutq = np.empty((nq, nprobe, M, ksub), np.uint8)
+        biasq = np.empty((nq, nprobe), np.uint16)
+        a = np.empty(nq)
+        b = np.empty(nq)
+        zero_bias = np.zeros(nprobe)
+        for qi in range(nq):
+            lutq[qi], biasq[qi], a[qi], b[qi] = quantize_lut_ivf(
+                luts[qi], zero_bias
+            )
+
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        l2q: dict[int, list[tuple[int, int]]] = {c: [] for c in probed_lists}
+        for qi in range(nq):
+            for j, c in enumerate(probes[qi]):
+                l2q[int(c)].append((qi, j))
+        l2q_np = {
+            c: (
+                np.asarray([p[0] for p in v], np.int64),
+                np.asarray([p[1] for p in v], np.int64),
+            )
+            for c, v in l2q.items()
+        }
+        bc = spark.sparkContext.broadcast((qids, lutq, biasq, a, b, l2q_np))
+        k_ = k
+        pruned = base.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, lutq_, biasq_, a_, b_, l2q_ = bc.value
+            accs: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    sel = l2q_.get(int(list_no))
+                    if sel is None or len(sel[0]) == 0:
+                        continue
+                    qsel, jsel = sel
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    D16 = _saturating_lut_sum(
+                        lutq_[qsel, jsel], codes, init=biasq_[qsel, jsel]
+                    )
+                    est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
+                    key = int(list_no)
+                    if key not in accs:
+                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    accs[key].push(est, grp["id"].to_numpy(np.int64))
+            for key, acc in accs.items():
+                qidx, nid, nd = acc.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )

@@ -71,6 +71,12 @@ class IndexPlan:
     lat_nsq: int | None = None
     lat_r2: int | None = None
     lat_scale_nbit: int | None = None
+    # fast-scan (reference index_factory.cpp "PQ<M>x4fs[_<bbs>]"): 4-bit
+    # codes searched through quantized LUTs (operators/fastscan.py). bbs
+    # is the reference's SIMD block size — parsed and kept for round-trip
+    # fidelity, physically meaningless on the Arrow/numpy layout.
+    fastscan: bool = False
+    bbs: int = 32
     refine_flat: bool = False
     flat_dedup: bool = False
     k_factor: int = 4
@@ -140,10 +146,16 @@ class IndexPlan:
         elif self.index_type == "ivfflat":
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
         elif self.index_type == "ivfpq":
-            self.index = IVFPQIndex.train(
+            base = IVFPQIndex.train(
                 cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
                 seed=seed,
-            ).add(cur)
+            )
+            if self.fastscan:
+                from faiss_spark.operators.fastscan import IVFPQFastScanIndex
+
+                self.index = IVFPQFastScanIndex(base=base).add(cur)
+            else:
+                self.index = base.add(cur)
         elif self.index_type == "ivfsq":
             self.index = IVFSQIndex.train(
                 cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
@@ -206,7 +218,16 @@ class IndexPlan:
                     "qid", F.explode("ids").alias("id"), "dist", "rank"
                 )
         elif self.index_type == "pq":
-            res = self._pq_model.adc_search(self._pq_codes, q, k_cand, qid_col="qid")
+            if self.fastscan:
+                from faiss_spark.operators.fastscan import pq_fastscan_search
+
+                res = pq_fastscan_search(
+                    self._pq_model, self._pq_codes, q, k_cand, qid_col="qid"
+                )
+            else:
+                res = self._pq_model.adc_search(
+                    self._pq_codes, q, k_cand, qid_col="qid"
+                )
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
             res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
@@ -307,6 +328,16 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.flat_dedup = True
         elif code == "Flat":
             plan.index_type = "ivfflat"
+        elif re.match(r"^PQ(\d+)x4fs(_\d+)?$", code):
+            # IVF<n>,PQ<M>x4fs[_<bbs>] (reference index_factory.cpp
+            # fast-scan suffix) — 4-bit codes, quantized-LUT search
+            pm = re.match(r"^PQ(\d+)x4fs(?:_(\d+))?$", code)
+            plan.index_type = "ivfpq"
+            plan.pq_m = int(pm.group(1))
+            plan.pq_nbits = 4
+            plan.fastscan = True
+            if pm.group(2):
+                plan.bbs = int(pm.group(2))
         elif re.match(r"^PQ(\d+)(x\d+)?$", code):
             pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
             plan.index_type = "ivfpq"
@@ -324,6 +355,15 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         i += 1
     elif tok == "Flat":
         plan.index_type = "flat"
+        i += 1
+    elif re.match(r"^PQ(\d+)x4fs(_\d+)?$", tok):
+        pm = re.match(r"^PQ(\d+)x4fs(?:_(\d+))?$", tok)
+        plan.index_type = "pq"
+        plan.pq_m = int(pm.group(1))
+        plan.pq_nbits = 4
+        plan.fastscan = True
+        if pm.group(2):
+            plan.bbs = int(pm.group(2))
         i += 1
     elif re.match(r"^PQ(\d+)(x\d+)?$", tok):
         pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", tok)
@@ -387,9 +427,15 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append("FlatDedup" if plan.flat_dedup else "Flat")
     elif plan.index_type == "ivfpq":
         parts.append(f"IVF{plan.nlist}")
-        parts.append(
-            f"PQ{plan.pq_m}" + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
-        )
+        if plan.fastscan:
+            parts.append(
+                f"PQ{plan.pq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+            )
+        else:
+            parts.append(
+                f"PQ{plan.pq_m}"
+                + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+            )
     elif plan.index_type == "ivfsq":
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"SQ{plan.sq_bits}")
@@ -397,9 +443,15 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"RQ{plan.rq_m}")
     elif plan.index_type == "pq":
-        parts.append(
-            f"PQ{plan.pq_m}" + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
-        )
+        if plan.fastscan:
+            parts.append(
+                f"PQ{plan.pq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+            )
+        else:
+            parts.append(
+                f"PQ{plan.pq_m}"
+                + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+            )
     elif plan.index_type == "sq":
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":

@@ -29,6 +29,27 @@ def test_factory_parse_roundtrip():
         assert reverse_index_factory(plan) == s
 
 
+def test_factory_fastscan_tokens():
+    """PQ<M>x4fs[_<bbs>] fast-scan grammar (reference index_factory.cpp
+    fast-scan suffix) parses, round-trips, and forces 4-bit codes."""
+    for s in ["PQ16x4fs", "IVF16,PQ16x4fs", "PQ8x4fs_64", "IVF8,PQ8x4fs_64"]:
+        plan = index_factory(s)
+        assert plan.fastscan and plan.pq_nbits == 4
+        assert reverse_index_factory(plan) == s
+    assert index_factory("PQ8x4fs_64").bbs == 64
+
+
+def test_factory_fastscan_end_to_end(vectors, queries):
+    plan = index_factory("IVF8,PQ16x4fs").fit(vectors)
+    rows = plan.search(queries, 5, nprobe=8).collect()
+    from collections import Counter
+
+    assert set(Counter(r["qid"] for r in rows).values()) == {5}
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 5).collect()}
+    got = {(r["qid"], r["id"]) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.4
+
+
 def test_factory_rejects_garbage():
     with pytest.raises(ValueError):
         index_factory("HNSW32")  # graph index: deliberately out of scope

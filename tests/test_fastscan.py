@@ -1,0 +1,180 @@
+"""Fast-scan (4-bit quantized-LUT) search: quantizer error envelope and
+agreement with the exact ADC scan (reference pattern:
+tests/test_fast_scan.py — PQFastScan-vs-PQ accuracy comparisons)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.codecs import ProductQuantizer
+from faiss_spark.operators.fastscan import (
+    IVFPQFastScanIndex,
+    _saturating_lut_sum,
+    pq_fastscan_search,
+    quantize_lut_flat,
+    quantize_lut_ivf,
+)
+from faiss_spark.operators.knn import knn
+
+
+# ------------------------------------------------------------ numpy level
+
+
+def test_quantize_lut_flat_error_bound():
+    rng = np.random.default_rng(0)
+    luts = rng.uniform(0, 50, size=(7, 8, 16))
+    lutq, a, b = quantize_lut_flat(luts)
+    assert lutq.dtype == np.uint8
+    # dequantized whole-code sums stay within the rounding envelope:
+    # each of M entries contributes ≤ 0.5/a error
+    codes = rng.integers(0, 16, size=(100, 8), dtype=np.uint8)
+    acc = _saturating_lut_sum(lutq, codes)
+    est = acc / a[:, None] + b[:, None]
+    true = np.zeros((7, 100))
+    for m in range(8):
+        true += luts[:, m, codes[:, m]]
+    bound = (0.5 * 8 + 1.0) / a
+    assert np.all(np.abs(est - true) <= bound[:, None])
+
+
+def test_quantize_lut_flat_reference_coefficients():
+    """a must be min(255/max_span_LUT, 65535/max_span_dis)
+    (quantize_lut.cpp:165) — the accumulator-fit rule."""
+    rng = np.random.default_rng(1)
+    luts = rng.uniform(0, 9000, size=(3, 16, 16))  # big spans: dis-limited
+    lutq, a, b = quantize_lut_flat(luts)
+    mins = luts.min(2)
+    spans = luts.max(2) - mins
+    expect = np.minimum(255.0 / spans.max(1), 65535.0 / spans.sum(1))
+    assert np.allclose(a, expect)
+    assert np.allclose(b, mins.sum(1))
+
+
+def test_saturating_sum_clips_at_uint16():
+    lutq = np.full((1, 4, 16), 255, np.uint8)
+    codes = np.zeros((5, 4), np.uint8)
+    acc = _saturating_lut_sum(lutq, codes, init=np.array([65000], np.uint16))
+    assert acc.dtype != np.uint16 or True
+    assert np.all(acc == 65535)
+    # without init: 4 * 255 = 1020, no clipping
+    assert np.all(_saturating_lut_sum(lutq, codes) == 1020)
+
+
+def test_quantize_lut_ivf_shared_scale_across_probes():
+    """Per-query joint quantization: one (a, b) across all probes so
+    merged candidates are comparable (quantize_lut.cpp:195-237)."""
+    rng = np.random.default_rng(2)
+    luts = rng.uniform(0, 30, size=(4, 8, 16))  # 4 probes
+    bias = np.zeros(4)
+    lutq, biasq, a, b = quantize_lut_ivf(luts, bias)
+    codes = rng.integers(0, 16, size=(50, 8), dtype=np.uint8)
+    for j in range(4):
+        acc = _saturating_lut_sum(
+            lutq[j : j + 1], codes, init=biasq[j : j + 1]
+        )
+        est = acc[0] / a + b
+        true = np.zeros(50)
+        for m in range(8):
+            true += luts[j, m, codes[:, m]]
+        assert np.all(np.abs(est - true) <= (0.5 * 8 + 1.5) / a)
+
+
+def test_fastscan_requires_4bit():
+    class FakeModel:
+        ksub = 256
+
+    with pytest.raises(ValueError):
+        pq_fastscan_search(FakeModel(), None, None, 5)
+
+
+# ------------------------------------------------------------ Spark level
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def pq4(vectors):
+    model = ProductQuantizer(M=16, nbits=4, niter=8, seed=7).fit(vectors)
+    return model, model.encode(vectors)
+
+
+def test_pq_fastscan_matches_adc(vectors, pq4):
+    """Fast-scan ranks by de-quantized LUT sums; with the reference's
+    255-level quantizer the top-k should nearly coincide with exact ADC."""
+    model, codes = pq4
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    adc = {
+        (r["qid"], r["id"])
+        for r in model.adc_search(codes, queries, 10).collect()
+    }
+    fs = {
+        (r["qid"], r["id"])
+        for r in pq_fastscan_search(model, codes, queries, 10).collect()
+    }
+    overlap = len(fs & adc) / len(adc)
+    assert overlap >= 0.8, overlap
+
+
+def test_pq_fastscan_each_query_gets_k(vectors, pq4):
+    model, codes = pq4
+    queries = vectors.filter("id < 8").select(F.col("id").alias("qid"), "vec")
+    rows = pq_fastscan_search(model, codes, queries, 5).collect()
+    from collections import Counter
+
+    counts = Counter(r["qid"] for r in rows)
+    assert set(counts.values()) == {5}
+    assert all(r["dist"] >= -1e-6 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ivffs(vectors):
+    return IVFPQFastScanIndex.train(
+        vectors, nlist=8, M=16, seed=42, niter=10, pq_niter=8
+    ).add(vectors)
+
+
+def test_ivfpq_fastscan_full_probe_recall(vectors, ivffs):
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in ivffs.search(queries, k=10, nprobe=8).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_ivfpq_fastscan_matches_exact_adc_scan(vectors, ivffs):
+    """At full probe the candidate pool equals the whole table, so
+    fast-scan should agree with the float ADC scan of the same 4-bit
+    index up to LUT-quantization rank flips."""
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    adc = {
+        (r["qid"], r["id"])
+        for r in ivffs.base.search(queries, k=10, nprobe=8).collect()
+    }
+    fs = {
+        (r["qid"], r["id"])
+        for r in ivffs.search(queries, k=10, nprobe=8).collect()
+    }
+    overlap = len(fs & adc) / len(adc)
+    assert overlap >= 0.8, overlap
+
+
+def test_ivfpq_fastscan_nprobe_monotone(vectors, ivffs):
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["qid"], r["id"])
+            for r in ivffs.search(queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(1) <= recall(8) + 1e-9
