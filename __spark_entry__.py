@@ -955,6 +955,32 @@ def q_ivfpq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nsg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded batch NSG (reference IndexNSG: NN-Descent-seeded MRNG
+    graph + pool-of-L beam search, faiss/impl/NSG.cpp sync_prune /
+    search_on_graph; here per-shard graphs searched in parallel and
+    merged, the IndexShards composition). Properties: (1) recall@K vs
+    exact knn ≥ 0.8 at search_L=64 (measured 1.00 at sf0.01);
+    (2) every database query finds itself at rank 1 — the graph walk
+    must reach the query's own node from the medoid."""
+    from faiss_spark.operators.nsg import NSGIndex
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = NSGIndex.build(vecs, R=16, knn_k=24, nshards=32)
+    res = idx.search(qs, K, search_L=64)
+    recall, _ = _pair_recall(res.select("qid", "id"), knn(vecs, qs, K).select("qid", "id"))
+    self_rows = res.filter((F.col("rank") == 1) & (F.col("qid") == F.col("id"))).count()
+    nq = qs.count()
+    return _prop_df(
+        spark,
+        [
+            ("nsg_recall_vs_exact_ge_0.8", recall >= 0.8),
+            ("nsg_self_found_at_rank1", self_rows == nq),
+        ],
+    )
+
+
 def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension data profiling (MatrixStats)."""
     from faiss_spark.operators.maintenance import matrix_stats
@@ -1393,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_sdc_search": q_pq_sdc_search,
         "pq_fastscan_search": q_pq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
+        "nsg_search": q_nsg_search,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
@@ -2195,6 +2222,10 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfpq_fastscan"] = (
         "SELECT 'ivf_fastscan_agrees_with_adc_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivf_fastscan_recall_vs_exact_ge_0.3', TRUE"
+    )
+    sql["nsg_search"] = (
+        "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
     )
     sql["ivfpqr_search"] = (
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "

@@ -77,6 +77,9 @@ class IndexPlan:
     # fidelity, physically meaningless on the Arrow/numpy layout.
     fastscan: bool = False
     bbs: int = 32
+    # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat]") — sharded
+    # batch graph (operators/nsg.py)
+    nsg_r: int | None = None
     refine_flat: bool = False
     flat_dedup: bool = False
     k_factor: int = 4
@@ -181,6 +184,10 @@ class IndexPlan:
             self._sq_model = model
             self._sq_codes = model.encode(cur)
             self.index = model
+        elif self.index_type == "nsg":
+            from faiss_spark.operators.nsg import NSGIndex
+
+            self.index = NSGIndex.build(cur, R=self.nsg_r)
         elif self.index_type == "lattice":
             from faiss_spark.operators.lattice import LatticeIndex
 
@@ -231,6 +238,10 @@ class IndexPlan:
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
             res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type == "nsg":
+            res = self.index.search(
+                q, k_cand, search_L=max(32, 2 * k_cand), qid_col="qid"
+            )
         elif self.index_type == "lattice":
             # reference IndexLattice.search throws; here the codec searches
             # like the other full-table codecs: refine-on-decode
@@ -380,6 +391,13 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
         i += 1
+    elif re.match(r"^NSG(\d+)?$", tok):
+        nm = re.match(r"^NSG(\d+)?$", tok)
+        plan.index_type = "nsg"
+        plan.nsg_r = int(nm.group(1)) if nm.group(1) else 32
+        i += 1
+        if i < len(tokens) and tokens[i] == "Flat":
+            i += 1  # "NSG32,Flat" — Flat storage is the only storage here
     elif re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok):
         lm = re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok)
         plan.index_type = "lattice"
@@ -456,6 +474,8 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":
         parts.append(f"RQ{plan.rq_m}")
+    elif plan.index_type == "nsg":
+        parts.append(f"NSG{plan.nsg_r}")
     elif plan.index_type == "lattice":
         parts.append(
             f"ZnLattice{plan.lat_nsq}x{plan.lat_r2}_{plan.lat_scale_nbit}"

@@ -50,6 +50,20 @@ def test_factory_fastscan_end_to_end(vectors, queries):
     assert len(got & truth) / len(truth) >= 0.4
 
 
+def test_factory_nsg_token(vectors, queries):
+    """NSG<R>[,Flat] (reference index_factory.cpp NSG grammar) builds the
+    sharded batch graph and searches end-to-end."""
+    for s in ["NSG32", "NSG16"]:
+        plan = index_factory(s)
+        assert plan.index_type == "nsg"
+        assert reverse_index_factory(plan) == s
+    assert index_factory("NSG32,Flat").nsg_r == 32
+    plan = index_factory("NSG16").fit(vectors)
+    rows = plan.search(queries, 5).collect()
+    top1 = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    assert all(top1[q] == q for q in top1)
+
+
 def test_factory_rejects_garbage():
     with pytest.raises(ValueError):
         index_factory("HNSW32")  # graph index: deliberately out of scope

@@ -1,0 +1,94 @@
+"""Sharded batch NSG: connectivity, recall vs exact, shard-merge and
+persistence (reference accuracy pattern: tests/test_index_accuracy.py /
+tests/test_graph_based.py NSG rows)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.knn import knn
+from faiss_spark.operators.nsg import NSGIndex
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def index(vectors):
+    return NSGIndex.build(vectors, R=16, knn_k=24, nshards=2)
+
+
+def test_nsg_recall_vs_exact(vectors, index):
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in index.search(queries, k=10, search_L=40).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_nsg_each_query_gets_k_and_self_first(vectors, index):
+    queries = vectors.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    rows = index.search(queries, k=5, search_L=40).collect()
+    from collections import Counter
+
+    assert set(Counter(r["qid"] for r in rows).values()) == {5}
+    top1 = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    # each query is a database vector: the graph walk must find it
+    assert all(top1[q] == q for q in top1)
+
+
+def test_nsg_search_L_monotone(vectors, index):
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+
+    def recall(L):
+        got = {
+            (r["qid"], r["id"])
+            for r in index.search(queries, k=10, search_L=L).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(10) <= recall(64) + 1e-9
+
+
+def test_nsg_degree_bounded_and_connected(index):
+    rows = index.table.select("shard", "id", "neighbors", "is_ep").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, nodes in by_shard.items():
+        ids = {r["id"] for r in nodes}
+        eps = [r["id"] for r in nodes if r["is_ep"]]
+        assert len(eps) == 1
+        adj = {r["id"]: [v for v in r["neighbors"]] for r in nodes}
+        # neighbors stay inside the shard
+        assert all(v in ids for nb in adj.values() for v in nb)
+        # degree ≈ R (connectivity repair may exceed slightly)
+        assert max(len(nb) for nb in adj.values()) <= 16 + 8
+        # BFS from the enterpoint reaches every node
+        seen = {eps[0]}
+        stack = [eps[0]]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        assert seen == ids
+
+
+def test_nsg_save_load_roundtrip(vectors, index, spark, tmp_path):
+    path = str(tmp_path / "nsg")
+    index.save(path)
+    loaded = NSGIndex.load(spark, path)
+    queries = vectors.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    a = {(r["qid"], r["rank"], r["id"]) for r in index.search(queries, 5).collect()}
+    b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 5).collect()}
+    assert a == b
