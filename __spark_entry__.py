@@ -955,6 +955,62 @@ def q_ivfpq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-quantizer fast-scan (reference
+    IndexAdditiveQuantizerFastScan, ST_norm_rq2x4): 4-bit RQ codes plus
+    a 2×4-bit-encoded reconstruction norm, searched through quantized
+    inner-product LUTs with the norm rows rescaled during accumulation
+    (NormTableScaler / aq_quantize_LUT_and_bias,
+    faiss/utils/quantize_lut.cpp:287). Properties: (1) quantized-LUT
+    ranking agrees with the float ranking of the same approximation
+    ≥ 0.8; (2) recall vs exact knn ≥ 0.3."""
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.fastscan import (
+        aq_fastscan_encode,
+        aq_fastscan_search,
+        train_aq_fastscan,
+    )
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    model = train_aq_fastscan(vecs, M=16, niter=8, seed=11)
+    codes_df = aq_fastscan_encode(model, vecs)
+    fs = aq_fastscan_search(model, codes_df, qs, K).select("qid", "id")
+    # float twin of the same approximation, driver-side
+    qp = qs.toPandas()
+    Q = as_matrix(qp["vec"])
+    allp = codes_df.toPandas()
+    ids = allp["id"].to_numpy("int64")
+    codes = np.stack([np.frombuffer(c, np.uint8) for c in allp["code"]])
+    xhat = model.rq.decode_np(codes[:, : model.M])
+    est = (
+        (Q * Q).sum(1)[:, None]
+        - 2.0 * (Q @ xhat.T)
+        + model.estimated_norm(codes)[None, :]
+    )
+    import pandas as pd
+
+    float_rows = []
+    for qi in range(len(Q)):
+        for j in np.argsort(est[qi], kind="stable")[:K]:
+            float_rows.append((int(qp["qid"][qi]), int(ids[j])))
+    float_df = spark.createDataFrame(
+        pd.DataFrame(float_rows, columns=["qid", "id"])
+    )
+    exact = knn(vecs, qs, K).select("qid", "id")
+    agree, _ = _pair_recall(fs, float_df)
+    recall, _ = _pair_recall(fs, exact)
+    return _prop_df(
+        spark,
+        [
+            ("aqfs_agrees_with_float_estimate_ge_0.8", agree >= 0.8),
+            ("aqfs_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
 def q_nsg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded batch NSG (reference IndexNSG: NN-Descent-seeded MRNG
     graph + pool-of-L beam search, faiss/impl/NSG.cpp sync_prune /
@@ -1420,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_fastscan_search": q_pq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "nsg_search": q_nsg_search,
+        "aq_fastscan": q_aq_fastscan,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
@@ -2226,6 +2283,11 @@ def oracle_sql() -> dict[str, str]:
     sql["nsg_search"] = (
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
+    )
+    sql["aq_fastscan"] = (
+        "SELECT 'aqfs_agrees_with_float_estimate_ge_0.8' AS prop, "
+        "TRUE AS passed "
+        "UNION ALL SELECT 'aqfs_recall_vs_exact_ge_0.3', TRUE"
     )
     sql["ivfpqr_search"] = (
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "

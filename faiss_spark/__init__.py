@@ -67,7 +67,10 @@ from faiss_spark.operators.ivf import (
 )
 from faiss_spark.operators.fastscan import (
     IVFPQFastScanIndex,
+    aq_fastscan_encode,
+    aq_fastscan_search,
     pq_fastscan_search,
+    train_aq_fastscan,
 )
 from faiss_spark.operators.knn import knn, knn_join, range_search
 from faiss_spark.operators.lattice import LatticeIndex, ZnSphereCodec

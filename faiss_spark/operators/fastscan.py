@@ -101,12 +101,17 @@ def quantize_lut_ivf(
 
 
 def _saturating_lut_sum(
-    lutq: np.ndarray, codes: np.ndarray, init: np.ndarray | None = None
+    lutq: np.ndarray,
+    codes: np.ndarray,
+    init: np.ndarray | None = None,
+    row_weights: np.ndarray | None = None,
 ) -> np.ndarray:
-    """acc[q, x] = sat16(init_q + Σ_m lutq[q, m, code[x, m]]).
+    """acc[q, x] = sat16(init_q + Σ_m w_m · lutq[q, m, code[x, m]]).
 
     Addends are non-negative, so summing in uint32 and clipping once is
     bit-equal to the reference's per-add saturating uint16 chain.
+    row_weights carries the AQ fast-scan NormTableScaler (norm rows
+    accumulated norm_scale times); None = all ones.
     """
     nq = lutq.shape[0]
     n, M = codes.shape
@@ -115,7 +120,10 @@ def _saturating_lut_sum(
         acc += init.astype(np.uint32)[:, None]
     cols = codes.astype(np.int64)
     for m in range(M):
-        acc += lutq[:, m, cols[:, m]]
+        con = lutq[:, m, cols[:, m]].astype(np.uint32)
+        if row_weights is not None and row_weights[m] != 1:
+            con *= int(row_weights[m])
+        acc += con
     return np.minimum(acc, 65535)
 
 
@@ -322,3 +330,204 @@ class IVFPQFastScanIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+# ------------------------------------------------------------ AQ fast-scan
+
+
+def aq_quantize_lut(
+    luts: np.ndarray, M_norm: int, norm_scale: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize per-query AQ LUTs (reference
+    quantize_lut.cpp:287 aq_quantize_LUT_and_bias with nprobe=1,
+    bias=0), vectorized over queries. The last M_norm rows are the
+    (already norm_scale-divided) norm tables; their spans count
+    norm_scale times toward the accumulator-fit bound because the scan
+    accumulates them norm_scale times (NormTableScaler).
+
+    luts: (nq, M + M_norm, ksub). Returns (lutq uint8, a (nq,), b (nq,)).
+    """
+    luts = np.asarray(luts, np.float64)
+    nq, Mtot, ksub = luts.shape
+    mins = luts.min(axis=2)  # (nq, Mtot)
+    spans = luts.max(axis=2) - mins
+    w = np.ones(Mtot)
+    w[Mtot - M_norm :] = norm_scale
+    max_span_lut = spans.max(axis=1)
+    max_span_dis = (spans * w[None, :]).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        a = np.minimum(255.0 / max_span_lut, 65535.0 / max_span_dis)
+    a = np.where(np.isfinite(a), a, 1.0)
+    b = mins.sum(axis=1)
+    lutq = np.floor((luts - mins[:, :, None]) * a[:, None, None] + 0.5)
+    np.clip(lutq, 0.0, 255.0, out=lutq)
+    return lutq.astype(np.uint8), a, b
+
+
+@dataclass
+class AQFastScanModel:
+    """IndexAdditiveQuantizerFastScan, ST_norm_rq2x4 search semantics
+    (reference faiss/IndexAdditiveQuantizerFastScan.cpp:155-185
+    compute_float_LUT): codes are 4-bit RQ levels plus the vector's
+    reconstruction norm ‖x̂‖² encoded by a 2-level 4-bit scalar RQ; the
+    L2 estimate accumulates −2·⟨q, c_m⟩ inner-product LUTs and the norm
+    tables, with the norm rows divided by norm_scale in the LUT and
+    re-multiplied during accumulation (NormTableScaler) so they fit the
+    uint8 range despite their larger span."""
+
+    rq: "object"  # ResidualQuantizerModel (4-bit)
+    norm_books: np.ndarray  # (2, ksub) scalar centroids per norm level
+    norm_scale: int
+
+    @property
+    def M(self) -> int:
+        return self.rq.M
+
+    @property
+    def ksub(self) -> int:
+        return self.rq.ksub
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        codes = self.rq.encode_np(X)  # (n, M)
+        xhat = self.rq.decode_np(codes)
+        norms = (xhat * xhat).sum(1)
+        c0 = np.abs(norms[:, None] - self.norm_books[0][None, :]).argmin(1)
+        r = norms - self.norm_books[0][c0]
+        c1 = np.abs(r[:, None] - self.norm_books[1][None, :]).argmin(1)
+        return np.concatenate(
+            [codes, c0[:, None].astype(np.uint8), c1[:, None].astype(np.uint8)],
+            axis=1,
+        )
+
+    def estimated_norm(self, codes: np.ndarray) -> np.ndarray:
+        """decoded ‖x̂‖² from the two norm code bytes."""
+        return (
+            self.norm_books[0][codes[:, self.M].astype(np.int64)]
+            + self.norm_books[1][codes[:, self.M + 1].astype(np.int64)]
+        )
+
+    def float_luts(self, Q: np.ndarray) -> np.ndarray:
+        """(nq, M+2, ksub) float LUTs: −2·⟨q, c_m⟩ rows then the
+        norm_scale-divided norm tables (compute_float_LUT)."""
+        nq = len(Q)
+        ip = -2.0 * np.einsum("qd,mkd->qmk", Q, self.rq.codebooks)
+        norm = np.broadcast_to(
+            self.norm_books[None, :, :] / float(self.norm_scale),
+            (nq, 2, self.ksub),
+        )
+        return np.concatenate([ip, norm], axis=1)
+
+
+def train_aq_fastscan(
+    vectors: "DataFrame",
+    M: int = 16,
+    niter: int = 10,
+    seed: int = 1234,
+    vec_col: str = "vec",
+) -> AQFastScanModel:
+    """Train 4-bit RQ codebooks + the 2×4-bit norm quantizer and estimate
+    norm_scale from the training sample (reference
+    IndexAdditiveQuantizerFastScan::estimate_norm_scale +
+    quantize_lut.cpp:328 aq_estimate_norm_scale)."""
+    from faiss_spark.operators.codecs import (
+        ResidualQuantizer,
+        _kmeans_np,
+        _sampled_matrix,
+    )
+
+    rq = ResidualQuantizer(M=M, nbits=4, niter=niter, seed=seed).fit(
+        vectors, vec_col=vec_col
+    )
+    X = _sampled_matrix(vectors, vec_col, 16384, seed)
+    codes = rq.encode_np(X)
+    xhat = rq.decode_np(codes)
+    norms = (xhat * xhat).sum(1)
+    ksub = rq.ksub
+    nb0, lab0 = _kmeans_np(norms[:, None], min(ksub, len(norms)), 10, seed)
+    resid = norms - nb0[lab0, 0]
+    nb1, _ = _kmeans_np(resid[:, None], min(ksub, len(resid)), 10, seed + 1)
+    norm_books = np.zeros((2, ksub))
+    norm_books[0, : len(nb0)] = nb0[:, 0]
+    norm_books[1, : len(nb1)] = nb1[:, 0]
+    model = AQFastScanModel(rq=rq, norm_books=norm_books, norm_scale=1)
+    # norm_scale: mean ratio of norm-table span to ip-LUT span over a
+    # query sample, rounded, floored at 1 (aq_estimate_norm_scale)
+    Qs = X[: min(256, len(X))]
+    ip = -2.0 * np.einsum("qd,mkd->qmk", Qs, rq.codebooks)
+    ip_span = (ip.max(2) - ip.min(2)).max(1)  # (nq,)
+    norm_span = max(
+        norm_books[0].max() - norm_books[0].min(),
+        norm_books[1].max() - norm_books[1].min(),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = float(np.mean(norm_span / ip_span))
+    model.norm_scale = int(round(max(scale, 1.0))) if np.isfinite(scale) else 1
+    return model
+
+
+def aq_fastscan_encode(
+    model: AQFastScanModel,
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    from faiss_spark.operators.codecs import _map_codec
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(np.int64),
+                "code": list(map(bytes, model.encode_np(X))),
+            }
+        )
+
+    return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+
+def aq_fastscan_search(
+    model: AQFastScanModel,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """L2 top-k over AQ fast-scan codes: quantized-LUT accumulation with
+    the norm rows re-scaled during the scan; reported distance is the
+    de-quantized estimate plus the per-query ‖q‖² constant."""
+    spark = codes_df.sparkSession
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = qpdf[qid_col].to_numpy(np.int64)
+    Q = as_matrix(qpdf[qvec_col])
+    luts = model.float_luts(Q)
+    lutq, a, b = aq_quantize_lut(luts, M_norm=2, norm_scale=model.norm_scale)
+    qsq = (Q * Q).sum(1)
+    weights = np.ones(model.M + 2, np.int64)
+    weights[model.M :] = model.norm_scale
+    bc = spark.sparkContext.broadcast((qids, lutq, a, b, qsq, weights))
+    k_ = k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lutq_, a_, b_, qsq_, w_ = bc.value
+        nq = len(qids_)
+        acc = TopKAccumulator(nq, k_, largest=False)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+            D16 = _saturating_lut_sum(lutq_, codes, row_weights=w_)
+            est = D16 / a_[:, None] + b_[:, None] + qsq_[:, None]
+            acc.push(est, pdf["id"].to_numpy(np.int64))
+        qidx, nid, nd = acc.emit()
+        yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+
+    cands = codes_df.select("id", "code").mapInPandas(
+        scan, schema="qid bigint, id bigint, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_)
+        .select("qid", "id", "dist", "rank")
+    )

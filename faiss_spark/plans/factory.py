@@ -172,6 +172,16 @@ class IndexPlan:
             self._rq_model = model
             self._rq_codes = model.encode(cur)
             self.index = model
+        elif self.index_type == "rqfs":
+            from faiss_spark.operators.fastscan import (
+                aq_fastscan_encode,
+                train_aq_fastscan,
+            )
+
+            model = train_aq_fastscan(cur, M=self.rq_m, seed=seed)
+            self._aqfs_model = model
+            self._aqfs_codes = aq_fastscan_encode(model, cur)
+            self.index = model
         elif self.index_type == "pq":
             model = ProductQuantizer(
                 M=self.pq_m, nbits=self.pq_nbits, seed=seed
@@ -238,6 +248,12 @@ class IndexPlan:
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
             res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type == "rqfs":
+            from faiss_spark.operators.fastscan import aq_fastscan_search
+
+            res = aq_fastscan_search(
+                self._aqfs_model, self._aqfs_codes, q, k_cand, qid_col="qid"
+            )
         elif self.index_type == "nsg":
             res = self.index.search(
                 q, k_cand, search_L=max(32, 2 * k_cand), qid_col="qid"
@@ -387,6 +403,15 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "sq"
         plan.sq_bits = {"4": 4, "6": 6, "8": 8, "fp16": 16}[tok[2:]]
         i += 1
+    elif re.match(r"^RQ(\d+)x4fs(_\d+)?$", tok):
+        # RQ<M>x4fs[_<bbs>] — AQ fast-scan (ST_norm_rq2x4 semantics)
+        rm = re.match(r"^RQ(\d+)x4fs(?:_(\d+))?$", tok)
+        plan.index_type = "rqfs"
+        plan.rq_m = int(rm.group(1))
+        plan.fastscan = True
+        if rm.group(2):
+            plan.bbs = int(rm.group(2))
+        i += 1
     elif re.match(r"^RQ(\d+)$", tok):
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
@@ -474,6 +499,10 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":
         parts.append(f"RQ{plan.rq_m}")
+    elif plan.index_type == "rqfs":
+        parts.append(
+            f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+        )
     elif plan.index_type == "nsg":
         parts.append(f"NSG{plan.nsg_r}")
     elif plan.index_type == "lattice":

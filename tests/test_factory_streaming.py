@@ -32,9 +32,12 @@ def test_factory_parse_roundtrip():
 def test_factory_fastscan_tokens():
     """PQ<M>x4fs[_<bbs>] fast-scan grammar (reference index_factory.cpp
     fast-scan suffix) parses, round-trips, and forces 4-bit codes."""
-    for s in ["PQ16x4fs", "IVF16,PQ16x4fs", "PQ8x4fs_64", "IVF8,PQ8x4fs_64"]:
+    for s in ["PQ16x4fs", "IVF16,PQ16x4fs", "PQ8x4fs_64", "IVF8,PQ8x4fs_64",
+              "RQ16x4fs", "RQ8x4fs_64"]:
         plan = index_factory(s)
-        assert plan.fastscan and plan.pq_nbits == 4
+        assert plan.fastscan
+        if "PQ" in s:
+            assert plan.pq_nbits == 4
         assert reverse_index_factory(plan) == s
     assert index_factory("PQ8x4fs_64").bbs == 64
 

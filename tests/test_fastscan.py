@@ -178,3 +178,84 @@ def test_ivfpq_fastscan_nprobe_monotone(vectors, ivffs):
         return len(got & truth) / len(truth)
 
     assert recall(1) <= recall(8) + 1e-9
+
+
+# ------------------------------------------------------------ AQ fast-scan
+
+
+@pytest.fixture(scope="module")
+def aqfs(vectors):
+    from faiss_spark.operators.fastscan import (
+        aq_fastscan_encode,
+        train_aq_fastscan,
+    )
+
+    model = train_aq_fastscan(vectors, M=16, niter=8, seed=11)
+    return model, aq_fastscan_encode(model, vectors)
+
+
+def test_aq_fastscan_norm_codec_roundtrip(vectors, aqfs):
+    """The 2x4-bit norm quantizer reconstructs reconstruction norms with
+    bounded relative error (reference ST_norm_rq2x4 norm encoding)."""
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+
+    model, _ = aqfs
+    X = as_matrix(vectors.limit(200).toPandas()["vec"])
+    codes = model.encode_np(X)
+    xhat = model.rq.decode_np(codes[:, : model.M])
+    true = (xhat * xhat).sum(1)
+    est = model.estimated_norm(codes)
+    rel = np.abs(est - true) / np.maximum(true, 1e-9)
+    assert np.median(rel) <= 0.2, np.median(rel)
+    assert model.norm_scale >= 1 and isinstance(model.norm_scale, int)
+
+
+def test_aq_fastscan_matches_float_estimate(vectors, aqfs):
+    """Quantized-LUT ranking nearly coincides with the float ranking of
+    the SAME approximation (−2·⟨q, x̂⟩ + ‖x̂‖²_quantized + ‖q‖²)."""
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.fastscan import aq_fastscan_search
+
+    model, codes_df = aqfs
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    fs = {
+        (r["qid"], r["id"])
+        for r in aq_fastscan_search(model, codes_df, queries, 10).collect()
+    }
+    # float twin computed driver-side
+    qp = queries.toPandas()
+    Q = as_matrix(qp["vec"])
+    allp = codes_df.toPandas().sort_values("id")
+    ids = allp["id"].to_numpy("int64")
+    codes = np.stack([np.frombuffer(c, np.uint8) for c in allp["code"]])
+    xhat = model.rq.decode_np(codes[:, : model.M])
+    est = (
+        (Q * Q).sum(1)[:, None]
+        - 2.0 * (Q @ xhat.T)
+        + model.estimated_norm(codes)[None, :]
+    )
+    float_top = {
+        (int(qp["qid"][qi]), int(ids[j]))
+        for qi in range(len(Q))
+        for j in np.argsort(est[qi], kind="stable")[:10]
+    }
+    overlap = len(fs & float_top) / len(float_top)
+    assert overlap >= 0.8, overlap
+
+
+def test_aq_fastscan_recall(vectors, aqfs):
+    from faiss_spark.operators.fastscan import aq_fastscan_search
+
+    model, codes_df = aqfs
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in aq_fastscan_search(model, codes_df, queries, 10).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, recall
