@@ -208,11 +208,24 @@ def _beam_search_all(
 class NSGIndex:
     """Sharded batch NSG (reference IndexNSG re-expressed per SURVEY
     §2.B shards composition). ``table`` holds (shard, id, vec, neighbors,
-    is_ep) co-partitioned by shard."""
+    is_ep) co-partitioned by shard.
+
+    Two sharding modes:
+
+    * ``"hash"`` — uniform shards; every shard is searched (IndexShards
+      fan-out). Best recall, cost grows with nshards.
+    * ``"cells"`` — shards are k-means cells (``centroids`` kept on the
+      index) and ``search(nprobe=...)`` routes each query to its nprobe
+      nearest cells only. The scan's ``isin(probed)`` filter prunes
+      parquet PARTITIONS, so a 1000-shard corpus reads nprobe/1000 of
+      its bytes per query batch — the SPANN / Deep1B serving shape
+      (graph-per-cell + centroid routing) rather than all-shard fan-out.
+    """
 
     table: DataFrame
     nshards: int
     R: int
+    centroids: np.ndarray | None = None  # (nshards, d) for cell sharding
 
     @staticmethod
     def build(
@@ -220,12 +233,29 @@ class NSGIndex:
         R: int = 16,
         knn_k: int = 32,
         nshards: int = 4,
+        sharding: str = "hash",
         id_col: str = "id",
         vec_col: str = "vec",
+        seed: int = 1234,
     ) -> "NSGIndex":
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn("shard", (F.crc32(F.col("id").cast("string")) % nshards).cast("int"))
+        )
+        centroids = None
+        if sharding == "cells":
+            from faiss_spark.operators.cluster import KMeans
+
+            km = KMeans(k=nshards, niter=10, seed=seed).fit(src, vec_col="vec")
+            centroids = km.centroids
+            src = km.assign(src, vec_col="vec", keep_vec=True).select(
+                "id", "vec", F.col("cluster").cast("int").alias("shard")
+            )
+        elif sharding == "hash":
+            src = src.withColumn(
+                "shard", (F.crc32(F.col("id").cast("string")) % nshards).cast("int")
+            )
+        else:
+            raise ValueError(f"sharding must be 'hash' or 'cells', got {sharding!r}")
         R_, knn_k_ = R, knn_k
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -250,7 +280,7 @@ class NSGIndex:
             schema="shard int, id bigint, vec array<float>, "
             "neighbors array<bigint>, is_ep boolean",
         )
-        return NSGIndex(table=table, nshards=nshards, R=R)
+        return NSGIndex(table=table, nshards=nshards, R=R, centroids=centroids)
 
     def save(self, path: str) -> "NSGIndex":
         spark = self.table.sparkSession
@@ -258,33 +288,85 @@ class NSGIndex:
             "shard"
         ).parquet(path)
         self.table = spark.read.parquet(path)
+        if self.centroids is not None:
+            cpdf = pd.DataFrame(
+                {
+                    "shard": np.arange(len(self.centroids), dtype=np.int32),
+                    "vec": list(self.centroids.astype(np.float32)),
+                }
+            )
+            spark.createDataFrame(cpdf).write.mode("overwrite").parquet(
+                path + "_centroids"
+            )
         return self
 
     @staticmethod
     def load(spark: SparkSession, path: str, R: int = 16) -> "NSGIndex":
         t = spark.read.parquet(path)
         nshards = t.select("shard").distinct().count()
-        return NSGIndex(table=t, nshards=nshards, R=R)
+        centroids = None
+        try:
+            cp = spark.read.parquet(path + "_centroids").toPandas()
+            cp = cp.sort_values("shard")
+            centroids = as_matrix(cp["vec"])
+        except Exception:
+            pass
+        return NSGIndex(table=t, nshards=nshards, R=R, centroids=centroids)
 
     def search(
         self,
         queries: DataFrame,
         k: int,
         search_L: int = 32,
+        nprobe: int | None = None,
         qid_col: str = "qid",
         qvec_col: str = "vec",
     ) -> DataFrame:
-        """Beam search on every shard, merged (IndexShards semantics).
-        search_L is the reference's pool length (NSG.h:114 search_L)."""
+        """Beam search per shard, merged (IndexShards semantics);
+        search_L is the reference's pool length (NSG.h:114 search_L).
+
+        nprobe (cell-sharded indexes only): route each query to its
+        nprobe nearest cell shards; unprobed shards are pruned from the
+        scan entirely. None = search every shard."""
         spark = self.table.sparkSession
         qpdf = queries.select(qid_col, qvec_col).toPandas()
         qids = qpdf[qid_col].to_numpy(np.int64)
         Q = as_matrix(qpdf[qvec_col])
-        bc = spark.sparkContext.broadcast((qids, Q))
+        shard2q = None
+        src = self.table
+        if nprobe is not None:
+            if self.centroids is None:
+                raise ValueError("nprobe routing needs a cell-sharded index")
+            nprobe = min(nprobe, self.nshards)
+            C = self.centroids
+            CD = (
+                (Q * Q).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (Q @ C.T)
+            )
+            probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
+            probed = sorted({int(s) for s in probes.ravel()})
+            shard2q = {s: [] for s in probed}
+            for qi in range(len(qids)):
+                for s in probes[qi]:
+                    shard2q[int(s)].append(qi)
+            shard2q = {s: np.asarray(v, np.int64) for s, v in shard2q.items()}
+            src = src.filter(F.col("shard").isin(probed))
+        bc = spark.sparkContext.broadcast((qids, Q, shard2q))
         k_, L_ = k, search_L
 
         def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            qids_, Q_ = bc.value
+            qids_all, Q_all, s2q = bc.value
+            shard = int(key[0])
+            if s2q is not None:
+                qsel = s2q.get(shard)
+                if qsel is None or len(qsel) == 0:
+                    return pd.DataFrame(
+                        {"qid": [], "id": [], "dist": []}
+                    ).astype({"qid": "int64", "id": "int64", "dist": "float64"})
+                qids_, Q_ = qids_all[qsel], Q_all[qsel]
+            else:
+                qids_, Q_ = qids_all, Q_all
             ids = pdf["id"].to_numpy(np.int64)
             X = as_matrix(pdf["vec"])
             id2ix = {int(g): i for i, g in enumerate(ids)}
@@ -311,7 +393,7 @@ class NSGIndex:
                 )
             return pd.concat(rows, ignore_index=True)
 
-        cands = self.table.groupBy("shard").applyInPandas(
+        cands = src.groupBy("shard").applyInPandas(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
