@@ -955,6 +955,17 @@ def q_ivfpq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring profile (the span-level dedup of large
+    LM corpora): per doc, n-token windows whose content recurs anywhere
+    in the corpus, plus the removable (non-first-occurrence) count.
+    JVM-codegen window hashing, one shuffle on the md5 span key —
+    byte-exact DuckDB oracle."""
+    from faiss_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(_docs(spark, sf_dir), n=8)
+
+
 def q_aq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive-quantizer fast-scan (reference
     IndexAdditiveQuantizerFastScan, ST_norm_rq2x4): 4-bit RQ codes plus
@@ -1477,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "nsg_search": q_nsg_search,
         "aq_fastscan": q_aq_fastscan,
+        "span_dedup": q_span_dedup,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
@@ -2284,6 +2296,40 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
     )
+    sql["span_dedup"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(t[i:i+7], ' ')) AS span_hash
+          FROM toks, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+        ),
+        marked AS (
+          SELECT doc_id, pos, span_hash,
+                 count(*) OVER (PARTITION BY span_hash) AS n_occ,
+                 row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
+          FROM spans
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_dup_spans,
+                 sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removable
+          FROM marked WHERE n_occ >= 2 GROUP BY doc_id
+        ),
+        base AS (
+          SELECT doc_id, greatest(len(t) - 7, 0) AS n_spans FROM toks
+        )
+        SELECT b.doc_id,
+               b.n_spans AS n_spans,
+               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(p.n_removable, 0) AS n_removable,
+               round(CASE WHEN b.n_spans > 0
+                     THEN CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) / b.n_spans
+                     ELSE 0.0 END, 6) AS dup_frac
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
     sql["aq_fastscan"] = (
         "SELECT 'aqfs_agrees_with_float_estimate_ge_0.8' AS prop, "
         "TRUE AS passed "

@@ -38,12 +38,14 @@ from faiss_spark.operators.codecs import (
 from faiss_spark.operators.dedup import (
     decontaminate,
     dedup_components,
+    duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64_neardup_pairs,
     simhash_neardup_pairs,
+    span_dedup_stats,
 )
 from faiss_spark.functions.corpus import (
     assign_splits,

@@ -735,3 +735,105 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# ======================================================== substring spans ==
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring detection: every window of ``n``
+    consecutive tokens is hashed; windows whose hash occurs ≥ min_count
+    times corpus-wide are duplicated spans (the exact-substring
+    deduplication of large LM corpora — finds boilerplate, licenses,
+    templates that whole-document or Jaccard dedup misses).
+
+    Returns (doc_id, pos, span_hash, n_occurrences, keep) — one row per
+    occurrence of a duplicated span; ``keep`` marks the corpus-wide first
+    occurrence (smallest (doc_id, pos)), the one a remove-duplicates pass
+    retains.
+
+    Scale shape: window hashing is JVM codegen (transform over sequence —
+    no Python, no explode of raw text); ONE shuffle on the span hash with
+    map-side partial counting unavailable (positions needed), so rows
+    shuffled = total token windows. At 100 TB, raise n (fewer windows per
+    doc duplicated by chance) and pre-filter with a count-min pass if the
+    window count dominates; hashes are md5 so the DuckDB oracle is
+    byte-exact (xxhash64 halves the shuffle width when oracle parity
+    isn't needed)."""
+    from faiss_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard short
+    # docs (< n tokens) to an empty window list explicitly
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(windows).alias("pos", "span_hash"),
+    )
+    w = Window.partitionBy("span_hash")
+    wo = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    return (
+        spans.withColumn("n_occurrences", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            "doc_id",
+            "pos",
+            "span_hash",
+            "n_occurrences",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring profile: total n-token windows,
+    windows whose content appears elsewhere in the corpus, and the
+    duplicated fraction — the score a span-level dedup pass thresholds
+    on. Documents shorter than n tokens have no windows and report 0."""
+    from faiss_spark.functions.text import tokens
+
+    dups = duplicated_spans(df, n=n, text_col=text_col, id_col=id_col)
+    per_doc = dups.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removable"),
+    )
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.greatest(
+            F.size(tokens(F.col(text_col))) - (n - 1), F.lit(0)
+        ).alias("n_spans"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_removable", F.lit(0)).alias("n_removable"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

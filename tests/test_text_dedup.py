@@ -289,3 +289,53 @@ def test_repetition_features(spark):
     assert rows[1][0] == pytest.approx(3 / 5)  # 5 bigrams, 2 distinct
     assert rows[2] == (0.0, 0.0)
     assert rows[3] == (0.0, 0.0)
+
+
+# ======================================================== substring spans
+
+
+def test_duplicated_spans_finds_shared_substring(spark):
+    from faiss_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "prefix text the quick brown fox jumps over the lazy dog tail"),
+            (3, "completely different content with no repeats whatsoever here"),
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = duplicated_spans(docs, n=8).collect()
+    # the 9-token shared sentence yields 2 duplicated 8-token windows,
+    # each present in both docs
+    assert len(rows) == 4
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    # corpus-wide first occurrence (doc 1) is kept, doc 2's are removable
+    assert all(r["keep"] == (r["doc_id"] == 1) for r in rows)
+    assert all(r["n_occurrences"] == 2 for r in rows)
+
+
+def test_span_dedup_stats_short_docs_zero(spark):
+    from faiss_spark.operators.dedup import span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in span_dedup_stats(docs, n=8).collect()}
+    assert got[1]["n_spans"] == 0 and got[1]["dup_frac"] == 0.0
+    assert got[2]["n_spans"] == 3 and got[2]["n_dup_spans"] == 0
+
+
+def test_span_dedup_self_repeat_within_doc(spark):
+    from faiss_spark.operators.dedup import duplicated_spans
+
+    text = "x1 x2 x3 x4 " * 4  # the 4-token unit repeats 4 times
+    docs = spark.createDataFrame([(1, text.strip())], ["doc_id", "text"])
+    rows = duplicated_spans(docs, n=4).collect()
+    # windows at stride-4 positions share content; exactly one keep per
+    # distinct span hash
+    keeps = [r for r in rows if r["keep"]]
+    hashes = {r["span_hash"] for r in rows}
+    assert len(keeps) == len(hashes)
+    assert all(r["n_occurrences"] >= 2 for r in rows)
