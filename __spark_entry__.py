@@ -955,6 +955,64 @@ def q_ivfpq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfaq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF additive-quantizer fast-scan (reference
+    IndexIVFAdditiveQuantizerFastScan): one 2-D quantized LUT per query
+    shared across probes (−2·⟨q, cb⟩ rows + rescaled norm tables), the
+    probe difference carried as a per-probe bias −2·⟨q, c_j⟩, full-vector
+    norm encoded 2×4-bit. Properties: (1) at full probe the quantized
+    ranking overlaps the float ranking of the same decomposition ≥ 0.8;
+    (2) recall vs exact knn ≥ 0.3."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.fastscan import IVFAQFastScanIndex
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = IVFAQFastScanIndex.train(
+        vecs, nlist=16, M=16, seed=21, niter=8, rq_niter=8
+    ).add(vecs)
+    idx.codes = idx.codes.localCheckpoint()
+    fs = idx.search(qs, K, nprobe=16).select("qid", "id")
+    qp = qs.toPandas()
+    Q = as_matrix(qp["vec"])
+    allp = idx.codes.toPandas()
+    ids = allp["id"].to_numpy("int64")
+    lists = allp["list_no"].to_numpy("int64")
+    codes = np.stack([np.frombuffer(c, np.uint8) for c in allp["code"]])
+    rhat = idx.rq.decode_np(codes[:, : idx.M])
+    normq = (
+        idx.norm_books[0][codes[:, idx.M].astype(np.int64)]
+        + idx.norm_books[1][codes[:, idx.M + 1].astype(np.int64)]
+    )
+    C = idx.centroids
+    est = (
+        (Q * Q).sum(1)[:, None]
+        - 2.0 * (Q @ C[lists].T)
+        - 2.0 * (Q @ rhat.T)
+        + normq[None, :]
+    )
+    float_rows = []
+    for qi in range(len(Q)):
+        for j in np.argsort(est[qi], kind="stable")[:K]:
+            float_rows.append((int(qp["qid"][qi]), int(ids[j])))
+    float_df = spark.createDataFrame(
+        pd.DataFrame(float_rows, columns=["qid", "id"])
+    )
+    exact = knn(vecs, qs, K).select("qid", "id")
+    agree, _ = _pair_recall(fs, float_df)
+    recall, _ = _pair_recall(fs, exact)
+    return _prop_df(
+        spark,
+        [
+            ("ivfaqfs_agrees_with_float_estimate_ge_0.8", agree >= 0.8),
+            ("ivfaqfs_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring profile (the span-level dedup of large
     LM corpora): per doc, n-token windows whose content recurs anywhere
@@ -1488,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "nsg_search": q_nsg_search,
         "aq_fastscan": q_aq_fastscan,
+        "ivfaq_fastscan": q_ivfaq_fastscan,
         "span_dedup": q_span_dedup,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
@@ -2295,6 +2354,11 @@ def oracle_sql() -> dict[str, str]:
     sql["nsg_search"] = (
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
+    )
+    sql["ivfaq_fastscan"] = (
+        "SELECT 'ivfaqfs_agrees_with_float_estimate_ge_0.8' AS prop, "
+        "TRUE AS passed "
+        "UNION ALL SELECT 'ivfaqfs_recall_vs_exact_ge_0.3', TRUE"
     )
     sql["span_dedup"] = """
         WITH toks AS (

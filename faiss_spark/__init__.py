@@ -68,6 +68,7 @@ from faiss_spark.operators.ivf import (
     search_with_parameters,
 )
 from faiss_spark.operators.fastscan import (
+    IVFAQFastScanIndex,
     IVFPQFastScanIndex,
     aq_fastscan_encode,
     aq_fastscan_search,
@@ -154,5 +155,11 @@ __all__ = [
     "NSGIndex",
     "pq_fastscan_search",
     "IVFPQFastScanIndex",
+    "IVFAQFastScanIndex",
+    "train_aq_fastscan",
+    "aq_fastscan_encode",
+    "aq_fastscan_search",
+    "duplicated_spans",
+    "span_dedup_stats",
     "__version__",
 ]

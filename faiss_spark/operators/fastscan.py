@@ -364,6 +364,54 @@ def aq_quantize_lut(
     return lutq.astype(np.uint8), a, b
 
 
+def _norm_encode(norms: np.ndarray, norm_books: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy 2-level 1-D RQ encode of scalar norms (the ST_norm_rq2x4
+    norm codec shared by the flat and IVF AQ fast-scan paths)."""
+    c0 = np.abs(norms[:, None] - norm_books[0][None, :]).argmin(1)
+    r = norms - norm_books[0][c0]
+    c1 = np.abs(r[:, None] - norm_books[1][None, :]).argmin(1)
+    return c0.astype(np.uint8), c1.astype(np.uint8)
+
+
+def _norm_decode(codes: np.ndarray, M: int, norm_books: np.ndarray) -> np.ndarray:
+    """decoded ‖x̂‖² from the two norm code bytes at columns M, M+1."""
+    return (
+        norm_books[0][codes[:, M].astype(np.int64)]
+        + norm_books[1][codes[:, M + 1].astype(np.int64)]
+    )
+
+
+def _fit_norm_books(norms: np.ndarray, ksub: int, seed: int) -> np.ndarray:
+    """Train the (2, ksub) scalar-norm codebooks (2-level residual
+    k-means on the 1-D norm values)."""
+    from faiss_spark.operators.codecs import _kmeans_np
+
+    nb0, lab0 = _kmeans_np(norms[:, None], min(ksub, len(norms)), 10, seed)
+    resid = norms - nb0[lab0, 0]
+    nb1, _ = _kmeans_np(resid[:, None], min(ksub, len(resid)), 10, seed + 1)
+    norm_books = np.zeros((2, ksub))
+    norm_books[0, : len(nb0)] = nb0[:, 0]
+    norm_books[1, : len(nb1)] = nb1[:, 0]
+    return norm_books
+
+
+def _estimate_norm_scale(
+    Qs: np.ndarray, codebooks: np.ndarray, norm_books: np.ndarray
+) -> int:
+    """Mean norm-span / ip-LUT-span over a query sample, rounded and
+    floored at 1 (reference estimate_norm_scale +
+    quantize_lut.cpp:328 aq_estimate_norm_scale)."""
+    ip = -2.0 * np.einsum("qd,mkd->qmk", Qs, codebooks)
+    ip_span = (ip.max(2) - ip.min(2)).max(1)
+    norm_span = max(
+        norm_books[0].max() - norm_books[0].min(),
+        norm_books[1].max() - norm_books[1].min(),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = float(np.mean(norm_span / ip_span))
+    return int(round(max(scale, 1.0))) if np.isfinite(scale) else 1
+
+
 @dataclass
 class AQFastScanModel:
     """IndexAdditiveQuantizerFastScan, ST_norm_rq2x4 search semantics
@@ -391,20 +439,12 @@ class AQFastScanModel:
         codes = self.rq.encode_np(X)  # (n, M)
         xhat = self.rq.decode_np(codes)
         norms = (xhat * xhat).sum(1)
-        c0 = np.abs(norms[:, None] - self.norm_books[0][None, :]).argmin(1)
-        r = norms - self.norm_books[0][c0]
-        c1 = np.abs(r[:, None] - self.norm_books[1][None, :]).argmin(1)
-        return np.concatenate(
-            [codes, c0[:, None].astype(np.uint8), c1[:, None].astype(np.uint8)],
-            axis=1,
-        )
+        c0, c1 = _norm_encode(norms, self.norm_books)
+        return np.concatenate([codes, c0[:, None], c1[:, None]], axis=1)
 
     def estimated_norm(self, codes: np.ndarray) -> np.ndarray:
         """decoded ‖x̂‖² from the two norm code bytes."""
-        return (
-            self.norm_books[0][codes[:, self.M].astype(np.int64)]
-            + self.norm_books[1][codes[:, self.M + 1].astype(np.int64)]
-        )
+        return _norm_decode(codes, self.M, self.norm_books)
 
     def float_luts(self, Q: np.ndarray) -> np.ndarray:
         """(nq, M+2, ksub) float LUTs: −2·⟨q, c_m⟩ rows then the
@@ -429,40 +469,21 @@ def train_aq_fastscan(
     norm_scale from the training sample (reference
     IndexAdditiveQuantizerFastScan::estimate_norm_scale +
     quantize_lut.cpp:328 aq_estimate_norm_scale)."""
-    from faiss_spark.operators.codecs import (
-        ResidualQuantizer,
-        _kmeans_np,
-        _sampled_matrix,
-    )
+    from faiss_spark.operators.codecs import ResidualQuantizer, _sampled_matrix
 
     rq = ResidualQuantizer(M=M, nbits=4, niter=niter, seed=seed).fit(
         vectors, vec_col=vec_col
     )
     X = _sampled_matrix(vectors, vec_col, 16384, seed)
-    codes = rq.encode_np(X)
-    xhat = rq.decode_np(codes)
-    norms = (xhat * xhat).sum(1)
-    ksub = rq.ksub
-    nb0, lab0 = _kmeans_np(norms[:, None], min(ksub, len(norms)), 10, seed)
-    resid = norms - nb0[lab0, 0]
-    nb1, _ = _kmeans_np(resid[:, None], min(ksub, len(resid)), 10, seed + 1)
-    norm_books = np.zeros((2, ksub))
-    norm_books[0, : len(nb0)] = nb0[:, 0]
-    norm_books[1, : len(nb1)] = nb1[:, 0]
-    model = AQFastScanModel(rq=rq, norm_books=norm_books, norm_scale=1)
-    # norm_scale: mean ratio of norm-table span to ip-LUT span over a
-    # query sample, rounded, floored at 1 (aq_estimate_norm_scale)
-    Qs = X[: min(256, len(X))]
-    ip = -2.0 * np.einsum("qd,mkd->qmk", Qs, rq.codebooks)
-    ip_span = (ip.max(2) - ip.min(2)).max(1)  # (nq,)
-    norm_span = max(
-        norm_books[0].max() - norm_books[0].min(),
-        norm_books[1].max() - norm_books[1].min(),
+    xhat = rq.decode_np(rq.encode_np(X))
+    norm_books = _fit_norm_books((xhat * xhat).sum(1), rq.ksub, seed)
+    return AQFastScanModel(
+        rq=rq,
+        norm_books=norm_books,
+        norm_scale=_estimate_norm_scale(
+            X[: min(256, len(X))], rq.codebooks, norm_books
+        ),
     )
-    with np.errstate(divide="ignore", invalid="ignore"):
-        scale = float(np.mean(norm_span / ip_span))
-    model.norm_scale = int(round(max(scale, 1.0))) if np.isfinite(scale) else 1
-    return model
 
 
 def aq_fastscan_encode(
@@ -531,3 +552,262 @@ def aq_fastscan_search(
         .filter(F.col("rank") <= k_)
         .select("qid", "id", "dist", "rank")
     )
+
+
+# ------------------------------------------------------- IVF AQ fast-scan
+
+
+def aq_quantize_lut_bias(
+    luts: np.ndarray,
+    bias: np.ndarray,
+    M_norm: int,
+    norm_scale: int,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """One query's 2-D AQ LUT + per-probe bias quantization (reference
+    quantize_lut.cpp:287 aq_quantize_LUT_and_bias): the LUT is SHARED
+    across probes (rows = −2·⟨q, cb_m⟩ then the norm tables), the probe
+    difference lives entirely in bias[j] = −2·⟨q, c_j⟩; norm rows count
+    norm_scale times toward the accumulator-fit bound.
+
+    luts: (M + M_norm, ksub); bias: (nprobe,). Returns
+    (lutq uint8, biasq uint16, a, b)."""
+    luts = np.asarray(luts, np.float64)
+    bias = np.asarray(bias, np.float64)
+    Mtot = luts.shape[0]
+    mins = luts.min(axis=1)
+    spans = luts.max(axis=1) - mins
+    bias_min = bias.min()
+    w = np.ones(Mtot)
+    w[Mtot - M_norm :] = norm_scale
+    max_span_lut = spans.max()
+    max_span_dis = (bias.max() - bias_min) + (spans * w).sum()
+    with np.errstate(divide="ignore"):
+        a = float(min(255.0 / max_span_lut, 65535.0 / max_span_dis))
+    if not np.isfinite(a):
+        a = 1.0
+    b = float(mins.sum() + bias_min)
+    lutq = np.floor((luts - mins[:, None]) * a + 0.5)
+    np.clip(lutq, 0.0, 255.0, out=lutq)
+    biasq = np.floor((bias - bias_min) * a + 0.5)
+    np.clip(biasq, 0.0, 65535.0, out=biasq)
+    return lutq.astype(np.uint8), biasq.astype(np.uint16), a, b
+
+
+@dataclass
+class IVFAQFastScanIndex:
+    """IndexIVFAdditiveQuantizerFastScan semantics (reference
+    faiss/IndexIVFAdditiveQuantizerFastScan.cpp:352-401): codes are the
+    4-bit RQ of the RESIDUAL plus the 2×4-bit-encoded FULL-vector norm
+    ‖x̂‖², so one 2-D LUT serves every probe —
+
+        d(q, x) = q² − 2⟨q, c_j⟩ − 2⟨q, r̂⟩ + ‖x̂‖²
+
+    with −2⟨q, c_j⟩ carried as the per-probe bias. Storage is the
+    standard partitioned (list_no, id, code) table; the scan prunes to
+    probed partitions exactly like IVFPQ/IVFAQ."""
+
+    centroids: np.ndarray
+    rq: "object"  # 4-bit ResidualQuantizerModel (on residuals)
+    norm_books: np.ndarray  # (2, ksub) over full-vector norms
+    norm_scale: int = 1
+    codes: DataFrame | None = None
+
+    @property
+    def M(self) -> int:
+        return self.rq.M
+
+    @property
+    def ksub(self) -> int:
+        return self.rq.ksub
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        M: int = 16,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 10,
+        rq_niter: int = 10,
+    ) -> "IVFAQFastScanIndex":
+        from faiss_spark.operators.cluster import KMeans
+        from faiss_spark.operators.codecs import (
+            ResidualQuantizerModel,
+            _kmeans_np,
+            _sampled_matrix,
+        )
+
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+        C = km.centroids
+        X = _sampled_matrix(vectors, vec_col, 16384, seed)
+        d2 = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        lists = d2.argmin(1)
+        resid = X - C[lists]
+        ksub = min(16, len(resid))
+        books = np.empty((M, ksub, X.shape[1]), np.float64)
+        r = resid.copy()
+        for m in range(M):
+            books[m], labels = _kmeans_np(r, ksub, rq_niter, seed + m)
+            r = r - books[m][labels]
+        rq = ResidualQuantizerModel(codebooks=books, beam=4)
+        # norm quantizer over FULL reconstructed norms ‖c + r̂‖²
+        xhat = C[lists] + rq.decode_np(rq.encode_np(resid))
+        norm_books = _fit_norm_books((xhat * xhat).sum(1), ksub, seed)
+        # norm_scale from the training sample's ip-LUT spans
+        # (estimate_norm_scale, IndexIVFAdditiveQuantizerFastScan.cpp:242)
+        return IVFAQFastScanIndex(
+            centroids=C,
+            rq=rq,
+            norm_books=norm_books,
+            norm_scale=_estimate_norm_scale(
+                X[: min(256, len(X))], books, norm_books
+            ),
+        )
+
+    def add(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFAQFastScanIndex":
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.centroids, self.rq.codebooks, self.norm_books)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from faiss_spark.operators.codecs import ResidualQuantizerModel
+
+            C, books, nbk = bc.value
+            rqm = ResidualQuantizerModel(codebooks=books, beam=4)
+            cn = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+                lists = d2.argmin(1)
+                rcodes = rqm.encode_np(X - C[lists])
+                xhat = C[lists] + rqm.decode_np(rcodes)
+                c0, c1 = _norm_encode((xhat * xhat).sum(1), nbk)
+                codes = np.concatenate(
+                    [rcodes, c0[:, None], c1[:, None]], axis=1
+                )
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, codes)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        self.codes = src.mapInPandas(
+            enc, schema="list_no int, id bigint, code binary"
+        )
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        C = self.centroids
+        M, ksub = self.M, self.ksub
+        nlist = len(C)
+        nprobe = min(nprobe, nlist)
+
+        qpdf = queries.select(qid_col, qvec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(np.int64)
+        Q = as_matrix(qpdf[qvec_col])
+        nq = len(Q)
+        CD = pairwise_distances(Q, C, "l2")
+        probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
+        qc = Q @ C.T  # ⟨q, c⟩ for bias
+        # one 2-D LUT per query (shared across probes) + per-probe bias —
+        # rows are exactly AQFastScanModel.float_luts of the residual RQ
+        luts = AQFastScanModel(
+            rq=self.rq, norm_books=self.norm_books, norm_scale=self.norm_scale
+        ).float_luts(Q)  # (nq, M+2, ksub)
+        lutq = np.empty((nq, M + 2, ksub), np.uint8)
+        biasq = np.empty((nq, nprobe), np.uint16)
+        a = np.empty(nq)
+        b = np.empty(nq)
+        for qi in range(nq):
+            bias = -2.0 * qc[qi, probes[qi]]
+            lutq[qi], biasq[qi], a[qi], b[qi] = aq_quantize_lut_bias(
+                luts[qi], bias, M_norm=2, norm_scale=self.norm_scale
+            )
+        qsq = (Q * Q).sum(1)
+        weights = np.ones(M + 2, np.int64)
+        weights[M:] = self.norm_scale
+
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        l2q: dict[int, list[tuple[int, int]]] = {c: [] for c in probed_lists}
+        for qi in range(nq):
+            for j, c in enumerate(probes[qi]):
+                l2q[int(c)].append((qi, j))
+        l2q_np = {
+            c: (
+                np.asarray([p[0] for p in v], np.int64),
+                np.asarray([p[1] for p in v], np.int64),
+            )
+            for c, v in l2q.items()
+        }
+        bc = spark.sparkContext.broadcast(
+            (qids, lutq, biasq, a, b, qsq, weights, l2q_np)
+        )
+        k_ = k
+        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, lutq_, biasq_, a_, b_, qsq_, w_, l2q_ = bc.value
+            accs: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    sel = l2q_.get(int(list_no))
+                    if sel is None or len(sel[0]) == 0:
+                        continue
+                    qsel, jsel = sel
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    D16 = _saturating_lut_sum(
+                        lutq_[qsel],
+                        codes,
+                        init=biasq_[qsel, jsel],
+                        row_weights=w_,
+                    )
+                    est = (
+                        D16 / a_[qsel][:, None]
+                        + b_[qsel][:, None]
+                        + qsq_[qsel][:, None]
+                    )
+                    key = int(list_no)
+                    if key not in accs:
+                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    accs[key].push(est, grp["id"].to_numpy(np.int64))
+            for key, acc in accs.items():
+                qidx, nid, nd = acc.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )

@@ -49,48 +49,87 @@ def _local_knn(X: np.ndarray, k: int, tile: int = 1024) -> tuple[np.ndarray, np.
     few hundred MB per task."""
     n = len(X)
     k = min(k, n - 1)
+    X = np.ascontiguousarray(X, np.float32)  # graph builds are
+    # recall-bound, not oracle-bound: sgemm halves bandwidth and compute
     sq = (X * X).sum(1)
+    XT = np.ascontiguousarray(X.T)
     out = np.empty((n, k), np.int64)
     outd = np.empty((n, k))
+    # one reused distance buffer for every tile: fresh multi-10MB
+    # allocations per tile pay this host's first-touch page-fault tax
+    buf = np.empty((min(tile, n), n), np.float32)
     for s in range(0, n, tile):
         e = min(s + tile, n)
-        D = sq[s:e, None] + sq[None, :] - 2.0 * (X[s:e] @ X.T)
+        D = buf[: e - s]
+        np.dot(X[s:e], XT, out=D)
+        D *= -2.0
+        D += sq[s:e, None]
+        D += sq[None, :]
         D[np.arange(e - s), np.arange(s, e)] = np.inf
         part = np.argpartition(D, k - 1, axis=1)[:, :k]
         rows = np.arange(e - s)[:, None]
         order = np.argsort(D[rows, part], axis=1, kind="stable")
         out[s:e] = part[rows, order]
-        outd[s:e] = D[rows, part[rows, order]]
+        outd[s:e] = D[rows, part[rows, order]].astype(np.float64)
     np.maximum(outd, 0.0, out=outd)
     return out, outd
+
+
+def _greedy_select(
+    ids: np.ndarray, dq: np.ndarray, pd: np.ndarray, self_id: int, R: int
+) -> np.ndarray:
+    """The sync_prune greedy (reference NSG.cpp:423-450) over
+    PRECOMPUTED candidate-pairwise distances: keep the closest
+    candidate, then each further candidate j only if no already-kept t
+    occludes it (pd[t, j] < dq[j]); cap degree at R. ids/dq sorted by
+    distance ascending; pd is the (C, C) candidate-candidate matrix."""
+    kept: list[int] = []
+    for j in range(len(ids)):
+        p = int(ids[j])
+        if p == self_id or p < 0:
+            continue
+        if not kept:
+            kept.append(j)
+            continue
+        if len(kept) >= R:
+            break
+        if (pd[kept, j] < dq[j]).any():
+            continue
+        kept.append(j)
+    return ids[kept].astype(np.int64)
 
 
 def _mrng_prune_one(
     X: np.ndarray, self_id: int, ids: np.ndarray, dq: np.ndarray, R: int
 ) -> np.ndarray:
-    """sync_prune for one node (reference NSG.cpp:406-460): keep the
-    closest candidate, then each further candidate p only if no
-    already-kept t occludes it (d(t, p) < d(q, p)); cap degree at R.
-    ids/dq sorted by distance ascending."""
-    kept: list[int] = []
-    kept_vecs: list[np.ndarray] = []
-    for j in range(len(ids)):
-        p = int(ids[j])
-        if p == self_id or p < 0 or p in kept:
-            continue
-        if not kept:
-            kept.append(p)
-            kept_vecs.append(X[p])
-            continue
-        if len(kept) >= R:
-            break
-        T = np.asarray(kept_vecs)
-        djk = ((T - X[p]) ** 2).sum(1)
-        if np.any(djk < dq[j]):
-            continue
-        kept.append(p)
-        kept_vecs.append(X[p])
-    return np.asarray(kept, np.int64)
+    """sync_prune for one node with on-the-fly pairwise distances (used
+    by the variable-length re-prune path)."""
+    V = np.asarray(X[ids], np.float32)
+    vsq = (V * V).sum(1)
+    pd = vsq[:, None] + vsq[None, :] - 2.0 * (V @ V.T)
+    return _greedy_select(ids, dq, pd, self_id, R)
+
+
+def _mrng_prune_all(
+    X: np.ndarray, nn: np.ndarray, d_nn: np.ndarray, R: int, block: int = 512
+) -> list[np.ndarray]:
+    """sync_prune for every node: candidate-pairwise distances are
+    computed in one blocked einsum per ~block nodes, so the greedy loop
+    touches only tiny precomputed matrices (no per-candidate vector
+    arithmetic)."""
+    X32 = np.asarray(X, np.float32)
+    n, K = nn.shape
+    kept: list[np.ndarray] = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        V = X32[nn[s:e]]  # (b, K, d)
+        vsq = (V * V).sum(2)
+        G = np.einsum("bkd,bjd->bkj", V, V)
+        P = vsq[:, :, None] + vsq[:, None, :] - 2.0 * G
+        for bi in range(e - s):
+            q = s + bi
+            kept.append(_greedy_select(nn[q], d_nn[q], P[bi], q, R))
+    return kept
 
 
 def _build_shard_graph(
@@ -104,7 +143,7 @@ def _build_shard_graph(
     if n == 1:
         return np.full((1, R), -1, np.int64), 0
     nn, d_nn = _local_knn(X, knn_k)  # (n, k) sorted ascending
-    kept = [_mrng_prune_one(X, q, nn[q], d_nn[q], R) for q in range(n)]
+    kept = _mrng_prune_all(X, nn, d_nn, R)
     # reverse links (add_reverse_links): append q to each neighbor's list
     adj: list[set] = [set(map(int, k)) for k in kept]
     for q in range(n):
@@ -157,51 +196,67 @@ def _beam_search_all(
     k: int,
     search_L: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """search_on_graph (NSG.cpp) vectorized across queries: every query
-    keeps a pool of search_L best-so-far; each step expands its best
-    unexpanded node; one batched distance evaluation per step. Returns
+    """search_on_graph (NSG.cpp) vectorized ACROSS queries: every query
+    keeps a pool of search_L best-so-far; each round expands every
+    active query's best unexpanded node in one batched gather + einsum
+    (no per-query Python in the loop body). Visited state is a (nq, n)
+    bitmap — a few MB at typical shard sizes, reused row-wise. Returns
     (ids (nq, k), dists (nq, k)) with -1 padding."""
     nq = len(Q)
-    n, R1 = adj.shape
+    n, W = adj.shape
     L = max(search_L, k)
-    INF = np.inf
+    Xf = np.asarray(X)
+    # adjacency padding (-1) is remapped to a DUMMY row n: a fancy-index
+    # scatter with duplicate targets would otherwise let a padding
+    # slot's False overwrite a genuine neighbor's visited bit
+    Xpad = np.vstack([Xf, np.zeros((1, Xf.shape[1]), Xf.dtype)])
     pool_ids = np.full((nq, L), -1, np.int64)
-    pool_d = np.full((nq, L), INF)
+    pool_d = np.full((nq, L), np.inf)
     expanded = np.zeros((nq, L), bool)
-    visited = [set((int(ep),)) for _ in range(nq)]
-    d0 = ((Q - X[ep]) ** 2).sum(1)
+    visited = np.zeros((nq, n + 1), bool)
+    visited[:, ep] = True
     pool_ids[:, 0] = ep
-    pool_d[:, 0] = d0
+    pool_d[:, 0] = ((Q - Xf[ep]) ** 2).sum(1)
     qsq = (Q * Q).sum(1)
-    xsq = (X * X).sum(1)
-    active = np.ones(nq, bool)
-    while active.any():
-        # per active query: first unexpanded pool slot
-        for qi in np.where(active)[0]:
-            unexp = np.where((~expanded[qi]) & (pool_ids[qi] >= 0))[0]
-            if len(unexp) == 0:
-                active[qi] = False
-                continue
-            slot = unexp[0]
-            expanded[qi, slot] = True
-            u = int(pool_ids[qi, slot])
-            nbrs = adj[u]
-            nbrs = nbrs[nbrs >= 0]
-            fresh = [v for v in nbrs if v not in visited[qi]]
-            if not fresh:
-                continue
-            visited[qi].update(int(v) for v in fresh)
-            V = np.asarray(fresh, np.int64)
-            d = qsq[qi] + xsq[V] - 2.0 * (X[V] @ Q[qi])
-            # merge into the pool: concatenate + stable resort to L
-            ids2 = np.concatenate([pool_ids[qi], V])
-            d2 = np.concatenate([pool_d[qi], d])
-            ex2 = np.concatenate([expanded[qi], np.zeros(len(V), bool)])
-            order = np.argsort(d2, kind="stable")[:L]
-            pool_ids[qi] = ids2[order]
-            pool_d[qi] = d2[order]
-            expanded[qi] = ex2[order]
-    return pool_ids[:, :k], pool_d[:, :k]
+    xsq = np.append((Xf * Xf).sum(1), 0.0)
+    rows_all = np.arange(nq)
+    while True:
+        unexp = (~expanded) & (pool_ids >= 0) & np.isfinite(pool_d)
+        act = unexp.any(1)
+        if not act.any():
+            break
+        qact = rows_all[act]
+        slots = unexp[act].argmax(1)
+        expanded[qact, slots] = True
+        u = pool_ids[qact, slots]
+        V = adj[u]  # (na, W)
+        valid = V >= 0
+        Vc = np.where(valid, V, n)
+        fresh = valid & ~visited[qact[:, None], Vc]
+        visited[qact[:, None], Vc] = True  # padding lands on dummy row n
+        if not fresh.any():
+            continue
+        # batched distances to all (≤ W) fresh neighbors per query
+        d = (
+            qsq[qact][:, None]
+            + xsq[Vc]
+            - 2.0 * np.einsum("ad,awd->aw", Q[qact], Xpad[Vc])
+        )
+        d[~fresh] = np.inf
+        Vm = np.where(fresh, V, -1)
+        # merge pools: (na, L + W) concat + one argsort back to L
+        ids2 = np.concatenate([pool_ids[qact], Vm], axis=1)
+        d2 = np.concatenate([pool_d[qact], d], axis=1)
+        ex2 = np.concatenate(
+            [expanded[qact], np.zeros((len(qact), W), bool)], axis=1
+        )
+        order = np.argsort(d2, axis=1, kind="stable")[:, :L]
+        pool_ids[qact] = np.take_along_axis(ids2, order, 1)
+        pool_d[qact] = np.take_along_axis(d2, order, 1)
+        expanded[qact] = np.take_along_axis(ex2, order, 1)
+    out_d = pool_d[:, :k]
+    out_i = np.where(np.isfinite(out_d), pool_ids[:, :k], -1)
+    return out_i, np.where(np.isfinite(out_d), out_d, np.inf)
 
 
 @dataclass
@@ -220,12 +275,21 @@ class NSGIndex:
       parquet PARTITIONS, so a 1000-shard corpus reads nprobe/1000 of
       its bytes per query batch — the SPANN / Deep1B serving shape
       (graph-per-cell + centroid routing) rather than all-shard fan-out.
+
+    Skew control: k-means cells are unbalanced and the per-shard graph
+    build is superlinear in shard size, so a straggler cell dominates
+    build wall-clock (measured 20× on this host). ``max_shard_rows``
+    splits each oversized cell into hash sub-shards
+    (shard = cell_offset + crc32(id) % n_sub); routing probes a cell by
+    scanning ALL its sub-shards, preserving recall while bounding every
+    task's work — the standard salting answer to partition skew.
     """
 
     table: DataFrame
     nshards: int
     R: int
-    centroids: np.ndarray | None = None  # (nshards, d) for cell sharding
+    centroids: np.ndarray | None = None  # (ncells, d) for cell sharding
+    cell_subs: np.ndarray | None = None  # (ncells,) sub-shards per cell
 
     @staticmethod
     def build(
@@ -234,6 +298,7 @@ class NSGIndex:
         knn_k: int = 32,
         nshards: int = 4,
         sharding: str = "hash",
+        max_shard_rows: int | None = None,
         id_col: str = "id",
         vec_col: str = "vec",
         seed: int = 1234,
@@ -242,14 +307,45 @@ class NSGIndex:
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
         centroids = None
+        cell_subs = None
         if sharding == "cells":
             from faiss_spark.operators.cluster import KMeans
 
             km = KMeans(k=nshards, niter=10, seed=seed).fit(src, vec_col="vec")
             centroids = km.centroids
-            src = km.assign(src, vec_col="vec", keep_vec=True).select(
-                "id", "vec", F.col("cluster").cast("int").alias("shard")
+            assigned = km.assign(src, vec_col="vec", keep_vec=True).select(
+                "id", "vec", F.col("cluster").cast("int").alias("cell")
             )
+            if max_shard_rows is not None:
+                counts = {
+                    r["cell"]: r["count"]
+                    for r in assigned.groupBy("cell").count().collect()
+                }
+                ncells = len(centroids)
+                cell_subs = np.asarray(
+                    [
+                        max(1, -(-counts.get(c, 0) // max_shard_rows))
+                        for c in range(ncells)
+                    ],
+                    np.int64,
+                )
+                offsets = np.concatenate([[0], np.cumsum(cell_subs)[:-1]])
+                off_arr = F.array(*[F.lit(int(o)) for o in offsets])
+                sub_arr = F.array(*[F.lit(int(s)) for s in cell_subs])
+                src = assigned.select(
+                    "id",
+                    "vec",
+                    (
+                        F.element_at(off_arr, F.col("cell") + 1)
+                        + F.pmod(
+                            F.crc32(F.col("id").cast("string")),
+                            F.element_at(sub_arr, F.col("cell") + 1),
+                        )
+                    ).cast("int").alias("shard"),
+                )
+                nshards = int(cell_subs.sum())
+            else:
+                src = assigned.withColumnRenamed("cell", "shard")
         elif sharding == "hash":
             src = src.withColumn(
                 "shard", (F.crc32(F.col("id").cast("string")) % nshards).cast("int")
@@ -280,7 +376,13 @@ class NSGIndex:
             schema="shard int, id bigint, vec array<float>, "
             "neighbors array<bigint>, is_ep boolean",
         )
-        return NSGIndex(table=table, nshards=nshards, R=R, centroids=centroids)
+        return NSGIndex(
+            table=table,
+            nshards=nshards,
+            R=R,
+            centroids=centroids,
+            cell_subs=cell_subs,
+        )
 
     def save(self, path: str) -> "NSGIndex":
         spark = self.table.sparkSession
@@ -289,10 +391,16 @@ class NSGIndex:
         ).parquet(path)
         self.table = spark.read.parquet(path)
         if self.centroids is not None:
+            subs = (
+                self.cell_subs
+                if self.cell_subs is not None
+                else np.ones(len(self.centroids), np.int64)
+            )
             cpdf = pd.DataFrame(
                 {
-                    "shard": np.arange(len(self.centroids), dtype=np.int32),
+                    "cell": np.arange(len(self.centroids), dtype=np.int32),
                     "vec": list(self.centroids.astype(np.float32)),
+                    "n_sub": subs.astype(np.int64),
                 }
             )
             spark.createDataFrame(cpdf).write.mode("overwrite").parquet(
@@ -305,13 +413,20 @@ class NSGIndex:
         t = spark.read.parquet(path)
         nshards = t.select("shard").distinct().count()
         centroids = None
+        cell_subs = None
         try:
             cp = spark.read.parquet(path + "_centroids").toPandas()
-            cp = cp.sort_values("shard")
+            cp = cp.sort_values("cell")
             centroids = as_matrix(cp["vec"])
+            subs = cp["n_sub"].to_numpy(np.int64)
+            if (subs != 1).any():
+                cell_subs = subs
         except Exception:
             pass
-        return NSGIndex(table=t, nshards=nshards, R=R, centroids=centroids)
+        return NSGIndex(
+            table=t, nshards=nshards, R=R, centroids=centroids,
+            cell_subs=cell_subs,
+        )
 
     def search(
         self,
@@ -337,19 +452,30 @@ class NSGIndex:
         if nprobe is not None:
             if self.centroids is None:
                 raise ValueError("nprobe routing needs a cell-sharded index")
-            nprobe = min(nprobe, self.nshards)
             C = self.centroids
+            nprobe = min(nprobe, len(C))
             CD = (
                 (Q * Q).sum(1)[:, None]
                 + (C * C).sum(1)[None, :]
                 - 2.0 * (Q @ C.T)
             )
             probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
-            probed = sorted({int(s) for s in probes.ravel()})
-            shard2q = {s: [] for s in probed}
+            # a probed CELL means all of its sub-shards (identity map
+            # when the index has no capacity splitting)
+            if self.cell_subs is not None:
+                offsets = np.concatenate([[0], np.cumsum(self.cell_subs)[:-1]])
+                cell_to_shards = {
+                    c: list(range(int(offsets[c]), int(offsets[c] + self.cell_subs[c])))
+                    for c in range(len(C))
+                }
+            else:
+                cell_to_shards = {c: [c] for c in range(len(C))}
+            shard2q: dict[int, list[int]] = {}
             for qi in range(len(qids)):
-                for s in probes[qi]:
-                    shard2q[int(s)].append(qi)
+                for c in probes[qi]:
+                    for s in cell_to_shards[int(c)]:
+                        shard2q.setdefault(s, []).append(qi)
+            probed = sorted(shard2q)
             shard2q = {s: np.asarray(v, np.int64) for s, v in shard2q.items()}
             src = src.filter(F.col("shard").isin(probed))
         bc = spark.sparkContext.broadcast((qids, Q, shard2q))

@@ -167,6 +167,17 @@ class IndexPlan:
             self.index = IVFAQIndex.train(
                 cur, nlist=self.nlist, M=self.rq_m, metric=self.metric, seed=seed
             ).add(cur)
+        elif self.index_type == "ivfrqfs":
+            if self.metric != "l2":
+                raise ValueError(
+                    "IVF<n>,RQ<M>x4fs supports METRIC_L2 only (the norm-code "
+                    f"decomposition is L2-specific), got metric={self.metric!r}"
+                )
+            from faiss_spark.operators.fastscan import IVFAQFastScanIndex
+
+            self.index = IVFAQFastScanIndex.train(
+                cur, nlist=self.nlist, M=self.rq_m, seed=seed
+            ).add(cur)
         elif self.index_type == "rq":
             model = ResidualQuantizer(M=self.rq_m, seed=seed).fit(cur)
             self._rq_model = model
@@ -226,7 +237,7 @@ class IndexPlan:
         k_cand = k * self.k_factor if self.refine_flat else k
         if self.index_type == "flat":
             res = knn(self._transformed, q, k_cand, metric=self.metric, qid_col="qid")
-        elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq"):
+        elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq", "ivfrqfs"):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
             if self.flat_dedup:
                 # IndexIVFFlatDedup: duplicated ids materialize at result
@@ -374,6 +385,14 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif re.match(r"^SQ(4|6|8)$", code):
             plan.index_type = "ivfsq"
             plan.sq_bits = int(code[2:])
+        elif re.match(r"^RQ(\d+)x4fs(_\d+)?$", code):
+            # IVF<n>,RQ<M>x4fs[_<bbs>] — IVF AQ fast-scan
+            rm = re.match(r"^RQ(\d+)x4fs(?:_(\d+))?$", code)
+            plan.index_type = "ivfrqfs"
+            plan.rq_m = int(rm.group(1))
+            plan.fastscan = True
+            if rm.group(2):
+                plan.bbs = int(rm.group(2))
         elif re.match(r"^RQ(\d+)$", code):
             plan.index_type = "ivfrq"
             plan.rq_m = int(code[2:])
@@ -485,6 +504,11 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "ivfrq":
         parts.append(f"IVF{plan.nlist}")
         parts.append(f"RQ{plan.rq_m}")
+    elif plan.index_type == "ivfrqfs":
+        parts.append(f"IVF{plan.nlist}")
+        parts.append(
+            f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+        )
     elif plan.index_type == "pq":
         if plan.fastscan:
             parts.append(

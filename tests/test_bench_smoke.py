@@ -39,3 +39,9 @@ def test_kmeans_bench_machinery(spark):
 def test_ivf_add_bench_machinery(spark):
     out = bench._ivf_add_bench(spark, cpus=8, nv=2_000)
     assert out["rows_per_sec"] > 0
+
+
+def test_nsg_bench_machinery(spark):
+    out = bench._nsg_bench(spark, cpus=8, nv=2_000, nq=100)
+    assert out["build_rows_per_sec"] > 0 and out["queries_per_sec"] > 0
+    assert out["rows"] > 0

@@ -33,7 +33,7 @@ def test_factory_fastscan_tokens():
     """PQ<M>x4fs[_<bbs>] fast-scan grammar (reference index_factory.cpp
     fast-scan suffix) parses, round-trips, and forces 4-bit codes."""
     for s in ["PQ16x4fs", "IVF16,PQ16x4fs", "PQ8x4fs_64", "IVF8,PQ8x4fs_64",
-              "RQ16x4fs", "RQ8x4fs_64"]:
+              "RQ16x4fs", "RQ8x4fs_64", "IVF8,RQ16x4fs"]:
         plan = index_factory(s)
         assert plan.fastscan
         if "PQ" in s:

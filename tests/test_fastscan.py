@@ -259,3 +259,81 @@ def test_aq_fastscan_recall(vectors, aqfs):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4, recall
+
+
+# -------------------------------------------------------- IVF AQ fast-scan
+
+
+@pytest.fixture(scope="module")
+def ivfaqfs(vectors):
+    from faiss_spark.operators.fastscan import IVFAQFastScanIndex
+
+    return IVFAQFastScanIndex.train(
+        vectors, nlist=8, M=16, seed=21, niter=8, rq_niter=8
+    ).add(vectors)
+
+
+def test_ivfaq_fastscan_full_probe_recall(vectors, ivfaqfs):
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in ivfaqfs.search(queries, k=10, nprobe=8).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, recall
+
+
+def test_ivfaq_fastscan_matches_float_twin(vectors, ivfaqfs):
+    """At full probe, quantized-LUT ranking ≈ the float ranking of the
+    same decomposed approximation q² − 2⟨q,c⟩ − 2⟨q,r̂⟩ + ‖x̂‖²_quantized,
+    computed driver-side (the IVFAQFastScan LUT identity)."""
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+
+    idx = ivfaqfs
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    qp = queries.toPandas()
+    Q = as_matrix(qp["vec"])
+    allp = idx.codes.toPandas()
+    ids = allp["id"].to_numpy("int64")
+    lists = allp["list_no"].to_numpy("int64")
+    codes = np.stack([np.frombuffer(c, np.uint8) for c in allp["code"]])
+    rhat = idx.rq.decode_np(codes[:, : idx.M])
+    normq = (
+        idx.norm_books[0][codes[:, idx.M].astype(np.int64)]
+        + idx.norm_books[1][codes[:, idx.M + 1].astype(np.int64)]
+    )
+    C = idx.centroids
+    est = (
+        (Q * Q).sum(1)[:, None]
+        - 2.0 * (Q @ C[lists].T)
+        - 2.0 * (Q @ rhat.T)
+        + normq[None, :]
+    )
+    float_top = {
+        (int(qp["qid"][qi]), int(ids[j]))
+        for qi in range(len(Q))
+        for j in np.argsort(est[qi], kind="stable")[:10]
+    }
+    fs = {
+        (r["qid"], r["id"])
+        for r in idx.search(queries, k=10, nprobe=8).collect()
+    }
+    overlap = len(fs & float_top) / len(float_top)
+    assert overlap >= 0.8, overlap
+
+
+def test_ivfaq_fastscan_nprobe_monotone(vectors, ivfaqfs):
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["qid"], r["id"])
+            for r in ivfaqfs.search(queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(1) <= recall(8) + 1e-9

@@ -156,3 +156,61 @@ def test_nsg_cells_save_load_keeps_routing(vectors, cell_index, spark, tmp_path)
         for r in loaded.search(queries, 5, nprobe=2).collect()
     }
     assert a == b
+
+
+def test_nsg_cells_capacity_cap_splits_and_routes(vectors, spark, tmp_path):
+    """max_shard_rows splits oversized cells into hash sub-shards; a
+    probed cell searches all its sub-shards, so recall at full probe is
+    unchanged and shard sizes respect the cap."""
+    idx = NSGIndex.build(
+        vectors, R=16, knn_k=24, nshards=2, sharding="cells",
+        max_shard_rows=120, seed=5,
+    )
+    sizes = {
+        r["shard"]: r["count"]
+        for r in idx.table.groupBy("shard").count().collect()
+    }
+    assert idx.nshards == len(sizes) and idx.nshards > 2
+    assert max(sizes.values()) <= 120
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in idx.search(queries, k=10, search_L=40, nprobe=2).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+    # persistence keeps the sub-shard routing
+    path = str(tmp_path / "nsg_capped")
+    idx.save(path)
+    loaded = NSGIndex.load(spark, path)
+    assert loaded.cell_subs is not None
+    b = {
+        (r["qid"], r["rank"], r["id"])
+        for r in loaded.search(queries, 5, nprobe=2).collect()
+    }
+    a = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(queries, 5, nprobe=2).collect()
+    }
+    assert a == b
+
+
+def test_beam_search_exhaustive_pool_is_exact():
+    """With pool length ≥ shard size over a connected graph, the beam
+    walk visits every node, so results must equal brute force exactly —
+    and contain no duplicate ids (regression: adjacency padding once
+    aliased node 0 in the visited-bitmap scatter, re-adding it forever)."""
+    from faiss_spark.operators.nsg import _beam_search_all, _build_shard_graph
+
+    rng = np.random.default_rng(5)
+    n = 110
+    X = rng.normal(size=(n, 16))
+    adj, ep = _build_shard_graph(X, R=16, knn_k=24)
+    Q = rng.normal(size=(50, 16))
+    nid, _ = _beam_search_all(X, adj, ep, Q, k=10, search_L=2 * n)
+    D = ((Q[:, None, :] - X[None]) ** 2).sum(2)
+    truth = np.argsort(D, 1)[:, :10]
+    for i in range(50):
+        got = nid[i][nid[i] >= 0]
+        assert len(set(got)) == len(got)
+        assert set(got) == set(truth[i]), i
