@@ -1024,6 +1024,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), n=8)
 
 
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-removal REWRITE: drop tokens covered by non-first
+    occurrences of duplicated 8-token windows and rebuild the text.
+    Output keeps the rewritten text as an md5 so the compared rows stay
+    small; byte-exact DuckDB twin."""
+    from faiss_spark.operators.dedup import remove_duplicated_spans
+
+    out = remove_duplicated_spans(_docs(spark, sf_dir), n=8)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        "n_tokens",
+        "n_tokens_removed",
+    )
+
+
 def q_aq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive-quantizer fast-scan (reference
     IndexAdditiveQuantizerFastScan, ST_norm_rq2x4): 4-bit RQ codes plus
@@ -1548,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aq_fastscan": q_aq_fastscan,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "span_dedup": q_span_dedup,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
@@ -2355,6 +2372,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
     )
+    sql["span_dedup_rewrite"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(t[i:i+7], ' ')) AS span_hash
+          FROM toks, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY span_hash) AS n_occ,
+                 row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
+          FROM spans
+        ),
+        rm AS (
+          SELECT doc_id, list_sort(list(pos)) AS rm
+          FROM marked WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT tk.doc_id, tk.t,
+                 list_filter(
+                   list_transform(range(0, len(tk.t)), i -> i),
+                   i -> len(list_filter(COALESCE(r.rm, []),
+                                        p -> p <= i AND i < p + 8)) = 0
+                 ) AS ki
+          FROM toks tk LEFT JOIN rm r USING (doc_id)
+        )
+        SELECT doc_id,
+               md5(COALESCE(array_to_string(list_transform(ki, i -> t[i + 1]), ' '), '')) AS text_fp,
+               len(t) AS n_tokens,
+               len(t) - len(ki) AS n_tokens_removed
+        FROM kept
+    """
     sql["ivfaq_fastscan"] = (
         "SELECT 'ivfaqfs_agrees_with_float_estimate_ge_0.8' AS prop, "
         "TRUE AS passed "

@@ -43,6 +43,7 @@ from faiss_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicated_spans,
     simhash64_neardup_pairs,
     simhash_neardup_pairs,
     span_dedup_stats,

@@ -837,3 +837,50 @@ def span_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The span-removal transform: drop every token covered by a
+    NON-FIRST occurrence of a duplicated n-token window (keep-first
+    corpus-wide), rebuilding the document from the surviving tokens —
+    the rewrite step of exact-substring training-data dedup.
+
+    Returns (doc_id, text, n_tokens, n_tokens_removed). Entirely JVM
+    higher-order functions after the one span-hash shuffle: the interval
+    mask is evaluated as exists(pos ≤ i < pos+n) per token index, so the
+    operator stays whole-stage-codegen with a byte-exact DuckDB twin.
+    Docs with no removable spans pass through unchanged."""
+    from faiss_spark.functions.text import tokens
+
+    dups = duplicated_spans(df, n=n, text_col=text_col, id_col=id_col)
+    removable = (
+        dups.filter(~F.col("keep"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("rm"))
+    )
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    joined = base.join(removable, "doc_id", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("t"), lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("rm"), lambda p: (p <= s["i"]) & (s["i"] < p + n)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("text"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_tokens_removed"),
+    )

@@ -339,3 +339,36 @@ def test_span_dedup_self_repeat_within_doc(spark):
     hashes = {r["span_hash"] for r in rows}
     assert len(keeps) == len(hashes)
     assert all(r["n_occurrences"] >= 2 for r in rows)
+
+
+def test_remove_duplicated_spans_rewrites_keep_first(spark):
+    from faiss_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "prefix text the quick brown fox jumps over the lazy dog tail"),
+            (3, "unique content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    # doc 1 holds the first occurrences: untouched
+    assert got[1]["n_tokens_removed"] == 0
+    assert got[1]["text"].startswith("the quick brown fox")
+    # doc 2 loses the 9 duplicated tokens, keeps its unique affixes
+    assert got[2]["text"] == "prefix text tail"
+    assert got[2]["n_tokens_removed"] == 9
+    assert got[3]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicated_spans_total_removal(spark):
+    from faiss_spark.operators.dedup import remove_duplicated_spans
+
+    text = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert got[1]["text"] == text and got[1]["n_tokens_removed"] == 0
+    assert got[2]["text"] == "" and got[2]["n_tokens_removed"] == 8
