@@ -78,7 +78,11 @@ from faiss_spark.operators.fastscan import (
 )
 from faiss_spark.operators.knn import knn, knn_join, range_search
 from faiss_spark.operators.lattice import LatticeIndex, ZnSphereCodec
-from faiss_spark.operators.nsg import NSGIndex
+from faiss_spark.operators.nsg import (
+    NSGIndex,
+    binary_nsg_build,
+    binary_nsg_search,
+)
 from faiss_spark.operators.refine import dedup_flat, knn_1d, refine_search
 from faiss_spark.operators.transforms import (
     ITQTransform,

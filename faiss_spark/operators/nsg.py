@@ -528,3 +528,61 @@ class NSGIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def _unpack_bits_expr(code, nbits: int):
+    """array<bigint> packed words → array<float> of 0/1 bits
+    (32-bit words, little-endian bit order — matching
+    binary.signbit_code_expr / _words_to_bits). One codegen expression
+    per bit."""
+    exprs = []
+    for b in range(nbits):
+        w, j = b // 32, b % 32
+        exprs.append(
+            (code[w].bitwiseAND(F.lit(1 << j)) != 0).cast("float")
+        )
+    return F.array(*exprs)
+
+
+def binary_nsg_build(
+    codes: DataFrame,
+    nbits: int,
+    R: int = 16,
+    knn_k: int = 32,
+    nshards: int = 4,
+    id_col: str = "id",
+    code_col: str = "code",
+) -> NSGIndex:
+    """Batch graph search over BINARY codes (the capability of
+    IndexBinaryHNSW, reference faiss/IndexBinaryHNSW.h, minus the online
+    hierarchy): for 0/1 vectors squared L2 EQUALS Hamming distance, so
+    unpacking code words to a 0/1 float column makes the float NSG
+    machinery — MRNG pruning, beam search, shard merge — an exact
+    Hamming graph index. The unpack is a JVM expression; reported
+    ``dist`` values are exact Hamming integers.
+
+    codes: (id, code array<bigint> words, little-endian bit order as
+    produced by ``binary.binarize``)."""
+    vecs = codes.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        _unpack_bits_expr(F.col(code_col), nbits).alias("vec"),
+    )
+    return NSGIndex.build(vecs, R=R, knn_k=knn_k, nshards=nshards)
+
+
+def binary_nsg_search(
+    index: NSGIndex,
+    queries: DataFrame,
+    nbits: int,
+    k: int,
+    search_L: int = 32,
+    qid_col: str = "qid",
+    qcode_col: str = "code",
+) -> DataFrame:
+    """Search a binary NSG with packed-word queries; distances are exact
+    Hamming (squared L2 over the 0/1 unpacking)."""
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        _unpack_bits_expr(F.col(qcode_col), nbits).alias("vec"),
+    )
+    return index.search(q, k, search_L=search_L)

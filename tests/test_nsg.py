@@ -214,3 +214,38 @@ def test_beam_search_exhaustive_pool_is_exact():
         got = nid[i][nid[i] >= 0]
         assert len(set(got)) == len(got)
         assert set(got) == set(truth[i]), i
+
+
+def test_binary_nsg_exact_hamming(tables, spark):
+    """Binary NSG over packed codes: distances are exact Hamming
+    integers and full-pool results match the brute-force Hamming knn
+    (IndexBinaryHNSW capability, batch form)."""
+    from faiss_spark.operators.binary import binarize, hamming_knn
+    from faiss_spark.operators.nsg import binary_nsg_build, binary_nsg_search
+
+    vecs = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    nbits = 64
+    codes = binarize(vecs, d=nbits).localCheckpoint()
+    idx = binary_nsg_build(codes, nbits=nbits, R=16, knn_k=24, nshards=2)
+    queries = codes.filter("id < 15").select(
+        F.col("id").alias("qid"), "code"
+    )
+    got = binary_nsg_search(idx, queries, nbits=nbits, k=5, search_L=600)
+    rows = got.collect()
+    # distances are integral Hamming values
+    assert all(abs(r["dist"] - round(r["dist"])) < 1e-6 for r in rows)
+    truth = hamming_knn(
+        codes, queries.withColumnRenamed("code", "qcode"), 5
+    )
+    # exhaustive pool: per-query distance multiset must match brute force
+    from collections import defaultdict
+
+    gd, td = defaultdict(list), defaultdict(list)
+    for r in rows:
+        gd[r["qid"]].append(round(r["dist"]))
+    for r in truth.collect():
+        td[r["qid"]].append(round(r["dist"]))
+    for q in td:
+        assert sorted(gd[q]) == sorted(td[q]), q

@@ -116,6 +116,54 @@ def probe_graph(spark, nv: int) -> dict:
     }
 
 
+def probe_nsg(spark, nv: int, nq: int = 10_000) -> dict:
+    """Cell-routed NSG: build rows/core-sec and routed-search q/core-sec
+    at a FIXED shard capacity — per-row build cost is O(cap·d), so flat
+    per-unit cost across nv means adding data adds shards, not work per
+    row (the property that makes 1000-executor extrapolation linear)."""
+    from faiss_spark.operators.nsg import NSGIndex
+
+    base = _base(spark, nv, 5)
+    queries = _synth_vecs(spark, nq, D, 5_555_555).selectExpr("id as qid", "vec")
+    ncells = max(4, nv // 18_750)
+    t0 = time.perf_counter()
+    idx = NSGIndex.build(
+        base, R=16, knn_k=24, nshards=ncells, sharding="cells",
+        max_shard_rows=8_000,
+    )
+    idx.table = idx.table.localCheckpoint(eager=True)
+    build_sec = time.perf_counter() - t0
+    search_sec = _best_of(
+        lambda: idx.search(queries, 10, search_L=48, nprobe=min(8, ncells)).count()
+    )
+    return {
+        "nv": nv,
+        "ncells": ncells,
+        "build_sec": round(build_sec, 3),
+        "build_rows_per_core_sec": round(nv / build_sec / CPUS, 1),
+        "search_sec": round(search_sec, 3),
+        "queries_per_core_sec": round(nq / search_sec / CPUS, 2),
+    }
+
+
+def probe_pq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
+    """4-bit fast-scan PQ scan: code-bytes scanned per core-second (the
+    quantized-LUT gather path); encode is the one-off cost."""
+    from faiss_spark.operators.codecs import ProductQuantizer
+    from faiss_spark.operators.fastscan import pq_fastscan_search
+
+    base = _base(spark, nv, 6)
+    queries = _synth_vecs(spark, nq, D, 6_666_666).selectExpr("id as qid", "vec")
+    model = ProductQuantizer(M=16, nbits=4, niter=5, seed=7).fit(base)
+    codes = model.encode(base).localCheckpoint(eager=True)
+    sec = _best_of(lambda: pq_fastscan_search(model, codes, queries, 10).count())
+    return {
+        "nv": nv,
+        "sec": round(sec, 3),
+        "qcodes_per_core_sec_1e9": round(nv * nq * 16 / sec / CPUS / 1e9, 3),
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("scale_probe")
@@ -131,6 +179,11 @@ def main() -> None:
         ],
         "ivf_add": [probe_ivf_add(spark, small), probe_ivf_add(spark, big)],
         "graph_bucketed": [probe_graph(spark, small), probe_graph(spark, big)],
+        "nsg_cells": [probe_nsg(spark, small), probe_nsg(spark, big)],
+        "pq_fastscan": [
+            probe_pq_fastscan(spark, small),
+            probe_pq_fastscan(spark, big),
+        ],
     }
     print(json.dumps(out))
 
