@@ -166,5 +166,8 @@ __all__ = [
     "aq_fastscan_search",
     "duplicated_spans",
     "span_dedup_stats",
+    "remove_duplicated_spans",
+    "binary_nsg_build",
+    "binary_nsg_search",
     "__version__",
 ]
