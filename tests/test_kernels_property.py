@@ -116,3 +116,101 @@ def test_topk_accumulator_tie_safe_on_discrete_data(nq, nx, k, seed):
         order = np.lexsort((ids, D[q]))[:k]
         assert list(got_ids[qidx == q]) == list(ids[order])
         assert list(got_d[qidx == q]) == list(D[q][order])
+
+
+# ------------------------------------------------- fast-scan quantizers
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nq=st.integers(1, 5),
+    M=st.integers(1, 16),
+    scale=st.floats(0.01, 5000.0),
+    seed=st.integers(0, 10_000),
+)
+def test_quantize_lut_flat_envelope_property(nq, M, scale, seed):
+    """Reference coefficient rules hold for arbitrary LUT magnitudes:
+    a = min(255/max_span_LUT, 65535/max_span_dis), every quantized cell
+    ≤ 255, and the de-quantized whole-code sum stays within the M·0.5/a
+    rounding envelope (quantize_lut.cpp:152-170)."""
+    from faiss_spark.operators.fastscan import (
+        _saturating_lut_sum,
+        quantize_lut_flat,
+    )
+
+    rng = np.random.default_rng(seed)
+    luts = rng.uniform(0, scale, size=(nq, M, 16))
+    lutq, a, b = quantize_lut_flat(luts)
+    assert lutq.max() <= 255
+    mins = luts.min(2)
+    spans = luts.max(2) - mins
+    with np.errstate(divide="ignore"):
+        expect_a = np.minimum(
+            255.0 / spans.max(1), 65535.0 / spans.sum(1)
+        )
+    ok = np.isfinite(expect_a)
+    assert np.allclose(a[ok], expect_a[ok])
+    codes = rng.integers(0, 16, size=(30, M), dtype=np.uint8)
+    est = _saturating_lut_sum(lutq, codes) / a[:, None] + b[:, None]
+    true = np.zeros((nq, 30))
+    for m in range(M):
+        true += luts[:, m, codes[:, m]]
+    assert np.all(np.abs(est - true) <= (0.5 * M + 1.0) / a[:, None] + 1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nprobe=st.integers(1, 6),
+    M=st.integers(1, 12),
+    bias_scale=st.floats(0.0, 1000.0),
+    seed=st.integers(0, 10_000),
+)
+def test_quantize_lut_ivf_envelope_property(nprobe, M, bias_scale, seed):
+    """3-D per-probe quantization: one shared (a, b) per query keeps
+    every probe's de-quantized sum within the rounding envelope
+    (quantize_lut.cpp:195-237)."""
+    from faiss_spark.operators.fastscan import (
+        _saturating_lut_sum,
+        quantize_lut_ivf,
+    )
+
+    rng = np.random.default_rng(seed)
+    luts = rng.uniform(0, 40, size=(nprobe, M, 16))
+    bias = rng.uniform(0, bias_scale, size=nprobe)
+    lutq, biasq, a, b = quantize_lut_ivf(luts, bias)
+    codes = rng.integers(0, 16, size=(20, M), dtype=np.uint8)
+    for j in range(nprobe):
+        acc = _saturating_lut_sum(
+            lutq[j : j + 1], codes, init=biasq[j : j + 1]
+        )
+        est = acc[0] / a + b
+        true = bias[j] + sum(luts[j, m, codes[:, m]] for m in range(M))
+        assert np.all(np.abs(est - true) <= (0.5 * (M + 1) + 1.0) / a + 1e-9)
+
+
+# ------------------------------------------------------ NSG beam search
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(12, 80),
+    d=st.integers(2, 12),
+    nq=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_beam_search_exhaustive_property(n, d, nq, seed):
+    """For ANY shard: pool ≥ n over the repaired (connected) graph makes
+    the walk exhaustive, so results equal brute force exactly."""
+    from faiss_spark.operators.nsg import _beam_search_all, _build_shard_graph
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    adj, ep = _build_shard_graph(X, R=8, knn_k=12)
+    Q = rng.normal(size=(nq, d))
+    k = min(5, n)
+    nid, _ = _beam_search_all(X, adj, ep, Q, k=k, search_L=2 * n)
+    D = ((Q[:, None, :] - X[None]) ** 2).sum(2)
+    for i in range(nq):
+        got = nid[i][nid[i] >= 0]
+        assert len(set(got)) == len(got)
+        assert set(got) == set(np.argsort(D[i], kind="stable")[:k])

@@ -212,3 +212,43 @@ def test_pack_sequences_single_shard_shuffle(tables):
     assert "hashpartitioning(shard" in p
     assert "Join" not in p
     assert "SinglePartition" not in p
+
+
+def test_nsg_routed_search_prunes_partitions(emb, queries, tmp_path):
+    """Cell-routed NSG search on a SAVED index: the shard filter must
+    reach the parquet scan as a PartitionFilters entry — unprobed
+    shards are never read (the SPANN-style serving property)."""
+    from faiss_spark.operators.nsg import NSGIndex
+
+    idx = NSGIndex.build(
+        emb, R=16, knn_k=24, nshards=4, sharding="cells", seed=5
+    ).save(str(tmp_path / "nsg_plan"))
+    res = idx.search(queries, 3, nprobe=1)
+    p = plan(res)
+    assert "PartitionFilters" in p
+    assert "shard" in p.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_span_dedup_single_content_shuffle(tables):
+    """duplicated_spans shuffles once, keyed on the span hash (both
+    window functions share the key); no other content exchange exists."""
+    from faiss_spark.operators.dedup import duplicated_spans
+
+    p = plan(duplicated_spans(tables["documents"], n=8))
+    assert p.count("hashpartitioning") == 1
+    assert "hashpartitioning(span_hash" in p
+
+
+def test_binary_nsg_unpack_is_codegen(tables):
+    """The binary-NSG bit unpack is a pure projection over the codes
+    scan — no Python stage before the graph build's groupBy."""
+    from faiss_spark.operators.binary import binarize
+    from faiss_spark.operators.nsg import _unpack_bits_expr
+
+    vecs = tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    codes = binarize(vecs, d=64)
+    unpacked = codes.select("id", _unpack_bits_expr(F.col("code"), 64).alias("vec"))
+    p = plan(unpacked)
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
