@@ -290,6 +290,10 @@ class NSGIndex:
     R: int
     centroids: np.ndarray | None = None  # (ncells, d) for cell sharding
     cell_subs: np.ndarray | None = None  # (ncells,) sub-shards per cell
+    # storage="pq": vectors stored as PQ codes, decoded per shard at
+    # search (the IndexNSGPQ composition, reference faiss/IndexNSG.h:83 —
+    # the config where a 100 TB graph's vectors actually fit in RAM)
+    pq_codebooks: np.ndarray | None = None  # (M, ksub, dsub)
 
     @staticmethod
     def build(
@@ -299,6 +303,9 @@ class NSGIndex:
         nshards: int = 4,
         sharding: str = "hash",
         max_shard_rows: int | None = None,
+        storage: str = "flat",
+        pq_m: int = 16,
+        pq_nbits: int = 8,
         id_col: str = "id",
         vec_col: str = "vec",
         seed: int = 1234,
@@ -306,6 +313,17 @@ class NSGIndex:
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
+        pq_books = None
+        if storage == "pq":
+            from faiss_spark.operators.codecs import ProductQuantizer
+
+            pq_books = (
+                ProductQuantizer(M=pq_m, nbits=pq_nbits, niter=10, seed=seed)
+                .fit(src)
+                .codebooks
+            )
+        elif storage != "flat":
+            raise ValueError(f"storage must be 'flat' or 'pq', got {storage!r}")
         centroids = None
         cell_subs = None
         if sharding == "cells":
@@ -353,6 +371,8 @@ class NSGIndex:
         else:
             raise ValueError(f"sharding must be 'hash' or 'cells', got {sharding!r}")
         R_, knn_k_ = R, knn_k
+        spark = src.sparkSession
+        bc_books = spark.sparkContext.broadcast(pq_books)
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             X = as_matrix(pdf["vec"])
@@ -361,20 +381,30 @@ class NSGIndex:
             neigh = [
                 [int(ids[v]) for v in row if v >= 0] for row in adj
             ]
-            return pd.DataFrame(
-                {
-                    "shard": pdf["shard"],
-                    "id": ids,
-                    "vec": pdf["vec"],
-                    "neighbors": neigh,
-                    "is_ep": np.arange(len(ids)) == ep,
-                }
-            )
+            out = {
+                "shard": pdf["shard"],
+                "id": ids,
+                "neighbors": neigh,
+                "is_ep": np.arange(len(ids)) == ep,
+            }
+            books = bc_books.value
+            if books is not None:
+                from faiss_spark.operators.codecs import ProductQuantizerModel
 
+                out["code"] = list(
+                    map(bytes, ProductQuantizerModel(codebooks=books).encode_np(X))
+                )
+            else:
+                out["vec"] = pdf["vec"]
+            return pd.DataFrame(out)
+
+        payload = (
+            "code binary" if pq_books is not None else "vec array<float>"
+        )
         table = src.repartition(nshards, "shard").groupBy("shard").applyInPandas(
             build_shard,
-            schema="shard int, id bigint, vec array<float>, "
-            "neighbors array<bigint>, is_ep boolean",
+            schema=f"shard int, id bigint, neighbors array<bigint>, "
+            f"is_ep boolean, {payload}",
         )
         return NSGIndex(
             table=table,
@@ -382,6 +412,7 @@ class NSGIndex:
             R=R,
             centroids=centroids,
             cell_subs=cell_subs,
+            pq_codebooks=pq_books,
         )
 
     def save(self, path: str) -> "NSGIndex":
@@ -406,6 +437,16 @@ class NSGIndex:
             spark.createDataFrame(cpdf).write.mode("overwrite").parquet(
                 path + "_centroids"
             )
+        if self.pq_codebooks is not None:
+            M, ksub, dsub = self.pq_codebooks.shape
+            rows = [
+                {"m": m, "k": k, "sub": list(self.pq_codebooks[m, k].astype(np.float32))}
+                for m in range(M)
+                for k in range(ksub)
+            ]
+            spark.createDataFrame(pd.DataFrame(rows)).write.mode(
+                "overwrite"
+            ).parquet(path + "_pq")
         return self
 
     @staticmethod
@@ -423,9 +464,21 @@ class NSGIndex:
                 cell_subs = subs
         except Exception:
             pass
+        pq_books = None
+        try:
+            pp = spark.read.parquet(path + "_pq").toPandas()
+            pp = pp.sort_values(["m", "k"])
+            M = int(pp["m"].max()) + 1
+            ksub = int(pp["k"].max()) + 1
+            dsub = len(pp["sub"].iloc[0])
+            pq_books = np.stack(
+                [np.asarray(s, np.float64) for s in pp["sub"]]
+            ).reshape(M, ksub, dsub)
+        except Exception:
+            pass
         return NSGIndex(
             table=t, nshards=nshards, R=R, centroids=centroids,
-            cell_subs=cell_subs,
+            cell_subs=cell_subs, pq_codebooks=pq_books,
         )
 
     def search(
@@ -478,11 +531,13 @@ class NSGIndex:
             probed = sorted(shard2q)
             shard2q = {s: np.asarray(v, np.int64) for s, v in shard2q.items()}
             src = src.filter(F.col("shard").isin(probed))
-        bc = spark.sparkContext.broadcast((qids, Q, shard2q))
+        bc = spark.sparkContext.broadcast(
+            (qids, Q, shard2q, self.pq_codebooks)
+        )
         k_, L_ = k, search_L
 
         def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            qids_all, Q_all, s2q = bc.value
+            qids_all, Q_all, s2q, books = bc.value
             shard = int(key[0])
             if s2q is not None:
                 qsel = s2q.get(shard)
@@ -494,7 +549,15 @@ class NSGIndex:
             else:
                 qids_, Q_ = qids_all, Q_all
             ids = pdf["id"].to_numpy(np.int64)
-            X = as_matrix(pdf["vec"])
+            if books is not None:
+                from faiss_spark.operators.codecs import ProductQuantizerModel
+
+                codes = np.stack(
+                    [np.frombuffer(c, np.uint8) for c in pdf["code"]]
+                )
+                X = ProductQuantizerModel(codebooks=books).decode_np(codes)
+            else:
+                X = as_matrix(pdf["vec"])
             id2ix = {int(g): i for i, g in enumerate(ids)}
             n = len(ids)
             width = max((len(nb) for nb in pdf["neighbors"]), default=1)

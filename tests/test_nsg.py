@@ -249,3 +249,28 @@ def test_binary_nsg_exact_hamming(tables, spark):
         td[r["qid"]].append(round(r["dist"]))
     for q in td:
         assert sorted(gd[q]) == sorted(td[q]), q
+
+
+def test_nsg_pq_storage_recall_and_roundtrip(vectors, spark, tmp_path):
+    """storage='pq': vectors live as PQ codes, the walk decodes per
+    shard (IndexNSGPQ composition). Recall dips only by PQ quantization;
+    persistence round-trips the codebooks."""
+    idx = NSGIndex.build(
+        vectors, R=16, knn_k=24, nshards=2, storage="pq", pq_m=16, seed=5
+    )
+    assert idx.pq_codebooks is not None
+    assert "code" in idx.table.columns and "vec" not in idx.table.columns
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in idx.search(queries, k=10, search_L=40).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5
+    path = str(tmp_path / "nsg_pq")
+    idx.save(path)
+    loaded = NSGIndex.load(spark, path)
+    assert loaded.pq_codebooks is not None
+    a = {(r["qid"], r["rank"], r["id"]) for r in idx.search(queries, 5).collect()}
+    b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 5).collect()}
+    assert a == b
