@@ -1024,6 +1024,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), n=8)
 
 
+def q_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair statistics (the BPE merge-iteration counting
+    primitive at word level): (pair, tf, df) with tf ≥ 3 — codegen pair
+    windows, one map-side-combinable shuffle on the pair key."""
+    from faiss_spark.functions.text import bigram_frequencies
+
+    return bigram_frequencies(_docs(spark, sf_dir), min_count=3)
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The span-removal REWRITE: drop tokens covered by non-first
     occurrences of duplicated 8-token windows and rebuild the text.
@@ -1565,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "span_dedup": q_span_dedup,
         "span_dedup_rewrite": q_span_dedup_rewrite,
+        "bigram_frequencies": q_bigram_frequencies,
         "ivfpqr_search": q_ivfpqr_search,
         "hamming_knn": q_hamming_knn,
         "bivf_search": q_bivf_search,
@@ -2372,6 +2382,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
     )
+    sql["bigram_frequencies"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS id, {_TOKS} AS t FROM documents
+        ),
+        pairs AS (
+          SELECT id, array_to_string(t[i:i+1], ' ') AS pair
+          FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+        )
+        SELECT pair, count(*) AS tf, count(DISTINCT id) AS df
+        FROM pairs GROUP BY pair HAVING count(*) >= 3
+    """
     sql["span_dedup_rewrite"] = """
         WITH toks AS (
           SELECT doc_id,

@@ -53,7 +53,7 @@ from faiss_spark.functions.corpus import (
     pack_sequences,
     temperature_sample,
 )
-from faiss_spark.functions.text import term_frequencies
+from faiss_spark.functions.text import bigram_frequencies, term_frequencies
 from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
     IMIIVFIndex,
@@ -142,6 +142,7 @@ __all__ = [
     "nn_descent",
     "simhash64_neardup_pairs",
     "term_frequencies",
+    "bigram_frequencies",
     "pack_sequences",
     "temperature_sample",
     "assign_splits",

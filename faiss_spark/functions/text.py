@@ -263,3 +263,41 @@ def repetition_features(text: Column, ns: tuple[int, ...] = (2, 3)) -> Column:
         return bind(tokens(text), build).alias(f"rep_{n}")
 
     return F.struct(*[one(n) for n in ns])
+
+
+def bigram_frequencies(
+    df, text_col: str = "text", id_col: str = "doc_id", min_count: int = 1
+):
+    """Adjacent-token-pair statistics — the counting step of one
+    BPE-style merge iteration lifted to the (whitespace) token level:
+    one row per distinct adjacent pair with total occurrences and
+    document frequency. The input to merge-rule selection in vocabulary
+    induction, and to phrase/collocation mining over a corpus.
+
+    Plan: a codegen window expression builds each doc's pair list (no
+    self-join), explode → ONE hash shuffle keyed on the pair with
+    map-side partial aggregation — same scale shape as
+    ``term_frequencies``. Returns (pair, tf, df) with tf ≥ min_count."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    # guard: Spark's sequence(1, 0) is DESCENDING — short docs (< 2
+    # tokens) must yield an empty pair list explicitly
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posted = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.explode(pairs).alias("pair")
+    )
+    return (
+        posted.groupBy("pair")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("id").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+    )

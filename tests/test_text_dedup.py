@@ -372,3 +372,22 @@ def test_remove_duplicated_spans_total_removal(spark):
     got = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
     assert got[1]["text"] == text and got[1]["n_tokens_removed"] == 0
     assert got[2]["text"] == "" and got[2]["n_tokens_removed"] == 8
+
+
+def test_bigram_frequencies(spark):
+    from faiss_spark.functions.text import bigram_frequencies
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick dog"),
+            (2, "the quick start"),
+            (3, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["pair"]: (r["tf"], r["df"]) for r in bigram_frequencies(docs).collect()}
+    assert got["the quick"] == (3, 2)
+    assert got["quick brown"] == (1, 1)
+    assert got["fox the"] == (1, 1)
+    # single-token docs produce no pairs
+    assert not any(p.startswith("single") for p in got)
