@@ -879,8 +879,12 @@ def q_pq_sdc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdc = model.sdc_search(codes, qs, K).select("qid", "id")
     qp = qs.toPandas()
     Qd = model.decode_np(model.encode_np(as_matrix(qp["vec"]))).astype("float32")
+    # plain Python rows + explicit schema: must not depend on the SESSION's
+    # Arrow / schema-inference config (a driver-owned session may not have
+    # the repo's Arrow settings, and ndarray columns then fail inference)
     qs_rt = spark.createDataFrame(
-        pd.DataFrame({"qid": qp["qid"], "vec": list(Qd)})
+        [(int(q), [float(x) for x in v]) for q, v in zip(qp["qid"], Qd)],
+        schema="qid bigint, vec array<float>",
     )
     adc_rt = model.adc_search(codes, qs_rt, K).select("qid", "id")
     exact = knn(vecs, qs, K).select("qid", "id")
@@ -998,9 +1002,7 @@ def q_ivfaq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qi in range(len(Q)):
         for j in np.argsort(est[qi], kind="stable")[:K]:
             float_rows.append((int(qp["qid"][qi]), int(ids[j])))
-    float_df = spark.createDataFrame(
-        pd.DataFrame(float_rows, columns=["qid", "id"])
-    )
+    float_df = spark.createDataFrame(float_rows, schema="qid bigint, id bigint")
     exact = knn(vecs, qs, K).select("qid", "id")
     agree, _ = _pair_recall(fs, float_df)
     recall, _ = _pair_recall(fs, exact)
@@ -1090,9 +1092,7 @@ def q_aq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qi in range(len(Q)):
         for j in np.argsort(est[qi], kind="stable")[:K]:
             float_rows.append((int(qp["qid"][qi]), int(ids[j])))
-    float_df = spark.createDataFrame(
-        pd.DataFrame(float_rows, columns=["qid", "id"])
-    )
+    float_df = spark.createDataFrame(float_rows, schema="qid bigint, id bigint")
     exact = knn(vecs, qs, K).select("qid", "id")
     agree, _ = _pair_recall(fs, float_df)
     recall, _ = _pair_recall(fs, exact)
@@ -1885,18 +1885,19 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["pack_sequences"] = f"""
         WITH t AS (
-          SELECT doc_id AS id, source AS shard, len({_TOKS}) AS ntok,
-                 sum(len({_TOKS})) OVER (
+          SELECT doc_id AS id, source AS shard,
+                 CAST(len({_TOKS}) AS BIGINT) AS ntok,
+                 CAST(sum(len({_TOKS})) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) - len({_TOKS}) AS cum_before
+                 ) - len({_TOKS}) AS BIGINT) AS cum_before
           FROM documents)
         SELECT id, shard, ntok,
-               cum_before // 256 AS bin_no,
-               cum_before % 256 AS "offset",
-               CASE WHEN ntok = 0 THEN 0
+               CAST(cum_before // 256 AS BIGINT) AS bin_no,
+               CAST(cum_before % 256 AS BIGINT) AS "offset",
+               CAST(CASE WHEN ntok = 0 THEN 0
                     ELSE (cum_before + ntok - 1) // 256 - cum_before // 256 + 1
-               END AS n_bins
+               END AS BIGINT) AS n_bins
         FROM t
     """
     _TSCALE = "CAST(floor(r.rate * 4294967296.0) AS BIGINT)"
@@ -2460,12 +2461,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, greatest(len(t) - 7, 0) AS n_spans FROM toks
         )
         SELECT b.doc_id,
-               b.n_spans AS n_spans,
-               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
-               COALESCE(p.n_removable, 0) AS n_removable,
-               round(CASE WHEN b.n_spans > 0
+               CAST(b.n_spans AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(p.n_removable, 0) AS BIGINT) AS n_removable,
+               floor((CASE WHEN b.n_spans > 0
                      THEN CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) / b.n_spans
-                     ELSE 0.0 END, 6) AS dup_frac
+                     ELSE 0.0 END) * 1e6) / 1e6 AS dup_frac
         FROM base b LEFT JOIN per_doc p USING (doc_id)
     """
     sql["aq_fastscan"] = (

@@ -102,8 +102,8 @@ def _synth_vecs(spark, n: int, d: int, salt: int):
         "id",
         F.expr(
             f"transform(sequence(0, {d - 1}), j -> "
-            f"cast(pmod(xxhash64(id * {d} + j + {salt}), 100000) "
-            "as float) / 100000.0 - 0.5)"
+            f"cast(cast(pmod(xxhash64(id * {d} + j + {salt}), 100000) "
+            "as float) / 100000.0 - 0.5 as float))"
         ).alias("vec"),
     )
 
@@ -137,9 +137,14 @@ def _kernel_bench(
     )
 
     def best_of(dtype: str, runs: int = 3) -> float:
-        # best-of-3 (not 2): this VM shows multi-second contention
-        # windows that can cover two consecutive runs; a third draw makes
-        # recording a 2-4x outlier as the round's number much less likely
+        # one UNTIMED warm-up first: each dtype has its own per-worker
+        # workspace buffers, and their first-touch page faults on this VM
+        # cost multiples of the GEMM itself (the r4 artifact recorded an
+        # f32 number dominated by exactly that cold start); then best-of-3
+        # — this VM shows multi-second contention windows that can cover
+        # two consecutive runs, and a third draw makes recording a 2-4x
+        # outlier as the round's number much less likely
+        knn(base, queries, k, dtype=dtype).count()
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()

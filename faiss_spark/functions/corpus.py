@@ -76,23 +76,26 @@ def pack_sequences(
     """
     ntok = ntok_col if ntok_col is not None else token_count(F.col(text_col))
     w = Window.partitionBy("shard").orderBy("id")
+    # every integer output is bigint: cross-engine comparisons (and 100 TB
+    # tapes, where cum_before overflows int32) need the wide type
     out = df.select(
         F.col(id_col).alias("id"),
         F.col(shard_col).alias("shard"),
-        ntok.alias("ntok"),
+        ntok.cast("bigint").alias("ntok"),
     ).withColumn("cum_before", F.sum("ntok").over(w) - F.col("ntok"))
     return out.select(
         "id",
         "shard",
         "ntok",
-        F.floor(F.col("cum_before") / budget).alias("bin_no"),
-        (F.col("cum_before") % budget).alias("offset"),
+        F.floor(F.col("cum_before") / budget).cast("bigint").alias("bin_no"),
+        (F.col("cum_before") % budget).cast("bigint").alias("offset"),
         F.when(F.col("ntok") == 0, F.lit(0))
         .otherwise(
             F.floor((F.col("cum_before") + F.col("ntok") - 1) / budget)
             - F.floor(F.col("cum_before") / budget)
             + 1
         )
+        .cast("bigint")
         .alias("n_bins"),
     )
 

@@ -821,20 +821,22 @@ def span_dedup_stats(
             F.size(tokens(F.col(text_col))) - (n - 1), F.lit(0)
         ).alias("n_spans"),
     )
+    # dup_frac is truncated to 1e-6 via floor(x*1e6)/1e6 — both operands
+    # are exact IEEE ops, so Spark and any SQL oracle produce the same
+    # double BITS (engine round() implementations differ in ULPs);
+    # integer outputs are all bigint for the same cross-engine reason
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"),
+    ).otherwise(F.lit(0.0))
     return (
         base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("n_removable", F.lit(0)).alias("n_removable"),
-            F.round(
-                F.when(
-                    F.col("n_spans") > 0,
-                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("dup_frac"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("n_removable", F.lit(0)).cast("bigint").alias("n_removable"),
+            (F.floor(frac * 1e6) / F.lit(1e6)).alias("dup_frac"),
         )
     )
 

@@ -1,6 +1,14 @@
 """Mimic the driver's correctness gate: run every queries() entry on Spark
 and its oracle_sql() twin on DuckDB at sf0.01; compare row count, schema
-(column names), and an order-insensitive value multiset (floats rounded).
+(column names), an order-insensitive value multiset (floats rounded), AND
+per-column physical types.
+
+The type check exists because the driver's value hash is dtype-sensitive:
+an int32 Spark column vs a BIGINT DuckDB column hash-mismatches even when
+every value compares equal in Python (r4 lesson: pack_sequences /
+span_dedup were value-identical but driver-red). Both sides are mapped to
+a normalized Arrow-ish type name; a DuckDB HUGEINT (decimal128) therefore
+fails against a Spark bigint, as it should.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -19,6 +27,43 @@ import __spark_entry__ as entrymod
 from faiss_spark.session import TABLES, get_spark
 
 ROUND = 6
+
+# Spark simpleString -> normalized physical type
+_SPARK_T = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "binary": "binary",
+    "date": "date",
+}
+
+
+def norm_spark_type(t: str) -> str:
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("array", "struct", "map", "decimal")):
+        return t
+    return _SPARK_T.get(t, t)
+
+
+def norm_arrow_type(t) -> str:
+    s = str(t)
+    if s in ("double",):
+        return "float64"
+    if s in ("float",):
+        return "float32"
+    if s in ("large_string", "string_view"):
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date32[day]":
+        return "date"
+    return s
 
 
 def canon(v):
@@ -50,24 +95,37 @@ def main():
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
+        stypes = {c: norm_spark_type(t) for c, t in sdf.dtypes}
         if name not in osql:
             print(f"{name:28s} rows-only: {len(srows)} rows  (no oracle)")
             continue
-        ores = con.execute(osql[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
+        otbl = con.execute(osql[name]).fetch_arrow_table()
+        ocols = otbl.column_names
+        otypes = {
+            f.name: norm_arrow_type(f.type) for f in otbl.schema
+        }
+        orows = [
+            tuple(d[c] for c in ocols) for d in otbl.to_pylist()
+        ]
         # driver sorts columns by name before hashing
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
         sm = multiset([tuple(r[i] for i in sidx) for r in srows])
         om = multiset([tuple(r[i] for i in oidx) for r in orows])
         ok_schema = sorted(scols) == sorted(ocols)
+        type_mismatch = (
+            {c: (stypes[c], otypes[c]) for c in scols if stypes.get(c) != otypes.get(c)}
+            if ok_schema
+            else {}
+        )
+        ok_types = ok_schema and not type_mismatch
         ok_count = len(srows) == len(orows)
         ok_vals = sm == om
-        status = "OK" if (ok_schema and ok_count and ok_vals) else "FAIL"
+        status = "OK" if (ok_schema and ok_types and ok_count and ok_vals) else "FAIL"
         print(
             f"{name:28s} {status}  spark={len(srows)} duck={len(orows)} "
             f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"types={'ok' if ok_types else type_mismatch} "
             f"values={'ok' if ok_vals else 'MISMATCH'}"
         )
         if status == "FAIL":
