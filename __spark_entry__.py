@@ -329,6 +329,33 @@ def q_ivfsq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
 
 
+def q_ivf_nsg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with GRAPH-ROUTED coarse assignment (factory 'IVF16_NSG8,Flat',
+    reference index_factory.cpp:258-262: IndexNSGFlat as the quantizer) at
+    nprobe == nlist — the routed probe set becomes total (beam pads fill
+    every unvisited list), so results must equal brute-force L2."""
+    from faiss_spark.plans.factory import index_factory
+
+    vecs = _emb(spark, sf_dir)
+    plan = index_factory("IVF16_NSG8,Flat").fit(vecs, seed=42)
+    return _round(plan.search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
+def q_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexLSH with trained thresholds (factory 'LSHt', reference
+    index_factory.cpp:528-532 + IndexLSH.cpp:72-96): bit j = x_j >
+    median_j over the training set, Hamming top-k. The threshold train
+    set is the full table at oracle scale (≤ 65536 rows, no sampling),
+    so the per-component medians — and every code bit — are exactly
+    reproducible in SQL."""
+    from faiss_spark.operators.binary import LSHIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = LSHIndex(train_thresholds=True, seed=42).fit(vecs).add(vecs)
+    qs = _queries_df(spark, sf_dir)
+    return idx.search(qs, K)
+
+
 def _prop_df(spark: SparkSession, props: list) -> DataFrame:
     """One row per named boolean property — the recall/quality-bound
     oracle pattern for approximate operators: the Spark side computes the
@@ -1120,7 +1147,12 @@ def q_nsg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = NSGIndex.build(vecs, R=16, knn_k=24, nshards=32)
     res = idx.search(qs, K, search_L=64)
     recall, _ = _pair_recall(res.select("qid", "id"), knn(vecs, qs, K).select("qid", "id"))
-    self_rows = res.filter((F.col("rank") == 1) & (F.col("qid") == F.col("id"))).count()
+    # the walk must reach a (numerically) distance-0 node for each
+    # database query — asserted on the DISTANCE, not qid == id, because
+    # an exact-duplicate vector with a smaller id legitimately wins the
+    # (dist, id) tie-break; the GEMM decomposition leaves ~1e-14 residue
+    # on true zeros, hence the tolerance
+    self_rows = res.filter((F.col("rank") == 1) & (F.col("dist") <= 1e-9)).count()
     nq = qs.count()
     return _prop_df(
         spark,
@@ -1545,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
         "ivf_search_exact": q_ivf_search_exact,
+        "ivf_nsg_search": q_ivf_nsg_search,
+        "lsh_search": q_lsh_search,
         "ivfsq_search_exact": q_ivfsq_search_exact,
         "ivfaq_search": q_ivfaq_search,
         "rcq_ivf_search": q_rcq_ivf_search,
@@ -1775,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # IVF with nprobe=nlist ≡ exact brute force (both search modes)
     sql["ivf_search_exact"] = _knn_sql(_L2, "ASC")
+    sql["ivf_nsg_search"] = _knn_sql(_L2, "ASC")
     sql["ivf_bigbatch_exact"] = _knn_sql(_L2, "ASC")
     # IVF+SQ8 full probe: brute-force L2 of exact queries vs SQ8-decoded
     # vectors (same decode arithmetic as sq8_reconstruction, kept in
@@ -2149,6 +2184,38 @@ def oracle_sql() -> dict[str, str]:
     """
     # BIVF at nprobe=nlist scans every list: exact Hamming knn
     sql["bivf_search"] = sql["hamming_knn"]
+    # LSHt: per-component MEDIAN thresholds (IndexLSH.cpp:87-95; exact —
+    # the train sample is the full table at this scale), then Hamming
+    _medians = ", ".join(
+        f"median(CAST(embedding[{j}] AS DOUBLE))" for j in range(1, DIM + 1)
+    )
+
+    def bwordt(w: int) -> str:
+        lo = 32 * w + 1
+        hi = 32 * (w + 1)
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi + 1}), "
+            f"i -> CASE WHEN CAST(e.embedding[i] AS DOUBLE) > thr.t[i] "
+            f"THEN 2 ** (i - {lo}) ELSE 0 END)) AS BIGINT)"
+        )
+
+    sql["lsh_search"] = f"""
+        WITH thr AS (SELECT [{_medians}] AS t FROM embeddings),
+        c AS (
+          SELECT e.vec_id AS id, {bwordt(0)} AS c0, {bwordt(1)} AS c1
+          FROM embeddings e, thr
+        ),
+        q AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE id < {NQ}),
+        d AS (
+          SELECT q.qid, c.id,
+                 CAST(bit_count(xor(q.q0, c.c0)) + bit_count(xor(q.q1, c.c1)) AS DOUBLE) AS dist
+          FROM q CROSS JOIN c
+        ),
+        r AS (SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d)
+        SELECT qid, id, dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= {K}
+    """
     sql["jaccard_knn"] = f"""
         WITH c AS ({_BCODES}),
         q AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM c WHERE id < {NQ}),

@@ -30,11 +30,18 @@ from pyspark.sql import functions as F
 WORD_BITS = 32
 
 
-def signbit_code_expr(vec: Column, d: int, threshold: float = 0.0) -> Column:
+def signbit_code_expr(vec: Column, d: int, threshold=0.0) -> Column:
     """Pure-SQL binarization: array of ceil(d/32) words, bit j of word w
     set iff vec[32w + j + 1] > threshold. (The IndexBinaryFromFloat path
-    with a fixed component threshold.)"""
+    with a fixed component threshold; a SEQUENCE of d thresholds gives
+    per-component cuts — the IndexLSH train_thresholds layout — while
+    keeping the scan whole-stage-codegen.)"""
     nwords = (d + WORD_BITS - 1) // WORD_BITS
+    if np.ndim(threshold) == 0:
+        thr_at = lambda i: F.lit(float(threshold))  # noqa: E731
+    else:
+        thr_arr = F.array(*[F.lit(float(t)) for t in threshold])
+        thr_at = lambda i: F.element_at(thr_arr, i)  # noqa: E731
 
     def word_expr(lo: int, hi: int) -> Column:
         # closure factory: a default-arg lambda would change the arity
@@ -44,7 +51,7 @@ def signbit_code_expr(vec: Column, d: int, threshold: float = 0.0) -> Column:
             F.lit(0.0),
             lambda acc, i: acc
             + F.when(
-                F.element_at(vec, i) > threshold, F.pow(F.lit(2.0), i - lo)
+                F.element_at(vec, i) > thr_at(i), F.pow(F.lit(2.0), i - lo)
             ).otherwise(F.lit(0.0)),
         ).cast("bigint")
 
@@ -94,23 +101,28 @@ def binarize(
 
 def binarize_rotated(
     df: DataFrame, A: np.ndarray, id_col: str = "id", vec_col: str = "vec",
-    out_col: str = "code",
+    out_col: str = "code", thresholds: np.ndarray | None = None,
 ) -> DataFrame:
     """LSH/ITQ binarization: rotate with broadcast A then take sign bits
-    (reference IndexLSH rotate_data / ITQTransform). Pandas-UDF path since
-    the rotation is a model artifact."""
+    (reference IndexLSH rotate_data / ITQTransform); with `thresholds`,
+    bit j = rotated[j] > thresholds[j] (IndexLSH train_thresholds,
+    IndexLSH.cpp:57-67 subtracts them before the sign). Pandas-UDF path
+    since the rotation is a model artifact."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(A)
+    bc = spark.sparkContext.broadcast((A, thresholds))
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        A_ = bc.value
+        A_, thr = bc.value
         nbits = A_.shape[0]
         nwords = (nbits + WORD_BITS - 1) // WORD_BITS
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["vec"]).astype(np.float64)
-            B = (X @ A_.T) > 0  # (n, nbits)
+            P = X @ A_.T
+            if thr is not None:
+                P -= thr
+            B = P > 0  # (n, nbits)
             pad = nwords * WORD_BITS - nbits
             if pad:
                 B = np.concatenate([B, np.zeros((len(B), pad), bool)], axis=1)
@@ -557,3 +569,77 @@ class BinaryMultiHashIndex:
             .filter(F.col("rank") <= k)
             .select("qid", "id", "dist", "rank")
         )
+
+
+class LSHIndex:
+    """IndexLSH (reference faiss/IndexLSH.h:23, IndexLSH.cpp:25-118):
+    ``nbits = d`` sign-bit codes over optionally rotated, optionally
+    threshold-centered components; search = brute-force Hamming ranking
+    of the query codes against the stored codes.
+
+    - ``rotate``: seeded random orthonormal rotation before the sign
+      (the factory's ``LSHr``, IndexLSH.cpp rrot.init(5)).
+    - ``train_thresholds``: per-component exact MEDIAN of a training
+      sample, subtracted before the sign (``LSHt``; IndexLSH.cpp:87-95
+      sorts each component and takes the middle element) — without it
+      the threshold is 0.
+
+    Scale shape: encoding is one map-only pass (codegen sign-bits, or an
+    Arrow-batched rotation against a broadcast matrix); search is the
+    hamming_knn plan (broadcast query codes, XOR+popcount in codegen,
+    single candidate shuffle)."""
+
+    def __init__(self, rotate: bool = False, train_thresholds: bool = False,
+                 seed: int = 1234, max_train_points: int = 65536):
+        self.rotate = rotate
+        self.train_thresholds = train_thresholds
+        self.seed = seed
+        self.max_train_points = max_train_points
+        self.nbits: int | None = None
+        self.A: np.ndarray | None = None
+        self.thresholds: np.ndarray | None = None
+        self.codes: DataFrame | None = None
+
+    def fit(self, vectors: DataFrame, id_col: str = "id",
+            vec_col: str = "vec") -> "LSHIndex":
+        from faiss_spark.operators.codecs import _sampled_matrix
+        from faiss_spark.operators.transforms import random_rotation_matrix
+
+        d = vectors.select(F.size(vec_col)).first()[0]
+        self.nbits = d
+        if self.rotate:
+            self.A = random_rotation_matrix(d, self.seed)
+        if self.train_thresholds:
+            X = _sampled_matrix(vectors, vec_col, self.max_train_points, self.seed)
+            if self.A is not None:
+                X = X @ self.A.T
+            self.thresholds = np.median(X, axis=0)
+        return self
+
+    def _encode(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        if self.A is not None:
+            return binarize_rotated(
+                df, self.A, id_col=id_col, vec_col=vec_col,
+                thresholds=self.thresholds,
+            )
+        # no rotation: the per-component compare stays codegen (LSHt is
+        # x_j > median_j directly — same arithmetic as any SQL twin,
+        # no x − thr subtraction whose rounding could flip border bits)
+        thr = self.thresholds if self.thresholds is not None else 0.0
+        return binarize(
+            df, self.nbits, id_col=id_col, vec_col=vec_col, threshold=thr
+        )
+
+    def add(self, vectors: DataFrame, id_col: str = "id",
+            vec_col: str = "vec") -> "LSHIndex":
+        self.codes = self._encode(vectors, id_col, vec_col)
+        return self
+
+    def search(self, queries: DataFrame, k: int, qid_col: str = "qid",
+               qvec_col: str = "vec") -> DataFrame:
+        if self.codes is None:
+            raise ValueError("index has no codes; call add() first")
+        qcodes = self._encode(queries, qid_col, qvec_col).select(
+            F.col("id").alias("qid"), F.col("code").alias("qcode")
+        )
+        return hamming_knn(self.codes, qcodes, k)

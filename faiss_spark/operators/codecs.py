@@ -1072,17 +1072,21 @@ class LocalSearchQuantizer:
 
 
 class ProductAdditiveQuantizer:
-    """Product of additive (residual) quantizers (reference
+    """Product of additive quantizers (reference
     faiss/impl/ProductAdditiveQuantizer.h:28): split d into `nsplits`
-    groups, each encoded by an independent RQ — combines PQ's dimension
-    split with RQ's additive refinement."""
+    groups, each encoded by an independent RQ (lsq=False — the PRQ
+    factory family) or LSQ (lsq=True — the PLSQ family) — combines PQ's
+    dimension split with additive refinement."""
 
     def __init__(self, nsplits: int = 2, M_per_split: int = 2,
-                 niter: int = 10, seed: int = 1234):
+                 nbits: int = 8, niter: int = 10, seed: int = 1234,
+                 lsq: bool = False):
         self.nsplits = nsplits
         self.M_per_split = M_per_split
+        self.nbits = nbits
         self.niter = niter
         self.seed = seed
+        self.lsq = lsq
 
     def fit(self, df: DataFrame, vec_col: str = "vec"):
         from pyspark.sql import functions as _F
@@ -1096,10 +1100,16 @@ class ProductAdditiveQuantizer:
             sub_df = df.select(
                 _F.slice(_F.col(vec_col), s * dsub + 1, dsub).alias("vec")
             )
-            rq = ResidualQuantizer(
-                M=self.M_per_split, niter=self.niter, seed=self.seed + s
-            ).fit(sub_df, vec_col="vec")
-            subs.append(rq)
+            if self.lsq:
+                sub = LocalSearchQuantizer(
+                    M=self.M_per_split, nbits=self.nbits, seed=self.seed + s
+                ).fit(sub_df, vec_col="vec")
+            else:
+                sub = ResidualQuantizer(
+                    M=self.M_per_split, nbits=self.nbits, niter=self.niter,
+                    seed=self.seed + s,
+                ).fit(sub_df, vec_col="vec")
+            subs.append(sub)
         return ProductAdditiveQuantizerModel(subs=subs, dsub=dsub)
 
 
@@ -1126,3 +1136,31 @@ class ProductAdditiveQuantizerModel:
             outs.append(s.decode_np(codes[:, off : off + m]))
             off += m
         return np.concatenate(outs, axis=1)
+
+    def encode(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            X = as_matrix(pdf[vec_col if vec_col in pdf else "vec"])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "code": list(map(bytes, model.encode_np(X))),
+                }
+            )
+
+        return _map_codec(df, id_col, vec_col, fn, "id bigint, code binary")
+
+    def decode(self, df: DataFrame, id_col: str = "id", code_col: str = "code") -> DataFrame:
+        model = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64),
+                    "vec": list(model.decode_np(codes).astype(np.float32)),
+                }
+            )
+
+        return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")

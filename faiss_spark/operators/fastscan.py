@@ -256,24 +256,31 @@ class IVFPQFastScanIndex:
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
 
-        # Residual LUTs for every (query, probe): (nq, nprobe, M, ksub).
-        # ksub=16 keeps this a few MB even at nq=10k; built once, broadcast.
-        R = Q[:, None, :] - C[probes]  # (nq, nprobe, d)
-        Rs = R.reshape(nq, nprobe, M, dsub)
-        luts = (
-            (Rs * Rs).sum(3)[:, :, :, None]
-            + (books * books).sum(2)[None, None, :, :]
-            - 2.0 * np.einsum("qpmd,mkd->qpmk", Rs, books)
-        )
+        # Residual LUTs per (query, probe), quantized in QUERY BLOCKS so
+        # only the uint8 tables persist on the driver: the float64
+        # (blk, nprobe, M, ksub) LUT tensor and (blk, nprobe, d) residuals
+        # are scratch per block (at nq=10k, nprobe=16 the full-tensor form
+        # would hold ~330 MB; the kept lutq/biasq are ~nq·nprobe·M·ksub
+        # bytes — a few MB)
         lutq = np.empty((nq, nprobe, M, ksub), np.uint8)
         biasq = np.empty((nq, nprobe), np.uint16)
         a = np.empty(nq)
         b = np.empty(nq)
         zero_bias = np.zeros(nprobe)
-        for qi in range(nq):
-            lutq[qi], biasq[qi], a[qi], b[qi] = quantize_lut_ivf(
-                luts[qi], zero_bias
+        blk = 256
+        for s in range(0, nq, blk):
+            e = min(nq, s + blk)
+            R = Q[s:e, None, :] - C[probes[s:e]]  # (blk, nprobe, d)
+            Rs = R.reshape(e - s, nprobe, M, dsub)
+            luts = (
+                (Rs * Rs).sum(3)[:, :, :, None]
+                + (books * books).sum(2)[None, None, :, :]
+                - 2.0 * np.einsum("qpmd,mkd->qpmk", Rs, books)
             )
+            for qi in range(s, e):
+                lutq[qi], biasq[qi], a[qi], b[qi] = quantize_lut_ivf(
+                    luts[qi - s], zero_bias
+                )
 
         probed_lists = sorted({int(c) for c in probes.ravel()})
         l2q: dict[int, list[tuple[int, int]]] = {c: [] for c in probed_lists}
@@ -389,9 +396,14 @@ def _fit_norm_books(norms: np.ndarray, ksub: int, seed: int) -> np.ndarray:
     nb0, lab0 = _kmeans_np(norms[:, None], min(ksub, len(norms)), 10, seed)
     resid = norms - nb0[lab0, 0]
     nb1, _ = _kmeans_np(resid[:, None], min(ksub, len(resid)), 10, seed + 1)
-    norm_books = np.zeros((2, ksub))
+    # pad short codebooks (tiny train sets) with the LAST real centroid:
+    # a 0.0 pad would act as a spurious centroid in _norm_encode's argmin
+    # and inflate the norm span in _estimate_norm_scale
+    norm_books = np.empty((2, ksub))
     norm_books[0, : len(nb0)] = nb0[:, 0]
+    norm_books[0, len(nb0):] = nb0[-1, 0]
     norm_books[1, : len(nb1)] = nb1[:, 0]
+    norm_books[1, len(nb1):] = nb1[-1, 0]
     return norm_books
 
 

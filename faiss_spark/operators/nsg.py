@@ -453,20 +453,30 @@ class NSGIndex:
     def load(spark: SparkSession, path: str, R: int = 16) -> "NSGIndex":
         t = spark.read.parquet(path)
         nshards = t.select("shard").distinct().count()
+        from pyspark.errors import AnalysisException
+
+        # the sidecar tables are OPTIONAL (hash-sharded flat indexes have
+        # neither) — only their ABSENCE is tolerated; a corrupted or
+        # partially-written sidecar must fail loudly, not silently yield
+        # an index that cannot route or misreads its PQ storage
         centroids = None
         cell_subs = None
         try:
             cp = spark.read.parquet(path + "_centroids").toPandas()
+        except AnalysisException:
+            cp = None
+        if cp is not None:
             cp = cp.sort_values("cell")
             centroids = as_matrix(cp["vec"])
             subs = cp["n_sub"].to_numpy(np.int64)
             if (subs != 1).any():
                 cell_subs = subs
-        except Exception:
-            pass
         pq_books = None
         try:
             pp = spark.read.parquet(path + "_pq").toPandas()
+        except AnalysisException:
+            pp = None
+        if pp is not None:
             pp = pp.sort_values(["m", "k"])
             M = int(pp["m"].max()) + 1
             ksub = int(pp["k"].max()) + 1
@@ -474,8 +484,6 @@ class NSGIndex:
             pq_books = np.stack(
                 [np.asarray(s, np.float64) for s in pp["sub"]]
             ).reshape(M, ksub, dsub)
-        except Exception:
-            pass
         return NSGIndex(
             table=t, nshards=nshards, R=R, centroids=centroids,
             cell_subs=cell_subs, pq_codebooks=pq_books,
@@ -580,6 +588,10 @@ class NSGIndex:
                         }
                     )
                 )
+            if not rows:  # zero queries: concat([]) would raise
+                return pd.DataFrame(
+                    {"qid": [], "id": [], "dist": []}
+                ).astype({"qid": "int64", "id": "int64", "dist": "float64"})
             return pd.concat(rows, ignore_index=True)
 
         cands = src.groupBy("shard").applyInPandas(

@@ -8,15 +8,19 @@ pipelines: transform chain (operators/transforms.py) + index stage
 
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
-  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)],{Flat|
-               PQ<M>[x<b>]|SQ4|SQ6|SQ8|RQ<M>} | IMI2x<b>,Flat |
-               PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M>
-  refinement : RFlat (exact re-rank of k*k_factor candidates, reference
-               IndexRefineFlat)
+  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
+               {Flat|PQ<M>[x<b>]|SQ4|SQ6|SQ8|RQ<M>} | IMI2x<b>,Flat |
+               PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
+               PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> | LSH[r][t] |
+               NSG<R>[,Flat|,PQ<m>[np]] | ZnLattice<n>x<r2>_<b>
+  refinement : RFlat | Refine(<codec>) (exact / codec-reconstruction
+               re-rank of k*k_factor candidates, reference IndexRefine /
+               IndexRefineFlat, index_factory.cpp:664-689)
   binary     : BFlat | BIVF<nlist> | BHash<b> (index_binary_factory,
                reference faiss/index_factory.cpp:895-915)
 e.g. "PCA32,IVF256,PQ8", "L2norm,Flat", "OPQ8,IVF64,PQ8,RFlat",
-"IVF65536(RCQ2x8),Flat", "IMI2x10,Flat", "PQ8x4".
+"IVF65536(RCQ2x8),Flat", "IVF1024_NSG32,Flat", "IMI2x10,Flat", "PQ8x4",
+"PRQ2x2x8", "LSHrt", "NSG32,PQ8", "PQ8,Refine(SQ8)".
 
 Unsupported tokens raise ValueError with the offending token — same
 contract as the reference's FAISS_THROW on parse failure.
@@ -27,6 +31,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,10 +82,35 @@ class IndexPlan:
     # fidelity, physically meaningless on the Arrow/numpy layout.
     fastscan: bool = False
     bbs: int = 32
-    # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat]") — sharded
-    # batch graph (operators/nsg.py)
+    # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat|,PQ<m>[np]]") —
+    # sharded batch graph (operators/nsg.py); PQ storage per parse_IndexNSG
+    # (index_factory.cpp:495-501). The reference's default polysemous
+    # training of NSGPQ storage ('np' disables it) has no analogue here —
+    # our PQ storage ranks on decoded codes, not Hamming prefilters — so
+    # the np flag is parsed for round-trip fidelity and otherwise unused.
     nsg_r: int | None = None
+    nsg_storage: str = "flat"  # "flat" | "pq"
+    nsg_pq_m: int | None = None
+    nsg_pq_np: bool = False
+    # IVF<n>_NSG<R> / IVF<n>_HNSW<M> (reference index_factory.cpp:253-268):
+    # the coarse quantizer is a graph index over the CENTROIDS, used to
+    # route queries to probe lists without scanning all nlist centroids.
+    coarse_graph: str | None = None  # None | "nsg" | "hnsw"
+    coarse_graph_r: int | None = None
+    # PRQ<ns>x<M>x<b> / PLSQ<ns>x<M>x<b> (reference index_factory.cpp
+    # :589-607 ProductResidual/ProductLocalSearch quantizer codecs)
+    paq_nsplits: int | None = None
+    paq_msub: int | None = None
+    paq_nbits: int = 8
+    paq_lsq: bool = False
+    # LSH[r][t] (reference index_factory.cpp:528-532 IndexLSH: nbits=d,
+    # r = rotate_data, t = train_thresholds)
+    lsh_rotate: bool = False
+    lsh_thresholds: bool = False
     refine_flat: bool = False
+    # Refine(<codec>) general form (reference index_factory.cpp:664-677):
+    # re-rank against the SUB-CODEC's reconstructions, not raw vectors
+    refine_desc: str | None = None
     flat_dedup: bool = False
     k_factor: int = 4
     metric: str = "l2"
@@ -148,6 +178,17 @@ class IndexPlan:
             ).add(reps)
         elif self.index_type == "ivfflat":
             self.index = IVFIndex.train(cur, nlist=self.nlist, metric=self.metric, seed=seed).add(cur)
+            if self.coarse_graph:
+                # graph over the centroids for routed assignment
+                # (reference IVF<n>_NSG<R>: IndexNSGFlat as quantizer;
+                # HNSW spelled as the same batch graph — COVERAGE.md)
+                from faiss_spark.operators.nsg import _build_shard_graph
+
+                C = np.ascontiguousarray(self.index.centroids, np.float64)
+                R = self.coarse_graph_r or 32
+                self._cgraph, self._cep = _build_shard_graph(
+                    C, R=R, knn_k=max(2 * R, 16)
+                )
         elif self.index_type == "ivfpq":
             base = IVFPQIndex.train(
                 cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
@@ -205,10 +246,30 @@ class IndexPlan:
             self._sq_model = model
             self._sq_codes = model.encode(cur)
             self.index = model
+        elif self.index_type == "paq":
+            from faiss_spark.operators.codecs import ProductAdditiveQuantizer
+
+            model = ProductAdditiveQuantizer(
+                nsplits=self.paq_nsplits, M_per_split=self.paq_msub,
+                nbits=self.paq_nbits, seed=seed, lsq=self.paq_lsq,
+            ).fit(cur)
+            self._paq_model = model
+            self._paq_codes = model.encode(cur)
+            self.index = model
+        elif self.index_type == "lsh":
+            from faiss_spark.operators.binary import LSHIndex
+
+            self.index = LSHIndex(
+                rotate=self.lsh_rotate, train_thresholds=self.lsh_thresholds,
+                seed=seed,
+            ).fit(cur).add(cur)
         elif self.index_type == "nsg":
             from faiss_spark.operators.nsg import NSGIndex
 
-            self.index = NSGIndex.build(cur, R=self.nsg_r)
+            self.index = NSGIndex.build(
+                cur, R=self.nsg_r, storage=self.nsg_storage,
+                pq_m=self.nsg_pq_m or 16,
+            )
         elif self.index_type == "lattice":
             from faiss_spark.operators.lattice import LatticeIndex
 
@@ -218,7 +279,41 @@ class IndexPlan:
             ).fit(cur)
             self._lat_codes = idx.sa_encode(cur)
             self.index = idx
+        if self.refine_desc:
+            # fit the refine codec on the SAME transformed vectors; the
+            # re-rank scores candidates against its reconstructions
+            # (reference IndexRefine.cpp:66-100: refine_index holds the
+            # codec, distances come from its reconstruct)
+            sub = index_factory(self.refine_desc, metric=self.metric)
+            if sub.transforms or sub.sql_transforms:
+                raise ValueError(
+                    f"Refine({self.refine_desc}): transforms are not "
+                    "allowed inside the refine codec"
+                )
+            if sub.index_type not in ("sq", "pq", "rq", "paq"):
+                raise ValueError(
+                    f"Refine({self.refine_desc}): refine stage must be a "
+                    "codec (SQn/PQm/RQm/PRQ/PLSQ) or Flat (RFlat)"
+                )
+            sub.fit(cur)
+            self._refine_table = sub._decoded_table().localCheckpoint(
+                eager=False
+            )
+            self._refine_plan = sub
         return self
+
+    def _decoded_table(self) -> DataFrame:
+        """(id, vec) reconstructions for the fitted codec index types —
+        the table a Refine(...) stage re-ranks against."""
+        if self.index_type == "sq":
+            return self._sq_model.decode(self._sq_codes)
+        if self.index_type == "pq":
+            return self._pq_model.decode(self._pq_codes)
+        if self.index_type == "rq":
+            return self._rq_model.decode(self._rq_codes)
+        if self.index_type == "paq":
+            return self._paq_model.decode(self._paq_codes)
+        raise ValueError(f"{self.index_type!r} has no reconstruction table")
 
     def search(self, queries: DataFrame, k: int, nprobe: int = 8,
                qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
@@ -234,9 +329,12 @@ class IndexPlan:
                 q = q.select("qid", remap_dimensions_expr(F.col("vec"), arg).alias("vec"))
         if self.pipeline:
             q = self.pipeline.apply(q, id_col="qid")
-        k_cand = k * self.k_factor if self.refine_flat else k
+        refining = self.refine_flat or self.refine_desc is not None
+        k_cand = k * self.k_factor if refining else k
         if self.index_type == "flat":
             res = knn(self._transformed, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type == "ivfflat" and self.coarse_graph:
+            res = self._graph_routed_search(q, k_cand, nprobe)
         elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq", "ivfrqfs"):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
             if self.flat_dedup:
@@ -265,6 +363,11 @@ class IndexPlan:
             res = aq_fastscan_search(
                 self._aqfs_model, self._aqfs_codes, q, k_cand, qid_col="qid"
             )
+        elif self.index_type == "paq":
+            decoded = self._paq_model.decode(self._paq_codes)
+            res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type == "lsh":
+            res = self.index.search(q, k_cand, qid_col="qid")
         elif self.index_type == "nsg":
             res = self.index.search(
                 q, k_cand, search_L=max(32, 2 * k_cand), qid_col="qid"
@@ -282,7 +385,52 @@ class IndexPlan:
             from faiss_spark.operators.refine import refine_search
 
             res = refine_search(res, self._transformed, q, k, metric=self.metric)
+        elif self.refine_desc:
+            from faiss_spark.operators.refine import refine_search
+
+            res = refine_search(res, self._refine_table, q, k, metric=self.metric)
         return res
+
+    def _graph_routed_search(
+        self, q: DataFrame, k: int, nprobe: int
+    ) -> DataFrame:
+        """IVF search with GRAPH-ROUTED coarse assignment (reference
+        IVF<n>_NSG<R> / IVF<n>_HNSW<M>, index_factory.cpp:253-268: the
+        quantizer is a graph index over the centroids). Probe lists come
+        from a beam walk over the centroid graph instead of an exact
+        nq×nlist scan — at nlist ≥ 1M the assign cost drops from
+        nq·nlist·d to nq·L·R·d. The list scan itself is identical to the
+        exact-assign plan (partition-pruned, broadcast probes)."""
+        from faiss_spark.kernels import as_matrix
+        from faiss_spark.operators.ivf import _scan_probed_lists
+        from faiss_spark.operators.nsg import _beam_search_all
+
+        nlist = len(self.index.centroids)
+        nprobe = min(nprobe, nlist)
+        qpdf = q.select("qid", "vec").toPandas()
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        Q = as_matrix(qpdf["vec"])
+        C = np.ascontiguousarray(self.index.centroids, np.float64)
+        probes, _ = _beam_search_all(
+            C, self._cgraph, self._cep, Q, nprobe,
+            search_L=max(2 * nprobe, 16),
+        )
+        # beam pools shorter than nprobe pad with -1; fill each row's
+        # pads with DISTINCT unvisited lists (scanning an extra list is a
+        # superset — but a duplicate probe would double-count candidates
+        # in the downstream accumulator, so fills must be unique per row)
+        for r in range(len(probes)):
+            row = probes[r]
+            if (row >= 0).all():
+                continue
+            used = set(int(c) for c in row[row >= 0])
+            fill = (c for c in range(nlist) if c not in used)
+            for j in range(len(row)):
+                if row[j] < 0:
+                    row[j] = next(fill)
+        return _scan_probed_lists(
+            self.index.codes, qids, Q, probes, k, self.metric
+        )
 
 
 def index_factory(description: str, metric: str = "l2") -> IndexPlan:
@@ -339,7 +487,9 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         if i != len(tokens):
             raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
         return plan
-    m = re.match(r"^IVF(\d+)(?:\((RCQ|LSQ)(\d+)x(\d+)\))?$", tok)
+    m = re.match(
+        r"^IVF(\d+)(?:\((RCQ|LSQ)(\d+)x(\d+)\))?(?:_(HNSW|NSG)(\d+)?)?$", tok
+    )
     if m:
         plan.nlist = int(m.group(1))
         if m.group(2):
@@ -351,6 +501,24 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
                     f"{tok!r}: nlist {plan.nlist} != 2^(M·nbits) = "
                     f"{1 << (plan.coarse_m * plan.coarse_nbits)}"
                 )
+        if m.group(5):
+            # IVF<n>_HNSW<M> / IVF<n>_NSG<R> (reference
+            # index_factory.cpp:253-268): graph-routed coarse assign.
+            # Both spell the same batch structure here (COVERAGE.md on
+            # HNSW); the beam walk is L2 — restrict like the reference
+            # restricts exotic quantizer/metric combos.
+            if m.group(2):
+                raise ValueError(
+                    f"{tok!r}: additive coarse and graph coarse are "
+                    "mutually exclusive"
+                )
+            if metric != "l2":
+                raise ValueError(
+                    f"{tok!r}: graph-routed coarse assignment supports "
+                    f"METRIC_L2 only, got {metric!r}"
+                )
+            plan.coarse_graph = m.group(5).lower()
+            plan.coarse_graph_r = int(m.group(6)) if m.group(6) else 32
         i += 1
         if i >= len(tokens):
             raise ValueError(f"IVF{plan.nlist} needs a code stage (Flat/PQm/SQ8)")
@@ -435,13 +603,43 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
         i += 1
+    elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x(\d+)$", tok):
+        # product additive quantizer codecs (reference
+        # index_factory.cpp:589-607: PRQ/PLSQ <nsplits>x<Msub>x<nbit>)
+        pm = re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x(\d+)$", tok)
+        plan.index_type = "paq"
+        plan.paq_lsq = pm.group(1) == "PLSQ"
+        plan.paq_nsplits = int(pm.group(2))
+        plan.paq_msub = int(pm.group(3))
+        plan.paq_nbits = int(pm.group(4))
+        if not 1 <= plan.paq_nbits <= 8:
+            raise ValueError(f"{tok!r}: nbits must be 1..8")
+        i += 1
+    elif re.match(r"^LSH(r?)(t?)$", tok):
+        # IndexLSH (reference index_factory.cpp:528-532; L2 only there too)
+        lm = re.match(r"^LSH(r?)(t?)$", tok)
+        if metric != "l2":
+            raise ValueError(f"{tok!r} supports METRIC_L2 only")
+        plan.index_type = "lsh"
+        plan.lsh_rotate = lm.group(1) == "r"
+        plan.lsh_thresholds = lm.group(2) == "t"
+        i += 1
     elif re.match(r"^NSG(\d+)?$", tok):
         nm = re.match(r"^NSG(\d+)?$", tok)
         plan.index_type = "nsg"
         plan.nsg_r = int(nm.group(1)) if nm.group(1) else 32
         i += 1
-        if i < len(tokens) and tokens[i] == "Flat":
-            i += 1  # "NSG32,Flat" — Flat storage is the only storage here
+        if i < len(tokens):
+            # storage stage (reference parse_IndexNSG,
+            # index_factory.cpp:482-506: Flat | PQ<m>[np] | SQ<b>)
+            sm = re.match(r"^PQ(\d+)(np)?$", tokens[i])
+            if tokens[i] == "Flat":
+                i += 1
+            elif sm:
+                plan.nsg_storage = "pq"
+                plan.nsg_pq_m = int(sm.group(1))
+                plan.nsg_pq_np = sm.group(2) == "np"
+                i += 1
     elif re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok):
         lm = re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok)
         plan.index_type = "lattice"
@@ -451,9 +649,19 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         i += 1
     else:
         raise ValueError(f"unsupported factory token {tok!r} in {description!r}")
-    if i < len(tokens) and tokens[i] == "RFlat":
-        plan.refine_flat = True
-        i += 1
+    if i < len(tokens):
+        rm = re.match(r"^Refine\((.+)\)$", tokens[i])
+        if tokens[i] == "RFlat":
+            plan.refine_flat = True
+            i += 1
+        elif rm:
+            # Refine(<sub>) (reference index_factory.cpp:664-677);
+            # Refine(Flat) IS IndexRefineFlat (:678-689 maps both)
+            if rm.group(1) == "Flat":
+                plan.refine_flat = True
+            else:
+                plan.refine_desc = rm.group(1)
+            i += 1
     if i != len(tokens):
         raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
     return plan
@@ -474,6 +682,14 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             parts.append("RR")
         elif isinstance(t, ITQTransform):
             parts.append("ITQ")
+    def ivf_tok() -> str:
+        suffix = (
+            f"_{plan.coarse_graph.upper()}{plan.coarse_graph_r}"
+            if plan.coarse_graph
+            else ""
+        )
+        return f"IVF{plan.nlist}{suffix}"
+
     if plan.index_type == "flat":
         parts.append("Flat")
     elif plan.index_type == "ivfflat":
@@ -485,10 +701,10 @@ def reverse_index_factory(plan: IndexPlan) -> str:
                 f"{plan.coarse_m}x{plan.coarse_nbits})"
             )
         else:
-            parts.append(f"IVF{plan.nlist}")
+            parts.append(ivf_tok())
         parts.append("FlatDedup" if plan.flat_dedup else "Flat")
     elif plan.index_type == "ivfpq":
-        parts.append(f"IVF{plan.nlist}")
+        parts.append(ivf_tok())
         if plan.fastscan:
             parts.append(
                 f"PQ{plan.pq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
@@ -499,13 +715,13 @@ def reverse_index_factory(plan: IndexPlan) -> str:
                 + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
             )
     elif plan.index_type == "ivfsq":
-        parts.append(f"IVF{plan.nlist}")
+        parts.append(ivf_tok())
         parts.append(f"SQ{plan.sq_bits}")
     elif plan.index_type == "ivfrq":
-        parts.append(f"IVF{plan.nlist}")
+        parts.append(ivf_tok())
         parts.append(f"RQ{plan.rq_m}")
     elif plan.index_type == "ivfrqfs":
-        parts.append(f"IVF{plan.nlist}")
+        parts.append(ivf_tok())
         parts.append(
             f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
         )
@@ -529,12 +745,29 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         )
     elif plan.index_type == "nsg":
         parts.append(f"NSG{plan.nsg_r}")
+        if plan.nsg_storage == "pq":
+            parts.append(
+                f"PQ{plan.nsg_pq_m}" + ("np" if plan.nsg_pq_np else "")
+            )
+    elif plan.index_type == "paq":
+        name = "PLSQ" if plan.paq_lsq else "PRQ"
+        parts.append(
+            f"{name}{plan.paq_nsplits}x{plan.paq_msub}x{plan.paq_nbits}"
+        )
+    elif plan.index_type == "lsh":
+        parts.append(
+            "LSH"
+            + ("r" if plan.lsh_rotate else "")
+            + ("t" if plan.lsh_thresholds else "")
+        )
     elif plan.index_type == "lattice":
         parts.append(
             f"ZnLattice{plan.lat_nsq}x{plan.lat_r2}_{plan.lat_scale_nbit}"
         )
     if plan.refine_flat:
         parts.append("RFlat")
+    elif plan.refine_desc:
+        parts.append(f"Refine({plan.refine_desc})")
     return ",".join(parts)
 
 
@@ -558,6 +791,15 @@ def get_code_size(d: int, plan: IndexPlan) -> int:
         return plan.rq_m
     if plan.index_type in ("sq", "ivfsq"):
         return (d * plan.sq_bits + 7) // 8
+    if plan.index_type == "paq":
+        # one byte per additive level per split (8-bit levels; reference
+        # AdditiveQuantizer code_size for nbits ≤ 8)
+        return plan.paq_nsplits * plan.paq_msub
+    if plan.index_type == "lsh":
+        # nbits = d sign bits (reference IndexLSH ctor: (nbits+7)/8)
+        return (d + 7) // 8
+    if plan.index_type == "nsg":
+        return plan.nsg_pq_m if plan.nsg_storage == "pq" else d * 4
     if plan.index_type == "lattice":
         from faiss_spark.operators.lattice import ZnSphereCodec
 

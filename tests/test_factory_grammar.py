@@ -1,0 +1,168 @@
+"""Round-5 factory grammar completions (reference index_factory.cpp):
+IVF<n>_NSG<R>/_HNSW<M> graph-routed coarse (:253-268), Refine(<codec>)
+(:664-677), PRQ/PLSQ product-AQ tokens (:589-607), LSH[r][t] (:528-532),
+NSG<R>,PQ<m> storage (:495-501)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from faiss_spark.operators.knn import knn
+from faiss_spark.plans.factory import (
+    get_code_size,
+    index_factory,
+    reverse_index_factory,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(tables):
+    return tables["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return vectors.filter("id < 8").select(F.col("id").alias("qid"), "vec")
+
+
+@pytest.fixture(scope="module")
+def exact10(vectors, queries):
+    return {
+        (r.qid, r.id)
+        for r in knn(vectors, queries, 10).select("qid", "id").collect()
+    }
+
+
+def _recall(df, truth):
+    got = {(r.qid, r.id) for r in df.select("qid", "id").collect()}
+    return len(got & truth) / len(truth)
+
+
+ROUNDTRIP = [
+    "IVF64_NSG32,Flat",
+    "IVF256_HNSW16,Flat",
+    "IVF64_NSG32,PQ8",
+    "PRQ2x2x8",
+    "PLSQ2x2x8",
+    "LSH",
+    "LSHr",
+    "LSHt",
+    "LSHrt",
+    "NSG32,PQ8",
+    "NSG32,PQ8np",
+    "PQ8,Refine(SQ8)",
+    "IVF64,Flat,Refine(PQ8)",
+]
+
+
+@pytest.mark.parametrize("desc", ROUNDTRIP)
+def test_parse_reverse_roundtrip(desc):
+    assert reverse_index_factory(index_factory(desc)) == desc
+
+
+def test_refine_flat_normalization():
+    # Refine(Flat) IS IndexRefineFlat (index_factory.cpp:678-689)
+    plan = index_factory("PQ8,Refine(Flat)")
+    assert plan.refine_flat and plan.refine_desc is None
+    assert reverse_index_factory(plan) == "PQ8,RFlat"
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        index_factory("IVF64_NSG32(RCQ2x3),Flat")  # graph + additive coarse
+    with pytest.raises(ValueError):
+        index_factory("IVF64_NSG32,Flat", metric="ip")  # beam walk is L2
+    with pytest.raises(ValueError):
+        index_factory("LSH", metric="ip")  # reference restricts L2 too
+    with pytest.raises(ValueError):
+        index_factory("PQ8,Refine(PCA8,SQ8)")  # transforms inside refine
+    with pytest.raises(ValueError):
+        index_factory("PRQ2x2x12")  # nbits out of range
+
+
+def test_code_sizes():
+    assert get_code_size(64, index_factory("PRQ2x2x8")) == 4
+    assert get_code_size(64, index_factory("LSHrt")) == 8
+    assert get_code_size(64, index_factory("NSG32,PQ8")) == 8
+    assert get_code_size(64, index_factory("IVF64_NSG32,Flat")) == 256
+
+
+def test_graph_routed_full_probe_is_exact(vectors, queries, exact10):
+    # nprobe == nlist: pads fill every unvisited list, so the routed scan
+    # covers all cells and must equal brute force
+    plan = index_factory("IVF64_NSG32,Flat").fit(vectors)
+    res = plan.search(queries, 10, nprobe=64)
+    assert _recall(res, exact10) == 1.0
+
+
+def test_graph_routed_partial_probe_recall(vectors, queries, exact10):
+    plan = index_factory("IVF64_NSG8,Flat").fit(vectors)
+    res = plan.search(queries, 10, nprobe=8)
+    assert _recall(res, exact10) >= 0.3  # approximate regime, seeded
+
+
+def test_prq_plsq_search(vectors, queries, exact10):
+    for desc in ("PRQ2x2x8", "PLSQ2x2x8"):
+        plan = index_factory(desc).fit(vectors)
+        res = plan.search(queries, 10)
+        assert res.count() == 8 * 10
+        assert _recall(res, exact10) >= 0.3
+
+
+def test_prq_code_roundtrip_improves_with_levels(vectors):
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.codecs import ProductAdditiveQuantizer
+
+    X = as_matrix(vectors.limit(512).toPandas()["vec"])
+    coarse = ProductAdditiveQuantizer(nsplits=2, M_per_split=1, seed=7).fit(
+        vectors
+    )
+    fine = ProductAdditiveQuantizer(nsplits=2, M_per_split=3, seed=7).fit(
+        vectors
+    )
+    e_coarse = ((coarse.decode_np(coarse.encode_np(X)) - X) ** 2).sum()
+    e_fine = ((fine.decode_np(fine.encode_np(X)) - X) ** 2).sum()
+    assert e_fine < e_coarse
+
+
+def test_lsh_variants_search(vectors, queries, exact10):
+    for desc in ("LSH", "LSHr", "LSHt", "LSHrt"):
+        plan = index_factory(desc).fit(vectors)
+        res = plan.search(queries, 10)
+        assert res.count() == 8 * 10
+        # 64-bit sign sketch on 64-d data: weak but far above random
+        # (random ≈ 10/500 = 0.02)
+        assert _recall(res, exact10) >= 0.15
+
+
+def test_lsh_thresholds_are_medians(vectors):
+    import numpy as np
+
+    from faiss_spark.kernels import as_matrix
+    from faiss_spark.operators.binary import LSHIndex
+
+    idx = LSHIndex(train_thresholds=True, seed=3).fit(vectors)
+    X = as_matrix(vectors.toPandas()["vec"])
+    # full table fits in the training sample at test scale → exact medians
+    assert np.allclose(idx.thresholds, np.median(X, axis=0))
+
+
+def test_nsg_pq_storage_search(vectors, queries, exact10):
+    plan = index_factory("NSG32,PQ8").fit(vectors)
+    res = plan.search(queries, 10)
+    assert res.count() == 8 * 10
+    assert _recall(res, exact10) >= 0.3
+
+
+def test_refine_codec_beats_base(vectors, queries, exact10):
+    # PQ4 alone is coarse; re-ranking its k*k_factor candidates against
+    # SQ8 reconstructions must not hurt (SQ8 ≈ exact at 8 bits/dim)
+    base = index_factory("PQ4").fit(vectors)
+    refined = index_factory("PQ4,Refine(SQ8)").fit(vectors)
+    r_base = _recall(base.search(queries, 10), exact10)
+    r_ref = _recall(refined.search(queries, 10), exact10)
+    assert r_ref >= r_base
+    assert r_ref >= 0.6
