@@ -185,30 +185,79 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing on driver data: documents' utf-8 bytes stand in
-    for image payloads (8×6×3, deterministic fake decode: payload bytes
-    tiled to h×w×c) → per-channel stats via mapInPandas. ORACLE-EXACT:
-    the corpus is pure ASCII, so the DuckDB twin reproduces the tiled
-    channel-0 byte stream from codepoints (byte[(3j) mod len]) and
-    recomputes mean/std. The real-decoder path stays a loud stub
-    (multimodal.decode_image) — no imaging library in this container."""
+    """Multimodal features through the REAL stdlib PPM codec
+    (multimodal.decode_ppm): each document's utf-8 bytes, tiled to 144
+    pixel bytes, are wrapped in a valid binary P6 header IN SPARK SQL,
+    then image_features decodes them for real (fake=False) via
+    mapInPandas. ORACLE-EXACT: the corpus is pure ASCII, so the DuckDB
+    twin reproduces the channel-0 byte stream from codepoints
+    (pixel byte i = text[(i) mod len], channel 0 at i = 3j) and
+    recomputes mean/std — the PPM header round-trips away exactly."""
     from faiss_spark.operators.multimodal import image_features
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    need = 8 * 6 * 3  # 144 pixel bytes
+    pixels = F.encode(
+        F.expr(
+            f"substr(repeat(text, cast(ceil({need}.0 / length(text)) as int)), "
+            f"1, {need})"
+        ),
+        "utf-8",
+    )
     images = docs.select(
         F.col("doc_id").alias("id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("fake").alias("format"),
+        F.concat(F.lit(bytearray(b"P6\n8 6\n255\n")), pixels).alias("payload"),
+        F.lit("ppm").alias("format"),
         F.lit(8).alias("width"),
         F.lit(6).alias("height"),
         F.lit(3).alias("channels"),
     )
-    feats = image_features(images, fake=True)
+    feats = image_features(images)  # fake=False: real PPM decode
     return feats.select(
         "id",
         F.round(F.element_at("mean", 1), 4).alias("mean_c0"),
         F.round(F.element_at("std", 1), 4).alias("std_c0"),
         "n_pixels",
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the REAL stdlib WAV codec
+    (multimodal.decode_wav): 64 samples of 8-bit PCM per document —
+    sample bytes tiled from the utf-8 text, prefixed with the (constant,
+    because length/rate are fixed) 44-byte RIFF header built by the
+    encoder itself — decoded for real (fake=False) by audio_features.
+    ORACLE-EXACT: sample i = (codepoint((i) mod len) − 128) / 128, every
+    step a power-of-two-exact float op, so the DuckDB twin recomputes
+    rms/peak/zero-crossings identically."""
+    import numpy as np
+
+    from faiss_spark.operators.multimodal import audio_features, encode_wav
+
+    nsamp, rate = 64, 8000
+    header = encode_wav(np.zeros(nsamp), rate, sampwidth=1)[:44]
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pcm = F.encode(
+        F.expr(
+            f"substr(repeat(text, cast(ceil({nsamp}.0 / length(text)) as int)), "
+            f"1, {nsamp})"
+        ),
+        "utf-8",
+    )
+    audio = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(bytearray(header)), pcm).alias("payload"),
+        F.lit("wav").alias("codec"),
+        F.lit(rate).alias("sample_rate"),
+        F.lit(nsamp).cast("bigint").alias("n_samples"),
+    )
+    feats = audio_features(audio)  # fake=False: real WAV decode
+    return feats.select(
+        "id",
+        F.round("rms", ROUND).alias("rms"),
+        F.round("peak", ROUND).alias("peak"),
+        "zero_crossings",
+        F.round("duration_sec", ROUND).alias("duration_sec"),
     )
 
 
@@ -1579,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search_exact": q_ivf_search_exact,
         "ivf_nsg_search": q_ivf_nsg_search,
         "lsh_search": q_lsh_search,
+        "audio_features": q_audio_features,
         "ivfsq_search_exact": q_ivfsq_search_exact,
         "ivfaq_search": q_ivfaq_search,
         "rcq_ivf_search": q_rcq_ivf_search,
@@ -2399,6 +2449,20 @@ def oracle_sql() -> dict[str, str]:
     """
     # fake image decode = payload bytes tiled to 6×8×3; channel-0 pixel j
     # is byte (3j) mod len — reproducible from codepoints (ASCII corpus)
+    sql["audio_features"] = """
+        WITH s AS (
+          SELECT doc_id AS id,
+                 list_transform(range(0, 64),
+                   i -> (CAST(unicode(substr(text, CAST(i % length(text) AS INT) + 1, 1)) AS DOUBLE) - 128.0) / 128.0) AS w
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT id,
+               round(sqrt(list_aggregate(list_transform(w, x -> x * x), 'avg')), 6) AS rms,
+               round(list_aggregate(list_transform(w, x -> abs(x)), 'max'), 6) AS peak,
+               CAST(len(list_filter(range(0, 63), i -> (w[i + 1] < 0) != (w[i + 2] < 0))) AS BIGINT) AS zero_crossings,
+               CAST(0.008 AS DOUBLE) AS duration_sec
+        FROM s
+    """
     sql["image_features"] = """
         WITH px AS (
           SELECT doc_id AS id,

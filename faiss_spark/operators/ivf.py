@@ -48,6 +48,12 @@ from faiss_spark.kernels import (
 from faiss_spark.operators.cluster import KMeans, KMeansModel
 from faiss_spark.operators.codecs import ProductQuantizerModel
 
+#: ceiling on rows × d the driver-planned IVF search will collect for
+#: probe assignment (~256 MB of float64 at the default); beyond it
+#: IVFIndex.search transparently uses the search_preassigned join plan.
+#: Module-level so deployments (and tests) can tune it.
+MAX_DRIVER_QUERY_CELLS = 32_000_000
+
 
 @dataclass
 class IVFIndex:
@@ -161,9 +167,22 @@ class IVFIndex:
         """IVF k-NN (reference IndexIVF::search, faiss/IndexIVF.cpp:302).
 
         Returns (qid, id, dist, rank). nprobe is clamped to nlist
-        (IndexIVF.cpp:315). With nprobe == nlist results are exact."""
+        (IndexIVF.cpp:315). With nprobe == nlist results are exact.
+
+        The probe plan is computed on the DRIVER (centroids × queries are
+        both small in the intended regime); if the query side exceeds
+        MAX_DRIVER_QUERY_CELLS / d rows, this automatically falls back to
+        the fully-distributed ``search_preassigned`` join plan — the
+        driver never materializes an unbounded query frame."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
+        d = self.centroids.shape[1]
+        max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
+        if queries.limit(max_rows + 1).count() > max_rows:
+            return search_preassigned(
+                self, queries, k, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            )
         nlist = len(self.centroids)
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS

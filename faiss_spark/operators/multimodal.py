@@ -5,12 +5,16 @@ Media lives in DataFrames as opaque ``payload BINARY`` plus typed
 metadata columns — the same "table + small artifact" discipline as the
 vector operators. All Spark-side plumbing here is real and tested:
 schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning,
-and the metadata fast paths. Only the actual media CODECS are stubbed
-(this container has no image/audio libraries): decode functions raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic synthetic decode so the downstream plumbing (feature
-extraction, resize bookkeeping, frame sampling) can be exercised and
-asserted end-to-end.
+and the metadata fast paths.
+
+Codecs: ONE real, stdlib-only format per modality — binary PPM (P6) and
+uncompressed 24-bit BMP for images (pure numpy/struct), and PCM WAV for
+audio (the stdlib ``wave`` module; 8-bit unsigned and 16-bit signed).
+Every other format (JPEG/PNG/FLAC/MP3/...) needs a library this
+container doesn't have: those decode calls raise ``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic synthetic decode
+so the downstream plumbing (feature extraction, resize bookkeeping,
+frame sampling) can still be exercised and asserted end-to-end.
 
 Schema conventions:
   images : (id BIGINT, payload BINARY, format STRING, width INT,
@@ -54,16 +58,147 @@ def _fake_decode_image(payload: bytes, width: int, height: int, channels: int) -
     return np.tile(src, reps)[:need].reshape(height, width, channels)
 
 
+# ------------------------------------------------- real stdlib codecs --
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"PPM is RGB; got {c} channels")
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        img, np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Full header grammar: tokens
+    separated by whitespace, '#' comments to end-of-line, one whitespace
+    byte after maxval, then raw RGB rows."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-sample PPM unsupported")
+    px = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BGR, bottom-up
+    rows padded to 4 bytes — the BITMAPINFOHEADER layout)."""
+    import struct
+
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"24-bit BMP is RGB; got {c} channels")
+    row = (3 * w + 3) // 4 * 4
+    img_size = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    buf = np.zeros((h, row), np.uint8)
+    buf[:, : 3 * w] = img[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row = (3 * w + 3) // 4 * 4
+    buf = np.frombuffer(payload, np.uint8, count=row * h, offset=data_off)
+    img = buf.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:
+    """float waveform in [-1, 1) → PCM WAV bytes (mono; sampwidth 1 =
+    unsigned 8-bit, 2 = signed 16-bit little-endian)."""
+    import io
+    import wave as wavemod
+
+    x = np.asarray(samples, np.float64)
+    if sampwidth == 2:
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    elif sampwidth == 1:
+        pcm = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    else:
+        raise NotImplementedError("sampwidth must be 1 or 2")
+    bio = io.BytesIO()
+    with wavemod.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(int(sample_rate))
+        wf.writeframes(pcm.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (float32 waveform in [-1, 1), sample_rate).
+    8-bit unsigned and 16-bit signed PCM; multichannel is downmixed to
+    mono by mean (documented convention — the feature extractors are
+    channel-agnostic)."""
+    import io
+    import wave as wavemod
+
+    with wavemod.open(io.BytesIO(payload), "rb") as wf:
+        sw = wf.getsampwidth()
+        ch = wf.getnchannels()
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM sample width {sw} unsupported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(1)
+    return x, sr
+
+
 def decode_image(payload: bytes, width: int, height: int, channels: int,
-                 fake: bool = False) -> np.ndarray:
-    """STUB: real decoding needs an image library not present in this
-    container. The Spark plumbing calls this through image_features /
-    resize_images; pass fake=True there to exercise it."""
+                 fake: bool = False, fmt: str | None = None) -> np.ndarray:
+    """Dispatch on ``fmt``: 'ppm' and 'bmp' decode for real (stdlib-only
+    codecs above); anything else needs an image library not present in
+    this container — pass fake=True for the deterministic synthetic
+    decoder that exercises the plumbing."""
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
     if fake:
         return _fake_decode_image(payload, width, height, channels)
     raise NotImplementedError(
-        "image decode requires an imaging library (e.g. Pillow); "
-        "run with fake=True for the deterministic synthetic decoder"
+        f"image format {fmt!r} requires an imaging library (e.g. Pillow); "
+        "use format 'ppm'/'bmp' or fake=True for the synthetic decoder"
     )
 
 
@@ -84,9 +219,10 @@ def image_features(
             means, stds, npx = [], [], []
             # decode is inherently per-row; zip over raw columns (no
             # pandas Series boxing per cell, unlike iterrows)
-            cols = (pdf["payload"], pdf["width"], pdf["height"], pdf["channels"])
-            for payload, w, h, c in zip(*(col.to_numpy() for col in cols)):
-                img = decode_image(payload, w, h, c, fake).astype(np.float64)
+            cols = (pdf["payload"], pdf["width"], pdf["height"],
+                    pdf["channels"], pdf["format"])
+            for payload, w, h, c, fmt in zip(*(col.to_numpy() for col in cols)):
+                img = decode_image(payload, w, h, c, fake, fmt=fmt).astype(np.float64)
                 means.append(img.mean(axis=(0, 1)).tolist())
                 stds.append(img.std(axis=(0, 1)).tolist())
                 npx.append(img.shape[0] * img.shape[1])
@@ -99,7 +235,7 @@ def image_features(
                 }
             )
 
-    src = df.select("id", "payload", "width", "height", "channels")
+    src = df.select("id", "payload", "width", "height", "channels", "format")
     return src.mapInPandas(
         feats,
         schema="id bigint, mean array<double>, std array<double>, n_pixels bigint",
@@ -118,15 +254,19 @@ def _fake_decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
     return pcm.astype(np.float32) / 32768.0
 
 
-def decode_audio(payload: bytes, n_samples: int, fake: bool = False) -> np.ndarray:
-    """STUB: real decoding needs an audio library not present in this
-    container. The Spark plumbing calls this through audio_features;
-    pass fake=True there to exercise it."""
+def decode_audio(payload: bytes, n_samples: int, fake: bool = False,
+                 codec: str | None = None) -> np.ndarray:
+    """Dispatch on ``codec``: 'wav' decodes PCM WAV for real (stdlib
+    ``wave``); anything else needs an audio library not present in this
+    container — pass fake=True for the deterministic synthetic decoder."""
+    if codec == "wav":
+        return decode_wav(payload)[0]
     if fake:
         return _fake_decode_audio(payload, n_samples)
     raise NotImplementedError(
-        "audio decode requires an audio library (e.g. soundfile/ffmpeg); "
-        "run with fake=True for the deterministic synthetic decoder"
+        f"audio codec {codec!r} requires an audio library (e.g. "
+        "soundfile/ffmpeg); use codec 'wav' or fake=True for the "
+        "synthetic decoder"
     )
 
 
@@ -144,9 +284,10 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             if len(pdf) == 0:
                 continue
             rms, peak, zc, dur = [], [], [], []
-            cols = (pdf["payload"], pdf["sample_rate"], pdf["n_samples"])
-            for payload, sr, ns in zip(*(col.to_numpy() for col in cols)):
-                wave = decode_audio(payload, ns, fake).astype(np.float64)
+            cols = (pdf["payload"], pdf["sample_rate"], pdf["n_samples"],
+                    pdf["codec"])
+            for payload, sr, ns, codec in zip(*(col.to_numpy() for col in cols)):
+                wave = decode_audio(payload, ns, fake, codec=codec).astype(np.float64)
                 rms.append(float(np.sqrt(np.mean(wave**2))) if wave.size else 0.0)
                 peak.append(float(np.abs(wave).max()) if wave.size else 0.0)
                 zc.append(int(np.count_nonzero(np.signbit(wave[1:]) != np.signbit(wave[:-1]))))
@@ -161,7 +302,7 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    src = df.select("id", "payload", "sample_rate", "n_samples")
+    src = df.select("id", "payload", "sample_rate", "n_samples", "codec")
     return src.mapInPandas(
         feats,
         schema=(
@@ -201,9 +342,10 @@ def resize_images(
             if len(pdf) == 0:
                 continue
             payloads, fmts = [], []
-            cols = (pdf["payload"], pdf["width"], pdf["height"], pdf["channels"])
-            for payload, w, h, c in zip(*(col.to_numpy() for col in cols)):
-                img = decode_image(payload, w, h, c, fake)
+            cols = (pdf["payload"], pdf["width"], pdf["height"],
+                    pdf["channels"], pdf["format"])
+            for payload, w, h, c, fmt in zip(*(col.to_numpy() for col in cols)):
+                img = decode_image(payload, w, h, c, fake, fmt=fmt)
                 ys = (np.arange(out_h) * h // out_h).astype(int)
                 xs = (np.arange(out_w) * w // out_w).astype(int)
                 resized = img[ys][:, xs]

@@ -87,3 +87,32 @@ def test_ivf_persist_roundtrip(vectors, spark, tmp_path):
         for r in IVFIndex.load(spark, path2).search(queries, 3, 8).collect()
     }
     assert c == a
+
+
+def test_ivf_search_size_guard_falls_back_to_preassigned(vectors, monkeypatch):
+    """A query side over the driver ceiling must route through the
+    distributed search_preassigned join plan — and return the same rows
+    as the driver-planned path."""
+    import faiss_spark.operators.ivf as ivfmod
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=7).add(vectors)
+    qs = vectors.filter("id < 16").select(F.col("id").alias("qid"), "vec")
+    direct = {
+        tuple(r) for r in idx.search(qs, 5, nprobe=8).select("qid", "id", "rank").collect()
+    }
+
+    calls = []
+    real = ivfmod.search_preassigned
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ivfmod, "search_preassigned", spy)
+    # 16 queries × 64 dims = 1024 cells > 64 → guard must trip
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)
+    routed = {
+        tuple(r) for r in idx.search(qs, 5, nprobe=8).select("qid", "id", "rank").collect()
+    }
+    assert calls, "size guard did not route through search_preassigned"
+    assert routed == direct
