@@ -1600,13 +1600,393 @@ def q_lattice_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- round-6 entries: the
+# survey rows that were previously pinned by tests only now each get a
+# driver-oracle row (VERDICT r4 "test"-correctness rows → oracle rows).
+
+
+def _rel_recon_err(vecs: DataFrame, dec: DataFrame) -> float:
+    """sum ||x − x̂||² / sum ||x||² over the joined tables (distributed)."""
+    return (
+        dec.join(vecs.withColumnRenamed("vec", "orig"), "id")
+        .select(
+            F.expr(
+                "aggregate(zip_with(vec, orig, (a, b) -> "
+                "(cast(a as double)-b)*(cast(a as double)-b)), "
+                "cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("se"),
+            F.expr(
+                "aggregate(orig, cast(0 as double), "
+                "(acc, x) -> acc + cast(x as double) * x)"
+            ).alias("n2"),
+        )
+        .agg((F.sum("se") / F.sum("n2")).alias("rel"))
+        .first()["rel"]
+    )
+
+
+def q_rowwise_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexRowwiseMinMax (reference faiss/IndexRowwiseMinMax.h:34):
+    per-row min/max scaling stored as (vmin, vrange) next to the scaled
+    codes. Fully SQL-expressible — the oracle pins the stored stats and a
+    checksum of the scaled vector."""
+    from faiss_spark.operators.transforms import rowwise_minmax_expr
+
+    vecs = _emb(spark, sf_dir)
+    s = vecs.select("id", rowwise_minmax_expr(F.col("vec")).alias("mm"))
+    ssum = F.aggregate(
+        F.col("mm.scaled"), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    return s.select(
+        "id",
+        F.round(F.col("mm.vmin"), ROUND).alias("vmin"),
+        F.round(F.col("mm.vrange"), ROUND).alias("vrange"),
+        F.round(ssum, ROUND).alias("scaled_sum"),
+    )
+
+
+def q_split_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSplitVectors (reference faiss/MetaIndexes.h:24): L2 over
+    dimension shards — per-slice partial distances summed equal the full
+    distance exactly, so the oracle is the plain exact-knn twin."""
+    from faiss_spark.operators.knn import split_vectors_knn
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    half = DIM // 2
+    return _round(
+        split_vectors_knn(vecs, qs, K, [(1, half), (half + 1, DIM - half)])
+    )
+
+
+def q_remove_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_ids with an IDSelector predicate (reference
+    faiss/Index.h:167, IDSelector.h:28) then exact IVF search at
+    nprobe=nlist — the oracle is exact knn over the surviving rows."""
+    from faiss_spark.operators.maintenance import remove_ids
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
+    idx = remove_ids(idx, F.col("id") % 5 == 3)
+    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
+def q_merge_from_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_from (reference faiss/Index.h:277): two half-indexes sharing
+    one trained coarse quantizer, merged, searched exact at nprobe=nlist —
+    must equal the monolithic exact-knn twin."""
+    from faiss_spark.operators.maintenance import merge_from
+
+    vecs = _emb(spark, sf_dir)
+    base = IVFIndex.train(vecs, nlist=16, seed=42, niter=10)
+    a = IVFIndex(centroids=base.centroids, metric=base.metric).add(
+        vecs.filter(F.col("id") % 2 == 0)
+    )
+    b = IVFIndex(centroids=base.centroids, metric=base.metric).add(
+        vecs.filter(F.col("id") % 2 == 1)
+    )
+    return _round(merge_from(a, b).search(_queries_df(spark, sf_dir), K, nprobe=16))
+
+
+def q_rq_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResidualQuantizer codec (reference faiss/impl/ResidualQuantizer.h:25).
+    Codebooks are iterative k-means artifacts, so the oracle checks
+    PROPERTIES: (1) stage monotonicity — decoding all M levels beats
+    decoding only the first level on relative reconstruction error (each
+    extra codebook explains residual mass); (2) knn over the DECODED
+    table keeps top-K recall ≥ 0.3 vs exact (M=8×256 on 64-d)."""
+    from faiss_spark.operators.codecs import (
+        ResidualQuantizer,
+        ResidualQuantizerModel,
+    )
+
+    vecs = _emb(spark, sf_dir)
+    model = ResidualQuantizer(M=8, nbits=8, niter=8, seed=5).fit(vecs)
+    codes = model.encode(vecs)
+    err_full = _rel_recon_err(vecs, model.decode(codes))
+    first = ResidualQuantizerModel(codebooks=model.codebooks[:1], beam=model.beam)
+    err_first = _rel_recon_err(vecs, first.decode(codes))
+    qs = _queries_df(spark, sf_dir)
+    got = knn(model.decode(codes), qs, K).select("qid", "id")
+    exact = knn(vecs, qs, K).select("qid", "id")
+    recall, _ = _pair_recall(got, exact)
+    return _prop_df(
+        spark,
+        [
+            ("rq_full_decode_beats_stage1", err_full < err_first),
+            ("rq_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
+def q_lsq_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalSearchQuantizer (reference faiss/impl/LocalSearchQuantizer.h:45):
+    additive codebooks with ICM encoding. PROPERTIES: (1) ICM refinement
+    is coordinate descent from the greedy init, so it can only lower the
+    reconstruction error — err(icm=3) ≤ err(icm=0); (2) decoded-table
+    knn recall ≥ 0.3 vs exact."""
+    from faiss_spark.operators.codecs import (
+        LocalSearchQuantizer,
+        LocalSearchQuantizerModel,
+    )
+
+    vecs = _emb(spark, sf_dir)
+    model = LocalSearchQuantizer(M=8, nbits=8, seed=5).fit(vecs)
+    greedy = LocalSearchQuantizerModel(codebooks=model.codebooks, icm_iters=0)
+    err_icm = _rel_recon_err(vecs, model.decode(model.encode(vecs)))
+    err_greedy = _rel_recon_err(vecs, greedy.decode(greedy.encode(vecs)))
+    qs = _queries_df(spark, sf_dir)
+    got = knn(model.decode(model.encode(vecs)), qs, K).select("qid", "id")
+    exact = knn(vecs, qs, K).select("qid", "id")
+    recall, _ = _pair_recall(got, exact)
+    return _prop_df(
+        spark,
+        [
+            ("lsq_icm_not_worse_than_greedy", err_icm <= err_greedy + 1e-12),
+            ("lsq_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
+def q_prq_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProductAdditiveQuantizer via the factory token `PRQ2x4x8`
+    (reference faiss/impl/ProductAdditiveQuantizer.h:28,
+    index_factory.cpp:293-380): 2 dimension splits × 4 residual levels.
+    PROPERTIES: (1) relative reconstruction error ≤ 0.5; (2) decoded-knn
+    recall ≥ 0.3 vs exact."""
+    from faiss_spark.operators.codecs import ProductAdditiveQuantizer
+    from faiss_spark.plans.factory import index_factory
+
+    vecs = _emb(spark, sf_dir)
+    model = ProductAdditiveQuantizer(
+        nsplits=2, M_per_split=4, nbits=8, seed=5
+    ).fit(vecs)
+    codes = model.encode(vecs)
+    rel = _rel_recon_err(vecs, model.decode(codes))
+    qs = _queries_df(spark, sf_dir)
+    got = index_factory("PRQ2x4x8").fit(vecs, seed=5).search(qs, K)
+    exact = knn(vecs, qs, K).select("qid", "id")
+    recall, _ = _pair_recall(got.select("qid", "id"), exact)
+    return _prop_df(
+        spark,
+        [
+            ("prq_rel_recons_err_le_0.5", rel <= 0.5),
+            ("prq_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
+def q_two_layer_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index2Layer (reference faiss/Index2Layer.h:29): flat
+    (id, list_no, code) re-layout of a trained IVFPQ for random-access
+    reconstruction. PROPERTIES: (1) TwoLayerCodes.reconstruct (fused
+    pandas-UDF path) agrees within float32 rounding (≤1e-4) with an
+    independent JVM-side composition centroid[list_no] + pq_decode(code)
+    — the two paths sum in different precisions, so last-ulp deltas are
+    expected and anything larger is a real defect; (2) relative
+    reconstruction error ≤ 0.5."""
+    from faiss_spark.operators.ivf import IVFPQIndex, TwoLayerCodes
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFPQIndex.train(vecs, nlist=16, M=8, seed=42, niter=8).add(vecs)
+    tl = TwoLayerCodes.from_ivfpq(idx)
+    ids = list(range(2 * NQ))
+    rec = tl.reconstruct(ids)
+    # independent composition: decode the PQ residual with the DataFrame
+    # codec path, then add the cell centroid looked up from a literal
+    cent = F.array(
+        *[
+            F.array(*[F.lit(float(v)).cast("double") for v in c])
+            for c in idx.centroids
+        ]
+    )
+    sel = tl.codes.filter(F.col("id").isin(ids))
+    dec = idx.pq.decode(sel.select("id", "code")).withColumnRenamed("vec", "rvec")
+    twin = (
+        sel.select("id", "list_no")
+        .join(dec, "id")
+        .select(
+            "id",
+            F.zip_with(
+                F.element_at(cent, F.col("list_no").cast("int") + 1),
+                "rvec",
+                lambda c, r: (c + r.cast("double")).cast("float"),
+            ).alias("tvec"),
+        )
+    )
+    mism = (
+        rec.join(twin, "id")
+        .select(
+            F.array_max(
+                F.zip_with("vec", "tvec", lambda a, b: F.abs(a - b))
+            ).alias("dev")
+        )
+        .agg(F.max("dev").alias("m"))
+        .first()["m"]
+    )
+    rel = _rel_recon_err(
+        vecs.filter(F.col("id").isin(ids)), rec
+    )
+    return _prop_df(
+        spark,
+        [
+            ("twolayer_recon_matches_jvm_composition", mism < 1e-4),
+            ("twolayer_rel_recons_err_le_0.5", rel <= 0.5),
+        ],
+    )
+
+
+def q_binary_nsg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-binary graph search (the IndexBinaryHNSW capability,
+    reference faiss/IndexBinaryHNSW.h — NSG beam walk over unpacked 0/1
+    codes computes EXACT Hamming). 64-bit Hamming on this corpus is
+    tie-dominated (many ids share the kth distance), so id-set recall is
+    the wrong metric; PROPERTIES instead: (1) distance validity — ≥ 0.9
+    of returned results have dist ≤ the brute-force kth distance of
+    their query (i.e., they ARE a correct top-K under ties); (2) every
+    query is a corpus code, so its rank-1 distance must be 0."""
+    from faiss_spark.operators.binary import hamming_knn
+    from faiss_spark.operators.nsg import binary_nsg_build, binary_nsg_search
+
+    codes = _bin_codes(spark, sf_dir)
+    qcodes = codes.filter(F.col("id") < NQ).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    idx = binary_nsg_build(codes, DIM, R=16, knn_k=32, nshards=2)
+    got = binary_nsg_search(
+        idx, qcodes, DIM, K, search_L=64, qcode_col="qcode"
+    )
+    brute = hamming_knn(codes, qcodes, K)
+    kth = brute.filter(F.col("rank") == K).select(
+        "qid", F.col("dist").alias("kth")
+    )
+    valid = (
+        got.join(kth, "qid")
+        .agg(F.avg((F.col("dist") <= F.col("kth")).cast("double")).alias("v"))
+        .first()["v"]
+    )
+    r1 = got.filter(F.col("rank") == 1).agg(F.max("dist").alias("m")).first()["m"]
+    return _prop_df(
+        spark,
+        [
+            ("binary_nsg_dist_valid_frac_ge_0.9", valid >= 0.9),
+            ("binary_nsg_rank1_dist_zero", r1 == 0.0),
+        ],
+    )
+
+
+def q_compute_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_residual (reference faiss/Index.h:175): r = x −
+    centroid[assign(x)]. PROPERTIES, both checked over EVERY row
+    distributed: (1) assign is argmin — ||r||² equals the minimum squared
+    distance to any centroid (within 1e-9 · scale); (2) the residual
+    explains variance — mean ||r||² < mean ||x − x̄||²."""
+    from faiss_spark.operators.cluster import KMeans
+
+    vecs = _emb(spark, sf_dir)
+    km = KMeans(k=16, niter=10, seed=42).fit(vecs)
+    assigned = km.assign(vecs, keep_vec=True)
+    cent = F.array(
+        *[
+            F.array(*[F.lit(float(v)).cast("double") for v in c])
+            for c in km.centroids
+        ]
+    )
+    d2 = lambda cvec: F.aggregate(  # noqa: E731
+        F.zip_with("vec", cvec, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rows = assigned.select(
+        "id",
+        d2(F.element_at(cent, F.col("cluster").cast("int") + 1)).alias("rn2"),
+        F.array_min(F.transform(cent, lambda c: d2(c))).alias("mind2"),
+    )
+    agg = rows.agg(
+        F.max(F.abs(F.col("rn2") - F.col("mind2"))).alias("dev"),
+        F.avg("rn2").alias("mean_rn2"),
+    ).first()
+    gm = vecs.select(F.posexplode("vec").alias("pos", "x")).groupBy("pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    mean_var = (
+        vecs.select(F.posexplode("vec").alias("pos", "x"))
+        .join(gm, "pos")
+        .select(((F.col("x").cast("double") - F.col("m")) ** 2).alias("v"))
+        .agg((F.sum("v") / vecs.count()).alias("tv"))
+        .first()["tv"]
+    )
+    return _prop_df(
+        spark,
+        [
+            ("residual_norm_is_min_centroid_dist", agg["dev"] < 1e-6),
+            ("residual_explains_variance", agg["mean_rn2"] < mean_var),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries. Entries are rotated each round so every query accumulates a
-    # driver-green row on record; the tail holds only entries that were
-    # driver-green in a previous round (r01-r03) and remain pinned by
-    # tests + tools/check_oracle.py.
+    # entries; rotation policy (VERDICT r4 #7): never-driver-green entries
+    # first (the 6 r5 additions/fixes + the 10 new round-6 entries), then
+    # the operators whose code changed in round 5 (fastscan/nsg/ivf), then
+    # the entries whose last driver-green row is oldest (r03). The tail
+    # holds only entries driver-green in r04, still pinned by tests +
+    # tools/check_oracle.py.
     return {
+        "ivf_nsg_search": q_ivf_nsg_search,
+        "lsh_search": q_lsh_search,
+        "audio_features": q_audio_features,
+        "pack_sequences": q_pack_sequences,
+        "pq_sdc_search": q_pq_sdc_search,
+        "span_dedup": q_span_dedup,
+        "rowwise_minmax": q_rowwise_minmax,
+        "split_vectors": q_split_vectors,
+        "remove_then_search": q_remove_then_search,
+        "merge_from_search": q_merge_from_search,
+        "rq_codec": q_rq_codec,
+        "lsq_codec": q_lsq_codec,
+        "prq_codec": q_prq_codec,
+        "two_layer_codes": q_two_layer_codes,
+        "binary_nsg": q_binary_nsg,
+        "compute_residual": q_compute_residual,
+        "pq_fastscan_search": q_pq_fastscan,
+        "ivfpq_fastscan": q_ivfpq_fastscan,
+        "aq_fastscan": q_aq_fastscan,
+        "ivfaq_fastscan": q_ivfaq_fastscan,
+        "nsg_search": q_nsg_search,
+        "ivf_search_exact": q_ivf_search_exact,
+        "knn_ip": q_knn_ip,
+        "knn_cosine": q_knn_cosine,
+        "knn_canberra": q_knn_canberra,
+        "knn_braycurtis": q_knn_braycurtis,
+        "range_lims": q_range_lims,
+        "topk_per_group": q_topk_per_group,
+        "knn_jensenshannon": q_knn_jensenshannon,
+        "knn_tabular_chunked": q_knn_tabular_chunked,
+        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
+        "sq8_reconstruction": q_sq8_reconstruction,
+        "hamming_knn": q_hamming_knn,
+        "jaccard_knn": q_jaccard_knn,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
+        "matrix_stats": q_matrix_stats,
+        "knn_selector_batch": q_knn_selector_batch,
+        "knn_1d": q_knn_1d,
+        "image_features": q_image_features,
+        "sq6_reconstruction": q_sq6_reconstruction,
+        "bivf_search": q_bivf_search,
+        "knn_graph_nndescent": q_knn_graph_nndescent,
+        "knn_graph_bucketed": q_knn_graph_bucketed,
+        "factory_pipeline": q_factory_pipeline,
+        "refine_search": q_refine_search,
+        # --- rotated past the 50-entry cap this round (every tail entry
+        # was driver-green in r04; still covered by tests and
+        # tools/check_oracle.py) ---
         "knn_l2": q_knn_l2,
         "imi_search_exact": q_imi_search_exact,
         "spectral_hash_search": q_spectral_hash_search,
@@ -1625,16 +2005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
-        "ivf_search_exact": q_ivf_search_exact,
-        "ivf_nsg_search": q_ivf_nsg_search,
-        "lsh_search": q_lsh_search,
-        "audio_features": q_audio_features,
         "ivfsq_search_exact": q_ivfsq_search_exact,
         "ivfaq_search": q_ivfaq_search,
         "rcq_ivf_search": q_rcq_ivf_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
-        "pack_sequences": q_pack_sequences,
         "temperature_sample": q_temperature_sample,
         "assign_splits": q_assign_splits,
         "filter_corpus": q_filter_corpus,
@@ -1650,46 +2025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition_features,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
-        "pq_sdc_search": q_pq_sdc_search,
-        "pq_fastscan_search": q_pq_fastscan,
-        "ivfpq_fastscan": q_ivfpq_fastscan,
-        "nsg_search": q_nsg_search,
-        "aq_fastscan": q_aq_fastscan,
-        "ivfaq_fastscan": q_ivfaq_fastscan,
-        "span_dedup": q_span_dedup,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "bigram_frequencies": q_bigram_frequencies,
         "ivfpqr_search": q_ivfpqr_search,
-        "hamming_knn": q_hamming_knn,
-        "bivf_search": q_bivf_search,
-        "jaccard_knn": q_jaccard_knn,
-        "knn_selector_batch": q_knn_selector_batch,
-        "knn_graph_nndescent": q_knn_graph_nndescent,
-        "knn_graph_bucketed": q_knn_graph_bucketed,
-        "refine_search": q_refine_search,
-        # --- rotated past the 50-entry cap this round (driver-green in
-        # r01-r03; still covered by tests and tools/check_oracle.py) ---
-        "factory_pipeline": q_factory_pipeline,
-        "knn_1d": q_knn_1d,
-        "dedup_exact": q_dedup_exact,
-        "dedup_keep_first": q_dedup_keep_first,
-        "lang_id": q_lang_id,
-        "token_count_bpe": q_token_count_bpe,
-        "dedup_simhash": q_dedup_simhash,
-        "matrix_stats": q_matrix_stats,
-        "topk_per_group": q_topk_per_group,
-        "image_features": q_image_features,
-        "range_lims": q_range_lims,
-        "sq8_reconstruction": q_sq8_reconstruction,
-        "dedup_simhash64": q_dedup_simhash64,
-        "knn_ip": q_knn_ip,
-        "knn_cosine": q_knn_cosine,
-        "knn_canberra": q_knn_canberra,
-        "knn_braycurtis": q_knn_braycurtis,
-        "knn_jensenshannon": q_knn_jensenshannon,
-        "knn_tabular_chunked": q_knn_tabular_chunked,
-        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
-        "sq6_reconstruction": q_sq6_reconstruction,
     }
 
 
@@ -2629,5 +2967,57 @@ def oracle_sql() -> dict[str, str]:
     sql["autotune_nprobe"] = (
         "SELECT * FROM (VALUES (1, TRUE), (2, TRUE), (4, TRUE), (8, TRUE), "
         "(16, TRUE)) AS t(nprobe, ok)"
+    )
+    # ---------------------------------------------------- round-6 entries
+    # rowwise min/max codec: fully SQL-expressible (stats + scaled checksum)
+    sql["rowwise_minmax"] = f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings
+        ),
+        s AS (
+          SELECT id, dv, list_min(dv) AS vmin,
+                 CASE WHEN list_max(dv) > list_min(dv)
+                      THEN list_max(dv) - list_min(dv) ELSE 1.0 END AS vrange
+          FROM v
+        )
+        SELECT id, round(vmin, {ROUND}) AS vmin,
+               round(vrange, {ROUND}) AS vrange,
+               round(list_sum(list_transform(dv, x ->
+                 CAST(CAST((x - vmin) / vrange AS REAL) AS DOUBLE))),
+                 {ROUND}) AS scaled_sum
+        FROM s
+    """
+    # split-vector L2 decomposes exactly → plain exact-knn twin
+    sql["split_vectors"] = _knn_sql(_L2, "ASC")
+    # remove_ids(id % 5 == 3) + full-probe IVF == exact knn over survivors
+    sql["remove_then_search"] = _knn_sql(_L2, "ASC", "WHERE e.vec_id % 5 <> 3")
+    # merged halves at full probe == monolithic exact knn
+    sql["merge_from_search"] = _knn_sql(_L2, "ASC")
+    sql["rq_codec"] = (
+        "SELECT 'rq_full_decode_beats_stage1' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'rq_recall_vs_exact_ge_0.3', TRUE"
+    )
+    sql["lsq_codec"] = (
+        "SELECT 'lsq_icm_not_worse_than_greedy' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'lsq_recall_vs_exact_ge_0.3', TRUE"
+    )
+    sql["prq_codec"] = (
+        "SELECT 'prq_rel_recons_err_le_0.5' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'prq_recall_vs_exact_ge_0.3', TRUE"
+    )
+    sql["two_layer_codes"] = (
+        "SELECT 'twolayer_recon_matches_jvm_composition' AS prop, "
+        "TRUE AS passed "
+        "UNION ALL SELECT 'twolayer_rel_recons_err_le_0.5', TRUE"
+    )
+    sql["binary_nsg"] = (
+        "SELECT 'binary_nsg_dist_valid_frac_ge_0.9' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'binary_nsg_rank1_dist_zero', TRUE"
+    )
+    sql["compute_residual"] = (
+        "SELECT 'residual_norm_is_min_centroid_dist' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'residual_explains_variance', TRUE"
     )
     return sql

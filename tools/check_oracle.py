@@ -79,64 +79,87 @@ def multiset(rows):
     return Counter(tuple(canon(v) for v in row) for row in rows)
 
 
+def oracle_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_one(spark, con, fn, sql_text, sf_dir):
+    """Run one Spark entry + its DuckDB twin, compare the way the driver
+    does (count, sorted-column schema, normalized physical types,
+    rounded value multiset). Returns a result dict; res['ok'] is the
+    driver-green prediction."""
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    stypes = {c: norm_spark_type(t) for c, t in sdf.dtypes}
+    otbl = con.execute(sql_text).fetch_arrow_table()
+    ocols = otbl.column_names
+    otypes = {f.name: norm_arrow_type(f.type) for f in otbl.schema}
+    orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
+    # driver sorts columns by name before hashing
+    sidx = [scols.index(c) for c in sorted(scols)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    sm = multiset([tuple(r[i] for i in sidx) for r in srows])
+    om = multiset([tuple(r[i] for i in oidx) for r in orows])
+    ok_schema = sorted(scols) == sorted(ocols)
+    type_mismatch = (
+        {c: (stypes[c], otypes[c]) for c in scols if stypes.get(c) != otypes.get(c)}
+        if ok_schema
+        else {}
+    )
+    ok_types = ok_schema and not type_mismatch
+    return {
+        "ok": ok_schema and ok_types and len(srows) == len(orows) and sm == om,
+        "n_spark": len(srows),
+        "n_oracle": len(orows),
+        "ok_schema": ok_schema,
+        "ok_types": ok_types,
+        "type_mismatch": type_mismatch,
+        "ok_vals": sm == om,
+        "spark_only": list((sm - om))[:3],
+        "oracle_only": list((om - sm))[:3],
+        "scols": scols,
+        "ocols": ocols,
+    }
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle_check", cpus=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = oracle_connection(sf_dir)
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
-        stypes = {c: norm_spark_type(t) for c, t in sdf.dtypes}
         if name not in osql:
-            print(f"{name:28s} rows-only: {len(srows)} rows  (no oracle)")
+            n = fn(spark, sf_dir).count()
+            print(f"{name:28s} rows-only: {n} rows  (no oracle)")
             continue
-        otbl = con.execute(osql[name]).fetch_arrow_table()
-        ocols = otbl.column_names
-        otypes = {
-            f.name: norm_arrow_type(f.type) for f in otbl.schema
-        }
-        orows = [
-            tuple(d[c] for c in ocols) for d in otbl.to_pylist()
-        ]
-        # driver sorts columns by name before hashing
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
-        sm = multiset([tuple(r[i] for i in sidx) for r in srows])
-        om = multiset([tuple(r[i] for i in oidx) for r in orows])
-        ok_schema = sorted(scols) == sorted(ocols)
-        type_mismatch = (
-            {c: (stypes[c], otypes[c]) for c in scols if stypes.get(c) != otypes.get(c)}
-            if ok_schema
-            else {}
+        res = check_one(spark, con, fn, osql[name], sf_dir)
+        status = "OK" if res["ok"] else "FAIL"
+        schema_msg = (
+            "ok"
+            if res["ok_schema"]
+            else f"{sorted(res['scols'])} vs {sorted(res['ocols'])}"
         )
-        ok_types = ok_schema and not type_mismatch
-        ok_count = len(srows) == len(orows)
-        ok_vals = sm == om
-        status = "OK" if (ok_schema and ok_types and ok_count and ok_vals) else "FAIL"
         print(
-            f"{name:28s} {status}  spark={len(srows)} duck={len(orows)} "
-            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(ocols)}'} "
-            f"types={'ok' if ok_types else type_mismatch} "
-            f"values={'ok' if ok_vals else 'MISMATCH'}"
+            f"{name:28s} {status}  spark={res['n_spark']} duck={res['n_oracle']} "
+            f"schema={schema_msg} "
+            f"types={'ok' if res['ok_types'] else res['type_mismatch']} "
+            f"values={'ok' if res['ok_vals'] else 'MISMATCH'}"
         )
-        if status == "FAIL":
+        if not res["ok"]:
             failures.append(name)
-            if not ok_vals:
-                diff_s = sm - om
-                diff_o = om - sm
-                for r in list(diff_s)[:3]:
-                    print(f"    spark-only: {r}")
-                for r in list(diff_o)[:3]:
-                    print(f"    duck-only:  {r}")
+            for r in res["spark_only"]:
+                print(f"    spark-only: {r}")
+            for r in res["oracle_only"]:
+                print(f"    duck-only:  {r}")
     if failures:
         print(f"\nFAILURES: {failures}")
         sys.exit(1)
