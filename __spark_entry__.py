@@ -778,7 +778,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),
-        T.token_count(F.col("text")).alias("ntok"),
+        T.token_count(F.col("text")).cast("bigint").alias("ntok"),
         F.round(T.punct_ratio(F.col("text")), ROUND).alias("punct_ratio"),
         F.round(T.stopword_ratio(F.col("text")), ROUND).alias("stop_ratio"),
         F.round(T.quality_score(F.col("text")), ROUND).alias("quality"),
@@ -791,8 +791,8 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_ws"),
-        T.bpe_token_count(F.col("text")).alias("n_bpe"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_ws"),
+        T.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe"),
     )
 
 
@@ -1122,8 +1122,8 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.md5("text").alias("text_fp"),
-        "n_tokens",
-        "n_tokens_removed",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("bigint").alias("n_tokens_removed"),
     )
 
 
@@ -1218,7 +1218,7 @@ def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = matrix_stats(_emb(spark, sf_dir))
     return s.select(
-        "pos",
+        F.col("pos").cast("bigint").alias("pos"),
         F.round("mean", ROUND).alias("mean"),
         F.round("std", ROUND).alias("std"),
         F.round("min", ROUND).alias("min"),
@@ -1292,7 +1292,10 @@ def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faiss_spark.functions.text import filter_corpus
 
     return filter_corpus(_docs(spark, sf_dir)).select(
-        "doc_id", "lang_pred", "ntok", "quality"
+        "doc_id",
+        "lang_pred",
+        F.col("ntok").cast("bigint").alias("ntok"),
+        "quality",
     )
 
 
@@ -2781,9 +2784,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # PCA rotation invariants: per-id norm preservation + centered flag
     sql["pca_project"] = """
-        SELECT vec_id AS id, 0.0 AS norm_dev FROM embeddings
+        SELECT vec_id AS id, CAST(0.0 AS DOUBLE) AS norm_dev FROM embeddings
         UNION ALL
-        SELECT CAST(-1 AS BIGINT), 0.0
+        SELECT CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
     """
     # fake image decode = payload bytes tiled to 6×8×3; channel-0 pixel j
     # is byte (3j) mod len — reproducible from codepoints (ASCII corpus)
