@@ -1928,6 +1928,16 @@ def q_compute_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (size=32, stride=24 — RAG
+    passage windows / long-doc pretraining slices). Pure codegen,
+    map-only; fully SQL-expressible, so the oracle is byte-exact on the
+    chunk fingerprints."""
+    from faiss_spark.functions.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7): never-driver-green entries
@@ -1953,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_layer_codes": q_two_layer_codes,
         "binary_nsg": q_binary_nsg,
         "compute_residual": q_compute_residual,
+        "chunk_documents": q_chunk_documents,
         "pq_fastscan_search": q_pq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "aq_fastscan": q_aq_fastscan,
@@ -1986,10 +1997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "knn_graph_bucketed": q_knn_graph_bucketed,
         "factory_pipeline": q_factory_pipeline,
-        "refine_search": q_refine_search,
         # --- rotated past the 50-entry cap this round (every tail entry
-        # was driver-green in r04; still covered by tests and
+        # was driver-green in r04, except refine_search: r03-green, code
+        # untouched since; still covered by tests and
         # tools/check_oracle.py) ---
+        "refine_search": q_refine_search,
         "knn_l2": q_knn_l2,
         "imi_search_exact": q_imi_search_exact,
         "spectral_hash_search": q_spectral_hash_search,
@@ -3023,4 +3035,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'residual_norm_is_min_centroid_dist' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'residual_explains_variance', TRUE"
     )
+    sql["chunk_documents"] = f"""
+        WITH t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+        c AS (
+          SELECT id, CAST(u.i AS BIGINT) AS chunk_no,
+                 CAST(u.i * 24 AS BIGINT) AS start,
+                 list_slice(tk, CAST(u.i * 24 + 1 AS INT),
+                            CAST(u.i * 24 + 32 AS INT)) AS ct
+          FROM t, UNNEST(range(0,
+                 CAST(ceil(len(tk) / 24.0) AS BIGINT))) AS u(i)
+        )
+        SELECT id, chunk_no, start, CAST(len(ct) AS BIGINT) AS ntok,
+               md5(array_to_string(ct, ' ')) AS chunk_fp
+        FROM c
+    """
     return sql

@@ -50,6 +50,7 @@ from faiss_spark.operators.dedup import (
 )
 from faiss_spark.functions.corpus import (
     assign_splits,
+    chunk_documents,
     pack_sequences,
     temperature_sample,
 )
@@ -146,6 +147,7 @@ __all__ = [
     "pack_sequences",
     "temperature_sample",
     "assign_splits",
+    "chunk_documents",
     "index_factory",
     "reverse_index_factory",
     "IMIIVFIndex",

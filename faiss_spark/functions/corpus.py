@@ -176,3 +176,49 @@ def temperature_sample(
         uniform_hex(F.col(id_col), seed) < rate_hex(F.col("rate"))
     )
     return kept.select(*df.columns, "rate")
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window document chunking — the shaping step between
+    "documents" and "retrieval/training units" (RAG passage windows,
+    long-doc pretraining slices): chunks of ``size`` tokens starting at
+    0, stride, 2·stride, … while the start lies inside the document; the
+    final chunk may be short, overlap is ``size − stride``.
+
+    Returns one row per chunk:
+      (id, chunk_no, start, ntok, chunk_fp) — all counters bigint,
+      chunk_fp = md5 of the space-joined chunk tokens (carrying the text
+      itself is a caller choice; the fingerprint keeps compared rows
+      narrow and lets a dedup pass run per-chunk).
+
+    Scale shape: pure codegen — tokenize + sequence + posexplode +
+    slice, all JVM expressions, map-only (no shuffle at all); chunking
+    100 TB is exactly a linear scan. Empty documents yield no chunks.
+    """
+    from .text import tokens
+
+    stride = stride or size
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    e = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        toks.alias("tk"),
+        F.posexplode(starts).alias("chunk_no", "start"),
+    )
+    ct = F.slice(F.col("tk"), F.col("start") + 1, F.lit(size))
+    return e.select(
+        "id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.col("start").cast("bigint").alias("start"),
+        F.size(ct).cast("bigint").alias("ntok"),
+        F.md5(F.concat_ws(" ", ct)).alias("chunk_fp"),
+    )

@@ -111,3 +111,62 @@ def test_assign_splits_partition_and_stability(docs):
     sub = assign_splits(docs.filter("doc_id % 2 = 0"), w, seed=5)
     for r in sub.collect():
         assert rows[r["doc_id"]] == r["split"]
+
+
+def test_chunk_documents_reference(docs):
+    from faiss_spark.functions.corpus import chunk_documents
+
+    size, stride = 8, 6
+    got = {}
+    for r in chunk_documents(docs, size=size, stride=stride).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_no"], r["start"], r["ntok"], r["chunk_fp"])
+        )
+    import hashlib
+
+    for row in docs.collect():
+        toks = row["text"].split()
+        want = []
+        cno = 0
+        start = 0
+        while start < len(toks):
+            ct = toks[start : start + size]
+            want.append(
+                (
+                    cno,
+                    start,
+                    len(ct),
+                    hashlib.md5(" ".join(ct).encode()).hexdigest(),
+                )
+            )
+            cno += 1
+            start += stride
+        assert got.get(row["doc_id"], []) == want, row["doc_id"]
+
+
+def test_chunk_documents_empty_and_overlap(spark):
+    from faiss_spark.functions.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c d e")], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, size=4, stride=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # doc 3: starts 0,2,4 -> chunks of 4,3,1 tokens
+    assert [r["ntok"] for r in sorted(by_id[3], key=lambda r: r["chunk_no"])] == [4, 3, 1]
+    # normalized-empty docs produce a single empty-string token ("" split)
+    # on BOTH engines -- the cross-engine contract -- so one 1-token chunk
+    for i in (1, 2):
+        assert len(by_id.get(i, [])) == 1 and by_id[i][0]["ntok"] == 1
+
+
+def test_chunk_documents_is_map_only(docs):
+    """Chunking must be a pure scan: no exchange, no join — at 100 TB it
+    is exactly one linear pass over the corpus."""
+    from faiss_spark.functions.corpus import chunk_documents
+
+    p = chunk_documents(docs, size=8, stride=6)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p

@@ -164,27 +164,138 @@ def probe_pq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
     }
 
 
+def _synth_docs(spark, n: int, ntok: int = 200, salt: int = 0):
+    """Deterministic synthetic corpus: ntok tokens per doc from a 5000-word
+    vocab; every 10th doc repeats its decade-leader's text (10% duplicate
+    docs) so span dedup has real duplicate mass to count."""
+    from pyspark.sql import functions as F
+
+    seed = "(case when pmod(id, 10) = 9 then id - 9 else id end)"
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"cast(pmod(id, {CPUS}) as string)").alias("source"),
+        F.expr(
+            f"array_join(transform(sequence(0, {ntok - 1}), j -> "
+            f"concat('t', pmod(xxhash64({seed} * {ntok} + j + {salt}), 5000))"
+            "), ' ')"
+        ).alias("text"),
+    )
+
+
+def probe_span_dedup(spark, nd: int) -> dict:
+    """Exact-substring span dedup: token windows hashed JVM-side, ONE
+    shuffle on the span key. Rows shuffled = total windows ≈ nd·ntok, so
+    flat per-window cost across nd is the linearity statement."""
+    from faiss_spark.operators.dedup import span_dedup_stats
+
+    docs = (
+        _synth_docs(spark, nd, salt=11)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import functions as F
+
+    # aggregate a COMPUTED column — a bare count() lets Catalyst prune
+    # the window/join away entirely (row count is invariant under them)
+    sec = _best_of(
+        lambda: span_dedup_stats(docs, n=20)
+        .agg(F.sum("n_dup_spans"))
+        .first()
+    )
+    windows = nd * (200 - 19)
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "windows_per_core_sec": round(windows / sec / CPUS, 1),
+    }
+
+
+def probe_pack_sequences(spark, nd: int) -> dict:
+    """Concat-and-chop packing: tokenize (map-only codegen) + one window
+    cumsum per source shard — a single keyed exchange; per-doc cost flat
+    across nd means no straggling global ordering."""
+    from faiss_spark.functions.corpus import pack_sequences
+
+    docs = (
+        _synth_docs(spark, nd, salt=13)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import functions as F
+
+    # see span_dedup probe: aggregate a computed column so the window
+    # cumsum cannot be pruned by a row-count-only plan
+    sec = _best_of(
+        lambda: pack_sequences(docs, budget=4096).agg(F.sum("bin_no")).first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
+def probe_ivfpq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
+    """IVF + 4-bit fast-scan residual ADC at nprobe=8: probed codes
+    scanned per core-second. Partition pruning keeps scanned codes ≈
+    nv·nprobe/nlist per query; nlist grows with √n so per-unit cost
+    should stay flat."""
+    from faiss_spark.operators.fastscan import IVFPQFastScanIndex
+
+    base = _base(spark, nv, 8)
+    queries = _synth_vecs(spark, nq, D, 8_888_888).selectExpr("id as qid", "vec")
+    nlist = max(16, min(1024, int((2 * nv) ** 0.5 / 4)))
+    nprobe = 8
+    idx = IVFPQFastScanIndex.train(base, nlist=nlist, M=16, niter=5, pq_niter=5, seed=7)
+    idx.add(base)
+    idx.base.codes = idx.base.codes.localCheckpoint(eager=True)
+    sec = _best_of(lambda: idx.search(queries, 10, nprobe=nprobe).count())
+    scanned = nv * nprobe / nlist * nq * 16  # codes·bytes touched
+    return {
+        "nv": nv,
+        "nlist": nlist,
+        "sec": round(sec, 3),
+        "probed_code_bytes_per_core_sec_1e9": round(scanned / sec / CPUS / 1e9, 4),
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("scale_probe")
     small, big = (600_000, 3_000_000) if not quick else (60_000, 300_000)
-    out = {
-        "cpus": CPUS,
-        "d": D,
-        "sizes": [small, big],
-        "knn_f32": [probe_knn(spark, small), probe_knn(spark, big)],
-        "kmeans_assign": [
+    nd_small, nd_big = (1_000_000, 5_000_000) if not quick else (20_000, 100_000)
+    probes = {
+        "knn_f32": lambda: [probe_knn(spark, small), probe_knn(spark, big)],
+        "kmeans_assign": lambda: [
             probe_kmeans_assign(spark, small),
             probe_kmeans_assign(spark, big),
         ],
-        "ivf_add": [probe_ivf_add(spark, small), probe_ivf_add(spark, big)],
-        "graph_bucketed": [probe_graph(spark, small), probe_graph(spark, big)],
-        "nsg_cells": [probe_nsg(spark, small), probe_nsg(spark, big)],
-        "pq_fastscan": [
+        "ivf_add": lambda: [probe_ivf_add(spark, small), probe_ivf_add(spark, big)],
+        "graph_bucketed": lambda: [probe_graph(spark, small), probe_graph(spark, big)],
+        "nsg_cells": lambda: [probe_nsg(spark, small), probe_nsg(spark, big)],
+        "pq_fastscan": lambda: [
             probe_pq_fastscan(spark, small),
             probe_pq_fastscan(spark, big),
         ],
+        "ivfpq_fastscan": lambda: [
+            probe_ivfpq_fastscan(spark, small),
+            probe_ivfpq_fastscan(spark, big),
+        ],
+        "span_dedup": lambda: [
+            probe_span_dedup(spark, nd_small),
+            probe_span_dedup(spark, nd_big),
+        ],
+        "pack_sequences": lambda: [
+            probe_pack_sequences(spark, nd_small),
+            probe_pack_sequences(spark, nd_big),
+        ],
     }
+    out = {"cpus": CPUS, "d": D, "sizes": [small, big]}
+    for name, fn in probes.items():
+        if only and name not in only:
+            continue
+        out[name] = fn()
     print(json.dumps(out))
 
 
