@@ -46,6 +46,22 @@ BENCH_OVERRIDES = {
     "dedup_embedding_bucketed": lambda: entrymod._dedup_bucketed_raw,
 }
 
+# entries that are pure projections: a bare count() row-counts the
+# parquet footer — Catalyst prunes every computed column — so force the
+# columns through an aggregate (the hash is noise next to the operator)
+BENCH_FORCE_COLUMNS = {"text_features"}
+
+
+def _run_once(df, force_columns: bool) -> int:
+    from pyspark.sql import functions as F
+
+    if force_columns:
+        df.agg(
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+        ).first()
+        return -1  # row count reported separately (cheap metadata count)
+    return df.count()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,12 +79,15 @@ def main() -> None:
         # external contention; min-of-two is the engine's number, not
         # the noise's
         fn = BENCH_OVERRIDES[name]() if name in BENCH_OVERRIDES else qs[name]
+        force = name in BENCH_FORCE_COLUMNS
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            n = _run_once(fn(spark, sf_dir), force)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        if force:
+            n = fn(spark, sf_dir).count()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     kernel = _kernel_bench(spark, cpus)
