@@ -188,8 +188,11 @@ def probe_span_dedup(spark, nd: int) -> dict:
     flat per-window cost across nd is the linearity statement."""
     from faiss_spark.operators.dedup import span_dedup_stats
 
+    # ntok=100 → 81 windows/doc: at nd=5M that is ~405M shuffled window
+    # rows (~25 GB) — sized to this host's disk; linearity is the signal,
+    # not the absolute row count
     docs = (
-        _synth_docs(spark, nd, salt=11)
+        _synth_docs(spark, nd, ntok=100, salt=11)
         .repartition(CPUS)
         .localCheckpoint(eager=True)
     )
@@ -202,7 +205,7 @@ def probe_span_dedup(spark, nd: int) -> dict:
         .agg(F.sum("n_dup_spans"))
         .first()
     )
-    windows = nd * (200 - 19)
+    windows = nd * (100 - 19)
     return {
         "nd": nd,
         "sec": round(sec, 3),
