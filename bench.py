@@ -56,8 +56,9 @@ def _run_once(df, force_columns: bool) -> int:
     from pyspark.sql import functions as F
 
     if force_columns:
+        # max, not sum: ANSI mode overflows a long sum of 2^63-range hashes
         df.agg(
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
         ).first()
         return -1  # row count reported separately (cheap metadata count)
     return df.count()
@@ -313,7 +314,11 @@ def _nsg_bench(spark, cpus: int, nv: int = 600_000, nq: int = 10_000) -> dict:
         "build_rows_per_sec": round(nv / build_sec, 1),
         "search_sec": round(search_sec, 3),
         "queries_per_sec": round(nq / search_sec, 1),
-        "rows": n,
+        # nv is the CORPUS size; result_rows = nq·k out of the search
+        # (the r4 artifact's ambiguous "rows" was this, not the corpus)
+        "nv": nv,
+        "nq": nq,
+        "result_rows": n,
         "nshards": 32,
         "nprobe": 8,
     }
