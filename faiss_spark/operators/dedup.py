@@ -746,6 +746,7 @@ def duplicated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact duplicated-substring detection: every window of ``n``
     consecutive tokens is hashed; windows whose hash occurs ≥ min_count
@@ -763,11 +764,19 @@ def duplicated_spans(
     map-side partial counting unavailable (positions needed), so rows
     shuffled = total token windows. At 100 TB, raise n (fewer windows per
     doc duplicated by chance) and pre-filter with a count-min pass if the
-    window count dominates; hashes are md5 so the DuckDB oracle is
-    byte-exact (xxhash64 halves the shuffle width when oracle parity
-    isn't needed)."""
+    window count dominates. hash_fn picks the span key: 'md5' (default)
+    is 128-bit — collision-free at any corpus size and byte-exact
+    against the DuckDB oracle; 'xxhash64' shrinks the shuffled key from
+    a 32-char string to 8 bytes (~2.5× narrower shuffle rows, cheaper
+    hashing) at a ~W²/2⁶⁵ false-duplicate risk — negligible below ~10⁹
+    windows, so prefer it for throughput and keep md5 when a 100 TB
+    corpus (10¹³ windows ⇒ ~10⁶ spurious pairs) must be exact."""
     from faiss_spark.functions.text import tokens
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    key_t = "array<string>" if hash_fn == "md5" else "array<bigint>"
     toks = tokens(F.col(text_col))
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard short
     # docs (< n tokens) to an empty window list explicitly
@@ -775,9 +784,9 @@ def duplicated_spans(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, n))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(key_t))
     spans = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.posexplode(windows).alias("pos", "span_hash"),
@@ -803,6 +812,7 @@ def span_dedup_stats(
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document duplicated-substring profile: total n-token windows,
     windows whose content appears elsewhere in the corpus, and the
@@ -810,7 +820,9 @@ def span_dedup_stats(
     on. Documents shorter than n tokens have no windows and report 0."""
     from faiss_spark.functions.text import tokens
 
-    dups = duplicated_spans(df, n=n, text_col=text_col, id_col=id_col)
+    dups = duplicated_spans(
+        df, n=n, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
     per_doc = dups.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removable"),
@@ -846,6 +858,7 @@ def remove_duplicated_spans(
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The span-removal transform: drop every token covered by a
     NON-FIRST occurrence of a duplicated n-token window (keep-first
@@ -859,7 +872,9 @@ def remove_duplicated_spans(
     Docs with no removable spans pass through unchanged."""
     from faiss_spark.functions.text import tokens
 
-    dups = duplicated_spans(df, n=n, text_col=text_col, id_col=id_col)
+    dups = duplicated_spans(
+        df, n=n, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
     removable = (
         dups.filter(~F.col("keep"))
         .groupBy("doc_id")

@@ -44,4 +44,4 @@ def test_ivf_add_bench_machinery(spark):
 def test_nsg_bench_machinery(spark):
     out = bench._nsg_bench(spark, cpus=8, nv=2_000, nq=100)
     assert out["build_rows_per_sec"] > 0 and out["queries_per_sec"] > 0
-    assert out["rows"] > 0
+    assert out["result_rows"] > 0 and out["nv"] > 0

@@ -391,3 +391,47 @@ def test_bigram_frequencies(spark):
     assert got["fox the"] == (1, 1)
     # single-token docs produce no pairs
     assert not any(p.startswith("single") for p in got)
+
+
+def test_span_hash_fn_xxhash64_agrees_with_md5(spark, tables):
+    """The 8-byte xxhash64 span key (the narrow-shuffle scale path) must
+    reach identical duplicate decisions as md5 on a collision-free
+    corpus — same (doc_id, pos, n_occurrences, keep) rows, same stats,
+    same rewrite."""
+    from faiss_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+        span_dedup_stats,
+    )
+
+    docs = tables["documents"]
+    proj = ["doc_id", "pos", "n_occurrences", "keep"]
+    a = {tuple(r[c] for c in proj) for r in duplicated_spans(docs, n=8).collect()}
+    b = {
+        tuple(r[c] for c in proj)
+        for r in duplicated_spans(docs, n=8, hash_fn="xxhash64").collect()
+    }
+    assert a == b and a  # non-empty: the corpus has duplicated spans
+    sa = sorted(map(tuple, span_dedup_stats(docs, n=8).collect()))
+    sb = sorted(
+        map(tuple, span_dedup_stats(docs, n=8, hash_fn="xxhash64").collect())
+    )
+    assert sa == sb
+    ra = sorted(map(tuple, remove_duplicated_spans(docs, n=8).collect()))
+    rb = sorted(
+        map(
+            tuple,
+            remove_duplicated_spans(docs, n=8, hash_fn="xxhash64").collect(),
+        )
+    )
+    assert ra == rb
+
+
+def test_span_hash_fn_validates(spark):
+    import pytest as _pytest
+
+    from faiss_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="hash_fn"):
+        duplicated_spans(docs, n=2, hash_fn="sha1")
