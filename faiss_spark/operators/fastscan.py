@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F, Window
 
 from faiss_spark.kernels import TopKAccumulator, as_matrix, pairwise_distances
 from faiss_spark.operators.codecs import ProductQuantizerModel
-from faiss_spark.operators.ivf import IVFPQIndex
+from faiss_spark.operators.ivf import IVFPQIndex, collect_queries_bounded
 
 
 # ------------------------------------------------------------ quantization
@@ -152,9 +152,9 @@ def pq_fastscan_search(
             f"fast-scan requires 4-bit codes (ksub ≤ 16), got ksub={model.ksub}"
         )
     spark = codes_df.sparkSession
-    qpdf = queries.select(qid_col, qvec_col).toPandas()
-    qids = qpdf[qid_col].to_numpy(np.int64)
-    Q = as_matrix(qpdf[qvec_col])
+    qids, Q = collect_queries_bounded(
+        queries, qid_col, qvec_col, "pq_fastscan_search",
+    )
     luts = np.stack([model.distance_table(q) for q in Q])  # (nq, M, ksub)
     lutq, a, b = quantize_lut_flat(luts)
     bc = spark.sparkContext.broadcast((qids, lutq, a, b))
@@ -249,9 +249,9 @@ class IVFPQFastScanIndex:
         nlist = len(C)
         nprobe = min(nprobe, nlist)
 
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFPQFastScanIndex.search",
+        )
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
@@ -530,9 +530,9 @@ def aq_fastscan_search(
     the norm rows re-scaled during the scan; reported distance is the
     de-quantized estimate plus the per-query ‖q‖² constant."""
     spark = codes_df.sparkSession
-    qpdf = queries.select(qid_col, qvec_col).toPandas()
-    qids = qpdf[qid_col].to_numpy(np.int64)
-    Q = as_matrix(qpdf[qvec_col])
+    qids, Q = collect_queries_bounded(
+        queries, qid_col, qvec_col, "aq_fastscan_search",
+    )
     luts = model.float_luts(Q)
     lutq, a, b = aq_quantize_lut(luts, M_norm=2, norm_scale=model.norm_scale)
     qsq = (Q * Q).sum(1)
@@ -734,9 +734,9 @@ class IVFAQFastScanIndex:
         nlist = len(C)
         nprobe = min(nprobe, nlist)
 
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFAQFastScanIndex.search",
+        )
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]

@@ -55,6 +55,30 @@ from faiss_spark.operators.codecs import ProductQuantizerModel
 MAX_DRIVER_QUERY_CELLS = 32_000_000
 
 
+def collect_queries_bounded(queries, qid_col: str, qvec_col: str, op: str):
+    """Driver-side query materialization with a hard bound (the same
+    MAX_DRIVER_QUERY_CELLS budget IVFIndex.search uses for its
+    auto-fallback): driver-planned searches hold O(nq·d) floats plus
+    per-query LUTs, so past the bound fail loudly with the scale-path
+    guidance instead of silently OOMing the driver. Paths with a
+    fully-distributed twin (IVFIndex.search → search_preassigned) fall
+    back instead of raising."""
+    from faiss_spark.kernels import as_matrix as _as_matrix
+
+    first = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).first()
+    d = int(first["d"]) if first else 1
+    max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
+    if queries.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{op}: query side exceeds the driver-planned bound "
+            f"({max_rows} rows at d={d}). Chunk the queries "
+            "(operators.knn.knn_chunked) or use a distributed plan "
+            "(IVFIndex.search auto-falls-back to search_preassigned)."
+        )
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    return qpdf[qid_col].to_numpy(np.int64), _as_matrix(qpdf[qvec_col])
+
+
 @dataclass
 class IVFIndex:
     """A fitted IVF index = centroid artifact + partitioned codes table."""
@@ -188,9 +212,9 @@ class IVFIndex:
         largest = self.metric in SIMILARITY_METRICS
 
         # stage A — coarse quantization on the driver (centroids and queries
-        # are both small; this IS quantizer->search on the broadcast side)
+        # are both small — the fallback above bounded the collect)
         qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(dtype=np.int64)
+        qids = qpdf[qid_col].to_numpy(np.int64)
         Q = as_matrix(qpdf[qvec_col])
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
@@ -252,9 +276,9 @@ def ivf_range_search(
     largest = metric in SIMILARITY_METRICS
     nlist = len(index.centroids)
     nprobe = min(nprobe, nlist)
-    qpdf = queries.select(qid_col, qvec_col).toPandas()
-    qids = qpdf[qid_col].to_numpy(np.int64)
-    Q = as_matrix(qpdf[qvec_col])
+    qids, Q = collect_queries_bounded(
+        queries, qid_col, qvec_col, "ivf_range_search",
+    )
     CD = pairwise_distances(Q, index.centroids, metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
     probes = order[:, :nprobe]
@@ -348,9 +372,9 @@ def search_with_parameters(
     nlist = len(index.centroids)
     nprobe = min(nprobe, nlist)
     largest = index.metric in SIMILARITY_METRICS
-    qpdf = queries.select(qid_col, qvec_col).toPandas()
-    qids = qpdf[qid_col].to_numpy(dtype=np.int64)
-    Q = as_matrix(qpdf[qvec_col])
+    qids, Q = collect_queries_bounded(
+        queries, qid_col, qvec_col, "search_with_parameters",
+    )
     CD = pairwise_distances(Q, index.centroids, index.metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
     probes = order[:, :nprobe]
@@ -561,9 +585,9 @@ class IVFRCQIndex:
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         nprobe = min(nprobe, self.nlist)
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(dtype=np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFRCQIndex.search",
+        )
         probes, _ = self.cq.search_np(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
@@ -688,9 +712,9 @@ class IVFPQIndex:
         nlist = len(self.centroids)
         nprobe = min(nprobe, nlist)
 
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFPQIndex.search",
+        )
         CD = pairwise_distances(Q, self.centroids, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
         probed_lists = sorted({int(c) for c in probes.ravel()})
@@ -941,9 +965,9 @@ class IVFSQIndex:
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
 
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFSQIndex.search",
+        )
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
         probes = order[:, :nprobe]
@@ -1163,9 +1187,9 @@ class IMIIVFIndex:
     ) -> DataFrame:
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IMIIVFIndex.search",
+        )
         probes = self._probe(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
@@ -1452,8 +1476,9 @@ class IVFSpectralHash:
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFSpectralHash.search",
+        )
         CD = pairwise_distances(Q, self.centroids, "l2")
         nprobe_ = min(nprobe, len(self.centroids))
         order = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
@@ -1467,11 +1492,11 @@ class IVFSpectralHash:
         )
         probe_rows = [
             (
-                int(qpdf[qid_col].iloc[i]),
+                int(qids[i]),
                 [int(w) for w in qwords[i * nprobe_ + j]],
                 int(order[i, j]),
             )
-            for i in range(len(qpdf))
+            for i in range(len(qids))
             for j in range(nprobe_)
         ]
         probes = spark.createDataFrame(
@@ -1648,9 +1673,9 @@ class IVFAQIndex:
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
 
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFAQIndex.search",
+        )
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
         probes = order[:, :nprobe]

@@ -116,3 +116,21 @@ def test_ivf_search_size_guard_falls_back_to_preassigned(vectors, monkeypatch):
     }
     assert calls, "size guard did not route through search_preassigned"
     assert routed == direct
+
+
+def test_driver_planned_searches_bound_the_query_collect(vectors, monkeypatch):
+    """Every driver-planned search path (no distributed twin to fall back
+    to) must REFUSE an over-budget query side with actionable guidance
+    instead of silently materializing it on the driver."""
+    import faiss_spark.operators.ivf as ivfmod
+    from faiss_spark.operators.ivf import IVFPQIndex
+
+    idx = IVFPQIndex.train(vectors, nlist=4, M=4, seed=1, niter=2, pq_niter=2)
+    idx.add(vectors)
+    queries = vectors.limit(8).selectExpr("id as qid", "vec")
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)  # 1 row at d=64
+    with pytest.raises(ValueError, match="IVFPQIndex.search.*knn_chunked"):
+        idx.search(queries, 3, nprobe=4)
+    # within budget: unchanged behavior
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
+    assert idx.search(queries, 3, nprobe=4).count() == 8 * 3
