@@ -791,19 +791,23 @@ def duplicated_spans(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.posexplode(windows).alias("pos", "span_hash"),
     )
+    # both aggregates run over an ORDER-free window: count needs no
+    # order, and "first occurrence" is the window MIN of (doc_id, pos).
+    # row_number() would add (doc_id, pos) to the window sort key —
+    # Spark sorts window partitions by (partition key ⧺ order key), so
+    # the min-compare form shortens the 10⁸-row sort key to the hash
+    # alone (measured ~10% at 81M windows; identical output, pinned by
+    # the span tests and the byte-exact oracle)
     w = Window.partitionBy("span_hash")
-    wo = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
     return (
         spans.withColumn("n_occurrences", F.count("*").over(w))
-        .withColumn("rn", F.row_number().over(wo))
-        .filter(F.col("n_occurrences") >= min_count)
-        .select(
-            "doc_id",
-            "pos",
-            "span_hash",
-            "n_occurrences",
-            (F.col("rn") == 1).alias("keep"),
+        .withColumn(
+            "keep",
+            (F.col("doc_id") == first["doc_id"]) & (F.col("pos") == first["pos"]),
         )
+        .filter(F.col("n_occurrences") >= min_count)
+        .select("doc_id", "pos", "span_hash", "n_occurrences", "keep")
     )
 
 
