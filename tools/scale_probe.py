@@ -238,6 +238,31 @@ def probe_pack_sequences(spark, nd: int) -> dict:
     }
 
 
+def probe_chunk_documents(spark, nd: int) -> dict:
+    """Token-window chunking: pure map-only codegen — the probe pins
+    that per-chunk cost is flat (a linear scan has nothing to curve)."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.corpus import chunk_documents
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=17)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: chunk_documents(docs, size=32, stride=24)
+        .agg(F.max(F.xxhash64("id", "chunk_no", "chunk_fp")))
+        .first()
+    )
+    chunks = nd * 5  # ceil(100 / 24) starts per doc
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "chunks_per_core_sec": round(chunks / sec / CPUS, 1),
+    }
+
+
 def probe_ivfpq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
     """IVF + 4-bit fast-scan residual ADC at nprobe=8: probed codes
     scanned per core-second. Partition pruning keeps scanned codes ≈
@@ -292,6 +317,10 @@ def main() -> None:
         "pack_sequences": lambda: [
             probe_pack_sequences(spark, nd_small),
             probe_pack_sequences(spark, nd_big),
+        ],
+        "chunk_documents": lambda: [
+            probe_chunk_documents(spark, nd_small),
+            probe_chunk_documents(spark, nd_big),
         ],
     }
     out = {"cpus": CPUS, "d": D, "sizes": [small, big]}
