@@ -223,11 +223,21 @@ def _kmeans_bench(spark, cpus: int, nv: int = 600_000, k: int = 256) -> dict:
     base = _synth_vecs(spark, nv, d, 99_999).repartition(cpus).localCheckpoint(
         eager=True
     )
-    t0 = _t.perf_counter()
-    km = KMeans(k=k, niter=niter, seed=7).fit(base)
-    fit_sec = _t.perf_counter() - t0
+    # one UNTIMED warm-up fit + best-of-3: a cold fresh-session fit costs
+    # 2.5x a warm one on this VM (first-touch workspace buffers + codegen
+    # compile), and the r6 artifact recorded exactly that cold outlier
+    # (7.10 s where the warm capability is ~2.8 s). Same discipline as
+    # _kernel_bench since r5.
+    KMeans(k=k, niter=2, seed=7).fit(base)
+    fit_sec = None
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        km = KMeans(k=k, niter=niter, seed=7).fit(base)
+        dt = _t.perf_counter() - t0
+        fit_sec = dt if fit_sec is None else min(fit_sec, dt)
+    km.assign(base).count()  # untimed warm-up for the assign path
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = _t.perf_counter()
         n = km.assign(base).count()
         dt = _t.perf_counter() - t0
@@ -336,8 +346,15 @@ def _graph_bench(spark, cpus: int, nv: int = 600_000) -> dict:
     base = _synth_vecs(spark, nv, d, 424_242).repartition(cpus).localCheckpoint(
         eager=True
     )
+    # one UNTIMED warm-up build + best-of-3: this VM shows multi-second
+    # contention windows that covered BOTH best-of-2 draws in the r6
+    # driver run (49.4 s recorded vs 13.1 s idle, code untouched); a
+    # warm-up plus a third draw makes recording a 3x weather outlier as
+    # the round's number much less likely. Same discipline as
+    # _kernel_bench since r5.
+    knn_graph_bucketed(base, k, nlist=nlist, nprobe=2, dtype="f32").count()
     sec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         g = knn_graph_bucketed(base, k, nlist=nlist, nprobe=2, dtype="f32")
         edges = g.count()

@@ -200,10 +200,26 @@ def chunk_documents(
     Scale shape: pure codegen — tokenize + sequence + posexplode +
     slice, all JVM expressions, map-only (no shuffle at all); chunking
     100 TB is exactly a linear scan. Empty documents yield no chunks.
+
+    ``stride`` defaults to ``size`` (non-overlapping). stride > size is
+    rejected: it silently DROPS the tokens between chunks, which no
+    chunking caller wants (a sampling pass should say so explicitly).
     """
     from .text import tokens
 
-    stride = stride or size
+    if size <= 0:
+        raise ValueError(f"chunk_documents: size must be positive, got {size}")
+    if stride is None:
+        stride = size
+    if stride <= 0:
+        raise ValueError(
+            f"chunk_documents: stride must be positive, got {stride}"
+        )
+    if stride > size:
+        raise ValueError(
+            f"chunk_documents: stride ({stride}) > size ({size}) would drop "
+            "tokens between chunks; overlap = size - stride must be >= 0"
+        )
     toks = tokens(F.col(text_col))
     starts = F.when(
         F.size(toks) > 0,

@@ -154,6 +154,7 @@ def pq_fastscan_search(
     spark = codes_df.sparkSession
     qids, Q = collect_queries_bounded(
         queries, qid_col, qvec_col, "pq_fastscan_search",
+        d=model.codebooks.shape[0] * model.codebooks.shape[2],
     )
     luts = np.stack([model.distance_table(q) for q in Q])  # (nq, M, ksub)
     lutq, a, b = quantize_lut_flat(luts)
@@ -251,6 +252,7 @@ class IVFPQFastScanIndex:
 
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFPQFastScanIndex.search",
+            d=C.shape[1],
         )
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
@@ -532,6 +534,7 @@ def aq_fastscan_search(
     spark = codes_df.sparkSession
     qids, Q = collect_queries_bounded(
         queries, qid_col, qvec_col, "aq_fastscan_search",
+        d=model.rq.codebooks.shape[2],
     )
     luts = model.float_luts(Q)
     lutq, a, b = aq_quantize_lut(luts, M_norm=2, norm_scale=model.norm_scale)
@@ -736,6 +739,7 @@ class IVFAQFastScanIndex:
 
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFAQFastScanIndex.search",
+            d=C.shape[1],
         )
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")

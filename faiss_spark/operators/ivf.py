@@ -55,27 +55,39 @@ from faiss_spark.operators.codecs import ProductQuantizerModel
 MAX_DRIVER_QUERY_CELLS = 32_000_000
 
 
-def collect_queries_bounded(queries, qid_col: str, qvec_col: str, op: str):
+def collect_queries_bounded(
+    queries, qid_col: str, qvec_col: str, op: str, d: int | None = None,
+):
     """Driver-side query materialization with a hard bound (the same
     MAX_DRIVER_QUERY_CELLS budget IVFIndex.search uses for its
     auto-fallback): driver-planned searches hold O(nq·d) floats plus
     per-query LUTs, so past the bound fail loudly with the scale-path
     guidance instead of silently OOMing the driver. Paths with a
     fully-distributed twin (IVFIndex.search → search_preassigned) fall
-    back instead of raising."""
+    back instead of raising.
+
+    Collects ONE limited job and checks the collected length, so the
+    rows that passed the bound check ARE the rows returned — a derived /
+    nondeterministic query frame is never recomputed between check and
+    collect. Callers that already know the dimensionality (every index
+    carries it in its centroids/codebooks) pass ``d`` and skip the
+    1-row dimension probe entirely."""
     from faiss_spark.kernels import as_matrix as _as_matrix
 
-    first = queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).first()
-    d = int(first["d"]) if first else 1
+    if d is None:
+        first = (
+            queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).first()
+        )
+        d = int(first["d"]) if first else 1
     max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
-    if queries.limit(max_rows + 1).count() > max_rows:
+    qpdf = queries.select(qid_col, qvec_col).limit(max_rows + 1).toPandas()
+    if len(qpdf) > max_rows:
         raise ValueError(
             f"{op}: query side exceeds the driver-planned bound "
             f"({max_rows} rows at d={d}). Chunk the queries "
             "(operators.knn.knn_chunked) or use a distributed plan "
             "(IVFIndex.search auto-falls-back to search_preassigned)."
         )
-    qpdf = queries.select(qid_col, qvec_col).toPandas()
     return qpdf[qid_col].to_numpy(np.int64), _as_matrix(qpdf[qvec_col])
 
 
@@ -202,7 +214,13 @@ class IVFIndex:
             raise ValueError("index has no codes table; call add() first")
         d = self.centroids.shape[1]
         max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
-        if queries.limit(max_rows + 1).count() > max_rows:
+        # stage A — coarse quantization on the driver (centroids and queries
+        # are both small in the intended regime). ONE limited collect; the
+        # length of what came back decides driver-plan vs distributed
+        # fallback, so the checked rows are exactly the planned rows even
+        # for a nondeterministic query frame.
+        qpdf = queries.select(qid_col, qvec_col).limit(max_rows + 1).toPandas()
+        if len(qpdf) > max_rows:
             return search_preassigned(
                 self, queries, k, nprobe=nprobe,
                 qid_col=qid_col, qvec_col=qvec_col,
@@ -210,10 +228,6 @@ class IVFIndex:
         nlist = len(self.centroids)
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
-
-        # stage A — coarse quantization on the driver (centroids and queries
-        # are both small — the fallback above bounded the collect)
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
         qids = qpdf[qid_col].to_numpy(np.int64)
         Q = as_matrix(qpdf[qvec_col])
         CD = pairwise_distances(Q, self.centroids, self.metric)
@@ -278,6 +292,7 @@ def ivf_range_search(
     nprobe = min(nprobe, nlist)
     qids, Q = collect_queries_bounded(
         queries, qid_col, qvec_col, "ivf_range_search",
+        d=index.centroids.shape[1],
     )
     CD = pairwise_distances(Q, index.centroids, metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
@@ -374,6 +389,7 @@ def search_with_parameters(
     largest = index.metric in SIMILARITY_METRICS
     qids, Q = collect_queries_bounded(
         queries, qid_col, qvec_col, "search_with_parameters",
+        d=index.centroids.shape[1],
     )
     CD = pairwise_distances(Q, index.centroids, index.metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
@@ -587,6 +603,7 @@ class IVFRCQIndex:
         nprobe = min(nprobe, self.nlist)
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFRCQIndex.search",
+            d=self.cq.codebooks.shape[2],
         )
         probes, _ = self.cq.search_np(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
@@ -714,6 +731,7 @@ class IVFPQIndex:
 
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFPQIndex.search",
+            d=self.centroids.shape[1],
         )
         CD = pairwise_distances(Q, self.centroids, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
@@ -967,6 +985,7 @@ class IVFSQIndex:
 
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFSQIndex.search",
+            d=self.centroids.shape[1],
         )
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
@@ -1189,6 +1208,7 @@ class IMIIVFIndex:
             raise ValueError("index has no codes table; call add() first")
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IMIIVFIndex.search",
+            d=2 * self.sub_centroids.shape[2],
         )
         probes = self._probe(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
@@ -1478,6 +1498,7 @@ class IVFSpectralHash:
         spark = self.codes.sparkSession
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFSpectralHash.search",
+            d=self.centroids.shape[1],
         )
         CD = pairwise_distances(Q, self.centroids, "l2")
         nprobe_ = min(nprobe, len(self.centroids))
@@ -1675,6 +1696,7 @@ class IVFAQIndex:
 
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFAQIndex.search",
+            d=self.centroids.shape[1],
         )
         CD = pairwise_distances(Q, self.centroids, self.metric)
         order = np.argsort(-CD if largest else CD, axis=1, kind="stable")

@@ -87,10 +87,17 @@ def _scan_partitions(
     )
     # CPU-bound scan: when the source is a handful of splits (small local
     # files), fan it out across cores first. At cluster scale real tables
-    # already have ≥ parallelism splits, so this no-ops there.
+    # already have ≥ parallelism files, so this no-ops there. The probe
+    # is plan-side (file listing) — touching df.rdd would force analysis
+    # through the RDD API and can schedule a separate job on some
+    # sources; non-file sources (e.g. in-memory ranges) skip the fan-out.
     spark = vectors.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    try:
+        n_files = len(vectors.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < par:
         src = src.repartition(par)
     return src.mapInPandas(make_emit, schema=_RESULT_SCHEMA)
 

@@ -278,7 +278,8 @@ def probe_ivfpq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
     idx.add(base)
     idx.base.codes = idx.base.codes.localCheckpoint(eager=True)
     sec = _best_of(lambda: idx.search(queries, 10, nprobe=nprobe).count())
-    scanned = nv * nprobe / nlist * nq * 16  # codes·bytes touched
+    # M=16 subcodes at 4 bits each = 8 physical bytes per code
+    scanned = nv * nprobe / nlist * nq * (16 // 2)
     return {
         "nv": nv,
         "nlist": nlist,
