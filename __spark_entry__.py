@@ -475,6 +475,64 @@ def q_ivfpqr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpqr_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQR second-stage refine-PQ rerank (reference
+    faiss/IndexIVFPQR.cpp:130-184) — the mode that works when the raw
+    vectors are DROPPED after encoding, which at 100 TB is the reason
+    PQR exists. Oracle properties:
+    (1) code-rerank recall ≥ the ADC-only recall it refines (full
+        table, nprobe=8);
+    (2) with an exact refine codebook (corpus ≤ ksub rows → k-means
+        keeps every point as its own centroid → refine decode is
+        bit-exact) and a shortlist covering every cell, the pqr_codes
+        ranking EQUALS the raw-vector rerank ranking;
+    (3) the codes-only search plan touches no raw-vector column (the
+        raw table is set to None before searching)."""
+    from faiss_spark.operators.ivf import IVFPQRIndex
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = IVFPQRIndex.train(
+        vecs, nlist=16, M=16, k_factor=4, seed=3, niter=8, M_refine=16
+    )
+    truth = knn(vecs, qs, K).select("qid", "id")
+    adc = idx.ivfpq.search(qs, K, nprobe=8).select("qid", "id")
+    # drop the raw table: codes-only from here on
+    idx.ivfpq.codes = idx.ivfpq.codes.localCheckpoint(eager=True)
+    idx.vectors = None
+    got_df = idx.search(qs, K, nprobe=8)  # auto-selects pqr_codes
+    jvm = spark._jvm
+    plan_txt = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    recall, _ = _pair_recall(got_df.select("qid", "id"), truth)
+    recall_adc, _ = _pair_recall(adc, truth)
+
+    # exact-refine equality on a ≤200-row corpus (ksub=256 ≥ n)
+    small = vecs.filter("id < 200").localCheckpoint(eager=True)
+    sq = small.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    pqr2 = IVFPQRIndex.train(
+        small, nlist=4, M=8, k_factor=40, seed=7, niter=5, pq_niter=8,
+        M_refine=8,
+    )
+    by_codes = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in pqr2.search(sq, 5, nprobe=4, rerank="pqr_codes").collect()
+    }
+    by_raw = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in pqr2.search(sq, 5, nprobe=4, rerank="raw").collect()
+    }
+    return _prop_df(
+        spark,
+        [
+            ("pqr_codes_recall_ge_adc", recall >= recall_adc),
+            ("pqr_codes_exact_refine_equals_raw_rerank", by_codes == by_raw),
+            ("pqr_codes_plan_has_no_raw_vector", "embedding" not in plan_txt),
+        ],
+    )
+
+
 def q_imi_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI (MultiIndexQuantizer coarse, reference faiss/IndexPQ.h:139;
     factory "IMI2x<b>", index_factory.cpp:241-289) at nprobe == nlist:
@@ -2051,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "bigram_frequencies": q_bigram_frequencies,
         "ivfpqr_search": q_ivfpqr_search,
+        "ivfpqr_codes": q_ivfpqr_codes,
     }
 
 
@@ -2969,6 +3028,11 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfpqr_search"] = (
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
+    )
+    sql["ivfpqr_codes"] = (
+        "SELECT 'pqr_codes_recall_ge_adc' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'pqr_codes_exact_refine_equals_raw_rerank', TRUE "
+        "UNION ALL SELECT 'pqr_codes_plan_has_no_raw_vector', TRUE"
     )
     sql["pq_sdc_search"] = (
         "SELECT 'sdc_equals_adc_of_roundtripped_query_ge_0.95' AS prop, "

@@ -1240,29 +1240,273 @@ def train_imi(
 
 @dataclass
 class IVFPQRIndex:
-    """IVFPQ + exact re-rank — the IVFPQR pattern (reference
+    """IVFPQ + re-rank — the IVFPQR pattern (reference
     faiss/IndexIVFPQR.h:19: a second refinement stage re-ranks k·k_factor
-    ADC candidates; here the refinement is EXACT raw-vector distance via
-    refine_search, which strictly dominates the reference's PQR residual
-    codes when the raw table is available — on Spark it always is)."""
+    ADC candidates). Two rerank modes:
+
+    - ``rerank='raw'`` (default when a raw table exists): EXACT
+      raw-vector distance via refine_search — strictly dominates the
+      reference's PQR residual codes whenever the raw table is kept.
+    - ``rerank='pqr_codes'``: the reference's own second-stage — a
+      refine PQ (``M_refine`` sub-quantizers) trained on the SECOND
+      level residual x − centroid − pq1_decode(code1) (reference
+      IndexIVFPQR.cpp train_residual/add_core), stored as an extra
+      ``rcode`` column of the codes table. At 100 TB this is the mode
+      PQR exists for: the raw vectors are NOT kept, and the index is
+      (M + M_refine) bytes/row instead of 4·d.
+
+    pqr_codes search plan (one pass, partition-pruned, no raw-vector
+    column anywhere): stage A probes on the driver; one mapInPandas scan
+    per probed cell computes the ADC estimate for every code, shortlists
+    the per-cell top k·k_factor by ADC (the reference shortlists the
+    GLOBAL top k·k_factor — per-cell is a superset, so refined quality
+    is ≥ the reference's), decodes pq1 + refine_pq for the shortlist
+    only, and re-ranks by ‖(q − c) − (ŷ₁ + ŷ₂)‖²; then the global
+    window top-k. Refine decode cost is O(k·k_factor·d) per
+    (query, probed cell) — the reference's n_refine discipline
+    (IndexIVFPQR.cpp:130-184)."""
 
     ivfpq: IVFPQIndex
-    vectors: DataFrame
+    vectors: DataFrame | None = None
     k_factor: int = 4
+    refine_pq: ProductQuantizerModel | None = None
 
     @staticmethod
     def train(
         vectors: DataFrame, nlist: int, M: int = 8, k_factor: int = 4,
-        seed: int = 1234, **kw,
+        seed: int = 1234, M_refine: int | None = None,
+        nbits_refine: int = 8, pq_niter: int = 15, vec_col: str = "vec",
+        id_col: str = "id", **kw,
     ) -> "IVFPQRIndex":
-        idx = IVFPQIndex.train(vectors, nlist=nlist, M=M, seed=seed, **kw).add(vectors)
-        return IVFPQRIndex(ivfpq=idx, vectors=vectors, k_factor=k_factor)
+        """Train coarse + PQ1 (+ refine PQ on 2nd-level residuals when
+        M_refine is set), then encode. With M_refine the add pass writes
+        (list_no, id, code, rcode) in ONE mapInPandas — the raw vectors
+        are never needed again after this pass."""
+        base = IVFPQIndex.train(
+            vectors, nlist=nlist, M=M, seed=seed, pq_niter=pq_niter,
+            vec_col=vec_col, **kw,
+        )
+        if M_refine is None:
+            base.add(vectors, id_col=id_col, vec_col=vec_col)
+            return IVFPQRIndex(ivfpq=base, vectors=vectors, k_factor=k_factor)
 
-    def search(self, queries: DataFrame, k: int, nprobe: int = 1) -> DataFrame:
-        from faiss_spark.operators.refine import refine_search
+        from faiss_spark.operators.codecs import _kmeans_np, _sampled_matrix
 
-        cands = self.ivfpq.search(queries, k * self.k_factor, nprobe=nprobe)
-        return refine_search(cands, self.vectors, queries, k)
+        # refine PQ trained on 2nd-level residuals of a seeded sample
+        # (reference IndexIVFPQR.cpp:50-66 train_residual)
+        C = base.centroids
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        d = X.shape[1]
+        if d % M_refine:
+            raise ValueError(f"d={d} not divisible by M_refine={M_refine}")
+        d2 = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        lists = d2.argmin(1)
+        r1 = X - C[lists]
+        r2 = r1 - base.pq.decode_np(base.pq.encode_np(r1))
+        dsub = d // M_refine
+        ksub = min(1 << nbits_refine, len(r2))
+        books = np.empty((M_refine, ksub, dsub), np.float64)
+        for m in range(M_refine):
+            books[m], _ = _kmeans_np(
+                r2[:, m * dsub : (m + 1) * dsub], ksub, pq_niter, seed + 101 + m
+            )
+        idx = IVFPQRIndex(
+            ivfpq=base, vectors=vectors, k_factor=k_factor,
+            refine_pq=ProductQuantizerModel(codebooks=books),
+        )
+        idx._add_with_refine(vectors, id_col=id_col, vec_col=vec_col)
+        return idx
+
+    def _add_with_refine(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFPQRIndex":
+        """Encode list assignment, PQ1 code AND refine code in one
+        map-only pass (reference IndexIVFPQR::add_core: add_core_o keeps
+        residual_2, refine_pq.compute_codes on it)."""
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.ivfpq.centroids, self.ivfpq.pq.codebooks,
+             self.refine_pq.codebooks)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, books1, books2 = bc.value
+            pq1 = ProductQuantizerModel(codebooks=books1)
+            pq2 = ProductQuantizerModel(codebooks=books2)
+            cn = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+                lists = d2.argmin(1)
+                r1 = X - C[lists]
+                c1 = pq1.encode_np(r1)
+                r2 = r1 - pq1.decode_np(c1)
+                c2 = pq2.encode_np(r2)
+                yield pd.DataFrame(
+                    {
+                        "list_no": lists.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, c1)),
+                        "rcode": list(map(bytes, c2)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        codes = src.mapInPandas(
+            enc, schema="list_no int, id bigint, code binary, rcode binary"
+        )
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy(
+                "list_no"
+            ).parquet(path)
+            codes = spark.read.parquet(path)
+            self.ivfpq.path = path
+        # IVFPQIndex.search selects (list_no, id, code) explicitly, so the
+        # extra rcode column rides along harmlessly for ADC-only search
+        self.ivfpq.codes = codes
+        return self
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 1,
+        rerank: str | None = None, qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        if rerank is None:
+            rerank = "raw" if self.vectors is not None else "pqr_codes"
+        if rerank == "raw":
+            from faiss_spark.operators.refine import refine_search
+
+            if self.vectors is None:
+                raise ValueError(
+                    "rerank='raw' needs the raw-vector table; this index "
+                    "was built codes-only — use rerank='pqr_codes'"
+                )
+            cands = self.ivfpq.search(
+                queries, k * self.k_factor, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            )
+            return refine_search(cands, self.vectors, queries, k)
+        if rerank != "pqr_codes":
+            raise ValueError(f"unknown rerank mode {rerank!r}")
+        if self.refine_pq is None:
+            raise ValueError(
+                "rerank='pqr_codes' needs a refine PQ; train with M_refine"
+            )
+        return self._search_pqr_codes(queries, k, nprobe, qid_col, qvec_col)
+
+    def _search_pqr_codes(
+        self, queries: DataFrame, k: int, nprobe: int,
+        qid_col: str, qvec_col: str,
+    ) -> DataFrame:
+        base = self.ivfpq
+        if base.codes is None:
+            raise ValueError("index has no codes table; call train() first")
+        spark = base.codes.sparkSession
+        nlist = len(base.centroids)
+        nprobe = min(nprobe, nlist)
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFPQRIndex.search",
+            d=base.centroids.shape[1],
+        )
+        CD = pairwise_distances(Q, base.centroids, "l2")
+        probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                list_to_q[int(c)].append(qi)
+        bc = spark.sparkContext.broadcast(
+            (
+                qids, Q, base.centroids, base.pq.codebooks,
+                self.refine_pq.codebooks,
+                {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+            )
+        )
+        k_, kf = k, self.k_factor
+        pruned = base.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, C, books1, books2, l2q = bc.value
+            pq1 = ProductQuantizerModel(codebooks=books1)
+            pq2 = ProductQuantizerModel(codebooks=books2)
+            M, _, dsub = books1.shape
+            acc: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    R = Q_[qsel] - C[int(list_no)][None, :]
+                    Rs = R.reshape(len(R), M, dsub)
+                    luts = (
+                        (Rs * Rs).sum(2)[:, :, None]
+                        + (books1 * books1).sum(2)[None, :, :]
+                        - 2.0 * np.einsum("qmd,mkd->qmk", Rs, books1)
+                    )
+                    codes1 = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    D = np.zeros((len(R), len(codes1)), np.float64)
+                    for m in range(M):
+                        D += luts[:, m, codes1[:, m].astype(np.int64)]
+                    # per-query ADC shortlist of this chunk
+                    s = min(len(codes1), k_ * kf)
+                    if s < len(codes1):
+                        short = np.argpartition(D, s - 1, axis=1)[:, :s]
+                    else:
+                        short = np.broadcast_to(
+                            np.arange(len(codes1)), (len(R), len(codes1))
+                        )
+                    # decode pq1 + refine for the union of shortlisted rows
+                    uni = np.unique(short.ravel())
+                    codes2 = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["rcode"]]
+                    )
+                    Y = pq1.decode_np(codes1[uni]) + pq2.decode_np(codes2[uni])
+                    pos = np.full(len(codes1), -1, np.int64)
+                    pos[uni] = np.arange(len(uni))
+                    ids = grp["id"].to_numpy(np.int64)
+                    # refined distances, shortlist only; everything else +inf
+                    DR = np.full_like(D, np.inf)
+                    for qi in range(len(R)):
+                        sel = short[qi]
+                        diff = R[qi][None, :] - Y[pos[sel]]
+                        DR[qi, sel] = (diff * diff).sum(1)
+                    key = int(list_no)
+                    if key not in acc:
+                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    acc[key].push(DR, ids)
+            for key, a in acc.items():
+                qidx, nid, nd = a.emit()
+                keep = np.isfinite(nd)
+                yield pd.DataFrame(
+                    {
+                        "qid": qids_[qsels[key][qidx[keep]]],
+                        "id": nid[keep],
+                        "dist": nd[keep],
+                    }
+                )
+
+        cands = pruned.select("list_no", "id", "code", "rcode").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )
 
 
 @dataclass

@@ -271,3 +271,80 @@ def test_ivfaq_reconstruct_beats_coarse_only(vectors):
     assert err_rec < err_coarse * 0.8, (err_rec, err_coarse)
     assert idx.codes.first()["code"] is not None
     assert len(idx.codes.first()["code"]) == 8  # M bytes per vector
+
+
+def test_ivfpqr_codes_recall_ge_adc(vectors):
+    """rerank='pqr_codes' (reference IndexIVFPQR.cpp:130-184, the
+    second-stage refine-PQ rerank that works WITHOUT a raw-vector table)
+    must not lose recall vs the ADC-only shortlist it refines."""
+    from faiss_spark.operators.ivf import IVFPQRIndex
+    from faiss_spark.operators.knn import knn
+
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    pqr = IVFPQRIndex.train(
+        vectors, nlist=8, M=8, k_factor=4, seed=42, niter=5, pq_niter=5,
+        M_refine=8,
+    )
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, q, 5).collect()}
+    adc = {
+        (r["qid"], r["id"])
+        for r in pqr.ivfpq.search(q, 5, nprobe=8).collect()
+    }
+    codes = {
+        (r["qid"], r["id"])
+        for r in pqr.search(q, 5, nprobe=8, rerank="pqr_codes").collect()
+    }
+    assert len(codes & truth) >= len(adc & truth)
+
+
+def test_ivfpqr_codes_exact_refine_equals_raw(vectors):
+    """When the refine codebook is exact (corpus <= ksub rows: k-means
+    with k >= n keeps every point as its own centroid, so refine decode
+    reproduces the 2nd-level residual bit-for-bit) and the shortlist
+    covers every cell (k*k_factor >= n), pqr_codes rerank computes the
+    EXACT distance for every candidate — the result must equal both the
+    raw-vector rerank and brute-force knn."""
+    from faiss_spark.operators.ivf import IVFPQRIndex
+    from faiss_spark.operators.knn import knn
+
+    small = vectors.filter("id < 200").localCheckpoint(eager=True)
+    q = small.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+    pqr = IVFPQRIndex.train(
+        small, nlist=4, M=8, k_factor=40, seed=7, niter=5, pq_niter=8,
+        M_refine=8, nbits_refine=8,
+    )
+    got = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in pqr.search(q, 5, nprobe=4, rerank="pqr_codes").collect()
+    }
+    raw = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in pqr.search(q, 5, nprobe=4, rerank="raw").collect()
+    }
+    exact = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in knn(small, q, 5).collect()
+    }
+    assert got == exact
+    assert raw == exact
+
+
+def test_ivfpqr_codes_no_raw_vector_in_plan(vectors):
+    """The codes-only mode is the 100 TB reason PQR exists: after the
+    encode pass the raw table is dropped. Searching must neither require
+    idx.vectors nor touch any raw-vector column in the plan."""
+    from faiss_spark.operators.ivf import IVFPQRIndex
+    from tests.test_plans import plan
+
+    q = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    pqr = IVFPQRIndex.train(
+        vectors, nlist=8, M=8, k_factor=4, seed=42, niter=5, pq_niter=5,
+        M_refine=8,
+    )
+    # drop the raw table — the codes table stands alone
+    pqr.ivfpq.codes = pqr.ivfpq.codes.localCheckpoint(eager=True)
+    pqr.vectors = None
+    res = pqr.search(q, 5, nprobe=4)  # auto-selects pqr_codes
+    txt = plan(res)
+    assert "embedding" not in txt
+    assert res.count() == 5 * 5
