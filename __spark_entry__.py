@@ -125,6 +125,39 @@ def q_knn_braycurtis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_binarized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings thresholded to 0/1 FLOAT vectors (x > 0) — the input
+    shape on which the fork's float METRIC_JACCARD/METRIC_HAMMING reduce
+    exactly to bvec_jaccard / popcount(XOR)."""
+    return _emb(spark, sf_dir).select(
+        "id",
+        F.transform(
+            "vec",
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )
+
+
+def q_knn_jaccard_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-added float METRIC_JACCARD (reference faiss/MetricType.h:27,
+    bvec_jaccard utils/binary_distances.h:33-49): weighted Jaccard
+    distance (Σmax − Σmin)/Σmax over binarized embeddings — values are
+    exact rationals, so the DuckDB twin is hash-exact."""
+    vecs = _emb_binarized(spark, sf_dir)
+    qs = vecs.filter(F.col("id") < NQ).select(F.col("id").alias("qid"), "vec")
+    return _round(knn(vecs, qs, K, "jaccard"))
+
+
+def q_knn_hamming_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-added float METRIC_HAMMING (reference faiss/MetricType.h:28):
+    count of differing positions over binarized embeddings — integer
+    distances, heavily tied, so this also pins the tie-safe (dist, id)
+    ordering end to end."""
+    vecs = _emb_binarized(spark, sf_dir)
+    qs = vecs.filter(F.col("id") < NQ).select(F.col("id").alias("qid"), "vec")
+    return _round(knn(vecs, qs, K, "hamming"))
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn with an id-range predicate pushed below the scan (IDSelectorRange)."""
     vecs = _emb(spark, sf_dir).filter(
@@ -2110,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_frequencies": q_bigram_frequencies,
         "ivfpqr_search": q_ivfpqr_search,
         "ivfpqr_codes": q_ivfpqr_codes,
+        "knn_jaccard_float": q_knn_jaccard_float,
+        "knn_hamming_float": q_knn_hamming_float,
     }
 
 
@@ -2236,6 +2271,44 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_filtered"] = _knn_sql(
         _L2, "ASC", f"WHERE e.vec_id >= {SEL_MIN} AND e.vec_id < {SEL_MAX}"
     )
+    # fork float jaccard/hamming over binarized (x > 0) embeddings
+    _BV = (
+        "SELECT vec_id AS id, list_transform(embedding, x -> "
+        "CASE WHEN CAST(x AS DOUBLE) > 0 THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END) AS bv FROM embeddings"
+    )
+    _JMX = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> greatest(q.qv[i], t.bv[i])))"
+    )
+    _JMN = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> least(q.qv[i], t.bv[i])))"
+    )
+    _HAM = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> CASE WHEN q.qv[i] = t.bv[i] THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(1.0 AS DOUBLE) END))"
+    )
+
+    def _bv_knn_sql(dist_expr: str) -> str:
+        return f"""
+            WITH t AS ({_BV}),
+            q AS (SELECT id AS qid, bv AS qv FROM t WHERE id < {NQ}),
+            d AS (SELECT q.qid, t.id, {dist_expr} AS dist FROM q CROSS JOIN t),
+            r AS (SELECT qid, id, dist,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist ASC, id) AS rank
+                  FROM d)
+            SELECT qid, id, round(dist, {ROUND}) AS dist,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= {K}
+        """
+
+    sql["knn_jaccard_float"] = _bv_knn_sql(
+        f"CASE WHEN {_JMX} = 0 THEN 1.0 ELSE ({_JMX} - {_JMN}) / {_JMX} END"
+    )
+    sql["knn_hamming_float"] = _bv_knn_sql(_HAM)
     sql["range_search_l2"] = f"""
         WITH q AS ({_QSET})
         SELECT q.qid, e.vec_id AS id, round({_L2}, {ROUND}) AS dist

@@ -35,7 +35,7 @@ import numpy as np
 SIMILARITY_METRICS = frozenset({"ip", "cosine"})
 METRICS = frozenset(
     {"l2", "ip", "cosine", "l1", "linf", "lp", "canberra", "braycurtis",
-     "jensenshannon"}
+     "jensenshannon", "jaccard", "hamming"}
 )
 
 
@@ -128,6 +128,22 @@ def pairwise_distances(
         den = np.abs(Q[:, None, :] + X[None, :, :]).sum(axis=2)
         with np.errstate(divide="ignore", invalid="ignore"):
             return np.where(den > 0, num / den, 0.0)
+    if metric == "jaccard":
+        # fork-added float METRIC_JACCARD (reference faiss/MetricType.h:27,
+        # bvec_jaccard in utils/binary_distances.h:33-49: (|OR|−|AND|)/|OR|,
+        # empty union → 1.0). The float generalization is the weighted
+        # (Ruzicka) Jaccard — min generalizes AND, max generalizes OR —
+        # which reduces EXACTLY to bvec_jaccard on 0/1 vectors.
+        mn = np.minimum(Q[:, None, :], X[None, :, :]).sum(axis=2)
+        mx = np.maximum(Q[:, None, :], X[None, :, :]).sum(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(mx != 0, (mx - mn) / mx, 1.0)
+    if metric == "hamming":
+        # fork-added float METRIC_HAMMING (reference faiss/MetricType.h:28,
+        # popcount(XOR) in utils/hamming-inl.h): count of differing
+        # positions — reduces exactly to binary Hamming on 0/1 vectors
+        # (faiss counts, scipy's proportion convention does not apply)
+        return (Q[:, None, :] != X[None, :, :]).sum(axis=2).astype(np.float64)
     if metric == "jensenshannon":
         # faiss convention (extra_distances-inl.h KLD form): accumulate
         # x·log(2x/(x+y)) + y·log(2y/(x+y)) over components with guards

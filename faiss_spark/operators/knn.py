@@ -291,6 +291,27 @@ def distance_expr(
             F.lit(0.0),
             lambda s, v: s + v,
         )
+    if metric == "jaccard":
+        # fork-added float METRIC_JACCARD (reference faiss/MetricType.h:27):
+        # weighted Jaccard distance (Σmax − Σmin)/Σmax, 1.0 on empty union
+        mn = F.aggregate(
+            F.zip_with(ax, bx, F.least), F.lit(0.0), lambda s, v: s + v
+        )
+        mx = F.aggregate(
+            F.zip_with(ax, bx, F.greatest), F.lit(0.0), lambda s, v: s + v
+        )
+        return F.when(mx != 0.0, (mx - mn) / mx).otherwise(F.lit(1.0))
+    if metric == "hamming":
+        # fork-added float METRIC_HAMMING (reference faiss/MetricType.h:28):
+        # count of differing positions (faiss counts, like popcount(XOR))
+        return F.aggregate(
+            F.zip_with(
+                ax, bx,
+                lambda x, y: F.when(x == y, F.lit(0.0)).otherwise(F.lit(1.0)),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
     raise ValueError(f"unknown metric {metric!r}")
 
 

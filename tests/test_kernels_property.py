@@ -214,3 +214,53 @@ def test_beam_search_exhaustive_property(n, d, nq, seed):
         got = nid[i][nid[i] >= 0]
         assert len(set(got)) == len(got)
         assert set(got) == set(np.argsort(D[i], kind="stable")[:k])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nq=st.integers(1, 6),
+    nx=st.integers(1, 30),
+    d=st.integers(1, 16),
+    seed=st.integers(0, 10_000),
+)
+def test_float_jaccard_hamming_reduce_to_binary(nq, nx, d, seed):
+    """Fork-added float METRIC_JACCARD/METRIC_HAMMING (reference
+    faiss/MetricType.h:27-28): on 0/1 vectors they must equal
+    bvec_jaccard (|OR|-|AND|)/|OR| with empty-union -> 1.0
+    (utils/binary_distances.h:33-49) and popcount(XOR)."""
+    rng = np.random.default_rng(seed)
+    Q = (rng.random((nq, d)) < 0.5).astype(np.float64)
+    X = (rng.random((nx, d)) < 0.5).astype(np.float64)
+    J = pairwise_distances(Q, X, "jaccard")
+    H = pairwise_distances(Q, X, "hamming")
+    qb, xb = Q.astype(bool), X.astype(bool)
+    for i in range(nq):
+        for j in range(nx):
+            inter = int((qb[i] & xb[j]).sum())
+            union = int((qb[i] | xb[j]).sum())
+            expect_j = 1.0 if union == 0 else (union - inter) / union
+            expect_h = int((qb[i] ^ xb[j]).sum())
+            assert abs(J[i, j] - expect_j) < 1e-12
+            assert H[i, j] == expect_h
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 20),
+    d=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_float_jaccard_hamming_identities(n, d, seed):
+    """General-float identities: self-distance 0 (nonzero rows for
+    jaccard), symmetry, jaccard in [0, 1] for non-negative input,
+    hamming in [0, d]."""
+    rng = np.random.default_rng(seed)
+    X = np.abs(rng.normal(size=(n, d)))
+    J = pairwise_distances(X, X, "jaccard")
+    H = pairwise_distances(X, X, "hamming")
+    nz = X.sum(1) > 0
+    assert np.allclose(np.diag(J)[nz], 0, atol=1e-12)
+    assert np.allclose(J, J.T, atol=1e-12)
+    assert (J >= -1e-12).all() and (J <= 1 + 1e-12).all()
+    assert np.allclose(np.diag(H), 0)
+    assert (H >= 0).all() and (H <= d).all()
