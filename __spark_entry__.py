@@ -254,6 +254,45 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal features through the REAL stdlib PNG codec
+    (multimodal.decode_png — zlib inflate + row unfilter + CRC check):
+    the same 144 tiled text bytes as ★image_features, but compressed
+    into a valid baseline PNG on the driver (bounded: 200 docs) and
+    decoded for real in mapInPandas. PNG is lossless, so the DuckDB
+    twin is the SAME byte-derived mean/std recomputation — the
+    compression round-trips away exactly."""
+    import numpy as np
+
+    from faiss_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        encode_png,
+        image_features,
+    )
+
+    pdf = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    need = 8 * 6 * 3
+    rows = []
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        b = text.encode("utf-8") or b"\x00"
+        px = (b * (-(-need // len(b))))[:need]
+        img = np.frombuffer(px, np.uint8).reshape(6, 8, 3)
+        rows.append((int(did), encode_png(img), "png", 8, 6, 3))
+    images = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    feats = image_features(images)  # fake=False: real PNG decode
+    return feats.select(
+        "id",
+        F.round(F.element_at("mean", 1), 4).alias("mean_c0"),
+        F.round(F.element_at("std", 1), 4).alias("std_c0"),
+        "n_pixels",
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio features through the REAL stdlib WAV codec
     (multimodal.decode_wav): 64 samples of 8-bit PCM per document —
@@ -2145,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpqr_codes": q_ivfpqr_codes,
         "knn_jaccard_float": q_knn_jaccard_float,
         "knn_hamming_float": q_knn_hamming_float,
+        "image_features_png": q_image_features_png,
     }
 
 
@@ -2956,6 +2996,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(0.008 AS DOUBLE) AS duration_sec
         FROM s
     """
+    # PNG is lossless: the same byte-derived recomputation as the PPM
+    # entry is the exact oracle for the PNG path too (assigned below)
     sql["image_features"] = """
         WITH px AS (
           SELECT doc_id AS id,
@@ -2970,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(48 AS BIGINT) AS n_pixels
         FROM px
     """
+    sql["image_features_png"] = sql["image_features"]
     # recall/quality-bound oracles for the approximate paths: the Spark
     # side computes the metric vs its own exact ground truth and emits
     # booleans; the twin states the expected rows, so hash_match == the

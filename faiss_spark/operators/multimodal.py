@@ -7,10 +7,11 @@ vector operators. All Spark-side plumbing here is real and tested:
 schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning,
 and the metadata fast paths.
 
-Codecs: ONE real, stdlib-only format per modality — binary PPM (P6) and
-uncompressed 24-bit BMP for images (pure numpy/struct), and PCM WAV for
-audio (the stdlib ``wave`` module; 8-bit unsigned and 16-bit signed).
-Every other format (JPEG/PNG/FLAC/MP3/...) needs a library this
+Codecs: real, stdlib-only formats — binary PPM (P6), uncompressed
+24-bit BMP, and baseline PNG (``zlib``; 8-bit gray/RGB/RGBA, all five
+row filters) for images, and PCM WAV for audio (the stdlib ``wave``
+module; 8-bit unsigned and 16-bit signed).
+Every other format (JPEG/FLAC/MP3/...) needs a library this
 container doesn't have: those decode calls raise ``NotImplementedError``
 unless ``fake=True``, which substitutes a deterministic synthetic decode
 so the downstream plumbing (feature extraction, resize bookkeeping,
@@ -138,6 +139,117 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if bottom_up else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (truecolor family + grayscale)
+_PNG_CTYPES = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, {1|3|4}) or (h, w) uint8 → PNG bytes (pure stdlib ``zlib``
+    + ``struct``): 8-bit grayscale / truecolor / truecolor-alpha, filter
+    type 0 on every row, one IDAT chunk. The most common real-world
+    lossless format, upgraded from loud-stub to real."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ct = {1: 0, 3: 2, 4: 6}.get(c)
+    if ct is None:
+        raise ValueError(f"PNG encode supports 1/3/4 channels; got {c}")
+    body = np.empty((h, 1 + w * c), np.uint8)
+    body[:, 0] = 0  # filter type None per row
+    body[:, 1:] = np.ascontiguousarray(img, np.uint8).reshape(h, w * c)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8. Supports the baseline still-image
+    profile: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+    no interlace, all five row filters (None/Sub/Up/Average/Paeth —
+    PNG spec §9; Sub is a per-channel mod-256 prefix sum so it
+    vectorizes, Average/Paeth carry a data dependency and run per
+    pixel). CRCs are verified."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = hdr
+    if depth != 8 or ct not in _PNG_CTYPES or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG profile unsupported (depth={depth}, color_type={ct}, "
+            f"interlace={interlace}); baseline 8-bit gray/RGB/RGBA only"
+        )
+    c = _PNG_CTYPES[ct]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        off = y * (1 + stride)
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            cur = row.reshape(w, c).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:
     """float waveform in [-1, 1) → PCM WAV bytes (mono; sampwidth 1 =
     unsigned 8-bit, 2 = signed 16-bit little-endian)."""
@@ -186,19 +298,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False, fmt: str | None = None) -> np.ndarray:
-    """Dispatch on ``fmt``: 'ppm' and 'bmp' decode for real (stdlib-only
-    codecs above); anything else needs an image library not present in
-    this container — pass fake=True for the deterministic synthetic
-    decoder that exercises the plumbing."""
+    """Dispatch on ``fmt``: 'ppm', 'bmp' and 'png' decode for real
+    (stdlib-only codecs above); anything else needs an image library not
+    present in this container — pass fake=True for the deterministic
+    synthetic decoder that exercises the plumbing."""
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     if fake:
         return _fake_decode_image(payload, width, height, channels)
     raise NotImplementedError(
         f"image format {fmt!r} requires an imaging library (e.g. Pillow); "
-        "use format 'ppm'/'bmp' or fake=True for the synthetic decoder"
+        "use format 'ppm'/'bmp'/'png' or fake=True for the synthetic decoder"
     )
 
 

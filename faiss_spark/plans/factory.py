@@ -9,7 +9,8 @@ pipelines: transform chain (operators/transforms.py) + index stage
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
   main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
-               {Flat|PQ<M>[x<b>]|SQ4|SQ6|SQ8|RQ<M>} | IMI2x<b>,Flat |
+               {Flat|PQ<M>[x<b>]|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|SQfp16|RQ<M>|
+                RQ<M>x4fs[r]} | IMI2x<b>,Flat |
                PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
                PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> | LSH[r][t] |
                NSG<R>[,Flat|,PQ<m>[np]] | ZnLattice<n>x<r2>_<b>
@@ -82,6 +83,12 @@ class IndexPlan:
     # fidelity, physically meaningless on the Arrow/numpy layout.
     fastscan: bool = False
     bbs: int = 32
+    # 'r' suffix of x4fsr (reference index_factory.cpp:324-328,367-380:
+    # by_residual=true for IVF fast-scan). Our IVF fast-scan scans
+    # per-probe RESIDUAL LUTs in both spellings (quality >= the
+    # reference's non-residual default); the flag is kept so the parsed
+    # string round-trips faithfully.
+    fs_residual: bool = False
     # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat|,PQ<m>[np]]") —
     # sharded batch graph (operators/nsg.py); PQ storage per parse_IndexNSG
     # (index_factory.cpp:495-501). The reference's default polysemous
@@ -534,33 +541,36 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.flat_dedup = True
         elif code == "Flat":
             plan.index_type = "ivfflat"
-        elif re.match(r"^PQ(\d+)x4fs(_\d+)?$", code):
-            # IVF<n>,PQ<M>x4fs[_<bbs>] (reference index_factory.cpp
+        elif re.match(r"^PQ(\d+)x4fsr?(_\d+)?$", code):
+            # IVF<n>,PQ<M>x4fs[r][_<bbs>] (reference index_factory.cpp
             # fast-scan suffix) — 4-bit codes, quantized-LUT search
-            pm = re.match(r"^PQ(\d+)x4fs(?:_(\d+))?$", code)
+            pm = re.match(r"^PQ(\d+)x4fs(r?)(?:_(\d+))?$", code)
             plan.index_type = "ivfpq"
             plan.pq_m = int(pm.group(1))
             plan.pq_nbits = 4
             plan.fastscan = True
-            if pm.group(2):
-                plan.bbs = int(pm.group(2))
+            plan.fs_residual = pm.group(2) == "r"
+            if pm.group(3):
+                plan.bbs = int(pm.group(3))
         elif re.match(r"^PQ(\d+)(x\d+)?$", code):
             pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
             plan.index_type = "ivfpq"
             plan.pq_m = int(pm.group(1))
             if pm.group(2):
                 plan.pq_nbits = int(pm.group(2))
-        elif re.match(r"^SQ(4|6|8)$", code):
+        elif re.match(r"^SQ(4|6|8|fp16)$", code):
+            # IVF<n>,SQfp16 (reference index_factory.cpp SQfp16 -> QT_fp16)
             plan.index_type = "ivfsq"
-            plan.sq_bits = int(code[2:])
-        elif re.match(r"^RQ(\d+)x4fs(_\d+)?$", code):
-            # IVF<n>,RQ<M>x4fs[_<bbs>] — IVF AQ fast-scan
-            rm = re.match(r"^RQ(\d+)x4fs(?:_(\d+))?$", code)
+            plan.sq_bits = {"4": 4, "6": 6, "8": 8, "fp16": 16}[code[2:]]
+        elif re.match(r"^RQ(\d+)x4fsr?(_\d+)?$", code):
+            # IVF<n>,RQ<M>x4fs[r][_<bbs>] — IVF AQ fast-scan
+            rm = re.match(r"^RQ(\d+)x4fs(r?)(?:_(\d+))?$", code)
             plan.index_type = "ivfrqfs"
             plan.rq_m = int(rm.group(1))
             plan.fastscan = True
-            if rm.group(2):
-                plan.bbs = int(rm.group(2))
+            plan.fs_residual = rm.group(2) == "r"
+            if rm.group(3):
+                plan.bbs = int(rm.group(3))
         elif re.match(r"^RQ(\d+)$", code):
             plan.index_type = "ivfrq"
             plan.rq_m = int(code[2:])
@@ -707,7 +717,8 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append(ivf_tok())
         if plan.fastscan:
             parts.append(
-                f"PQ{plan.pq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+                f"PQ{plan.pq_m}x4fs" + ("r" if plan.fs_residual else "")
+                + (f"_{plan.bbs}" if plan.bbs != 32 else "")
             )
         else:
             parts.append(
@@ -716,14 +727,15 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             )
     elif plan.index_type == "ivfsq":
         parts.append(ivf_tok())
-        parts.append(f"SQ{plan.sq_bits}")
+        parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "ivfrq":
         parts.append(ivf_tok())
         parts.append(f"RQ{plan.rq_m}")
     elif plan.index_type == "ivfrqfs":
         parts.append(ivf_tok())
         parts.append(
-            f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+            f"RQ{plan.rq_m}x4fs" + ("r" if plan.fs_residual else "")
+            + (f"_{plan.bbs}" if plan.bbs != 32 else "")
         )
     elif plan.index_type == "pq":
         if plan.fastscan:

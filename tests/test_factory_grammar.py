@@ -53,6 +53,10 @@ ROUNDTRIP = [
     "NSG32,PQ8np",
     "PQ8,Refine(SQ8)",
     "IVF64,Flat,Refine(PQ8)",
+    "SQfp16",
+    "IVF64,SQfp16",
+    "IVF64,PQ8x4fsr",
+    "IVF64,RQ2x4fsr",
 ]
 
 
@@ -166,3 +170,26 @@ def test_refine_codec_beats_base(vectors, queries, exact10):
     r_ref = _recall(refined.search(queries, 10), exact10)
     assert r_ref >= r_base
     assert r_ref >= 0.6
+
+
+def test_sqfp16_build_and_search(vectors, queries, exact10):
+    """SQfp16 (reference index_factory.cpp SQfp16 -> QT_fp16): fp16
+    codes are near-lossless on this data, so full-probe IVF,SQfp16
+    recall vs exact should be ~1."""
+    plan = index_factory("IVF8,SQfp16").fit(vectors, seed=42)
+    got = plan.search(queries, 10, nprobe=8)
+    assert _recall(got, exact10) >= 0.99
+    assert get_code_size(64, index_factory("IVF8,SQfp16")) == 128
+    assert get_code_size(64, index_factory("SQfp16")) == 128
+
+
+def test_fsr_matches_fs(vectors, queries):
+    """x4fsr (reference index_factory.cpp:324-328: by_residual=true for
+    IVF fast-scan). Our IVF fast-scan always scans per-probe residual
+    LUTs, so both spellings must build the same index and return the
+    same results."""
+    a = index_factory("IVF8,PQ8x4fs").fit(vectors, seed=42)
+    b = index_factory("IVF8,PQ8x4fsr").fit(vectors, seed=42)
+    ra = {(r.qid, r.rank, r.id) for r in a.search(queries, 5, nprobe=8).collect()}
+    rb = {(r.qid, r.rank, r.id) for r in b.search(queries, 5, nprobe=8).collect()}
+    assert ra == rb
