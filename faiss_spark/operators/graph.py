@@ -51,6 +51,22 @@ def nn_descent(
     reference, NNDescent.cpp S parameter) — at k_build=20 the unsampled
     fanout is 400 pairs/node/iter, which is usually fine; set it when
     k_build is big.
+
+    Scale shape (probed 1×/5×, SCALE.md "nn_descent"): per-iteration
+    work is the 2-hop self-join plus one candidate shuffle and a per-src
+    window top-k — every term linear in n, so per-node cost stays flat
+    as the corpus grows; the quadratic term is in k_eff only, never in
+    n. Two bounds keep the k_eff² term in check at 100 TB:
+    (1) the INCREMENTAL join (reference NNDescent.cpp new/old flags):
+        only 2-hop pairs with at least one new-this-iteration hop are
+        generated — identical results, and the join's generating side
+        shrinks with convergence (late iterations are near-free);
+    (2) sample_candidates ≈ 8·k_eff (the reference's ρ·K sampling) caps
+        the SCORED pairs per node; NN-Descent converges under candidate
+        sampling — that is the point of the ρ parameter in the paper
+        and NNDescent.cpp.
+    The localCheckpoints per iteration are lineage truncation, not
+    materialization hotspots.
     """
     vecs = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -58,24 +74,41 @@ def nn_descent(
     n = vecs.count()
     k_eff = min(k_build if k_build is not None else 3 * k, n - 1)
 
-    cand = _random_init_candidates(vecs, k_eff)
-    edges = _select_topk(cand.filter(F.col("src") != F.col("dst")), vecs, k_eff, metric)
+    # init candidates carry hash-collision duplicates; dedup so the edge
+    # set has unique (src, dst) — the incremental prev-join relies on it
+    cand = _random_init_candidates(vecs, k_eff).dropDuplicates(["src", "dst"])
+    edges = _select_topk(
+        cand.filter(F.col("src") != F.col("dst")), vecs, k_eff, metric
+    ).withColumn("__new", F.lit(True))
     # iterative algorithm: truncate lineage each round or the logical plan
     # (and analysis time) grows exponentially with niter
     edges = edges.localCheckpoint(eager=True)
 
     # --- refinement iterations ------------------------------------------
+    # Incremental join (reference NNDescent.cpp new/old neighbor flags):
+    # a 2-hop pair whose BOTH hops are old edges was already a candidate
+    # in the previous iteration — and lost against a list that has only
+    # improved since — so only pairs with at least one NEW hop are
+    # generated. Result is identical to the unrestricted join (inductive
+    # argument above); the join's left side shrinks from 2·n·k_eff rows
+    # to 2·(new edges) as the descent converges, which is what bounds
+    # late iterations at 100 TB.
     for _ in range(niter):
-        fwd = edges.select("src", "dst")
-        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        fwd = edges.select("src", "dst", "__new")
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "__new"
+        )
         undirected = fwd.unionByName(rev)
         a = undirected.alias("a")
         b = undirected.alias("b")
-        two_hop = a.join(b, F.col("a.dst") == F.col("b.src")).select(
-            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        two_hop = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("a.__new") | F.col("b.__new"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
         cand = (
-            fwd.unionByName(rev)
+            fwd.select("src", "dst")
+            .unionByName(rev.select("src", "dst"))
             .unionByName(two_hop)
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
@@ -87,10 +120,15 @@ def nn_descent(
                 .filter(F.col("__rn") <= sample_candidates)
                 .drop("__rn")
             )
-        edges = _select_topk(cand, vecs, k_eff, metric).localCheckpoint(
-            eager=True
+        prev = edges.select("src", "dst", F.lit(True).alias("__old"))
+        edges = (
+            _select_topk(cand, vecs, k_eff, metric)
+            .join(prev, ["src", "dst"], "left")
+            .withColumn("__new", F.col("__old").isNull())
+            .drop("__old")
+            .localCheckpoint(eager=True)
         )
-    return edges.filter(F.col("rank") <= k)
+    return edges.filter(F.col("rank") <= k).drop("__new")
 
 
 def _random_init_candidates(vecs: DataFrame, k_eff: int) -> DataFrame:

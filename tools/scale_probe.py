@@ -263,6 +263,36 @@ def probe_chunk_documents(spark, nd: int) -> dict:
     }
 
 
+def probe_nn_descent(spark, nv: int) -> dict:
+    """NN-Descent iteration throughput: candidate pairs scored per
+    core-second at a FIXED per-node fanout cap (sample_candidates — the
+    reference's ρ·K sampling). Per-iteration work is one candidate
+    shuffle of O(n·cap) rows + a per-src window top-k, so flat per-pair
+    cost across nv means the 2-hop self-join has no super-linear term in
+    n — the quadratic lives in k_eff and is capped."""
+    from faiss_spark.operators.graph import nn_descent
+
+    base = _base(spark, nv, 11)
+    k, k_build, cap, niter = 8, 16, 128, 2
+    t0 = time.perf_counter()
+    edges = nn_descent(
+        base, k, niter=niter, k_build=k_build, sample_candidates=cap,
+        metric="l2",
+    ).count()
+    sec = time.perf_counter() - t0
+    # scored pairs ≈ init (n·k_eff) + niter rounds of n·cap
+    pairs = nv * (k_build + niter * cap)
+    return {
+        "nv": nv,
+        "k_build": k_build,
+        "sample_candidates": cap,
+        "niter": niter,
+        "sec": round(sec, 3),
+        "edges": edges,
+        "pairs_per_core_sec": round(pairs / sec / CPUS, 1),
+    }
+
+
 def probe_ivfpq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
     """IVF + 4-bit fast-scan residual ADC at nprobe=8: probed codes
     scanned per core-second. Partition pruning keeps scanned codes ≈
@@ -310,6 +340,15 @@ def main() -> None:
         "ivfpq_fastscan": lambda: [
             probe_ivfpq_fastscan(spark, small),
             probe_ivfpq_fastscan(spark, big),
+        ],
+        # nn_descent probes at 1/60 the vector sizes: the 2-hop
+        # self-join materializes (2·k_eff)² ≈ 1k pre-dedup rows per node
+        # per iteration BEFORE the sampling cap (the cap bounds the
+        # SCORED pairs, not the join output), so 10k/50k nodes already
+        # shuffle 10M/50M rows per iteration
+        "nn_descent": lambda: [
+            probe_nn_descent(spark, max(10_000, small // 60)),
+            probe_nn_descent(spark, max(50_000, big // 60)),
         ],
         "span_dedup": lambda: [
             probe_span_dedup(spark, nd_small),
