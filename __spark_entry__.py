@@ -1389,6 +1389,20 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequencies(_docs(spark, sf_dir), min_df=3)
 
 
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-document bits-per-character
+    under a char-trigram unigram model self-trained on the corpus (one
+    map-side-combined gram shuffle → broadcast model join → one
+    id-keyed shuffle). Exact SQL twin; bpc rounded to 4 decimals (the
+    per-doc log-prob sum is order-dependent at ~1e-13)."""
+    from faiss_spark.functions.text import char_ngram_perplexity
+
+    out = char_ngram_perplexity(_docs(spark, sf_dir))
+    return out.select(
+        "id", "n_grams", F.round(F.col("bpc"), 4).alias("bpc")
+    )
+
+
 def q_autotune_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ParameterSpace sweep (reference AutoTune): recall-vs-exact of an
     IVF index across nprobe values. The absolute recall values depend on
@@ -2137,14 +2151,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_jaccard_float": q_knn_jaccard_float,
         "knn_hamming_float": q_knn_hamming_float,
         "image_features_png": q_image_features_png,
+        "ngram_perplexity": q_ngram_perplexity,
         # --- r06-green entries whose code round 7 touched ---
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
-        "compute_residual": q_compute_residual,
         # --- rotated past the 50-entry cap this round (every tail entry
         # was driver-green in CORRECTNESS_r06; still covered by tests and
         # tools/check_oracle.py) ---
+        "compute_residual": q_compute_residual,
         "ivf_nsg_search": q_ivf_nsg_search,
         "lsh_search": q_lsh_search,
         "audio_features": q_audio_features,
@@ -2482,6 +2497,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*) AS tf, count(DISTINCT id) AS df
         FROM post WHERE token != '' GROUP BY token
         HAVING count(DISTINCT id) >= 3
+    """
+
+    sql["ngram_perplexity"] = f"""
+        WITH nrm AS (SELECT doc_id AS id, {_NORM} AS s FROM documents),
+        g AS (
+          SELECT id, unnest(list_transform(range(1, length(s) - 1),
+                                           i -> substr(s, i, 3))) AS gram
+          FROM nrm WHERE length(s) >= 3
+        ),
+        cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM cnt),
+        lp AS (SELECT gram, log2(CAST(c AS DOUBLE) / t) AS lp FROM cnt, tot)
+        SELECT g.id, count(*) AS n_grams,
+               round(-sum(lp.lp) / count(*), 4) AS bpc
+        FROM g JOIN lp USING (gram) GROUP BY g.id
     """
 
     # components of the minhash pair graph via recursive CTE (min

@@ -301,3 +301,86 @@ def bigram_frequencies(
         )
         .filter(F.col("tf") >= min_count)
     )
+
+
+def char_ngram_counts(
+    df, n: int = 3, text_col: str = "text", min_count: int = 1
+):
+    """Character n-gram statistics over normalized text: one row per
+    distinct n-gram with its total occurrence count. The training step
+    of a CCNet-style corpus language model (char n-grams stand in for
+    the KenLM word model — same shape, stdlib-only).
+
+    Plan: codegen substring expansion per doc, explode → ONE hash
+    shuffle keyed on the gram with map-side partial aggregation (the
+    term_frequencies scale shape). The result vocabulary is bounded by
+    charset^n, not corpus size, so it broadcasts at any corpus scale."""
+    norm = normalize_text(F.col(text_col))
+    grams = F.when(
+        F.length(norm) >= n,
+        bind(
+            norm,
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: F.substring(s, i, n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def char_ngram_perplexity(
+    df, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    model=None,
+):
+    """Per-document bits-per-character under a char n-gram unigram model
+    — the CCNet/Wikipedia-LM quality-filter signal of a pretraining
+    pipeline (docs whose n-gram distribution diverges from the corpus
+    score high and get filtered or down-weighted).
+
+    ``model`` is a (gram, cnt) DataFrame from ``char_ngram_counts``;
+    None self-trains on ``df`` (the corpus-perplexity mode — every doc
+    gram is then in-vocabulary by construction). Scoring:
+    bpc(doc) = −Σ_g log2(cnt_g / total) / n_grams(doc); out-of-vocab
+    grams under an external model are dropped from the sum (CCNet drops
+    OOV too). Docs shorter than n normalized chars yield no row.
+
+    Scale shape: the model table is bounded by charset^n (NOT corpus
+    size) → broadcast hash join against the exploded doc grams; the
+    per-doc aggregation re-groups by doc id — one shuffle keyed on the
+    id, map-side combinable. Returns (id, n_grams, bpc)."""
+    from pyspark.sql.functions import broadcast
+
+    if model is None:
+        model = char_ngram_counts(df, n=n, text_col=text_col)
+    total = model.agg(F.sum("cnt")).first()[0]
+    logp = model.select(
+        "gram", (F.log2(F.col("cnt").cast("double") / float(total))).alias("lp")
+    )
+    norm = normalize_text(F.col(text_col))
+    grams = F.when(
+        F.length(norm) >= n,
+        bind(
+            norm,
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: F.substring(s, i, n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posted = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.explode(grams).alias("gram")
+    )
+    return (
+        posted.join(broadcast(logp), "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (-F.sum("lp") / F.count("*")).alias("bpc"),
+        )
+    )

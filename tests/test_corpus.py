@@ -170,3 +170,47 @@ def test_chunk_documents_is_map_only(docs):
     p = chunk_documents(docs, size=8, stride=6)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_char_ngram_perplexity_matches_python(tables):
+    """bpc from the distributed pipeline equals a direct python
+    recomputation of -sum(log2 p)/n over the same normalized trigrams."""
+    import math
+    import re
+    from collections import Counter
+
+    from faiss_spark.functions.text import char_ngram_perplexity
+
+    docs = tables["documents"].filter(F.col("doc_id") < 100)
+    got = {r["id"]: (r["n_grams"], r["bpc"])
+           for r in char_ngram_perplexity(docs).collect()}
+
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    norm = {i: re.sub(r"\s+", " ", t.strip().lower()) for i, t in texts.items()}
+    grams = {i: [s[j:j + 3] for j in range(len(s) - 2)]
+             for i, s in norm.items() if len(s) >= 3}
+    counts = Counter(g for gs in grams.values() for g in gs)
+    total = sum(counts.values())
+    for i, gs in grams.items():
+        bpc = -sum(math.log2(counts[g] / total) for g in gs) / len(gs)
+        assert got[i][0] == len(gs)
+        assert abs(got[i][1] - bpc) < 1e-9, (i, got[i][1], bpc)
+    assert set(got) == set(grams)
+
+
+def test_char_ngram_perplexity_external_model_drops_oov(spark, tables):
+    """Scoring under an EXTERNAL model: grams unseen by the model are
+    dropped from the sum (the CCNet OOV convention), so a doc with no
+    in-vocab grams yields no row."""
+    from faiss_spark.functions.text import (
+        char_ngram_counts,
+        char_ngram_perplexity,
+    )
+
+    model = char_ngram_counts(tables["documents"].filter(F.col("doc_id") < 50))
+    alien = spark.createDataFrame(
+        [(1, "zzqqxx zzqqxx"), (2, "")], "doc_id long, text string"
+    )
+    rows = char_ngram_perplexity(alien, model=model).collect()
+    ids = {r["id"] for r in rows}
+    assert 2 not in ids  # empty doc: no grams at all
