@@ -179,6 +179,10 @@ def _kernel_bench(
     flops = 2.0 * nv * nq * d
 
     def roofline(np_dtype) -> float:
+        # best-of-2 with a warmed out= buffer: the roofline is the
+        # comparison BAR, so a contention-window draw here misstates the
+        # engine ratio in either direction (an idle r7 run recorded an
+        # f32 roofline slower than the f64 one — nonsense for sgemm)
         rng = np.random.default_rng(0)
         rows = min(20_000, max(1, nv // 4))
         Q = rng.standard_normal((nq, d)).astype(np_dtype)
@@ -186,10 +190,14 @@ def _kernel_bench(
         out = np.empty((nq, rows), dtype=np_dtype)
         np.dot(Q, chunk.T, out=out)  # warm: fault the buffer once
         iters = nv // rows
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            np.dot(Q, chunk.T, out=out)
-        return time.perf_counter() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                np.dot(Q, chunk.T, out=out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
     np_sec = roofline(np.float64)
     np_sec_f32 = roofline(np.float32)
@@ -268,12 +276,20 @@ def _ivf_add_bench(spark, cpus: int, nv: int = 600_000) -> dict:
     )
     nlist = max(4, min(1024, nv // 64))
     idx = IVFIndex.train(base, nlist=nlist, seed=7, niter=4)
+    # untimed warm-up + best-of-2: a cold first add (codegen compile +
+    # first-touch of the Arrow/encode path + cold page cache on the
+    # partitioned write) costs 2.5x a warm one on this VM — the same
+    # cold-start class the kmeans/graph sections were hardened against
+    sec = None
     out = tempfile.mkdtemp(prefix="ivf_add_bench_")
     try:
-        t0 = _t.perf_counter()
         idx.add(base, path=out)
-        n = idx.codes.count()
-        sec = _t.perf_counter() - t0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            idx.add(base, path=out)
+            n = idx.codes.count()
+            dt = _t.perf_counter() - t0
+            sec = dt if sec is None else min(sec, dt)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     assert n == nv
@@ -302,17 +318,29 @@ def _nsg_bench(spark, cpus: int, nv: int = 600_000, nq: int = 10_000) -> dict:
     queries = _synth_vecs(spark, nq, d, 13_131).select(
         F.col("id").alias("qid"), "vec"
     ).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
+
     # capacity cap: total build work is O(n_total · shard_size) through
     # the per-shard exact k-NN, and k-means cells are skewed — the cap
     # both bounds the straggler and sets the work knob (a probed cell
     # scans all its sub-shards, so routing recall is unchanged)
-    idx = NSGIndex.build(
-        base, R=16, knn_k=24, nshards=32, sharding="cells",
-        max_shard_rows=8_000,
-    )
-    idx.table = idx.table.localCheckpoint(eager=True)
-    build_sec = time.perf_counter() - t0
+    def build():
+        return NSGIndex.build(
+            base, R=16, knn_k=24, nshards=32, sharding="cells",
+            max_shard_rows=8_000,
+        )
+
+    # untimed warm-up + best-of-2: the first build of a session runs
+    # ~1.6x a warm one (codegen + worker-buffer first-touch) — same
+    # discipline as the kernel/kmeans/graph sections
+    build()
+    build_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx = build()
+        idx.table = idx.table.localCheckpoint(eager=True)
+        dt = time.perf_counter() - t0
+        build_sec = dt if build_sec is None else min(build_sec, dt)
+    idx.search(queries, k, search_L=48, nprobe=8).count()  # warm-up
     search_sec = None
     for _ in range(2):
         t0 = time.perf_counter()
