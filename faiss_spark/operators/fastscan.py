@@ -770,10 +770,17 @@ class IVFAQFastScanIndex:
     probed partitions exactly like IVFPQ/IVFAQ."""
 
     centroids: np.ndarray
-    rq: "object"  # 4-bit ResidualQuantizerModel (on residuals)
+    rq: "object"  # 4-bit ResidualQuantizerModel (on residuals, or raw
+    # vectors when by_residual=False)
     norm_books: np.ndarray  # (2, ksub) over full-vector norms
     norm_scale: int = 1
     codes: DataFrame | None = None
+    #: reference semantics (index_factory.cpp:367-380): plain x4fs is
+    #: by_residual=false — RQ trained on/encoding RAW vectors, no
+    #: per-probe bias, so at full probe the scan is bit-identical to
+    #: aq_fastscan_search over the same codes; x4fsr opts into the
+    #: residual encoding above
+    by_residual: bool = True
 
     @property
     def M(self) -> int:
@@ -792,6 +799,7 @@ class IVFAQFastScanIndex:
         seed: int = 1234,
         niter: int = 10,
         rq_niter: int = 10,
+        by_residual: bool = True,
     ) -> "IVFAQFastScanIndex":
         from faiss_spark.operators.cluster import KMeans
         from faiss_spark.operators.codecs import (
@@ -802,6 +810,19 @@ class IVFAQFastScanIndex:
 
         km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
         C = km.centroids
+        if not by_residual:
+            # coarse k-means for pruning only; the flat raw-vector AQ
+            # fast-scan model IS the codec (train_aq_fastscan)
+            model = train_aq_fastscan(
+                vectors, M=M, niter=rq_niter, seed=seed, vec_col=vec_col
+            )
+            return IVFAQFastScanIndex(
+                centroids=C,
+                rq=model.rq,
+                norm_books=model.norm_books,
+                norm_scale=model.norm_scale,
+                by_residual=False,
+            )
         X = _sampled_matrix(vectors, vec_col, 16384, seed)
         d2 = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         lists = d2.argmin(1)
@@ -831,6 +852,7 @@ class IVFAQFastScanIndex:
         self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> "IVFAQFastScanIndex":
         spark = vectors.sparkSession
+        by_res = self.by_residual
         bc = spark.sparkContext.broadcast(
             (self.centroids, self.rq.codebooks, self.norm_books)
         )
@@ -847,8 +869,12 @@ class IVFAQFastScanIndex:
                 X = as_matrix(pdf["vec"])
                 d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
                 lists = d2.argmin(1)
-                rcodes = rqm.encode_np(X - C[lists])
-                xhat = C[lists] + rqm.decode_np(rcodes)
+                if by_res:
+                    rcodes = rqm.encode_np(X - C[lists])
+                    xhat = C[lists] + rqm.decode_np(rcodes)
+                else:
+                    rcodes = rqm.encode_np(X)
+                    xhat = rqm.decode_np(rcodes)
                 c0, c1 = _norm_encode((xhat * xhat).sum(1), nbk)
                 codes = np.concatenate(
                     [rcodes, c0[:, None], c1[:, None]], axis=1
@@ -892,21 +918,29 @@ class IVFAQFastScanIndex:
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
-        qc = Q @ C.T  # ⟨q, c⟩ for bias
-        # one 2-D LUT per query (shared across probes) + per-probe bias —
-        # rows are exactly AQFastScanModel.float_luts of the residual RQ
+        # one 2-D LUT per query (shared across probes) — rows are exactly
+        # AQFastScanModel.float_luts of the RQ (residual or raw)
         luts = AQFastScanModel(
             rq=self.rq, norm_books=self.norm_books, norm_scale=self.norm_scale
         ).float_luts(Q)  # (nq, M+2, ksub)
-        lutq = np.empty((nq, M + 2, ksub), np.uint8)
-        biasq = np.empty((nq, nprobe), np.uint16)
-        a = np.empty(nq)
-        b = np.empty(nq)
-        for qi in range(nq):
-            bias = -2.0 * qc[qi, probes[qi]]
-            lutq[qi], biasq[qi], a[qi], b[qi] = aq_quantize_lut_bias(
-                luts[qi], bias, M_norm=2, norm_scale=self.norm_scale
+        if self.by_residual:
+            qc = Q @ C.T  # ⟨q, c⟩ for the per-probe bias
+            lutq = np.empty((nq, M + 2, ksub), np.uint8)
+            biasq = np.empty((nq, nprobe), np.uint16)
+            a = np.empty(nq)
+            b = np.empty(nq)
+            for qi in range(nq):
+                bias = -2.0 * qc[qi, probes[qi]]
+                lutq[qi], biasq[qi], a[qi], b[qi] = aq_quantize_lut_bias(
+                    luts[qi], bias, M_norm=2, norm_scale=self.norm_scale
+                )
+        else:
+            # no bias: the flat aq_fastscan quantization verbatim, so at
+            # full probe results are bit-identical to aq_fastscan_search
+            lutq, a, b = aq_quantize_lut(
+                luts, M_norm=2, norm_scale=self.norm_scale
             )
+            biasq = np.zeros((nq, nprobe), np.uint16)
         qsq = (Q * Q).sum(1)
         weights = np.ones(M + 2, np.int64)
         weights[M:] = self.norm_scale

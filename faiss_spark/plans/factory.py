@@ -84,14 +84,12 @@ class IndexPlan:
     fastscan: bool = False
     bbs: int = 32
     # 'r' suffix of x4fsr (reference index_factory.cpp:324-328,367-380:
-    # by_residual=true for IVF fast-scan). PQ fast-scan honors it with
-    # reference semantics: plain x4fs = by_residual=false (PQ on raw
-    # vectors, ONE quantize_lut_flat LUT per query shared across
-    # probes), x4fsr = residual encoding + per-probe LUTs. The IVF-AQ
-    # fast-scan computes the residual decomposition in both spellings
-    # (its shared-LUT + per-probe −2⟨q,c⟩ bias IS the residual math;
-    # quality >= the non-residual default) — there the flag is kept for
-    # faithful round-trip only.
+    # by_residual=true for IVF fast-scan). Both families honor it with
+    # reference semantics: plain x4fs = by_residual=false (codec on raw
+    # vectors, ONE shared LUT per query, no per-probe bias — at full
+    # probe bit-identical to the flat fast-scan over the same codes),
+    # x4fsr = residual encoding (per-probe LUTs for PQ; shared LUT +
+    # per-probe −2⟨q,c⟩ bias for AQ).
     fs_residual: bool = False
     # NSG<R> (reference index_factory.cpp "NSG<R>[,Flat|,PQ<m>[np]]") —
     # sharded batch graph (operators/nsg.py); PQ storage per parse_IndexNSG
@@ -232,8 +230,11 @@ class IndexPlan:
                 )
             from faiss_spark.operators.fastscan import IVFAQFastScanIndex
 
+            # reference semantics: plain x4fs = by_residual=false
+            # (RQ on raw vectors), x4fsr = residual encoding
             self.index = IVFAQFastScanIndex.train(
-                cur, nlist=self.nlist, M=self.rq_m, seed=seed
+                cur, nlist=self.nlist, M=self.rq_m, seed=seed,
+                by_residual=self.fs_residual,
             ).add(cur)
         elif self.index_type == "rq":
             model = ResidualQuantizer(M=self.rq_m, seed=seed).fit(cur)

@@ -337,3 +337,52 @@ def test_ivfaq_fastscan_nprobe_monotone(vectors, ivfaqfs):
         return len(got & truth) / len(truth)
 
     assert recall(1) <= recall(8) + 1e-9
+
+
+def test_ivfaq_fastscan_nonresidual_fullprobe_equals_flat(vectors):
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    """by_residual=false IVF-AQ fast-scan (reference plain x4fs,
+    index_factory.cpp:367-380) at nprobe=nlist uses the SAME
+    aq_quantize_lut coefficients and zero bias — results must equal
+    aq_fastscan_search over the same codes bit for bit."""
+    from faiss_spark.operators.fastscan import (
+        AQFastScanModel,
+        IVFAQFastScanIndex,
+        aq_fastscan_search,
+    )
+
+    idx = IVFAQFastScanIndex.train(
+        vectors, nlist=8, M=8, seed=42, niter=5, rq_niter=5,
+        by_residual=False,
+    ).add(vectors)
+    model = AQFastScanModel(
+        rq=idx.rq, norm_books=idx.norm_books, norm_scale=idx.norm_scale
+    )
+    ivf = {
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in idx.search(queries, 10, nprobe=8).collect()
+    }
+    flat = {
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in aq_fastscan_search(
+            model, idx.codes.select("id", "code"), queries, 10
+        ).collect()
+    }
+    assert ivf == flat
+
+
+def test_ivfaq_fastscan_nonresidual_recall(vectors):
+    from faiss_spark.operators.fastscan import IVFAQFastScanIndex
+    from faiss_spark.operators.knn import knn
+
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    exact = {(r.qid, r.id) for r in knn(vectors, queries, 10).collect()}
+    idx = IVFAQFastScanIndex.train(
+        vectors, nlist=8, M=16, seed=42, niter=5, rq_niter=8,
+        by_residual=False,
+    ).add(vectors)
+    got = {
+        (r.qid, r.id)
+        for r in idx.search(queries, 10, nprobe=8).select("qid", "id").collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.3
