@@ -2197,10 +2197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_png": q_image_features_png,
         "ngram_perplexity": q_ngram_perplexity,
         "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
-        # --- r06-green entries whose code round 7 changed most ---
-        "ivfpq_fastscan": q_ivfpq_fastscan,
+        # --- r06-green entries whose code round 7 changed most
+        # (ivfaq_fastscan: by_residual branch in its search — the PQ
+        # twin's branch is pinned by ivfpq_fastscan_nores above;
+        # knn_graph_nndescent: incremental join) ---
+        "ivfaq_fastscan": q_ivfaq_fastscan,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         # --- tail starts here (entry 51): all driver-green in r06 ---
+        "ivfpq_fastscan": q_ivfpq_fastscan,
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
         # --- rotated past the 50-entry cap this round (every tail entry
@@ -2224,7 +2228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_nsg": q_binary_nsg,
         "pq_fastscan_search": q_pq_fastscan,
         "aq_fastscan": q_aq_fastscan,
-        "ivfaq_fastscan": q_ivfaq_fastscan,
         "nsg_search": q_nsg_search,
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
