@@ -1273,6 +1273,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), n=8)
 
 
+def q_span_dedup_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★span_dedup's twin through the count-min prefilter (the 100 TB
+    shuffle-volume mitigation, now CODE: pass 1 builds an 8 MB
+    saturating sketch of window hashes merged executor-side; pass 2
+    shuffles only windows the sketch says may repeat — a strict
+    superset of the true duplicates, so the exact downstream count
+    makes the result IDENTICAL). Same byte-exact oracle as
+    span_dedup."""
+    from faiss_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(_docs(spark, sf_dir), n=8, prefilter="count_min")
+
+
 def q_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token-pair statistics (the BPE merge-iteration counting
     primitive at word level): (pair, tf, df) with tf ≥ 3 — codegen pair
@@ -2197,13 +2210,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_png": q_image_features_png,
         "ngram_perplexity": q_ngram_perplexity,
         "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
-        # --- r06-green entries whose code round 7 changed most
-        # (ivfaq_fastscan: by_residual branch in its search — the PQ
-        # twin's branch is pinned by ivfpq_fastscan_nores above;
-        # knn_graph_nndescent: incremental join) ---
-        "ivfaq_fastscan": q_ivfaq_fastscan,
+        "span_dedup_prefiltered": q_span_dedup_prefiltered,
+        # --- r06-green entry whose code round 7 changed most
+        # (knn_graph_nndescent: incremental join; the fast-scan
+        # by_residual branches are pinned by ivfpq_fastscan_nores and
+        # the bit-exact flat-equality tests) ---
         "knn_graph_nndescent": q_knn_graph_nndescent,
         # --- tail starts here (entry 51): all driver-green in r06 ---
+        "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
@@ -3230,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
     )
+    sql["span_dedup_prefiltered"] = sql["span_dedup"]
     sql["ivfpq_fastscan_nores"] = (
         "SELECT 'ivffs_nores_fullprobe_equals_flat_scan' AS prop, "
         "TRUE AS passed "

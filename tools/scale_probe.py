@@ -213,6 +213,37 @@ def probe_span_dedup(spark, nd: int) -> dict:
     }
 
 
+
+def probe_span_dedup_prefiltered(spark, nd: int) -> dict:
+    """span dedup through the count-min prefilter: same answer, shuffle
+    restricted to (true dups + W·eps collisions). Width is sized ~4x the
+    window count (the operator docstring's one-byte-per-window rule), so
+    singleton pass-rate ~ (1-e^-0.25)^2 ~ 5%; with this corpus's ~18%
+    duplicated windows the shuffle shrinks ~4x."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import span_dedup_stats
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=11)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    windows = nd * (100 - 19)
+    width = 1 << max(20, (windows * 4 - 1).bit_length())
+    sec = _best_of(
+        lambda: span_dedup_stats(
+            docs, n=20, prefilter="count_min", cms_width=width
+        ).agg(F.sum("n_dup_spans")).first()
+    )
+    return {
+        "nd": nd,
+        "cms_width": width,
+        "sec": round(sec, 3),
+        "windows_per_core_sec": round(windows / sec / CPUS, 1),
+    }
+
+
 def probe_pack_sequences(spark, nd: int) -> dict:
     """Concat-and-chop packing: tokenize (map-only codegen) + one window
     cumsum per source shard — a single keyed exchange; per-doc cost flat
@@ -353,6 +384,12 @@ def main() -> None:
         "span_dedup": lambda: [
             probe_span_dedup(spark, nd_small),
             probe_span_dedup(spark, nd_big),
+        ],
+        # prefiltered twin at 1/5 the doc counts: the probe passes the
+        # default cms_width sized to ~4x the window count
+        "span_dedup_prefiltered": lambda: [
+            probe_span_dedup_prefiltered(spark, max(100_000, nd_small // 5)),
+            probe_span_dedup_prefiltered(spark, nd_small),
         ],
         "pack_sequences": lambda: [
             probe_pack_sequences(spark, nd_small),
