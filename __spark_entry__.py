@@ -1286,6 +1286,51 @@ def q_span_dedup_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), n=8, prefilter="count_min")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016; the GPT-2
+    trainer) — corpus touched ONCE for word counts, then vocabulary-
+    sized per-merge iterations (one small shuffle + a 1-row collect
+    each). Iterative and argmax-driven, so the oracle checks
+    PROPERTIES, the strongest available: (1) the full 25-rule merge
+    sequence (pairs AND counts) equals a pure-python reference trainer
+    run on the same collected word counts — exact, not a bound;
+    (2) encoding the training words with the learned table reproduces
+    the trainer's final symbol state exactly (ascending-rank replay);
+    (3) a Spark-side bpe_encode of the corpus agrees with the in-memory
+    encoder on total token count."""
+    from faiss_spark.functions.bpe import (
+        END_OF_WORD,
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+        bpe_word_counts,
+        reference_bpe_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    wc = {r["word"]: r["cnt"] for r in bpe_word_counts(docs).collect()}
+    merges, vocab = bpe_train(docs, num_merges=25, return_vocab=True)
+    expect = reference_bpe_train(wc, num_merges=25)
+    got = [(m.left, m.right, m.pair_count) for m in merges]
+    ranks = {(m.left, m.right): m.rank for m in merges}
+    trained = {tuple(r["symbols"]) for r in vocab.collect()}
+    encoded = {tuple(_encode_word(w, ranks, END_OF_WORD)) for w in wc}
+    n_spark = (
+        bpe_encode(docs, merges).agg(F.sum("n_bpe_tokens")).first()[0]
+    )
+    n_ref = sum(
+        len(_encode_word(w, ranks, END_OF_WORD)) * c for w, c in wc.items()
+    )
+    return _prop_df(
+        spark,
+        [
+            ("bpe_merges_equal_reference_trainer", got == expect),
+            ("bpe_encode_reproduces_trained_vocab", encoded == trained),
+            ("bpe_spark_encode_token_total_matches", n_spark == n_ref),
+        ],
+    )
+
+
 def q_bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token-pair statistics (the BPE merge-iteration counting
     primitive at word level): (pair, tf, df) with tf ≥ 3 — codegen pair
@@ -2211,12 +2256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_perplexity": q_ngram_perplexity,
         "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
         "span_dedup_prefiltered": q_span_dedup_prefiltered,
-        # --- r06-green entry whose code round 7 changed most
-        # (knn_graph_nndescent: incremental join; the fast-scan
-        # by_residual branches are pinned by ivfpq_fastscan_nores and
-        # the bit-exact flat-equality tests) ---
+        "bpe_train": q_bpe_train,
+        # --- tail starts here (entry 51): all driver-green in r06
+        # (knn_graph_nndescent's round-7 incremental-join change is
+        # pinned by the identical-results property in test_graph_simhash
+        # and the local sweep; the fast-scan by_residual branches by
+        # ivfpq_fastscan_nores above and bit-exact flat-equality tests)
+        # ---
         "knn_graph_nndescent": q_knn_graph_nndescent,
-        # --- tail starts here (entry 51): all driver-green in r06 ---
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "ivf_search_exact": q_ivf_search_exact,
@@ -3245,6 +3292,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
     )
     sql["span_dedup_prefiltered"] = sql["span_dedup"]
+    sql["bpe_train"] = (
+        "SELECT 'bpe_merges_equal_reference_trainer' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'bpe_encode_reproduces_trained_vocab', TRUE "
+        "UNION ALL SELECT 'bpe_spark_encode_token_total_matches', TRUE"
+    )
     sql["ivfpq_fastscan_nores"] = (
         "SELECT 'ivffs_nores_fullprobe_equals_flat_scan' AS prop, "
         "TRUE AS passed "
