@@ -1274,16 +1274,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_span_dedup_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★span_dedup's twin through the count-min prefilter (the 100 TB
-    shuffle-volume mitigation, now CODE: pass 1 builds an 8 MB
-    saturating sketch of window hashes merged executor-side; pass 2
-    shuffles only windows the sketch says may repeat — a strict
-    superset of the true duplicates, so the exact downstream count
-    makes the result IDENTICAL). Same byte-exact oracle as
+    """★span_dedup's twin through the hot-hash prefilter (the 100 TB
+    shuffle-volume mitigation, now CODE: pass 1 is a COUNT-ONLY
+    aggregation of the window hashes — map-side combinable, no
+    positions, the narrowest rows; pass 2 broadcast-joins the hashes
+    that reached min_count back against the positional windows, so the
+    wide exchange carries duplicated windows only). Exact counts from
+    pass 1 make the result byte-IDENTICAL — same oracle as
     span_dedup."""
     from faiss_spark.operators.dedup import span_dedup_stats
 
-    return span_dedup_stats(_docs(spark, sf_dir), n=8, prefilter="count_min")
+    return span_dedup_stats(_docs(spark, sf_dir), n=8, prefilter="hot_hash")
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,6 +1329,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("bpe_encode_reproduces_trained_vocab", encoded == trained),
             ("bpe_spark_encode_token_total_matches", n_spark == n_ref),
         ],
+    )
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every doc gets a (shard, pos)
+    address that is a pure function of (id, seed) — reproducible
+    training order at any scale (one hash shuffle + per-shard window
+    sort; no global range partition). Hash-exact DuckDB twin."""
+    from faiss_spark.functions.corpus import shuffle_corpus
+
+    return shuffle_corpus(_docs(spark, sf_dir), num_shards=8, seed=3).select(
+        "doc_id", "shard", "pos"
     )
 
 
@@ -2257,12 +2270,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
         "span_dedup_prefiltered": q_span_dedup_prefiltered,
         "bpe_train": q_bpe_train,
-        # --- tail starts here (entry 51): all driver-green in r06
-        # (knn_graph_nndescent's round-7 incremental-join change is
-        # pinned by the identical-results property in test_graph_simhash
-        # and the local sweep; the fast-scan by_residual branches by
-        # ivfpq_fastscan_nores above and bit-exact flat-equality tests)
-        # ---
+        # --- tail starts here (entry 51). shuffle_corpus is the one
+        # round-7 addition the full head could not fit (42 rotated tail
+        # entries + 8 new take all 50 slots); it is green in the local
+        # 3-SF sweeps and queues for the r8 gate. The rest of the tail
+        # is driver-green in r06 (knn_graph_nndescent's round-7
+        # incremental-join change is pinned by the identical-results
+        # property in test_graph_simhash and the local sweep; the
+        # fast-scan by_residual branches by ivfpq_fastscan_nores above
+        # and bit-exact flat-equality tests) ---
+        "shuffle_corpus": q_shuffle_corpus,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
@@ -3292,6 +3309,18 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
     )
     sql["span_dedup_prefiltered"] = sql["span_dedup"]
+    sql["shuffle_corpus"] = """
+        SELECT doc_id, shard,
+               (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1)
+                   AS pos
+        FROM (
+            SELECT doc_id,
+                   md5(doc_id::VARCHAR || ':3') AS k,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT
+                       % 8 AS shard
+            FROM documents
+        )
+    """
     sql["bpe_train"] = (
         "SELECT 'bpe_merges_equal_reference_trainer' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'bpe_encode_reproduces_trained_vocab', TRUE "

@@ -238,3 +238,48 @@ def chunk_documents(
         F.size(ct).cast("bigint").alias("ntok"),
         F.md5(F.concat_ws(" ", ct)).alias("chunk_fp"),
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    num_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-data shuffle: every document gets a
+    (shard, pos) address that is a pure function of (id, seed) — the
+    reproducible epoch-shuffle step between "filtered corpus" and
+    "training shards" (epoch e trains in order of seed+e; a re-run, a
+    resumed job, or a different input partitioning all produce the SAME
+    permutation, so data order is auditable).
+
+    shard = first-32-bits of md5(id:seed) mod num_shards; pos = rank of
+    the full md5 digest within the shard (doc id breaks the 2^-128
+    collision tie, so the order is total). Returns the input columns
+    plus (shard, pos).
+
+    Scale shape: ONE hash shuffle keyed on the shard + a per-shard
+    window sort — shards are independent, so sort parallelism =
+    num_shards (pick it ≈ the output file count; thousands at 100 TB —
+    a GLOBAL order-by would instead range-partition on the random key,
+    which also scales but pins the output layout to Spark's sampler
+    instead of a stable shard id the training job can address).
+    """
+    if num_shards <= 0:
+        raise ValueError(
+            f"shuffle_corpus: num_shards must be positive, got {num_shards}"
+        )
+    key = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"),
+        F.lit(num_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("_shuffle_key", id_col)
+    return (
+        df.withColumn("_shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
+        .drop("_shuffle_key")
+    )

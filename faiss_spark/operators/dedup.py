@@ -740,102 +740,6 @@ def decontaminate(
 # ======================================================== substring spans ==
 
 
-#: odd multipliers for the count-min row hashes (derived once from the
-#: golden ratio / sqrt(2) fixed points — any odd 64-bit constants work)
-_CMS_SALTS = (0x9E3779B97F4A7C15, 0xC6A4A7935BD1E995, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53)
-
-
-def _cms_rows(xx: "np.ndarray", depth: int, width: int) -> "np.ndarray":
-    """(depth, n) cell indices for int64 window hashes: one odd-constant
-    multiplicative hash per row (a 64-bit Fibonacci-style mix), modulo
-    the sketch width."""
-    import numpy as np
-
-    u = xx.astype(np.uint64, copy=False)
-    idx = np.empty((depth, len(u)), np.int64)
-    for r in range(depth):
-        h = u * np.uint64(_CMS_SALTS[r])
-        idx[r] = ((h >> np.uint64(33)) % np.uint64(width)).astype(np.int64)
-    return idx
-
-
-def span_count_sketch(
-    df: DataFrame,
-    n: int = 20,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    width: int = 1 << 22,
-    depth: int = 2,
-    cap: int = 255,
-) -> "np.ndarray":
-    """Count-min sketch of the corpus's n-token window hashes — pass 1
-    of the prefiltered span dedup. Window hashing is JVM codegen
-    (xxhash64 inside a transform, no window strings in the exchange);
-    each partition accumulates a fixed-size (depth, width) sketch in one
-    Arrow-vectorized np.add.at pass, partitions merge by saturating SUM
-    in an executor-side treeReduce — the driver receives ONE
-    depth·width-byte array regardless of corpus size (8 MB at the
-    defaults). Counts saturate at ``cap`` (the prefilter only asks
-    "could this reach min_count", so 255 is plenty).
-
-    A count-min sketch NEVER undercounts, so filtering on it keeps a
-    strict superset of the truly-repeated windows — downstream exact
-    counting makes the final result identical to the unfiltered
-    operator."""
-    import numpy as np
-    import pandas as pd
-
-    from faiss_spark.functions.text import tokens
-
-    toks = tokens(F.col(text_col))
-    wins = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    xxdf = df.select(F.explode(wins).alias("xx"))
-
-    def build(batches):
-        sk = np.zeros((depth, width), np.uint32)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            idx = _cms_rows(pdf["xx"].to_numpy(np.int64), depth, width)
-            for r in range(depth):
-                np.add.at(sk[r], idx[r], 1)
-        yield pd.DataFrame(
-            {"sk": [np.minimum(sk, cap).astype(np.uint8).tobytes()]}
-        )
-
-    parts = xxdf.mapInPandas(build, "sk binary")
-
-    def merge(a: bytes, b: bytes) -> bytes:
-        x = np.frombuffer(a, np.uint8).astype(np.uint16)
-        y = np.frombuffer(b, np.uint8)
-        return np.minimum(x + y, cap).astype(np.uint8).tobytes()
-
-    total = parts.rdd.map(lambda r: bytes(r["sk"])).treeReduce(merge)
-    return np.frombuffer(total, np.uint8).reshape(depth, width)
-
-
-
-
-def _span_struct(hasher, toks, i, n):
-    """One window's (shuffle key, sketch key) pair, both computed from
-    the window string bound ONCE (bind: higher-order lambdas re-evaluate
-    shared subexpressions per reference otherwise)."""
-    from faiss_spark.functions.text import bind
-
-    return bind(
-        F.concat_ws(" ", F.slice(toks, i, n)),
-        lambda w: F.struct(
-            hasher(w).alias("key"), F.xxhash64(w).alias("xx")
-        ),
-    )
-
-
 def duplicated_spans(
     df: DataFrame,
     n: int = 20,
@@ -844,8 +748,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     prefilter: str | None = None,
-    cms_width: int = 1 << 22,
-    cms_depth: int = 2,
+    max_broadcast_mb: int = 256,
 ) -> DataFrame:
     """Exact duplicated-substring detection: every window of ``n``
     consecutive tokens is hashed; windows whose hash occurs ≥ min_count
@@ -862,22 +765,26 @@ def duplicated_spans(
     no Python, no explode of raw text); ONE shuffle on the span hash with
     map-side partial counting unavailable (positions needed), so rows
     shuffled = total token windows. At 100 TB, raise n (fewer windows per
-    doc duplicated by chance) and set ``prefilter='count_min'``: a first
-    pass builds a FIXED-size saturating sketch of window hashes
-    (span_count_sketch — 8 MB at the defaults, merged executor-side),
-    and only windows the sketch says may reach min_count enter the
-    shuffle. A count-min sketch never undercounts, so the filtered set
-    is a strict superset of the truly-repeated windows and the exact
-    window count downstream makes the RESULT IDENTICAL to the
-    unfiltered operator — the shuffle shrinks from all W windows to
-    ~(duplicated windows + W·ε collisions), the failure mode that kept
-    the 905M-window draw of SCALE.md from fitting this host's spill
-    disk. Sizing is the honest caveat: a singleton passes one sketch
-    row with probability ≈ 1 − e^(−W/width), so useful filtering needs
-    width ≳ W (one BYTE per corpus window across the cluster's
-    broadcast budget; depth rows multiply the rejection). At W beyond
-    the broadcast budget, run the pass per key-range shard (K passes of
-    width W/K) — or skip the prefilter and pay the exact shuffle. hash_fn picks the span key: 'md5' (default)
+    doc duplicated by chance) and set ``prefilter='hot_hash'``: a first
+    COUNT-ONLY pass aggregates the same window hashes with no positions
+    attached — map-side combinable, and its shuffle rows are just
+    (hash, partial count), ~2-4× narrower than the positional rows —
+    then only the hashes that reached min_count (with their exact
+    counts, already final) join back against the positional windows,
+    so the wide exchange carries DUPLICATED windows only. The result is
+    byte-identical to the unfiltered operator; what changes is that the
+    60-byte-per-window exchange that kept SCALE.md's 905M-window draw
+    from fitting this host's spill disk shrinks to the duplicate mass.
+    The hot set joins by broadcast while it fits ``max_broadcast_mb``
+    (duplicate-hash count × key width); past that it degrades to a
+    shuffle join of the same plan — correct, but no longer cheaper, so
+    a corpus where most windows repeat should skip the prefilter.
+    (A count-min-sketch prefilter was tried first and measured: the
+    dense width-proportional accumulator each build task needs either
+    thrashes memory at useful widths or saturates into a no-op at
+    feasible ones — on Spark the count-only aggregation pass is
+    strictly better, since the map-side hash aggregate IS the sketch,
+    sized to the data per task.) hash_fn picks the span key: 'md5' (default)
     is 128-bit — collision-free at any corpus size and byte-exact
     against the DuckDB oracle; 'xxhash64' shrinks the shuffled key from
     a 32-char string to 8 bytes (~2.5× narrower shuffle rows, cheaper
@@ -890,75 +797,62 @@ def duplicated_spans(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
     key_t = "array<string>" if hash_fn == "md5" else "array<bigint>"
-    if prefilter not in (None, "count_min"):
+    if prefilter not in (None, "hot_hash"):
         raise ValueError(
-            f"prefilter must be None or 'count_min', got {prefilter!r}"
+            f"prefilter must be None or 'hot_hash', got {prefilter!r}"
         )
     toks = tokens(F.col(text_col))
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0] — guard short
     # docs (< n tokens) to an empty window list explicitly
-    if prefilter == "count_min":
-        import numpy as np
-        import pandas as pd
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast(key_t))
+    spans = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(windows).alias("pos", "span_hash"),
+    )
+    if prefilter == "hot_hash":
+        import warnings
 
-        sketch = span_count_sketch(
-            df, n=n, text_col=text_col, id_col=id_col,
-            width=cms_width, depth=cms_depth,
-            cap=max(2, min(255, min_count)),
+        # pass 1: exact counts with NO positions — map-side combinable,
+        # narrowest possible shuffle rows; the surviving counts are
+        # final, so the positional pass (2) needs no re-count
+        hot = (
+            df.select(F.explode(windows).alias("span_hash"))
+            .groupBy("span_hash")
+            .agg(F.count("*").alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= min_count)
+            # materialize once: the size probe below and the join reuse
+            # the same pass-1 result instead of re-aggregating
+            .localCheckpoint(eager=True)
         )
-        windows = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: _span_struct(hasher, toks, i, n),
-            ),
-        ).otherwise(
-            F.array().cast(
-                f"array<struct<key:{'string' if hash_fn == 'md5' else 'bigint'},"
-                "xx:bigint>>"
+        key_bytes = 56 if hash_fn == "md5" else 24
+        n_hot = hot.count()
+        if n_hot * key_bytes <= max_broadcast_mb << 20:
+            dups = spans.join(F.broadcast(hot), "span_hash")
+        else:
+            warnings.warn(
+                f"hot_hash prefilter: {n_hot} duplicated hashes exceed the "
+                f"{max_broadcast_mb} MB broadcast budget — falling back to "
+                "a shuffle join (result identical; if most windows repeat, "
+                "skip the prefilter)"
             )
-        )
-        raw = df.select(
-            F.col(id_col).cast("bigint").alias("doc_id"),
-            F.posexplode(windows).alias("pos", "s"),
-        ).select(
-            "doc_id", "pos",
-            F.col("s.key").alias("span_hash"), F.col("s.xx").alias("xx"),
-        )
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(sketch)
-        mc = min(min_count, 255)
-        out_t = "string" if hash_fn == "md5" else "bigint"
-        depth, width = cms_depth, cms_width
-
-        def keep_maybe_dup(batches):
-            sk = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                idx = _cms_rows(pdf["xx"].to_numpy(np.int64), depth, width)
-                est = sk[0][idx[0]].astype(np.int64)
-                for r in range(1, depth):
-                    np.minimum(est, sk[r][idx[r]], out=est)
-                m = est >= mc
-                if m.any():
-                    yield pdf.loc[m, ["doc_id", "pos", "span_hash"]]
-
-        spans = raw.mapInPandas(
-            keep_maybe_dup,
-            schema=f"doc_id bigint, pos int, span_hash {out_t}",
-        )
-    else:
-        windows = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, n))),
-            ),
-        ).otherwise(F.array().cast(key_t))
-        spans = df.select(
-            F.col(id_col).cast("bigint").alias("doc_id"),
-            F.posexplode(windows).alias("pos", "span_hash"),
+            dups = spans.join(hot, "span_hash")
+        w = Window.partitionBy("span_hash")
+        first = F.min(F.struct("doc_id", "pos")).over(w)
+        return dups.select(
+            "doc_id",
+            "pos",
+            "span_hash",
+            "n_occurrences",
+            (
+                (F.col("doc_id") == first["doc_id"])
+                & (F.col("pos") == first["pos"])
+            ).alias("keep"),
         )
     # both aggregates run over an ORDER-free window: count needs no
     # order, and "first occurrence" is the window MIN of (doc_id, pos).
@@ -987,8 +881,7 @@ def span_dedup_stats(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     prefilter: str | None = None,
-    cms_width: int = 1 << 22,
-    cms_depth: int = 2,
+    max_broadcast_mb: int = 256,
 ) -> DataFrame:
     """Per-document duplicated-substring profile: total n-token windows,
     windows whose content appears elsewhere in the corpus, and the
@@ -998,7 +891,7 @@ def span_dedup_stats(
 
     dups = duplicated_spans(
         df, n=n, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-        prefilter=prefilter, cms_width=cms_width, cms_depth=cms_depth,
+        prefilter=prefilter, max_broadcast_mb=max_broadcast_mb,
     )
     per_doc = dups.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
@@ -1037,8 +930,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     prefilter: str | None = None,
-    cms_width: int = 1 << 22,
-    cms_depth: int = 2,
+    max_broadcast_mb: int = 256,
 ) -> DataFrame:
     """The span-removal transform: drop every token covered by a
     NON-FIRST occurrence of a duplicated n-token window (keep-first
@@ -1054,7 +946,7 @@ def remove_duplicated_spans(
 
     dups = duplicated_spans(
         df, n=n, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-        prefilter=prefilter, cms_width=cms_width, cms_depth=cms_depth,
+        prefilter=prefilter, max_broadcast_mb=max_broadcast_mb,
     )
     removable = (
         dups.filter(~F.col("keep"))

@@ -214,3 +214,87 @@ def test_char_ngram_perplexity_external_model_drops_oov(spark, tables):
     rows = char_ngram_perplexity(alien, model=model).collect()
     ids = {r["id"] for r in rows}
     assert 2 not in ids  # empty doc: no grams at all
+
+
+def test_shuffle_corpus_deterministic_permutation(docs):
+    """(shard, pos) is a bijection onto shard-local prefixes, identical
+    across re-runs and input partitionings, and epoch (seed) changes
+    re-permute."""
+    from faiss_spark.functions.corpus import shuffle_corpus
+
+    a = shuffle_corpus(docs, num_shards=7, seed=0).select(
+        "doc_id", "shard", "pos"
+    )
+    rows = a.collect()
+    assert len(rows) == docs.count()
+    # bijection: per shard, pos is exactly 0..n_s-1
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(7))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # determinism across re-run and across input partitioning
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    repart = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_corpus(docs.repartition(13), num_shards=7, seed=0)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert {tuple(r) for r in rows} == again == repart
+    # another seed = a different permutation (overwhelmingly)
+    other = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_corpus(docs, num_shards=7, seed=1)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert other != again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        shuffle_corpus(docs, num_shards=0)
+
+
+def test_shuffle_corpus_matches_duckdb(tables, oracle):
+    """Hash-exact against the DuckDB twin (same md5 keys, same window)."""
+    from faiss_spark.functions.corpus import shuffle_corpus
+    from tests.conftest import duck_set, rows_set
+
+    got = rows_set(
+        shuffle_corpus(tables["documents"], num_shards=8, seed=3).select(
+            "doc_id", "shard", "pos"
+        )
+    )
+    expect = duck_set(
+        oracle,
+        """
+        SELECT doc_id, shard,
+               (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1)
+                   AS pos
+        FROM (
+            SELECT doc_id,
+                   md5(doc_id::VARCHAR || ':3') AS k,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT
+                       % 8 AS shard
+            FROM documents
+        )
+        """,
+    )
+    assert got == expect
+
+
+def test_shuffle_corpus_single_exchange(docs):
+    """Plan: exactly one Exchange (hash on the shard key) + per-shard
+    window sort — no global range partition."""
+    from faiss_spark.functions.corpus import shuffle_corpus
+    from tests.test_plans import plan
+
+    p = plan(
+        shuffle_corpus(docs.localCheckpoint(eager=True), num_shards=4),
+        mode="simple",
+    )
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(shard" in p, p
+    assert "rangepartitioning" not in p.lower(), p

@@ -437,12 +437,15 @@ def test_span_hash_fn_validates(spark):
         duplicated_spans(docs, n=2, hash_fn="sha1")
 
 
-def test_span_count_min_prefilter_identical(tables):
-    """prefilter='count_min' must change the plan, not the answer: a
-    count-min sketch never undercounts, so the filtered window set is a
-    superset of the truly-repeated ones and the exact count downstream
-    yields identical rows — for both hash_fn spellings and for the
-    stats/rewrite forms."""
+def test_span_hot_hash_prefilter_identical(tables):
+    """prefilter='hot_hash' must change the plan, not the answer: the
+    count-only pass finds exactly the hashes reaching min_count, so the
+    positional join keeps exactly the duplicated windows with their
+    exact counts — identical rows for both hash_fn spellings and for
+    the stats/rewrite forms, through both the broadcast path and the
+    size-guard shuffle-join fallback."""
+    import warnings
+
     from faiss_spark.operators.dedup import (
         duplicated_spans,
         remove_duplicated_spans,
@@ -455,51 +458,46 @@ def test_span_count_min_prefilter_identical(tables):
         b = {
             tuple(r)
             for r in duplicated_spans(
-                docs, n=8, hash_fn=hash_fn, prefilter="count_min"
+                docs, n=8, hash_fn=hash_fn, prefilter="hot_hash"
             ).collect()
         }
         assert a == b and len(a) > 0
+    # max_broadcast_mb=0 forces the fallback; result must not change
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        c = {
+            tuple(r)
+            for r in duplicated_spans(
+                docs, n=8, prefilter="hot_hash", max_broadcast_mb=0
+            ).collect()
+        }
+    assert c == {
+        tuple(r) for r in duplicated_spans(docs, n=8).collect()
+    }
     sa = {tuple(r) for r in span_dedup_stats(docs, n=8).collect()}
     sb = {
         tuple(r)
-        for r in span_dedup_stats(docs, n=8, prefilter="count_min").collect()
+        for r in span_dedup_stats(docs, n=8, prefilter="hot_hash").collect()
     }
     assert sa == sb
     ra = {tuple(r) for r in remove_duplicated_spans(docs, n=8).collect()}
     rb = {
         tuple(r)
         for r in remove_duplicated_spans(
-            docs, n=8, prefilter="count_min"
+            docs, n=8, prefilter="hot_hash"
         ).collect()
     }
     assert ra == rb
 
 
-def test_span_count_sketch_never_undercounts(tables):
-    """CMS soundness on real data: for every truly-duplicated window,
-    the sketch's min-estimate >= the true count (capped)."""
-    import numpy as np
+def test_span_hot_hash_plan_broadcasts(tables):
+    """The prefilter's positional join is a broadcast hash join (the
+    wide exchange then carries only duplicated windows)."""
+    from faiss_spark.operators.dedup import duplicated_spans
+    from tests.test_plans import plan
 
-    from faiss_spark.operators.dedup import (
-        _cms_rows,
-        duplicated_spans,
-        span_count_sketch,
+    docs = tables["documents"].filter(F.col("doc_id") < 300)
+    p = plan(
+        duplicated_spans(docs, n=8, prefilter="hot_hash"), mode="simple"
     )
-
-    docs = tables["documents"].filter(F.col("doc_id") < 200)
-    width, depth = 1 << 16, 2
-    sk = span_count_sketch(docs, n=8, width=width, depth=depth, cap=255)
-    dups = (
-        duplicated_spans(docs, n=8, hash_fn="xxhash64")
-        .select("span_hash", "n_occurrences")
-        .distinct()
-        .collect()
-    )
-    assert len(dups) > 0
-    xx = np.array([r["span_hash"] for r in dups], np.int64)
-    true = np.array([min(r["n_occurrences"], 255) for r in dups], np.int64)
-    idx = _cms_rows(xx, depth, width)
-    est = sk[0][idx[0]].astype(np.int64)
-    for r in range(1, depth):
-        np.minimum(est, sk[r][idx[r]], out=est)
-    assert (est >= true).all()
+    assert "BroadcastHashJoin" in p, p

@@ -215,11 +215,14 @@ def probe_span_dedup(spark, nd: int) -> dict:
 
 
 def probe_span_dedup_prefiltered(spark, nd: int) -> dict:
-    """span dedup through the count-min prefilter: same answer, shuffle
-    restricted to (true dups + W·eps collisions). Width is sized ~4x the
-    window count (the operator docstring's one-byte-per-window rule), so
-    singleton pass-rate ~ (1-e^-0.25)^2 ~ 5%; with this corpus's ~18%
-    duplicated windows the shuffle shrinks ~4x."""
+    """span dedup through the hot-hash prefilter: same answer; the wide
+    positional exchange carries only duplicated windows, paid for by a
+    count-only aggregation pass over the same hashes (map-side
+    combinable, ~2-4x narrower rows). Runs at the SAME sizes as the
+    unfiltered probe so the two rows compare directly — the prefilter
+    is a shuffle-VOLUME lever (spill/disk/network), so on this
+    all-in-one host expect roughly scan-bound parity, with the win
+    appearing when the exchange is the binding constraint."""
     from pyspark.sql import functions as F
 
     from faiss_spark.operators.dedup import span_dedup_stats
@@ -230,15 +233,13 @@ def probe_span_dedup_prefiltered(spark, nd: int) -> dict:
         .localCheckpoint(eager=True)
     )
     windows = nd * (100 - 19)
-    width = 1 << max(20, (windows * 4 - 1).bit_length())
     sec = _best_of(
-        lambda: span_dedup_stats(
-            docs, n=20, prefilter="count_min", cms_width=width
-        ).agg(F.sum("n_dup_spans")).first()
+        lambda: span_dedup_stats(docs, n=20, prefilter="hot_hash")
+        .agg(F.sum("n_dup_spans"))
+        .first()
     )
     return {
         "nd": nd,
-        "cms_width": width,
         "sec": round(sec, 3),
         "windows_per_core_sec": round(windows / sec / CPUS, 1),
     }
@@ -385,11 +386,11 @@ def main() -> None:
             probe_span_dedup(spark, nd_small),
             probe_span_dedup(spark, nd_big),
         ],
-        # prefiltered twin at 1/5 the doc counts: the probe passes the
-        # default cms_width sized to ~4x the window count
+        # prefiltered twin at the SAME sizes as span_dedup for a
+        # direct comparison of the two plans
         "span_dedup_prefiltered": lambda: [
-            probe_span_dedup_prefiltered(spark, max(100_000, nd_small // 5)),
             probe_span_dedup_prefiltered(spark, nd_small),
+            probe_span_dedup_prefiltered(spark, nd_big),
         ],
         "pack_sequences": lambda: [
             probe_pack_sequences(spark, nd_small),
