@@ -141,3 +141,95 @@ def running_dedup_stream(
     return src.groupBy("key").applyInPandasWithState(
         fold, out_type, state_type, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def neardup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming near-duplicate detection — the streaming form of
+    ``dedup.minhash_lsh_pairs``'s candidate generation for a
+    continuously-ingested corpus: each arriving document's MinHash LSH
+    band buckets are checked against the state store; the FIRST
+    claimant of a bucket is kept, and every later document sharing that
+    bucket is emitted as (bucket, doc_id, dup_of=claimant). A document
+    flagged in ≥1 bucket is a near-dup candidate (the LSH s-curve
+    semantics); exact-Jaccard verification of emitted pairs is a cheap
+    batch follow-up, exactly as in the batch operator.
+
+    Plan constraints drive the shape: Structured Streaming allows ONE
+    stateful operator per query, so signatures come from the pure
+    higher-order-function form (``dedup._minhash_array`` — per-row
+    expressions, bit-identical to the batch codegen aggregates and
+    pinned so in tests), never a groupBy aggregation; the single
+    stateful op is the per-bucket keep-first fold, whose state is one
+    bigint (the claimant id) per touched bucket — the minimum state
+    keep-first candidate dedup can carry."""
+    from faiss_spark.functions.text import bind, shingles
+    from faiss_spark.operators.dedup import _minhash_array
+
+    rows = num_hashes // num_bands
+    mh = _minhash_array(shingles(F.col(text_col), n), num_hashes)
+    bands = bind(
+        mh,
+        lambda m: F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        *[
+                            F.element_at(m, b * rows + r + 1)
+                            for r in range(rows)
+                        ],
+                    )
+                )
+                for b in range(num_bands)
+            ]
+        ),
+    )
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(bands).alias("bucket"),
+    )
+    out_type = StructType(
+        [
+            StructField("bucket", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("dup_of", LongType()),
+        ]
+    )
+    state_type = StructType([StructField("rep", LongType())])
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ids_all.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+        if not ids_all:
+            return
+        ids = np.unique(np.concatenate(ids_all))
+        if state.exists:
+            rep = state.get[0]
+            dups = ids[ids != rep]
+        else:
+            rep = int(ids[0])
+            dups = ids[1:]
+        state.update((rep,))
+        if len(dups):
+            yield pd.DataFrame(
+                {
+                    "bucket": key[0],
+                    "doc_id": dups,
+                    "dup_of": rep,
+                }
+            )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        fold, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )

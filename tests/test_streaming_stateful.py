@@ -119,3 +119,57 @@ def test_running_dedup_stream_first_batch_wins(spark, tables, tmp_path):
         .collect()
     }
     assert {(r["key"], r["doc_id"]) for r in rows} == want
+
+
+def test_neardup_stream_matches_batch_bands(spark, tables, tmp_path):
+    """Streaming LSH near-dup candidates == the batch band table's
+    keep-first answer when micro-batches arrive in doc_id order: per
+    band bucket, rep = min doc_id, every other sharer emitted exactly
+    once against it; and the known exact-duplicate docs are flagged."""
+    from faiss_spark.operators.dedup import minhash_signatures
+    from faiss_spark.streaming.stateful import neardup_stream
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    src = str(tmp_path / "nd_stream")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(src)
+
+    rows = _run_stream(
+        spark, src, docs.schema, lambda s: neardup_stream(s), tmp_path
+    )
+    got = {(r["bucket"], r["doc_id"], r["dup_of"]) for r in rows}
+    # batch twin: band table from the codegen signature path (pinned
+    # bit-identical to the streaming HOF path), keep-first per bucket
+    sig = minhash_signatures(docs)
+    rows_per_band = 3
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "",
+                *[
+                    F.element_at("mh", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(4)
+    ]
+    band_tbl = sig.select(
+        F.col("id").alias("doc_id"), F.explode(F.array(*bands)).alias("bucket")
+    ).collect()
+    by_bucket = {}
+    for r in band_tbl:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    want = set()
+    for bucket, ids in by_bucket.items():
+        rep = min(ids)
+        for d in ids:
+            if d != rep:
+                want.add((bucket, d, rep))
+    assert got == want
+    assert len(want) > 0
+    # every emitted doc is emitted at most once per bucket
+    assert len(got) == len({(b, d) for b, d, _ in got})
