@@ -233,8 +233,14 @@ def probe_span_dedup_prefiltered(spark, nd: int) -> dict:
         .localCheckpoint(eager=True)
     )
     windows = nd * (100 - 19)
+    # xxhash64 keys: the throughput configuration (r6 row), and the one
+    # whose hot set broadcasts at these sizes (8 B keys; the md5
+    # spelling's 56 B hot rows exceed the broadcast budget at nd=1M and
+    # fall back to the documented shuffle join)
     sec = _best_of(
-        lambda: span_dedup_stats(docs, n=20, prefilter="hot_hash")
+        lambda: span_dedup_stats(
+            docs, n=20, prefilter="hot_hash", hash_fn="xxhash64"
+        )
         .agg(F.sum("n_dup_spans"))
         .first()
     )
