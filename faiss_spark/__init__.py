@@ -48,10 +48,12 @@ from faiss_spark.operators.dedup import (
     simhash_neardup_pairs,
     span_dedup_stats,
 )
+from faiss_spark.functions.bpe import bpe_encode, bpe_train, bpe_word_counts
 from faiss_spark.functions.corpus import (
     assign_splits,
     chunk_documents,
     pack_sequences,
+    shuffle_corpus,
     temperature_sample,
 )
 from faiss_spark.functions.text import bigram_frequencies, term_frequencies
@@ -148,6 +150,10 @@ __all__ = [
     "temperature_sample",
     "assign_splits",
     "chunk_documents",
+    "shuffle_corpus",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_word_counts",
     "index_factory",
     "reverse_index_factory",
     "IMIIVFIndex",
