@@ -2202,6 +2202,48 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rule set (Rae et al. 2021 A1.1) as
+    one codegen struct per doc — word count/length bounds, symbol and
+    bullet/ellipsis ratios, alpha-word fraction, distinct-stopword
+    presence, and the conjunction `passes`. Map-only, zero shuffles;
+    every field hash-exact against the DuckDB twin."""
+    from faiss_spark.functions.text import gopher_quality_flags
+
+    g = gopher_quality_flags(F.col("text"))
+    return _docs(spark, sf_dir).select("doc_id", g.alias("g")).select(
+        "doc_id",
+        F.col("g.n_words").cast("bigint").alias("n_words"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("g.bullet_frac").alias("bullet_frac"),
+        F.col("g.ellipsis_frac").alias("ellipsis_frac"),
+        F.col("g.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("g.stop_hits").cast("bigint").alias("stop_hits"),
+        F.col("g.passes").alias("passes"),
+    )
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher character-mass repetition signals: fraction of characters
+    in the most frequent word {2,3}-gram (top_2, top_3) and in
+    duplicated 5-grams (dup_5). Spark side is one O(G log G) sorted
+    fold per doc in codegen (no quadratic rescan, no shuffle); oracle
+    recomputes via unnest + group-by. Hash-exact doubles (round 6)."""
+    from faiss_spark.functions.text import (
+        dup_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        top_ngram_char_frac(t, 2).alias("top_2"),
+        top_ngram_char_frac(t, 3).alias("top_3"),
+        dup_ngram_char_frac(t, 5).alias("dup_5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1): this round the
@@ -2280,6 +2322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fast-scan by_residual branches by ivfpq_fastscan_nores above
         # and bit-exact flat-equality tests) ---
         "shuffle_corpus": q_shuffle_corpus,
+        # gopher_quality / ngram_repetition are late round-7 additions
+        # (same reason as shuffle_corpus: the head is full) — green in
+        # the local 3-SF sweeps, queued for the r8 gate
+        "gopher_quality": q_gopher_quality,
+        "ngram_repetition": q_ngram_repetition,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
@@ -3073,6 +3120,86 @@ def oracle_sql() -> dict[str, str]:
     sql["repetition_features"] = f"""
         SELECT doc_id, {_rep_frac(2)} AS rep_2, {_rep_frac(3)} AS rep_3
         FROM documents
+    """
+    _GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
+    sql["gopher_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                  / greatest(len(toks), 1), 6) AS mean_word_len,
+            round((len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.'))
+                   + len(regexp_extract_all(text, '…'))) * 1.0
+                  / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+            round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) * 1.0
+                  / greatest(len(lines), 1), 6) AS bullet_frac,
+            round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0
+                  / greatest(len(lines), 1), 6) AS ellipsis_frac,
+            round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                  / greatest(len(toks), 1), 6) AS alpha_word_frac,
+            CAST(len(list_filter({_GOPHER_STOPS}, s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+          FROM t
+        )
+        SELECT *, (n_words >= 50 AND n_words <= 100000
+                   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   AND symbol_word_ratio <= 0.1
+                   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+                   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes
+        FROM f
+    """
+
+    def _gram_cte(n: int, tag: str) -> str:
+        # NON-distinct sliding n-grams (repetition needs multiplicities);
+        # list slice [i:i+n-1] is 1-based inclusive, range end exclusive
+        grams = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n - 2}), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+        return (
+            f"g{tag} AS (SELECT doc_id, unnest({grams}) AS gram FROM t), "
+            f"c{tag} AS (SELECT doc_id, gram, count(*) AS cnt "
+            f"FROM g{tag} GROUP BY doc_id, gram)"
+        )
+
+    sql["ngram_repetition"] = f"""
+        WITH t AS (
+          SELECT doc_id, length({_NORM}) AS nl, {_TOKS} AS toks
+          FROM documents
+        ),
+        {_gram_cte(2, "2")},
+        {_gram_cte(3, "3")},
+        {_gram_cte(5, "5")},
+        top2 AS (
+          SELECT doc_id, cnt * length(gram) AS mass,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, gram ASC) AS rn
+          FROM c2
+        ),
+        top3 AS (
+          SELECT doc_id, cnt * length(gram) AS mass,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, gram ASC) AS rn
+          FROM c3
+        ),
+        dup5 AS (
+          SELECT doc_id, sum(cnt * length(gram)) AS mass
+          FROM c5 WHERE cnt >= 2 GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+          round(least(coalesce(top2.mass, 0) * 1.0 / greatest(t.nl, 1), 1.0), 6) AS top_2,
+          round(least(coalesce(top3.mass, 0) * 1.0 / greatest(t.nl, 1), 1.0), 6) AS top_3,
+          round(least(coalesce(dup5.mass, 0) * 1.0 / greatest(t.nl, 1), 1.0), 6) AS dup_5
+        FROM t
+        LEFT JOIN top2 ON t.doc_id = top2.doc_id AND top2.rn = 1
+        LEFT JOIN top3 ON t.doc_id = top3.doc_id AND top3.rn = 1
+        LEFT JOIN dup5 ON t.doc_id = dup5.doc_id
     """
     sql["pii_features"] = f"""
         SELECT doc_id,

@@ -56,7 +56,13 @@ from faiss_spark.functions.corpus import (
     shuffle_corpus,
     temperature_sample,
 )
-from faiss_spark.functions.text import bigram_frequencies, term_frequencies
+from faiss_spark.functions.text import (
+    bigram_frequencies,
+    dup_ngram_char_frac,
+    gopher_quality_flags,
+    term_frequencies,
+    top_ngram_char_frac,
+)
 from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
     IMIIVFIndex,

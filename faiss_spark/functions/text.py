@@ -384,3 +384,230 @@ def char_ngram_perplexity(
             (-F.sum("lp") / F.count("*")).alias("bpc"),
         )
     )
+
+
+# The eight high-frequency English function words the Gopher rules test
+# for (Rae et al. 2021, appendix A1.1 "quality filtering"): a document
+# should contain at least 2 of them.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    appendix A1.1) as ONE codegen struct — the standard first-pass
+    pretraining filter. Fields: n_words, mean_word_len (chars per
+    whitespace token), symbol_word_ratio ('#' + '...' + '…' occurrences
+    per word), bullet_frac / ellipsis_frac (fraction of newline-split
+    raw-text lines starting with a bullet / ending with an ellipsis),
+    alpha_word_frac (fraction of tokens containing a letter), stop_hits
+    (DISTINCT GOPHER_STOPWORDS present), and `passes` — the conjunction
+    of the paper's thresholds (defaults are the paper's values).
+
+    Pure Spark SQL expressions — a 100 TB corpus gate is one map-only
+    codegen scan with zero shuffles, and every field has an exact
+    DuckDB twin (★gopher_quality). Word stats run over the normalized
+    text; line stats run over the RAW text (normalization collapses
+    newlines, which would erase the line structure the bullet/ellipsis
+    rules inspect)."""
+
+    def build_words(toks: Column) -> Column:
+        n_words = F.size(toks)
+        nw = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_len = (
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / nw
+        )
+        alpha_frac = (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nw
+        )
+        stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        stop_hits = F.size(
+            F.filter(stop, lambda s: F.array_contains(toks, s))
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            alpha_frac.alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    def build_lines(lines: Column) -> Column:
+        n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        bullet = F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+        )
+        ellipsis = F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+            )
+        )
+        return F.struct(
+            (bullet / n_lines).alias("bullet_frac"),
+            (ellipsis / n_lines).alias("ellipsis_frac"),
+        )
+
+    w = bind(tokens(text), build_words)
+    li = bind(F.split(text, "\n"), build_lines)
+    symbols = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    )
+    # evaluate both sub-structs once
+    def assemble(pair: Column) -> Column:
+        ws, ls = pair["w"], pair["l"]
+        symbol_ratio = pair["sym"] / F.greatest(
+            ws["n_words"], F.lit(1)
+        ).cast("double")
+        passes = (
+            (ws["n_words"] >= min_words)
+            & (ws["n_words"] <= max_words)
+            & (ws["mean_word_len"] >= min_mean_word_len)
+            & (ws["mean_word_len"] <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_word_ratio)
+            & (ls["bullet_frac"] <= max_bullet_frac)
+            & (ls["ellipsis_frac"] <= max_ellipsis_frac)
+            & (ws["alpha_word_frac"] >= min_alpha_word_frac)
+            & (ws["stop_hits"] >= min_stop_hits)
+        )
+        return F.struct(
+            ws["n_words"].alias("n_words"),
+            F.round(ws["mean_word_len"], 6).alias("mean_word_len"),
+            F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+            F.round(ls["bullet_frac"], 6).alias("bullet_frac"),
+            F.round(ls["ellipsis_frac"], 6).alias("ellipsis_frac"),
+            F.round(ws["alpha_word_frac"], 6).alias("alpha_word_frac"),
+            ws["stop_hits"].alias("stop_hits"),
+            passes.alias("passes"),
+        )
+
+    return bind(
+        F.struct(
+            w.alias("w"), li.alias("l"), symbols.cast("double").alias("sym")
+        ),
+        assemble,
+    )
+
+
+def _sliding_grams(toks: Column, n: int) -> Column:
+    """NON-distinct sliding word n-grams (repetition analysis needs the
+    multiplicities that `shingles` deliberately discards)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of the normalized text's characters attributable to the
+    single most frequent word n-gram (Gopher A1.1 repetition signal for
+    n in {2,3,4}): count(top gram) · len(top gram) / len(text), capped
+    at 1.0 (occurrences of a sliding gram may overlap). Ties break to
+    the lexicographically smallest gram, so the value is deterministic.
+
+    Plan: sort the gram list once, then ONE linear `aggregate` fold
+    over the sorted runs — O(G log G) per document in codegen, no
+    quadratic distinct×total rescan, no shuffle."""
+
+    def build(pair: Column) -> Column:
+        s, norm_len = pair["s"], pair["nl"]
+        init = F.struct(
+            F.lit("").alias("cur"),
+            F.lit(0).alias("curn"),
+            F.lit("").alias("best"),
+            F.lit(0).alias("bestn"),
+        )
+
+        def merge(acc: Column, g: Column) -> Column:
+            curn = F.when(g == acc["cur"], acc["curn"] + 1).otherwise(
+                F.lit(1)
+            )
+            # strict > keeps the FIRST (lexicographically smallest,
+            # since the list is sorted) gram on count ties
+            better = curn > acc["bestn"]
+            return F.struct(
+                g.alias("cur"),
+                curn.alias("curn"),
+                F.when(better, g).otherwise(acc["best"]).alias("best"),
+                F.when(better, curn).otherwise(acc["bestn"]).alias("bestn"),
+            )
+
+        top = F.aggregate(s, init, merge)
+        frac = (
+            top["bestn"].cast("double")
+            * F.length(top["best"]).cast("double")
+            / F.greatest(norm_len, F.lit(1)).cast("double")
+        )
+        return F.when(
+            F.size(s) > 0, F.round(F.least(frac, F.lit(1.0)), 6)
+        ).otherwise(F.lit(0.0))
+
+    return bind(
+        F.struct(
+            F.array_sort(_sliding_grams(tokens(text), n)).alias("s"),
+            F.length(normalize_text(text)).alias("nl"),
+        ),
+        build,
+    )
+
+
+def dup_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of the normalized text's characters attributable to word
+    n-grams occurring MORE THAN ONCE in the document (Gopher A1.1 uses
+    this for n in {5..10}): Σ_{g: count(g)≥2} count(g)·len(g) / len(text),
+    capped at 1.0. An occurrence is duplicated iff it equals a neighbor
+    in the sorted gram list, so the sum is one linear codegen pass —
+    O(G log G) per document, map-only at any corpus scale."""
+
+    def build(pair: Column) -> Column:
+        s, norm_len = pair["s"], pair["nl"]
+        mass = F.aggregate(
+            F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
+            F.lit(0.0),
+            # element_at is evaluated eagerly on BOTH Or branches, and
+            # index 0 throws even under try_ — clamp the left-neighbor
+            # index to 1 and let the (i > 1) conjunct void that case
+            lambda acc, i: acc
+            + F.when(
+                (
+                    (i > 1)
+                    & (
+                        F.try_element_at(s, i)
+                        == F.try_element_at(s, F.greatest(i - 1, F.lit(1)))
+                    )
+                )
+                | (F.try_element_at(s, i) == F.try_element_at(s, i + 1)),
+                F.length(F.try_element_at(s, i)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        frac = mass / F.greatest(norm_len, F.lit(1)).cast("double")
+        return F.when(
+            F.size(s) > 0, F.round(F.least(frac, F.lit(1.0)), 6)
+        ).otherwise(F.lit(0.0))
+
+    return bind(
+        F.struct(
+            F.array_sort(_sliding_grams(tokens(text), n)).alias("s"),
+            F.length(normalize_text(text)).alias("nl"),
+        ),
+        build,
+    )

@@ -501,3 +501,118 @@ def test_span_hot_hash_plan_broadcasts(tables):
         duplicated_spans(docs, n=8, prefilter="hot_hash"), mode="simple"
     )
     assert "BroadcastHashJoin" in p, p
+
+
+# ===================================================== gopher quality rules
+
+
+def test_gopher_quality_flags_line_rules(spark):
+    """Bullet/ellipsis line rules on a real multi-line fixture (the
+    synthetic corpus has no newlines, so these rules are pinned here)."""
+    from faiss_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "- one\n* two\n• three\nplain"),        # 3/4 bullets
+            (2, "ends here...\nand this one…\nnot this"),  # 2/3 ellipsis
+            (3, "# tag # tag ... done"),                 # symbols
+        ],
+        "doc_id bigint, text string",
+    )
+    g = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert g[1]["bullet_frac"] == pytest.approx(0.75)
+    assert g[1]["ellipsis_frac"] == 0.0
+    assert g[2]["ellipsis_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert g[2]["bullet_frac"] == 0.0
+    # '#' twice + '...' once over 6 tokens ('#' and '...' count as words)
+    assert g[3]["symbol_word_ratio"] == pytest.approx(3 / 6)
+
+
+def test_gopher_quality_passes_conjunction(spark):
+    """A document engineered to satisfy every published threshold passes;
+    single-rule violations (too short / no stopwords) fail."""
+    from faiss_spark.functions.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy and"] * 6
+    )  # 66 words, all alpha, mean len in [3,10], >=2 stopwords
+    short = "the cat sat with that hat"  # < 50 words
+    nostop = " ".join(["zebra"] * 60)  # no gopher stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop)], "doc_id bigint, text string"
+    )
+    g = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert g[1]["passes"] is True
+    assert g[2]["passes"] is False and g[2]["n_words"] < 50
+    assert g[3]["passes"] is False and g[3]["stop_hits"] == 0
+
+
+def test_ngram_char_fracs_match_python(spark):
+    """top_ngram_char_frac / dup_ngram_char_frac vs a pure-python
+    reference on deterministic pseudo-random word docs — pins the
+    sorted-fold implementation (tie-break = lexicographically smallest
+    top gram) against the naive counter."""
+    import random
+    from collections import Counter
+
+    from faiss_spark.functions.text import (
+        dup_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(20)
+    ]
+
+    def ref(text: str, n: int) -> tuple:
+        toks = text.split(" ") if text else [""]
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        nl = max(len(text), 1)
+        if not grams:
+            return 0.0, 0.0
+        cnt = Counter(grams)
+        # max count, ties -> lexicographically smallest
+        best = min(
+            (g for g in cnt if cnt[g] == max(cnt.values()))
+        )
+        top = round(min(1.0, cnt[best] * len(best) / nl), 6)
+        dup = round(
+            min(
+                1.0,
+                sum(c * len(g) for g, c in cnt.items() if c >= 2) / nl,
+            ),
+            6,
+        )
+        return top, dup
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for n in (2, 3):
+        rows = {
+            r["doc_id"]: (r["t"], r["d"])
+            for r in df.select(
+                "doc_id",
+                top_ngram_char_frac(F.col("text"), n).alias("t"),
+                dup_ngram_char_frac(F.col("text"), n).alias("d"),
+            ).collect()
+        }
+        for i, text in docs:
+            assert rows[i] == pytest.approx(ref(text, n), abs=1e-9), (
+                n,
+                i,
+                text,
+            )
