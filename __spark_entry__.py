@@ -2202,6 +2202,50 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_nsg_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexNSGSQ (reference faiss/IndexNSG.h:90, factory NSG<R>,SQ<b>):
+    vectors live as scalar-quantized codes, the beam walk decodes per
+    shard. Properties: (1) recall@K vs exact knn ≥ 0.8 at search_L=64
+    (SQ8 noise barely dents the walk); (2) on a 1-shard slice with an
+    exhaustive pool the result EQUALS brute-force knn over the DECODED
+    vectors — ranks included — pinning the decode path bit-for-bit."""
+    from faiss_spark.operators.codecs import ScalarQuantizer
+    from faiss_spark.operators.nsg import NSGIndex
+
+    vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
+    idx = NSGIndex.build(
+        vecs, R=16, knn_k=24, nshards=32, storage="sq", sq_bits=8
+    )
+    res = idx.search(qs, K, search_L=64)
+    recall, _ = _pair_recall(
+        res.select("qid", "id"), knn(vecs, qs, K).select("qid", "id")
+    )
+    sub = vecs.filter(F.col("id") < 400)
+    n_sub = sub.count()
+    idx1 = NSGIndex.build(
+        sub, R=16, knn_k=24, nshards=1, storage="sq", sq_bits=8
+    )
+    model = ScalarQuantizer(bits=8).fit(sub)
+    decoded = model.decode(model.encode(sub))
+    qs_sub = qs.filter(F.col("qid") < 400)
+    truth = {
+        (r["qid"], r["rank"], r["id"])
+        for r in knn(decoded, qs_sub, K).collect()
+    }
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx1.search(qs_sub, K, search_L=n_sub).collect()
+    }
+    return _prop_df(
+        spark,
+        [
+            ("nsg_sq_recall_vs_exact_ge_0.8", recall >= 0.8),
+            ("nsg_sq_exhaustive_equals_decoded_knn", got == truth),
+        ],
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rule set (Rae et al. 2021 A1.1) as
     one codegen struct per doc — word count/length bounds, symbol and
@@ -2327,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local 3-SF sweeps, queued for the r8 gate
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
+        "nsg_sq_search": q_nsg_sq_search,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
@@ -3339,6 +3384,10 @@ def oracle_sql() -> dict[str, str]:
     sql["nsg_search"] = (
         "SELECT 'nsg_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'nsg_self_found_at_rank1', TRUE"
+    )
+    sql["nsg_sq_search"] = (
+        "SELECT 'nsg_sq_recall_vs_exact_ge_0.8' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'nsg_sq_exhaustive_equals_decoded_knn', TRUE"
     )
     sql["bigram_frequencies"] = f"""
         WITH toks AS (

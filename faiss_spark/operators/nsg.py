@@ -294,6 +294,9 @@ class NSGIndex:
     # search (the IndexNSGPQ composition, reference faiss/IndexNSG.h:83 —
     # the config where a 100 TB graph's vectors actually fit in RAM)
     pq_codebooks: np.ndarray | None = None  # (M, ksub, dsub)
+    # storage="sq": scalar-quantized codes (the IndexNSGSQ composition,
+    # reference faiss/IndexNSG.h:90 / index_factory parse_IndexNSG SQ<b>)
+    sq_model: "object | None" = None  # codecs.ScalarQuantizerModel
 
     @staticmethod
     def build(
@@ -306,6 +309,7 @@ class NSGIndex:
         storage: str = "flat",
         pq_m: int = 16,
         pq_nbits: int = 8,
+        sq_bits: int = 8,
         id_col: str = "id",
         vec_col: str = "vec",
         seed: int = 1234,
@@ -314,6 +318,7 @@ class NSGIndex:
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
         pq_books = None
+        sq_model = None
         if storage == "pq":
             from faiss_spark.operators.codecs import ProductQuantizer
 
@@ -322,8 +327,14 @@ class NSGIndex:
                 .fit(src)
                 .codebooks
             )
+        elif storage == "sq":
+            from faiss_spark.operators.codecs import ScalarQuantizer
+
+            sq_model = ScalarQuantizer(bits=sq_bits).fit(src)
         elif storage != "flat":
-            raise ValueError(f"storage must be 'flat' or 'pq', got {storage!r}")
+            raise ValueError(
+                f"storage must be 'flat', 'pq' or 'sq', got {storage!r}"
+            )
         centroids = None
         cell_subs = None
         if sharding == "cells":
@@ -372,7 +383,7 @@ class NSGIndex:
             raise ValueError(f"sharding must be 'hash' or 'cells', got {sharding!r}")
         R_, knn_k_ = R, knn_k
         spark = src.sparkSession
-        bc_books = spark.sparkContext.broadcast(pq_books)
+        bc_books = spark.sparkContext.broadcast((pq_books, sq_model))
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             X = as_matrix(pdf["vec"])
@@ -387,19 +398,23 @@ class NSGIndex:
                 "neighbors": neigh,
                 "is_ep": np.arange(len(ids)) == ep,
             }
-            books = bc_books.value
+            books, sqm = bc_books.value
             if books is not None:
                 from faiss_spark.operators.codecs import ProductQuantizerModel
 
                 out["code"] = list(
                     map(bytes, ProductQuantizerModel(codebooks=books).encode_np(X))
                 )
+            elif sqm is not None:
+                out["code"] = list(map(bytes, sqm.encode_np(X)))
             else:
                 out["vec"] = pdf["vec"]
             return pd.DataFrame(out)
 
         payload = (
-            "code binary" if pq_books is not None else "vec array<float>"
+            "code binary"
+            if (pq_books is not None or sq_model is not None)
+            else "vec array<float>"
         )
         table = src.repartition(nshards, "shard").groupBy("shard").applyInPandas(
             build_shard,
@@ -413,6 +428,7 @@ class NSGIndex:
             centroids=centroids,
             cell_subs=cell_subs,
             pq_codebooks=pq_books,
+            sq_model=sq_model,
         )
 
     def save(self, path: str) -> "NSGIndex":
@@ -447,6 +463,20 @@ class NSGIndex:
             spark.createDataFrame(pd.DataFrame(rows)).write.mode(
                 "overwrite"
             ).parquet(path + "_pq")
+        if self.sq_model is not None:
+            m = self.sq_model
+            spdf = pd.DataFrame(
+                {
+                    "dim": np.arange(m.d, dtype=np.int32),
+                    "vmin": m.vmin.astype(np.float64),
+                    "vdiff": m.vdiff.astype(np.float64),
+                    "bits": np.full(m.d, m.bits, np.int32),
+                    "variant": [m.variant] * m.d,
+                }
+            )
+            spark.createDataFrame(spdf).write.mode("overwrite").parquet(
+                path + "_sq"
+            )
         return self
 
     @staticmethod
@@ -484,9 +514,24 @@ class NSGIndex:
             pq_books = np.stack(
                 [np.asarray(s, np.float64) for s in pp["sub"]]
             ).reshape(M, ksub, dsub)
+        sq_model = None
+        try:
+            sp = spark.read.parquet(path + "_sq").toPandas()
+        except AnalysisException:
+            sp = None
+        if sp is not None:
+            from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+            sp = sp.sort_values("dim")
+            sq_model = ScalarQuantizerModel(
+                vmin=sp["vmin"].to_numpy(np.float64),
+                vdiff=sp["vdiff"].to_numpy(np.float64),
+                bits=int(sp["bits"].iloc[0]),
+                variant=str(sp["variant"].iloc[0]),
+            )
         return NSGIndex(
             table=t, nshards=nshards, R=R, centroids=centroids,
-            cell_subs=cell_subs, pq_codebooks=pq_books,
+            cell_subs=cell_subs, pq_codebooks=pq_books, sq_model=sq_model,
         )
 
     def search(
@@ -540,12 +585,12 @@ class NSGIndex:
             shard2q = {s: np.asarray(v, np.int64) for s, v in shard2q.items()}
             src = src.filter(F.col("shard").isin(probed))
         bc = spark.sparkContext.broadcast(
-            (qids, Q, shard2q, self.pq_codebooks)
+            (qids, Q, shard2q, self.pq_codebooks, self.sq_model)
         )
         k_, L_ = k, search_L
 
         def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            qids_all, Q_all, s2q, books = bc.value
+            qids_all, Q_all, s2q, books, sqm = bc.value
             shard = int(key[0])
             if s2q is not None:
                 qsel = s2q.get(shard)
@@ -564,6 +609,11 @@ class NSGIndex:
                     [np.frombuffer(c, np.uint8) for c in pdf["code"]]
                 )
                 X = ProductQuantizerModel(codebooks=books).decode_np(codes)
+            elif sqm is not None:
+                codes = np.stack(
+                    [np.frombuffer(c, np.uint8) for c in pdf["code"]]
+                )
+                X = sqm.decode_np(codes)
             else:
                 X = as_matrix(pdf["vec"])
             id2ix = {int(g): i for i, g in enumerate(ids)}

@@ -13,7 +13,7 @@ Supported subset (the workhorse combinations):
                 RQ<M>x4fs[r]} | IMI2x<b>,Flat |
                PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
                PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> | LSH[r][t] |
-               NSG<R>[,Flat|,PQ<m>[np]] | ZnLattice<n>x<r2>_<b>
+               NSG<R>[,Flat|,PQ<m>[np]|,SQ{4|6|8|fp16}] | ZnLattice<n>x<r2>_<b>
   refinement : RFlat | Refine(<codec>) (exact / codec-reconstruction
                re-rank of k*k_factor candidates, reference IndexRefine /
                IndexRefineFlat, index_factory.cpp:664-689)
@@ -98,9 +98,10 @@ class IndexPlan:
     # our PQ storage ranks on decoded codes, not Hamming prefilters — so
     # the np flag is parsed for round-trip fidelity and otherwise unused.
     nsg_r: int | None = None
-    nsg_storage: str = "flat"  # "flat" | "pq"
+    nsg_storage: str = "flat"  # "flat" | "pq" | "sq"
     nsg_pq_m: int | None = None
     nsg_pq_np: bool = False
+    nsg_sq_bits: int | None = None
     # IVF<n>_NSG<R> / IVF<n>_HNSW<M> (reference index_factory.cpp:253-268):
     # the coarse quantizer is a graph index over the CENTROIDS, used to
     # route queries to probe lists without scanning all nlist centroids.
@@ -286,6 +287,7 @@ class IndexPlan:
             self.index = NSGIndex.build(
                 cur, R=self.nsg_r, storage=self.nsg_storage,
                 pq_m=self.nsg_pq_m or 16,
+                sq_bits=self.nsg_sq_bits or 8,
             )
         elif self.index_type == "lattice":
             from faiss_spark.operators.lattice import LatticeIndex
@@ -653,12 +655,20 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             # storage stage (reference parse_IndexNSG,
             # index_factory.cpp:482-506: Flat | PQ<m>[np] | SQ<b>)
             sm = re.match(r"^PQ(\d+)(np)?$", tokens[i])
+            qm = re.match(r"^SQ(4|6|8|fp16)$", tokens[i])
             if tokens[i] == "Flat":
                 i += 1
             elif sm:
                 plan.nsg_storage = "pq"
                 plan.nsg_pq_m = int(sm.group(1))
                 plan.nsg_pq_np = sm.group(2) == "np"
+                i += 1
+            elif qm:
+                # IndexNSGSQ (reference parse_IndexNSG SQ<b>)
+                plan.nsg_storage = "sq"
+                plan.nsg_sq_bits = {"4": 4, "6": 6, "8": 8, "fp16": 16}[
+                    qm.group(1)
+                ]
                 i += 1
     elif re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok):
         lm = re.match(r"^ZnLattice(\d+)x(\d+)_(\d+)$", tok)
@@ -767,7 +777,11 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         )
     elif plan.index_type == "nsg":
         parts.append(f"NSG{plan.nsg_r}")
-        if plan.nsg_storage == "pq":
+        if plan.nsg_storage == "sq":
+            parts.append(
+                {4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.nsg_sq_bits]
+            )
+        elif plan.nsg_storage == "pq":
             parts.append(
                 f"PQ{plan.nsg_pq_m}" + ("np" if plan.nsg_pq_np else "")
             )
@@ -821,7 +835,13 @@ def get_code_size(d: int, plan: IndexPlan) -> int:
         # nbits = d sign bits (reference IndexLSH ctor: (nbits+7)/8)
         return (d + 7) // 8
     if plan.index_type == "nsg":
-        return plan.nsg_pq_m if plan.nsg_storage == "pq" else d * 4
+        if plan.nsg_storage == "pq":
+            return plan.nsg_pq_m
+        if plan.nsg_storage == "sq":
+            if plan.nsg_sq_bits == 16:
+                return 2 * d
+            return (d * plan.nsg_sq_bits + 7) // 8
+        return d * 4
     if plan.index_type == "lattice":
         from faiss_spark.operators.lattice import ZnSphereCodec
 

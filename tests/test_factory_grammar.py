@@ -225,3 +225,25 @@ def test_ivfpq_fastscan_nonresidual_fullprobe_equals_flat(vectors, queries):
         ).collect()
     }
     assert ivf == flat
+
+
+def test_nsg_sq_storage_tokens(vectors, queries, exact10):
+    """NSG<R>,SQ<b> (reference parse_IndexNSG SQ branch -> IndexNSGSQ):
+    parse, reverse round-trip, code size, and a search recall floor."""
+    from faiss_spark.plans.factory import reverse_index_factory
+
+    plan = index_factory("NSG32,SQ8")
+    assert plan.nsg_storage == "sq" and plan.nsg_sq_bits == 8
+    assert reverse_index_factory(plan) == "NSG32,SQ8"
+    assert get_code_size(64, plan) == 64
+    assert get_code_size(64, index_factory("NSG32,SQ4")) == 32
+    assert get_code_size(64, index_factory("NSG32,SQ6")) == 48
+    assert get_code_size(64, index_factory("NSG32,SQfp16")) == 128
+    assert (
+        reverse_index_factory(index_factory("NSG16,SQfp16"))
+        == "NSG16,SQfp16"
+    )
+    fitted = index_factory("NSG32,SQ8").fit(vectors)
+    res = fitted.search(queries, 10)
+    assert res.count() == 8 * 10
+    assert _recall(res, exact10) >= 0.6

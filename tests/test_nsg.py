@@ -274,3 +274,60 @@ def test_nsg_pq_storage_recall_and_roundtrip(vectors, spark, tmp_path):
     a = {(r["qid"], r["rank"], r["id"]) for r in idx.search(queries, 5).collect()}
     b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 5).collect()}
     assert a == b
+
+
+def test_nsg_sq_storage_exact_over_decoded_and_roundtrip(
+    vectors, spark, tmp_path
+):
+    """storage='sq' (IndexNSGSQ, reference faiss/IndexNSG.h:90 /
+    parse_IndexNSG SQ<b>): vectors live as scalar-quantized codes, the
+    walk decodes per shard. With ONE shard and an exhaustive pool the
+    result EQUALS brute-force knn over the decoded vectors — pins the
+    decode path bit-for-bit, not just a recall bound. Persistence
+    round-trips the (vmin, vdiff, bits) sidecar."""
+    from faiss_spark.operators.codecs import ScalarQuantizer
+
+    n = vectors.count()
+    idx = NSGIndex.build(
+        vectors, R=16, knn_k=24, nshards=1, storage="sq", sq_bits=8
+    )
+    assert idx.sq_model is not None and idx.pq_codebooks is None
+    assert "code" in idx.table.columns and "vec" not in idx.table.columns
+    queries = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    # brute-force truth over the SAME decoded vectors (same SQ model:
+    # minmax fit is deterministic)
+    model = ScalarQuantizer(bits=8).fit(vectors)
+    decoded = (
+        model.decode(model.encode(vectors))
+        .select("id", F.col("vec"))
+    )
+    truth = {
+        (r["qid"], r["rank"], r["id"])
+        for r in knn(decoded, queries, 10).collect()
+    }
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(queries, k=10, search_L=n).collect()
+    }
+    assert got == truth
+    path = str(tmp_path / "nsg_sq")
+    idx.save(path)
+    loaded = NSGIndex.load(spark, path)
+    assert loaded.sq_model is not None
+    assert loaded.sq_model.bits == 8
+    a = {(r["qid"], r["rank"], r["id"]) for r in idx.search(queries, 5).collect()}
+    b = {(r["qid"], r["rank"], r["id"]) for r in loaded.search(queries, 5).collect()}
+    assert a == b
+
+
+def test_nsg_sq_recall_close_to_flat(vectors):
+    """SQ8 quantization noise should barely dent recall vs the flat
+    index at the same parameters."""
+    idx = NSGIndex.build(vectors, R=16, knn_k=24, nshards=2, storage="sq")
+    queries = vectors.filter("id < 30").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, queries, 10).collect()}
+    got = {
+        (r["qid"], r["id"])
+        for r in idx.search(queries, k=10, search_L=64).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.8
