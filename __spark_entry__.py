@@ -2202,6 +2202,33 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_repeat_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional corpus repetition (Pile/DoReMi epoch up-sampling):
+    src0 seen 2.5x, src1 0.5x, everything else once — floor(r) copies
+    plus a deterministic md5-draw extra for frac(r). Map-only explode,
+    zero shuffle; hash-exact vs the DuckDB twin (thresholds are hex
+    string literals, no float boundaries)."""
+    from faiss_spark.functions.corpus import repeat_corpus
+
+    rep = repeat_corpus(
+        _docs(spark, sf_dir), {"src0": 2.5, "src1": 0.5}, seed=3
+    )
+    return rep.select("doc_id", "source", "epoch")
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsampling ("take 400 tokens per
+    domain"): docs ranked by md5 draw, kept while the preceding running
+    token total is under budget. Spark side is the two-level bucketed
+    cumsum (256x the window parallelism of the naive per-domain
+    window); the oracle is the naive global window — equality IS the
+    bit-exactness proof of the bucketed decomposition."""
+    from faiss_spark.functions.corpus import token_budget_sample
+
+    got = token_budget_sample(_docs(spark, sf_dir), 400, seed=1)
+    return got.select("doc_id", "source", "n_tokens", "cum_before")
+
+
 def q_nsg_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexNSGSQ (reference faiss/IndexNSG.h:90, factory NSG<R>,SQ<b>):
     vectors live as scalar-quantized codes, the beam walk decodes per
@@ -2372,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
         "nsg_sq_search": q_nsg_sq_search,
+        "repeat_corpus": q_repeat_corpus,
+        "token_budget_sample": q_token_budget_sample,
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
@@ -3165,6 +3194,40 @@ def oracle_sql() -> dict[str, str]:
     sql["repetition_features"] = f"""
         SELECT doc_id, {_rep_frac(2)} AS rep_2, {_rep_frac(3)} AS rep_3
         FROM documents
+    """
+    # repeat_corpus: frac(2.5) = frac(0.5) = 0.5 -> threshold hex
+    # floor(0.5 * 2^32) = 0x80000000 (same rate_hex discipline as
+    # temperature_sample); seed=3 -> draw = substr(md5(id || ':3'), 1, 8)
+    sql["repeat_corpus"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = 'src0' THEN 2
+                      WHEN source = 'src1' THEN 0
+                      ELSE 1 END
+                 + CASE WHEN source IN ('src0', 'src1')
+                         AND substr(md5(doc_id || ':3'), 1, 8) < '80000000'
+                        THEN 1 ELSE 0 END AS reps
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(unnest(range(reps)) AS INT) AS epoch
+        FROM r WHERE reps > 0
+    """
+    sql["token_budget_sample"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 substr(md5(doc_id || ':1'), 1, 8) AS draw
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY draw, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS BIGINT) AS cum_before
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before < 400
     """
     _GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
     sql["gopher_quality"] = f"""

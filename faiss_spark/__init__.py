@@ -53,8 +53,10 @@ from faiss_spark.functions.corpus import (
     assign_splits,
     chunk_documents,
     pack_sequences,
+    repeat_corpus,
     shuffle_corpus,
     temperature_sample,
+    token_budget_sample,
 )
 from faiss_spark.functions.text import (
     bigram_frequencies,
@@ -152,11 +154,16 @@ __all__ = [
     "simhash64_neardup_pairs",
     "term_frequencies",
     "bigram_frequencies",
+    "gopher_quality_flags",
+    "top_ngram_char_frac",
+    "dup_ngram_char_frac",
     "pack_sequences",
     "temperature_sample",
     "assign_splits",
     "chunk_documents",
+    "repeat_corpus",
     "shuffle_corpus",
+    "token_budget_sample",
     "bpe_train",
     "bpe_encode",
     "bpe_word_counts",

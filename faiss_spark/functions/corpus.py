@@ -283,3 +283,138 @@ def shuffle_corpus(
         .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("bigint"))
         .drop("_shuffle_key")
     )
+
+
+def repeat_corpus(
+    df: DataFrame,
+    rates: "dict[str, float] | float",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fractional corpus repetition — the epoch up-/down-sampling step of
+    a mixed-domain pretraining run (the Pile/DoReMi shape: "see domain s
+    r_s times per epoch", r_s need not be an integer): a document in
+    domain s appears floor(r_s) times, plus once more iff its
+    deterministic uniform draw falls under frac(r_s). r_s < 1 is plain
+    down-sampling; r_s = 0 drops the domain. Expected copies per doc =
+    exactly r_s.
+
+    Output = the input columns plus ``epoch`` (0-based copy index) —
+    feed it to ``shuffle_corpus`` keyed on (id, epoch) to interleave the
+    copies. Deterministic: same (id, seed) → same copy count under any
+    input partitioning; the draw is the md5 hex discipline shared by
+    ``temperature_sample`` (oracle-exact, no float boundaries).
+
+    Scale shape: rates are a literal map (or one float) — the corpus
+    scan is MAP-ONLY (per-row explode of a 0..reps-1 sequence, no join,
+    no shuffle at any scale).
+    """
+    if not isinstance(rates, dict):
+        rates = {None: float(rates)}
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"repeat_corpus: negative rate {r} for {s!r}")
+
+    def parts(r: float) -> tuple[int, float]:
+        base = int(r)
+        return base, round(r - base, 9)
+
+    if None in rates:
+        base, frac = parts(rates[None])
+        base_col = F.lit(base)
+        frac_col = F.lit(frac)
+    else:
+        base_col, frac_col = F.lit(None), F.lit(None)
+        for s, r in sorted(rates.items()):
+            base, frac = parts(r)
+            cond = F.col(group_col) == s
+            base_col = F.when(cond, base).otherwise(base_col)
+            frac_col = F.when(cond, frac).otherwise(frac_col)
+        # domains absent from the map keep one copy (rate 1.0)
+        base_col = F.coalesce(base_col, F.lit(1))
+        frac_col = F.coalesce(frac_col, F.lit(0.0))
+    extra = (
+        uniform_hex(F.col(id_col), seed) < rate_hex(frac_col)
+    ).cast("int")
+    reps = (base_col + extra).cast("int")
+    return (
+        df.withColumn("_reps", reps)
+        .filter(F.col("_reps") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1))
+        )
+        .drop("_reps")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: "dict[str, int] | int",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic token-budget subsampling — "take N tokens from each
+    domain": documents are ranked by a per-doc uniform draw (a
+    deterministic shuffle) and kept while the running token total of
+    the documents AHEAD of them is under the domain's budget; the doc
+    that crosses the budget is the last one kept (so the selection is
+    never empty for a positive budget and overshoots by < 1 doc).
+    Re-runs, resumes, and any input partitioning select the SAME set.
+
+    Scale shape — the naive plan is a window over PARTITION BY source,
+    one sequential task per domain (a straggler at 100 TB with few
+    domains). Instead the running total is a TWO-LEVEL exact cumsum:
+    the draw's first 2 hex chars bucket each domain into 256 slices;
+    per-(domain, bucket) token sums are a tiny map-side aggregate whose
+    exclusive prefix (computed on the 256-row-per-domain table) is
+    broadcast back as each bucket's offset, and the corpus-side window
+    runs per (domain, bucket) — 256× the parallelism, bit-identical to
+    the global cumsum because the bucket is a PREFIX of the ordering
+    key. Returns the input columns + (n_tokens, cum_before).
+    """
+    if isinstance(budget, dict):
+        bcol = F.lit(None)
+        for s, b in sorted(budget.items()):
+            bcol = F.when(F.col(group_col) == s, F.lit(int(b))).otherwise(bcol)
+        budget_col = bcol.cast("bigint")
+    else:
+        budget_col = F.lit(int(budget)).cast("bigint")
+    draw = uniform_hex(F.col(id_col), seed)
+    src = (
+        df.withColumn("_draw", draw)
+        .withColumn("_bucket", F.substring("_draw", 1, 2))
+        .withColumn(
+            "n_tokens", token_count(F.col(text_col)).cast("bigint")
+        )
+    )
+    bucket_sums = src.groupBy(group_col, "_bucket").agg(
+        F.sum("n_tokens").alias("_bsum")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        group_col,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_offset"),
+    )
+    win = Window.partitionBy(group_col, "_bucket").orderBy("_draw", id_col)
+    joined = src.join(F.broadcast(offsets), on=[group_col, "_bucket"])
+    out = (
+        joined.withColumn(
+            "cum_before",
+            (
+                F.col("_offset")
+                + F.sum("n_tokens").over(win)
+                - F.col("n_tokens")
+            ).cast("bigint"),
+        )
+        .filter(F.col("cum_before") < budget_col)
+        .drop("_draw", "_bucket", "_offset")
+    )
+    return out.select(*df.columns, "n_tokens", "cum_before")

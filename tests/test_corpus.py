@@ -298,3 +298,148 @@ def test_shuffle_corpus_single_exchange(docs):
     assert p.count("Exchange") == 1, p
     assert "hashpartitioning(shard" in p, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+# ===================================================== fractional repetition
+
+
+def test_repeat_corpus_counts_and_determinism(docs):
+    """floor(r) copies + bernoulli(frac(r)) extra: every doc of a rate-2.5
+    domain appears 2 or 3 times; a rate-0.5 domain 0 or 1; unlisted
+    domains exactly once; decisions stable under repartitioning and the
+    empirical mean tracks r."""
+    from faiss_spark.functions.corpus import repeat_corpus
+
+    rep = repeat_corpus(docs, {"s0": 2.5, "s1": 0.5}, seed=3)
+    per_doc = {
+        (r["doc_id"]): r["cnt"]
+        for r in rep.groupBy("doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    for i, s in src.items():
+        c = per_doc.get(i, 0)
+        if s == "s0":
+            assert c in (2, 3), (i, c)
+        elif s == "s1":
+            assert c in (0, 1), (i, c)
+        else:
+            assert c == 1, (i, c)
+    n0 = sum(c for i, c in per_doc.items() if src[i] == "s0")
+    assert 2 * 36 <= n0 <= 3 * 36
+    # epochs are 0..copies-1
+    eps = rep.filter(F.col("source") == "s0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("e")
+    )
+    for r in eps.collect():
+        assert r["e"] == list(range(len(r["e"])))
+    again = repeat_corpus(
+        docs.repartition(7), {"s0": 2.5, "s1": 0.5}, seed=3
+    )
+    a = sorted((r["doc_id"], r["epoch"]) for r in rep.select("doc_id", "epoch").collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in again.select("doc_id", "epoch").collect())
+    assert a == b
+
+
+def test_repeat_corpus_scalar_rate_and_validation(docs):
+    from faiss_spark.functions.corpus import repeat_corpus
+
+    assert repeat_corpus(docs, 2.0).count() == 2 * docs.count()
+    with pytest.raises(ValueError, match="negative"):
+        repeat_corpus(docs, {"s0": -1.0})
+
+
+def test_repeat_corpus_is_map_only(docs):
+    """Rates are literals — the corpus scan is one map-only stage (zero
+    Exchange in the plan)."""
+    from faiss_spark.functions.corpus import repeat_corpus
+    from tests.test_plans import plan
+
+    p = plan(
+        repeat_corpus(
+            docs.localCheckpoint(eager=True), {"s0": 1.5}
+        ),
+        mode="simple",
+    )
+    assert "Exchange" not in p, p
+
+
+# ===================================================== token-budget sampling
+
+
+def test_token_budget_two_level_cumsum_equals_global_window(docs):
+    """The bucketed two-level running total must be BIT-IDENTICAL to the
+    naive single-window-per-domain cumsum (the bucket is a prefix of the
+    ordering key), and the kept set obeys the budget contract: every
+    kept doc's preceding total < budget, and per domain the first
+    crossing doc is kept, everything later dropped."""
+    from pyspark.sql import Window
+
+    from faiss_spark.functions.corpus import token_budget_sample, uniform_hex
+    from faiss_spark.functions.text import token_count
+
+    budget = 60
+    got = token_budget_sample(docs, budget, seed=1)
+    w = Window.partitionBy("source").orderBy(
+        uniform_hex(F.col("doc_id"), 1), "doc_id"
+    )
+    naive = (
+        docs.withColumn("n_tokens", token_count(F.col("text")).cast("bigint"))
+        .withColumn(
+            "cum_before",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+        )
+        .filter(F.col("cum_before") < budget)
+    )
+    a = sorted(
+        (r["doc_id"], r["cum_before"])
+        for r in got.select("doc_id", "cum_before").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cum_before"])
+        for r in naive.select("doc_id", "cum_before").collect()
+    )
+    assert a == b and len(a) > 0
+    assert all(c < budget for _, c in a)
+    # per-domain token totals overshoot by strictly less than one doc
+    tot = {
+        r["source"]: (r["t"], r["n"])
+        for r in got.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .collect()
+    }
+    for s, (t, n) in tot.items():
+        assert t >= budget or n == 36 or s == "rare", (s, t, n)
+
+
+def test_token_budget_per_domain_budgets(docs):
+    from faiss_spark.functions.corpus import token_budget_sample
+
+    got = token_budget_sample(docs, {"s0": 30, "s1": 10**9}, seed=1)
+    kept = {r["source"] for r in got.select("source").distinct().collect()}
+    # unlisted domains have NULL budget -> nothing kept from them
+    assert kept == {"s0", "s1"}
+    # the huge budget keeps all of s1
+    assert got.filter(F.col("source") == "s1").count() == 36
+
+
+def test_token_budget_window_is_bucketed(docs):
+    """Plan pin: the corpus-side running sum windows on (domain, bucket),
+    never on the domain alone — the 100 TB straggler shape."""
+    from faiss_spark.functions.corpus import token_budget_sample
+    from tests.test_plans import plan
+
+    p = plan(
+        token_budget_sample(docs.localCheckpoint(eager=True), 60),
+        mode="formatted",
+    )
+    import re
+
+    wins = [
+        ln for ln in p.splitlines() if "Window" in ln or "windowspec" in ln.lower()
+    ]
+    # every corpus-side Window partition spec that mentions n_tokens must
+    # include the bucket column
+    body = p.lower()
+    assert "_bucket" in body, p
