@@ -2315,6 +2315,21 @@ def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level exact dedup across the corpus (Wenzek 2019
+    §3.1 — the pre-MinHash step of RefinedWeb/FineWeb): drop every line
+    whose fingerprint already occurred at a smaller (doc_id, line_no),
+    reassemble survivors in order. The synthetic corpus is newline-free,
+    so the entry runs at sep=' ' (word granularity) — same plan, same
+    keep-first semantics, and the reassembled text is hash-checked
+    byte-exactly. Scale shape: firsts = map-side-combinable agg (never a
+    window over the hash — a 10⁹-copy boilerplate line would serialize
+    one window partition), then one hash join + one doc regroup."""
+    from faiss_spark.operators.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), sep=" ")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1): this round the
@@ -2398,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local 3-SF sweeps, queued for the r8 gate
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
+        "line_dedup": q_line_dedup,
         "nsg_sq_search": q_nsg_sq_search,
         "repeat_corpus": q_repeat_corpus,
         "token_budget_sample": q_token_budget_sample,
@@ -3648,6 +3664,46 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'residual_norm_is_min_centroid_dist' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'residual_explains_variance', TRUE"
     )
+    # line_dedup at sep=' ': word-granularity corpus-wide keep-first.
+    # Oracle mirrors the operator exactly: per-line md5 of the normalized
+    # line, first occurrence by (id, pos), exempt lines (trimmed len < 1)
+    # kept unconditionally, survivors reassembled in order.
+    sql["line_dedup"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts
+                   FROM documents),
+        lines AS (
+          SELECT doc_id AS id,
+                 unnest(generate_series(1, len(parts))) - 1 AS pos,
+                 unnest(parts) AS line
+          FROM t
+        ),
+        h AS (
+          SELECT id, pos, line,
+                 md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) AS hh,
+                 len(trim(line)) < 1 AS exempt
+          FROM lines
+        ),
+        firsts AS (
+          SELECT hh, id AS fid, pos AS fpos FROM (
+            SELECT hh, id, pos,
+                   row_number() OVER (PARTITION BY hh ORDER BY id, pos) AS rn
+            FROM h WHERE NOT exempt) WHERE rn = 1
+        ),
+        kept AS (
+          SELECT l.id, l.pos, l.line
+          FROM h l LEFT JOIN firsts f ON l.hh = f.hh
+          WHERE l.exempt OR (f.fid = l.id AND f.fpos = l.pos)
+        ),
+        rebuilt AS (
+          SELECT id, string_agg(line, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY id
+        )
+        SELECT t.doc_id, coalesce(r.text, '') AS text,
+               CAST(len(t.parts) AS BIGINT) AS n_lines,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM t LEFT JOIN rebuilt r ON t.doc_id = r.id
+    """
     sql["chunk_documents"] = f"""
         WITH t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
         c AS (

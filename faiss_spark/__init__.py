@@ -41,6 +41,7 @@ from faiss_spark.operators.dedup import (
     duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
+    line_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicated_spans,
@@ -145,6 +146,7 @@ __all__ = [
     "jaccard_knn",
     "dedup_components",
     "exact_dedup",
+    "line_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",

@@ -737,6 +737,101 @@ def decontaminate(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style line/paragraph-level exact dedup ACROSS the corpus
+    (Wenzek et al. 2019 §3.1; the step RefinedWeb/FineWeb run before
+    document-level MinHash): split every document on ``sep``, drop each
+    line whose fingerprint already occurred at a smaller (doc_id,
+    line_no) anywhere in the corpus, keep the first occurrence, and
+    reassemble the surviving lines in order.
+
+    Lines shorter than ``min_chars`` after trimming are exempt (kept
+    unconditionally) — CCNet hashes only real paragraphs; deduping ""
+    or "*" would shred structure. ``normalize=True`` fingerprints the
+    casefolded/whitespace-collapsed line (the operator's
+    ``fingerprint``), so lines differing only in case/extra spaces
+    dedup together; the KEPT text is always the original bytes.
+
+    Returns one row per input document:
+      (doc_id, text, n_lines, n_kept) — ``text`` is the reassembled
+    document (possibly empty when every line was a duplicate);
+    filtering empties is the caller's policy decision.
+
+    Scale shape (100 TB): the first-occurrence table is a
+    map-side-combinable ``groupBy(hash).agg(min(struct(id, pos)))`` —
+    NOT a window over the hash (a boilerplate line occurring 10⁹ times
+    would serialize one sorted window partition; the agg partial-
+    combines in the scan tasks and the subsequent hash join is
+    AQE-skew-splittable). Three shuffles total: firsts agg, the
+    line⋈firsts hash join, and the doc-id regroup.
+    """
+    import re as _re
+
+    if not sep:
+        raise ValueError("line_dedup: sep must be a non-empty string")
+    if min_chars < 0:
+        raise ValueError(f"line_dedup: min_chars must be >= 0, got {min_chars}")
+    line_key = fingerprint(F.col("line")) if normalize else F.md5(F.col("line"))
+    lines = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("h", line_key)
+    exempt = F.length(F.trim(F.col("line"))) < min_chars
+    firsts = (
+        lines.filter(~exempt)
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+    )
+    kept = (
+        lines.join(firsts, "h", "left")
+        .filter(
+            exempt
+            | (
+                (F.col("first.id") == F.col("id"))
+                & (F.col("first.pos") == F.col("pos"))
+            )
+        )
+        .select("id", "pos", "line")
+    )
+    n_lines = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.size(F.split(F.col(text_col), _re.escape(sep))).cast("bigint").alias(
+            "n_lines"
+        ),
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    return (
+        n_lines.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 # ======================================================== substring spans ==
 
 

@@ -616,3 +616,78 @@ def test_ngram_char_fracs_match_python(spark):
                 i,
                 text,
             )
+
+
+# ------------------------------------------------------- line-level dedup --
+
+
+def test_line_dedup_keep_first_across_corpus(spark):
+    """CCNet line dedup: repeated lines survive only at their first
+    (doc_id, line_no) occurrence; documents are reassembled in order."""
+    docs = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\nshared line"),
+        (3, "delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.line_dedup(df, sep="\n", normalize=False).collect()
+    }
+    assert out[1]["text"] == "alpha\nshared line\nbeta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses BOTH copies (first occurrence lives in doc 1)
+    assert out[2]["text"] == "gamma"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+    assert out[3]["text"] == "delta"
+
+
+def test_line_dedup_normalize_and_original_bytes(spark):
+    """normalize=True fingerprints the casefolded/collapsed line, but the
+    KEPT text is the original bytes of the first occurrence."""
+    docs = [
+        (1, "Hello   World\nunique one"),
+        (2, "hello world\nunique two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.line_dedup(df).collect()}
+    assert out[1]["text"] == "Hello   World\nunique one"  # original bytes
+    assert out[2]["text"] == "unique two"  # normalized twin dropped
+    # without normalization the two spellings are distinct
+    raw = {
+        r["doc_id"]: r["n_kept"]
+        for r in D.line_dedup(df, normalize=False).collect()
+    }
+    assert raw == {1: 2, 2: 2}
+
+
+def test_line_dedup_min_chars_exempts_short_lines(spark):
+    """Lines under min_chars are structural (blank separators, bullets)
+    and are kept unconditionally — never deduped, never counted absent."""
+    docs = [(1, "a\n\nlong line here"), (2, "a\n\nlong line here\n")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r for r in D.line_dedup(df, min_chars=2).collect()
+    }
+    # the empty line and the 1-char "a" line survive in BOTH docs
+    assert out[1]["text"] == "a\n\nlong line here"
+    # long line deduped; the two empty lines (mid + trailing) both kept
+    assert out[2]["text"] == "a\n\n"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 3)
+
+
+def test_line_dedup_total_removal_yields_empty_doc(spark):
+    docs = [(1, "only line"), (2, "only line")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in D.line_dedup(df).collect()}
+    assert out[1]["text"] == "only line"
+    assert out[2]["text"] == ""
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+
+
+def test_line_dedup_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        D.line_dedup(df, sep="")
+    with pytest.raises(ValueError):
+        D.line_dedup(df, min_chars=-1)

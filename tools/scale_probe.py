@@ -356,6 +356,92 @@ def probe_ivfpq_fastscan(spark, nv: int, nq: int = 2_000) -> dict:
     }
 
 
+def probe_token_budget(spark, nd: int) -> dict:
+    """Token-budget subsampling: the two-level bucketed cumsum — one
+    tiny bucket-sum aggregate + one (domain, bucket)-keyed corpus window.
+    Flat per-doc cost across nd means the window stage parallelism
+    (domains x 256 buckets) is doing its job; the naive per-domain
+    window would instead serialize each domain into one task."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.corpus import token_budget_sample
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=23)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    # budget covers ~half of each domain so the filter cannot prune work
+    budget = (nd // CPUS) * 100 // 2
+    sec = _best_of(
+        lambda: token_budget_sample(docs, budget)
+        .agg(F.sum("cum_before"))
+        .first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
+def probe_line_dedup(spark, nd: int) -> dict:
+    """CCNet line-level dedup at word granularity: three shuffles
+    (map-side-combinable firsts agg, line⋈firsts hash join, doc-id
+    regroup) over nd·ntok line rows. Flat per-line cost across nd is
+    the linearity statement; the heavy-duplication synthetic corpus
+    (5000-word vocab) makes the firsts table tiny, which is exactly
+    the 100 TB shape — the join's build side stays broadcastable."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import line_dedup
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=31)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: line_dedup(docs, sep=" ").agg(F.sum("n_kept")).first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "lines_per_core_sec": round(nd * 100 / sec / CPUS, 1),
+    }
+
+
+def probe_ngram_repetition(spark, nd: int) -> dict:
+    """Gopher char-mass repetition fold: per-doc array_sort + linear
+    aggregate, pure map-only codegen — per-doc cost must be flat (the
+    O(G log G) term is per DOCUMENT, not per corpus)."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.text import (
+        dup_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=29)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: docs.select(
+            top_ngram_char_frac(F.col("text"), 2).alias("t"),
+            dup_ngram_char_frac(F.col("text"), 5).alias("d"),
+        )
+        .agg(F.sum("t"), F.sum("d"))
+        .first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -405,6 +491,22 @@ def main() -> None:
         "chunk_documents": lambda: [
             probe_chunk_documents(spark, nd_small),
             probe_chunk_documents(spark, nd_big),
+        ],
+        "line_dedup": lambda: [
+            probe_line_dedup(spark, nd_small),
+            probe_line_dedup(spark, nd_big),
+        ],
+        "token_budget": lambda: [
+            probe_token_budget(spark, nd_small),
+            probe_token_budget(spark, nd_big),
+        ],
+        # ngram_repetition probes at 1/5 the doc sizes: the per-doc
+        # sorted fold costs ~25x a plain scan per doc (sort + O(G)
+        # aggregate over 99 grams), and a map-only stage's linearity is
+        # size-independent — 200k/1M docs already run 45/230 s
+        "ngram_repetition": lambda: [
+            probe_ngram_repetition(spark, max(20_000, nd_small // 5)),
+            probe_ngram_repetition(spark, max(100_000, nd_big // 5)),
         ],
     }
     out = {"cpus": CPUS, "d": D, "sizes": [small, big]}
