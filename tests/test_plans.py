@@ -252,3 +252,15 @@ def test_binary_nsg_unpack_is_codegen(tables):
     unpacked = codes.select("id", _unpack_bits_expr(F.col("code"), 64).alias("vec"))
     p = plan(unpacked)
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_line_dedup_firsts_is_agg_not_window(tables):
+    """line_dedup's first-occurrence table must be a map-side-combinable
+    aggregate on the line hash — NEVER a window over the hash, where one
+    10^9-copy boilerplate line would serialize a single sorted task."""
+    from faiss_spark.operators.dedup import line_dedup
+
+    p = plan(line_dedup(tables["documents"], sep=" "))
+    assert "partial_min" in p  # firsts agg partial-combines in scan tasks
+    # the only window-free contract: no Window operator anywhere
+    assert "Window" not in p

@@ -385,6 +385,62 @@ def probe_token_budget(spark, nd: int) -> dict:
     }
 
 
+def probe_minhash_lsh(spark, nd: int) -> dict:
+    """MinHash-LSH near-dup: signatures are a pure scan (no shuffle),
+    the band shuffle is keyed on md5 band keys (uniform by
+    construction), and the verify stage touches candidate pairs only.
+    The synthetic corpus has 10% exact duplicates, so candidate mass
+    grows linearly with nd — flat per-doc cost is the statement that
+    no all-pairs term hides anywhere."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=37)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: minhash_lsh_pairs(docs, threshold=0.5)
+        .agg(F.count("*"), F.sum("jaccard"))
+        .first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
+def probe_shuffle_corpus(spark, nd: int) -> dict:
+    """Deterministic epoch shuffle: one hash shuffle on the shard key +
+    per-shard window sort. Shard count grows with the corpus (as it
+    would at 100 TB: shards ≈ output files), so per-shard sort size is
+    constant and per-doc cost must stay flat."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.corpus import shuffle_corpus
+
+    docs = (
+        _synth_docs(spark, nd, ntok=20, salt=41)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    shards = max(64, nd // 15_000)  # fixed ~15k docs per shard
+    sec = _best_of(
+        lambda: shuffle_corpus(docs, num_shards=shards, seed=3)
+        .agg(F.sum("pos"), F.max("shard"))
+        .first()
+    )
+    return {
+        "nd": nd,
+        "shards": shards,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
 def probe_line_dedup(spark, nd: int) -> dict:
     """CCNet line-level dedup at word granularity: three shuffles
     (map-side-combinable firsts agg, line⋈firsts hash join, doc-id
@@ -491,6 +547,17 @@ def main() -> None:
         "chunk_documents": lambda: [
             probe_chunk_documents(spark, nd_small),
             probe_chunk_documents(spark, nd_big),
+        ],
+        # minhash probes at 1/5 the doc sizes: the 12-hash × shingle-set
+        # signature expression costs ~20× a plain scan per doc, and the
+        # per-doc cost of a scan+banded-join pipeline is size-independent
+        "minhash_lsh": lambda: [
+            probe_minhash_lsh(spark, max(20_000, nd_small // 5)),
+            probe_minhash_lsh(spark, max(100_000, nd_big // 5)),
+        ],
+        "shuffle_corpus": lambda: [
+            probe_shuffle_corpus(spark, nd_small),
+            probe_shuffle_corpus(spark, nd_big),
         ],
         "line_dedup": lambda: [
             probe_line_dedup(spark, nd_small),
