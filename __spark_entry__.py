@@ -2330,6 +2330,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_docs(spark, sf_dir), sep=" ")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked exact dedup (FineWeb keep-the-best-copy policy,
+    vs keep_first's keep-the-oldest): per fingerprint keep the doc with
+    the highest score — here n_chars, i.e. the longest original
+    spelling — smallest id breaking ties. Same WindowGroupLimit plan
+    as keep_first (per-map-task partial top-1 before the exchange)."""
+    from faiss_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir), F.col("n_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1): this round the
@@ -2414,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
         "line_dedup": q_line_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
         "nsg_sq_search": q_nsg_sq_search,
         "repeat_corpus": q_repeat_corpus,
         "token_budget_sample": q_token_budget_sample,
@@ -3664,6 +3676,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'residual_norm_is_min_centroid_dist' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'residual_explains_variance', TRUE"
     )
+    sql["dedup_keep_best"] = f"""
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5({_NORM})
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """
     # line_dedup at sep=' ': word-granularity corpus-wide keep-first.
     # Oracle mirrors the operator exactly: per-line md5 of the normalized
     # line, first occurrence by (id, pos), exempt lines (trimmed len < 1)

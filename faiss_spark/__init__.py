@@ -38,6 +38,7 @@ from faiss_spark.operators.codecs import (
 from faiss_spark.operators.dedup import (
     decontaminate,
     dedup_components,
+    dedup_keep_best,
     duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
@@ -145,6 +146,7 @@ __all__ = [
     "hamming_knn",
     "jaccard_knn",
     "dedup_components",
+    "dedup_keep_best",
     "exact_dedup",
     "line_dedup",
     "minhash_lsh_pairs",

@@ -74,6 +74,39 @@ def dedup_keep_first(
     return ranked.filter(F.col("__rn") == 1).drop("__fp", "__rn")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    score_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked exact dedup: keep the HIGHEST-scoring doc per
+    fingerprint, smallest id breaking ties — the FineWeb/RefinedWeb
+    policy where near-identical crawls differ in boilerplate and the
+    cleanest copy should represent the group (keep_first keeps the
+    oldest instead). ``score_col`` is a Column expression (e.g.
+    ``quality_score(F.col("text"))`` or an existing column); it is
+    evaluated once per row, map-side.
+
+    Scale shape: identical to dedup_keep_first — one row_number window
+    over the fingerprint, which Spark's WindowGroupLimit rewrites into
+    a per-map-task partial top-1 before the exchange, so a 10⁹-copy
+    boilerplate group ships ≤ one row per map task, not 10⁹ rows."""
+    ranked = (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__score", score_col)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(
+                    F.col("__score").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__fp", "__score", "__rn")
+
+
 def _minhash_array(sh_col, num_hashes: int = NUM_HASHES):
     """All H minhashes in ONE expression: array(i -> min(md5(i|s))).
 

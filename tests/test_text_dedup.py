@@ -691,3 +691,25 @@ def test_line_dedup_validates(spark):
         D.line_dedup(df, sep="")
     with pytest.raises(ValueError):
         D.line_dedup(df, min_chars=-1)
+
+
+def test_dedup_keep_best_highest_score_then_smallest_id(spark):
+    """keep_best keeps the max-score doc per fingerprint (smallest id on
+    ties); keep_first keeps the smallest id regardless of score."""
+    docs = [
+        (1, "Same  Text", 2.0),
+        (2, "same text", 9.0),   # best copy of the group
+        (3, "SAME TEXT", 9.0),   # score tie -> id 2 wins
+        (4, "unique", 1.0),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, score double")
+    best = {r["doc_id"] for r in D.dedup_keep_best(df, F.col("score")).collect()}
+    assert best == {2, 4}
+    first = {r["doc_id"] for r in D.dedup_keep_first(df).collect()}
+    assert first == {1, 4}
+    # score expression (not a column) works too: longest original text
+    longest = {
+        r["doc_id"]
+        for r in D.dedup_keep_best(df, F.length("text")).collect()
+    }
+    assert longest == {1, 4}  # "Same  Text" is the longest spelling
