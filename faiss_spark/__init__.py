@@ -110,6 +110,7 @@ from faiss_spark.plans.factory import (
     reverse_index_binary_factory,
     reverse_index_factory,
 )
+from faiss_spark.sources.persist import read_index, write_index
 
 __version__ = "0.1.0"
 
@@ -173,6 +174,8 @@ __all__ = [
     "bpe_word_counts",
     "index_factory",
     "reverse_index_factory",
+    "write_index",
+    "read_index",
     "IMIIVFIndex",
     "IVFSpectralHash",
     "ivf_range_search",

@@ -309,6 +309,38 @@ class BinaryIVFIndex:
             self.codes = out
         return self
 
+    def save(self, path: str) -> "BinaryIVFIndex":
+        """write_index: partitioned code-words table + centroid artifact."""
+        import json as _json
+        import os as _os
+
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        _os.makedirs(path, exist_ok=True)
+        np.save(_os.path.join(path, "_bivf_centroid_words.npy"), self.centroid_words)
+        with open(_os.path.join(path, "_bivf_meta.json"), "w") as f:
+            _json.dump({"nbits": int(self.nbits)}, f)
+        self.codes = spark.read.parquet(path)
+        return self
+
+    @staticmethod
+    def load(spark, path: str) -> "BinaryIVFIndex":
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "_bivf_meta.json")) as f:
+            meta = _json.load(f)
+        idx = BinaryIVFIndex(
+            centroid_words=np.load(_os.path.join(path, "_bivf_centroid_words.npy")),
+            nbits=meta["nbits"],
+        )
+        idx.codes = spark.read.parquet(path)
+        return idx
+
     def search(
         self, qcodes: DataFrame, k: int, nprobe: int = 1,
         qid_col: str = "qid", qcode_col: str = "qcode",

@@ -571,6 +571,29 @@ class IVFRCQIndex:
             self.codes = codes
         return self
 
+    def save(self, path: str) -> "IVFRCQIndex":
+        """write_index for an already-built RCQ-coarse index."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_rcq_codebooks.npy"), self.cq.codebooks)
+        with open(os.path.join(path, "_rcq_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": self.metric,
+                    "beam_factor": self.cq.beam_factor,
+                    "nlist": self.nlist,
+                },
+                f,
+            )
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFRCQIndex":
         from faiss_spark.operators.codecs import ResidualCoarseQuantizerModel
@@ -708,11 +731,53 @@ class IVFPQIndex:
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
             codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
             self.codes = codes
         return self
+
+    def _save_artifact(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_ivfpq_centroids.npy"), self.centroids)
+        np.save(os.path.join(path, "_ivfpq_codebooks.npy"), self.pq.codebooks)
+        with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "nlist": int(len(self.centroids)),
+                    "d": int(self.centroids.shape[1]),
+                    "M": int(self.pq.M),
+                    "ksub": int(self.pq.ksub),
+                },
+                f,
+            )
+
+    def save(self, path: str) -> "IVFPQIndex":
+        """write_index (reference faiss/index_io.h:38): partitioned codes
+        table + centroid/codebook artifacts — the train-once /
+        search-many deployment shape."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._save_artifact(path)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFPQIndex":
+        return IVFPQIndex(
+            centroids=np.load(os.path.join(path, "_ivfpq_centroids.npy")),
+            pq=ProductQuantizerModel(
+                codebooks=np.load(os.path.join(path, "_ivfpq_codebooks.npy"))
+            ),
+            codes=spark.read.parquet(path),
+            path=path,
+        )
 
     def search(
         self,
@@ -960,11 +1025,59 @@ class IVFSQIndex:
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
             codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
             self.codes = codes
         return self
+
+    def _save_artifact(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_ivfsq_centroids.npy"), self.centroids)
+        np.save(os.path.join(path, "_ivfsq_vmin.npy"), self.sq.vmin)
+        np.save(os.path.join(path, "_ivfsq_vdiff.npy"), self.sq.vdiff)
+        with open(os.path.join(path, "_ivfsq_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": self.metric,
+                    "bits": int(self.sq.bits),
+                    "variant": self.sq.variant,
+                },
+                f,
+            )
+
+    def save(self, path: str) -> "IVFSQIndex":
+        """write_index: partitioned SQ codes + centroid/range artifacts."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._save_artifact(path)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFSQIndex":
+        from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+        with open(os.path.join(path, "_ivfsq_meta.json")) as f:
+            meta = json.load(f)
+        return IVFSQIndex(
+            centroids=np.load(os.path.join(path, "_ivfsq_centroids.npy")),
+            sq=ScalarQuantizerModel(
+                vmin=np.load(os.path.join(path, "_ivfsq_vmin.npy")),
+                vdiff=np.load(os.path.join(path, "_ivfsq_vdiff.npy")),
+                bits=meta["bits"],
+                variant=meta["variant"],
+            ),
+            metric=meta["metric"],
+            codes=spark.read.parquet(path),
+            path=path,
+        )
 
     def search(
         self,
@@ -1164,6 +1277,21 @@ class IMIIVFIndex:
             self.codes = spark.read.parquet(path)
         else:
             self.codes = codes
+        return self
+
+    def save(self, path: str) -> "IMIIVFIndex":
+        """write_index for an already-built IMI index."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_imi_sub_centroids.npy"), self.sub_centroids)
+        with open(os.path.join(path, "_imi_meta.json"), "w") as f:
+            json.dump({"metric": self.metric, "ksub": int(self.ksub)}, f)
+        self.codes = spark.read.parquet(path)
         return self
 
     @staticmethod
@@ -1506,6 +1634,40 @@ class IVFPQRIndex:
             cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
+        )
+
+    def save(self, path: str) -> "IVFPQRIndex":
+        """write_index: the base IVFPQ layout (codes table including the
+        rcode column when M_refine was used) + refine-PQ artifacts. The
+        raw-vector table is deliberately NOT persisted — a reloaded index
+        is codes-only and searches in the reference's own
+        rerank='pqr_codes' mode (the 100 TB shape); re-attach ``vectors``
+        after load to recover the exact raw rerank."""
+        self.ivfpq.save(path)
+        if self.refine_pq is not None:
+            np.save(
+                os.path.join(path, "_ivfpqr_refine_codebooks.npy"),
+                self.refine_pq.codebooks,
+            )
+        with open(os.path.join(path, "_ivfpqr_meta.json"), "w") as f:
+            json.dump({"k_factor": int(self.k_factor)}, f)
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFPQRIndex":
+        with open(os.path.join(path, "_ivfpqr_meta.json")) as f:
+            meta = json.load(f)
+        rp = os.path.join(path, "_ivfpqr_refine_codebooks.npy")
+        refine = (
+            ProductQuantizerModel(codebooks=np.load(rp))
+            if os.path.exists(rp)
+            else None
+        )
+        return IVFPQRIndex(
+            ivfpq=IVFPQIndex.load(spark, path),
+            vectors=None,
+            k_factor=meta["k_factor"],
+            refine_pq=refine,
         )
 
 
@@ -1884,11 +2046,49 @@ class IVFAQIndex:
         codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
         if path is not None:
             codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
             self.codes = spark.read.parquet(path)
             self.path = path
         else:
             self.codes = codes
         return self
+
+    def _save_artifact(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "_ivfaq_centroids.npy"), self.centroids)
+        np.save(os.path.join(path, "_ivfaq_codebooks.npy"), self.rq.codebooks)
+        with open(os.path.join(path, "_ivfaq_meta.json"), "w") as f:
+            json.dump({"metric": self.metric, "beam": int(self.rq.beam)}, f)
+
+    def save(self, path: str) -> "IVFAQIndex":
+        """write_index: partitioned RQ codes + centroid/codebook artifacts."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._save_artifact(path)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFAQIndex":
+        from faiss_spark.operators.codecs import ResidualQuantizerModel
+
+        with open(os.path.join(path, "_ivfaq_meta.json")) as f:
+            meta = json.load(f)
+        return IVFAQIndex(
+            centroids=np.load(os.path.join(path, "_ivfaq_centroids.npy")),
+            rq=ResidualQuantizerModel(
+                codebooks=np.load(os.path.join(path, "_ivfaq_codebooks.npy")),
+                beam=meta["beam"],
+            ),
+            metric=meta["metric"],
+            codes=spark.read.parquet(path),
+            path=path,
+        )
 
     def reconstruct(self, ids: DataFrame | None = None) -> DataFrame:
         """Decode stored codes back to approximate vectors:

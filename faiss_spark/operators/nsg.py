@@ -432,11 +432,17 @@ class NSGIndex:
         )
 
     def save(self, path: str) -> "NSGIndex":
+        import json as _json
+        import os as _os
+
         spark = self.table.sparkSession
         self.table.repartition("shard").write.mode("overwrite").partitionBy(
             "shard"
         ).parquet(path)
         self.table = spark.read.parquet(path)
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "_nsg_meta.json"), "w") as f:
+            _json.dump({"R": int(self.R), "nshards": int(self.nshards)}, f)
         if self.centroids is not None:
             subs = (
                 self.cell_subs
@@ -481,8 +487,18 @@ class NSGIndex:
 
     @staticmethod
     def load(spark: SparkSession, path: str, R: int = 16) -> "NSGIndex":
+        import json as _json
+        import os as _os
+
         t = spark.read.parquet(path)
-        nshards = t.select("shard").distinct().count()
+        meta_p = _os.path.join(path, "_nsg_meta.json")
+        if _os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = _json.load(f)
+            R = meta["R"]
+            nshards = meta["nshards"]
+        else:  # pre-meta layouts: count the shard directories
+            nshards = t.select("shard").distinct().count()
         from pyspark.errors import AnalysisException
 
         # the sidecar tables are OPTIONAL (hash-sharded flat indexes have
