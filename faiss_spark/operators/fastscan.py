@@ -311,6 +311,30 @@ class IVFPQFastScanIndex:
         self.base.codes = codes
         return self
 
+    def save(self, path: str) -> "IVFPQFastScanIndex":
+        """write_index: the IVFPQ layout plus the by_residual flag —
+        reload reproduces the same LUT mode (per-probe residual LUTs vs
+        the shared flat LUT)."""
+        import json as _json
+        import os as _os
+
+        self.base.save(path)
+        with open(_os.path.join(path, "_ivfpqfs_meta.json"), "w") as f:
+            _json.dump({"by_residual": bool(self.by_residual)}, f)
+        return self
+
+    @staticmethod
+    def load(spark, path: str) -> "IVFPQFastScanIndex":
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "_ivfpqfs_meta.json")) as f:
+            meta = _json.load(f)
+        return IVFPQFastScanIndex(
+            base=IVFPQIndex.load(spark, path),
+            by_residual=meta["by_residual"],
+        )
+
     def search(
         self,
         queries: DataFrame,
@@ -894,6 +918,55 @@ class IVFAQFastScanIndex:
             enc, schema="list_no int, id bigint, code binary"
         )
         return self
+
+    def save(self, path: str) -> "IVFAQFastScanIndex":
+        """write_index: partitioned (rcodes ++ norm-code) table +
+        centroid/RQ-codebook/norm-codebook artifacts."""
+        import json as _json
+        import os as _os
+
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        _os.makedirs(path, exist_ok=True)
+        np.save(_os.path.join(path, "_ivfaqfs_centroids.npy"), self.centroids)
+        np.save(_os.path.join(path, "_ivfaqfs_codebooks.npy"), self.rq.codebooks)
+        np.save(_os.path.join(path, "_ivfaqfs_norm_books.npy"), self.norm_books)
+        with open(_os.path.join(path, "_ivfaqfs_meta.json"), "w") as f:
+            _json.dump(
+                {
+                    "norm_scale": int(self.norm_scale),
+                    "by_residual": bool(self.by_residual),
+                    "beam": int(getattr(self.rq, "beam", 4)),
+                },
+                f,
+            )
+        self.codes = spark.read.parquet(path)
+        return self
+
+    @staticmethod
+    def load(spark, path: str) -> "IVFAQFastScanIndex":
+        import json as _json
+        import os as _os
+
+        from faiss_spark.operators.codecs import ResidualQuantizerModel
+
+        with open(_os.path.join(path, "_ivfaqfs_meta.json")) as f:
+            meta = _json.load(f)
+        return IVFAQFastScanIndex(
+            centroids=np.load(_os.path.join(path, "_ivfaqfs_centroids.npy")),
+            rq=ResidualQuantizerModel(
+                codebooks=np.load(_os.path.join(path, "_ivfaqfs_codebooks.npy")),
+                beam=meta["beam"],
+            ),
+            norm_books=np.load(_os.path.join(path, "_ivfaqfs_norm_books.npy")),
+            norm_scale=meta["norm_scale"],
+            codes=spark.read.parquet(path),
+            by_residual=meta["by_residual"],
+        )
 
     def search(
         self,

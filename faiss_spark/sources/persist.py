@@ -31,6 +31,10 @@ def _registry():
     # imported lazily: persist.py must stay importable without dragging
     # every operator module in at package-import time
     from faiss_spark.operators.binary import BinaryIVFIndex
+    from faiss_spark.operators.fastscan import (
+        IVFAQFastScanIndex,
+        IVFPQFastScanIndex,
+    )
     from faiss_spark.operators.ivf import (
         IMIIVFIndex,
         IVFAQIndex,
@@ -53,6 +57,8 @@ def _registry():
         IVFRCQIndex,
         IMIIVFIndex,
         IVFSpectralHash,
+        IVFPQFastScanIndex,
+        IVFAQFastScanIndex,
         NSGIndex,
         LatticeIndex,
         BinaryIVFIndex,

@@ -120,3 +120,26 @@ def test_write_index_rejects_unknown_and_missing_marker(spark, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(FileNotFoundError, match="_index_kind.json"):
         read_index(spark, str(tmp_path / "empty"))
+
+
+def test_ivfpq_fastscan_roundtrip_both_modes(spark, emb, queries, tmp_path):
+    from faiss_spark.operators.fastscan import IVFPQFastScanIndex
+
+    for mode in (True, False):
+        idx = IVFPQFastScanIndex.train(
+            emb, nlist=8, M=16, by_residual=mode
+        ).add(emb)
+        re = _roundtrip_search_equal(
+            spark, idx, queries, str(tmp_path / f"pqfs_{mode}")
+        )
+        assert re.by_residual is mode
+
+
+def test_ivfaq_fastscan_roundtrip(spark, emb, queries, tmp_path):
+    from faiss_spark.operators.fastscan import IVFAQFastScanIndex
+
+    idx = IVFAQFastScanIndex.train(emb, nlist=8, M=16).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "aqfs")
+    )
+    assert re.norm_scale == idx.norm_scale and re.by_residual is True
