@@ -128,18 +128,7 @@ class IVFIndex:
         (optionally) persist partitioned by list_no (reference
         encode_vectors + invlists->add_entries, faiss/IndexIVF.h:173;
         contrib/ivf_tools.py:9 add_preassigned)."""
-        model = KMeansModel(
-            centroids=self.centroids,
-            k=len(self.centroids),
-            d=self.centroids.shape[1],
-            spherical=(self.metric == "cosine"),
-        )
-        # keep_vec: the assignment map carries the vector through — the
-        # encode+layout stage is map-only (no join-back shuffle of the
-        # 100 TB vector table; the only exchange is the partitioned write)
-        codes = model.assign(
-            vectors, vec_col=vec_col, id_col=id_col, keep_vec=True
-        ).select(F.col("cluster").alias("list_no"), "id", "vec")
+        codes = self._encode_df(vectors, id_col=id_col, vec_col=vec_col)
         if path is not None:
             codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             spark = vectors.sparkSession
@@ -149,6 +138,25 @@ class IVFIndex:
         else:
             self.codes = codes
         return self
+
+    def _encode_df(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Frozen-artifact encode: (list_no, id, vec) rows — the shared
+        core of add() and the streaming incremental writer. keep_vec:
+        the assignment map carries the vector through, so the
+        encode+layout stage is map-only (no join-back shuffle of the
+        100 TB vector table; the only exchange is the partitioned
+        write)."""
+        model = KMeansModel(
+            centroids=self.centroids,
+            k=len(self.centroids),
+            d=self.centroids.shape[1],
+            spherical=(self.metric == "cosine"),
+        )
+        return model.assign(
+            vectors, vec_col=vec_col, id_col=id_col, keep_vec=True
+        ).select(F.col("cluster").alias("list_no"), "id", "vec")
 
     def _save_artifact(self, path: str) -> None:
         """Model artifact = JSON + npy next to the codes table (SURVEY §2.I:
@@ -704,6 +712,22 @@ class IVFPQIndex:
         """Encode: assign list, PQ-encode the residual, write partitioned
         (reference IndexIVFPQ::encode_vectors)."""
         spark = vectors.sparkSession
+        codes = self._encode_df(vectors, id_col=id_col, vec_col=vec_col)
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def _encode_df(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Frozen-artifact encode to (list_no, id, code) rows — map-only,
+        shared by add() and the streaming incremental writer."""
+        spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast((self.centroids, self.pq.codebooks))
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -728,15 +752,7 @@ class IVFPQIndex:
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
-        if path is not None:
-            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
-            self._save_artifact(path)
-            self.codes = spark.read.parquet(path)
-            self.path = path
-        else:
-            self.codes = codes
-        return self
+        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -993,6 +1009,22 @@ class IVFSQIndex:
         path: str | None = None,
     ) -> "IVFSQIndex":
         spark = vectors.sparkSession
+        codes = self._encode_df(vectors, id_col=id_col, vec_col=vec_col)
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def _encode_df(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Frozen-artifact encode to (list_no, id, code) rows — map-only,
+        shared by add() and the streaming incremental writer."""
+        spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast(
             (self.centroids, self.sq.vmin, self.sq.vdiff, self.sq.bits, self.metric)
         )
@@ -1022,15 +1054,7 @@ class IVFSQIndex:
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
-        if path is not None:
-            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
-            self._save_artifact(path)
-            self.codes = spark.read.parquet(path)
-            self.path = path
-        else:
-            self.codes = codes
-        return self
+        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -2014,6 +2038,22 @@ class IVFAQIndex:
         path: str | None = None,
     ) -> "IVFAQIndex":
         spark = vectors.sparkSession
+        codes = self._encode_df(vectors, id_col=id_col, vec_col=vec_col)
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
+            self._save_artifact(path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def _encode_df(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Frozen-artifact encode to (list_no, id, code) rows — map-only,
+        shared by add() and the streaming incremental writer."""
+        spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast(
             (self.centroids, self.rq.codebooks, self.rq.beam, self.metric)
         )
@@ -2043,15 +2083,7 @@ class IVFAQIndex:
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        codes = src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
-        if path is not None:
-            codes.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
-            self._save_artifact(path)
-            self.codes = spark.read.parquet(path)
-            self.path = path
-        else:
-            self.codes = codes
-        return self
+        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

@@ -24,7 +24,7 @@ from faiss_spark.operators.ivf import IVFIndex
 
 
 def incremental_add_stream(
-    index: IVFIndex,
+    index,
     stream: DataFrame,
     path: str,
     checkpoint: str,
@@ -33,31 +33,30 @@ def incremental_add_stream(
     trigger_available_now: bool = True,
 ):
     """Attach a streaming writer that encodes each micro-batch with the
-    index's frozen centroids and appends to its partitioned codes table.
+    index's FROZEN artifacts and appends to its partitioned codes table.
+
+    Works for every index exposing ``_encode_df`` — IVFIndex (raw
+    vectors), IVFPQIndex (residual PQ codes), IVFSQIndex (SQ bytes),
+    IVFAQIndex (RQ codes): streaming ingestion into a persisted
+    COMPRESSED index is the 100 TB serving pattern (encode once on
+    arrival, scans stay 4-32× smaller than raw). The encode is the same
+    map-only plan as the index's batch add(); each micro-batch costs one
+    partitioned append, no shuffle of existing data.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    model = KMeansModel(
-        centroids=index.centroids,
-        k=len(index.centroids),
-        d=index.centroids.shape[1],
-        spherical=(index.metric == "cosine"),
-    )
+    if not hasattr(index, "_encode_df"):
+        raise TypeError(
+            f"incremental_add_stream: {type(index).__name__} has no "
+            "_encode_df — supported: IVFIndex, IVFPQIndex, IVFSQIndex, "
+            "IVFAQIndex"
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        assigned = model.assign(batch_df, vec_col=vec_col, id_col=id_col).select(
-            "id", F.col("cluster").alias("list_no")
-        )
-        codes = (
-            batch_df.select(
-                F.col(id_col).cast("bigint").alias("id"),
-                F.col(vec_col).alias("vec"),
-            )
-            .join(assigned, "id")
-            .select("list_no", "id", "vec")
-        )
-        codes.write.mode("append").partitionBy("list_no").parquet(path)
+        index._encode_df(batch_df, id_col=id_col, vec_col=vec_col).write.mode(
+            "append"
+        ).partitionBy("list_no").parquet(path)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint

@@ -201,3 +201,45 @@ def test_factory_rejects_bad_refine_position(vectors):
         index_factory("RFlat,Flat")  # refinement before index stage
     with _pytest.raises(ValueError):
         index_factory("IVF8,Flat,RFlat,Extra")
+
+
+def test_streaming_incremental_add_into_ivfpq(vectors, spark, tmp_path):
+    """Streaming ingestion into a persisted COMPRESSED index: micro-batches
+    are PQ-encoded with the frozen artifacts and appended; the reloaded
+    index searches identically to a monolithic batch add over the same
+    artifacts (encode is deterministic given centroids+codebooks)."""
+    from faiss_spark.operators.ivf import IVFPQIndex
+
+    path = str(tmp_path / "pqcodes")
+    ckpt = str(tmp_path / "pqckpt")
+    stream_dir = str(tmp_path / "pqincoming")
+
+    idx = IVFPQIndex.train(vectors, nlist=8, M=4, niter=5)
+    idx.add(vectors.filter("id < 250"), path=path)
+
+    extra = vectors.filter("id >= 250")
+    extra.write.mode("overwrite").parquet(stream_dir)
+    stream = spark.readStream.schema(extra.schema).parquet(stream_dir)
+    q = incremental_add_stream(idx, stream, path=path, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    re = IVFPQIndex.load(spark, path)
+    assert re.codes.count() == vectors.count()
+    mono = IVFPQIndex(centroids=idx.centroids, pq=idx.pq).add(vectors)
+    qs = vectors.filter("id < 10").select(F.col("id").alias("qid"), "vec")
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+            for r in df.collect()
+        )
+
+    assert rows(re.search(qs, 5, nprobe=8)) == rows(mono.search(qs, 5, nprobe=8))
+
+
+def test_streaming_incremental_add_rejects_unencodable(vectors, spark, tmp_path):
+    with pytest.raises(TypeError, match="_encode_df"):
+        incremental_add_stream(
+            object(), vectors, path=str(tmp_path / "x"),
+            checkpoint=str(tmp_path / "c"),
+        )
