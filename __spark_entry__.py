@@ -2467,9 +2467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fast-scan by_residual branches by ivfpq_fastscan_nores above
         # and bit-exact flat-equality tests) ---
         "shuffle_corpus": q_shuffle_corpus,
-        # gopher_quality / ngram_repetition are late round-7 additions
-        # (same reason as shuffle_corpus: the head is full) — green in
-        # the local 3-SF sweeps, queued for the r8 gate
+        # gopher_quality / ngram_repetition / line_dedup /
+        # dedup_keep_best / write_read_index (and nsg_sq_search,
+        # repeat_corpus, token_budget_sample below) are late round-7
+        # additions (same reason as shuffle_corpus: the head is full) —
+        # each verified green at sf0.001/0.01/0.1 locally, queued for
+        # the r8 gate
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
         "line_dedup": q_line_dedup,
