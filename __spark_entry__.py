@@ -2341,6 +2341,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(_docs(spark, sf_dir), F.col("n_chars"))
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (Lee 2021 / Gopher A.2): per doc, the
+    fraction of TOKENS covered by any 5-token window occurring verbatim
+    in the doc_id<25 'benchmark' slice — contamination MASS, not just a
+    flag. Benchmark windows broadcast; corpus never self-joined; the
+    interval-union is one sorted codegen fold per doc."""
+    from faiss_spark.operators.dedup import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25)
+    return decontaminate_spans(docs, bench, n=5)
+
+
 def q_write_read_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic write_index/read_index (reference faiss/index_io.h:38):
     train-once/search-many is THE 100 TB deployment shape, so a reloaded
@@ -2478,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "write_read_index": q_write_read_index,
+        "decontaminate_spans": q_decontaminate_spans,
         "nsg_sq_search": q_nsg_sq_search,
         "repeat_corpus": q_repeat_corpus,
         "token_budget_sample": q_token_budget_sample,
@@ -3728,6 +3742,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'residual_norm_is_min_centroid_dist' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'residual_explains_variance', TRUE"
     )
+    sql["decontaminate_spans"] = f"""
+        WITH tc AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bw AS (
+          SELECT DISTINCT md5(array_to_string(toks[i:i+4], ' ')) AS h
+          FROM (SELECT toks, unnest(generate_series(1, len(toks) - 4)) AS i
+                FROM tc WHERE doc_id < 25)
+        ),
+        cw AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+4], ' ')) AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 4)) AS i
+                FROM tc)
+        ),
+        m AS (SELECT cw.doc_id, cw.pos FROM cw JOIN bw USING (h)),
+        cov AS (
+          SELECT doc_id, count(*) AS n_contam_windows,
+                 sum(greatest(0, pos + 5 - greatest(pos, coalesce(prev_end, 0)))) AS covered
+          FROM (
+            SELECT doc_id, pos,
+                   max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM m)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t.toks) - 4, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(c.n_contam_windows, 0) AS BIGINT) AS n_contam_windows,
+               CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+               round(coalesce(c.covered, 0) * 1.0 / greatest(len(t.toks), 1), 6) AS contam_frac
+        FROM tc t LEFT JOIN cov c USING (doc_id)
+    """
     sql["write_read_index"] = (
         "SELECT 'ivfpq_roundtrip_search_equal' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpqr_codes_only_reload_equal', TRUE"

@@ -37,6 +37,7 @@ from faiss_spark.operators.codecs import (
 )
 from faiss_spark.operators.dedup import (
     decontaminate,
+    decontaminate_spans,
     dedup_components,
     dedup_keep_best,
     duplicated_spans,
@@ -184,6 +185,7 @@ __all__ = [
     "BinaryMultiHashIndex",
     "PolysemousTraining",
     "decontaminate",
+    "decontaminate_spans",
     "LatticeIndex",
     "ZnSphereCodec",
     "NSGIndex",

@@ -770,6 +770,119 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level benchmark decontamination (Lee et al. 2021 §6.2 /
+    Gopher A.2's 13-gram overlap test): per corpus document, the
+    fraction of TOKENS covered by any ``n``-token window that also
+    occurs verbatim in a benchmark document. ``decontaminate`` counts
+    distinct shared n-grams (a flag); this measures contamination MASS —
+    the threshold signal for "drop docs where > X% of tokens are
+    benchmark text" without losing documents over one quoted sentence.
+
+    Returns one row per corpus doc:
+      (doc_id, n_tokens, n_windows, n_contam_windows, covered_tokens,
+       contam_frac) — covered_tokens is the length of the UNION of the
+    matched windows' [pos, pos+n) intervals; contam_frac =
+    covered_tokens / n_tokens (0.0 for docs shorter than n tokens).
+
+    Scale shape (100 TB): corpus windows are hashed JVM-side (same
+    codegen transform as span_dedup — no explode of raw text before the
+    match); the benchmark window set is eval-suite-sized so it
+    broadcasts and the match is a map-side semi-join — the corpus is
+    never self-joined and never shuffled by content, only the final
+    per-doc aggregate shuffles, keyed on doc id. The interval-union is
+    one O(W log W) sorted fold per DOCUMENT in codegen (same shape as
+    the Gopher char-mass folds). ``hash_fn='xxhash64'`` narrows the
+    matched rows exactly as in span_dedup."""
+    from faiss_spark.functions.text import tokens
+
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    key_t = "array<string>" if hash_fn == "md5" else "array<bigint>"
+
+    def windows(col):
+        toks = tokens(col)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: hasher(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast(key_t))
+
+    bench = (
+        benchmark.select(F.explode(windows(F.col(text_col))).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    cw = corpus.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(windows(F.col(text_col))).alias("pos", "h"),
+    )
+    matched = cw.join(bench, "h").select("doc_id", "pos")
+    # union length of the matched [pos, pos+n) intervals: sorted linear
+    # fold, one pass per doc — never a per-interval rescan
+    n_lit = F.lit(n).cast("long")
+    covered = F.aggregate(
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(-1).cast("long").alias("end"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(
+                    p + n_lit - F.greatest(p, acc["end"]),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("cov"),
+            F.greatest(acc["end"], p + n_lit).alias("end"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    per_doc = matched.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_contam_windows"),
+        covered.alias("covered_tokens"),
+    )
+    toks = tokens(F.col(text_col))
+    base = corpus.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("bigint").alias(
+            "n_windows"
+        ),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_contam_windows", F.lit(0)).cast("bigint").alias(
+            "n_contam_windows"
+        ),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+            "covered_tokens"
+        ),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("contam_frac"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

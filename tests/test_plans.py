@@ -264,3 +264,14 @@ def test_line_dedup_firsts_is_agg_not_window(tables):
     assert "partial_min" in p  # firsts agg partial-combines in scan tasks
     # the only window-free contract: no Window operator anywhere
     assert "Window" not in p
+
+
+def test_decontaminate_spans_broadcasts_benchmark(tables):
+    """The benchmark window set must broadcast (map-side match) and the
+    coverage fold must be an aggregate, never a per-doc Window."""
+    from faiss_spark.operators.dedup import decontaminate_spans
+
+    docs = tables["documents"]
+    p = plan(decontaminate_spans(docs, docs.filter("doc_id < 25"), n=5))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p

@@ -713,3 +713,87 @@ def test_dedup_keep_best_highest_score_then_smallest_id(spark):
         for r in D.dedup_keep_best(df, F.length("text")).collect()
     }
     assert longest == {1, 4}  # "Same  Text" is the longest spelling
+
+
+# ------------------------------------------- span-level decontamination --
+
+
+def test_decontaminate_spans_interval_union(spark):
+    """Coverage is the UNION of matched [pos, pos+n) windows — overlapping
+    windows must not double-count tokens."""
+    # benchmark holds "a b c d e f": every 3-window of it
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # "a b c d e" contains two overlapping matched 3-windows
+            # [0,3) and [1,4) and [2,5) -> union covers all 5 tokens
+            (1, "a b c d e x y z w q"),
+            # one isolated match [4,7)
+            (2, "p q r s b c d t u v"),
+            (3, "no overlap at all here wow"),
+            (4, "a b"),  # shorter than n -> no windows
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.decontaminate_spans(corpus, bench, n=3).collect()
+    }
+    assert got[1]["n_contam_windows"] == 3
+    assert got[1]["covered_tokens"] == 5
+    assert got[1]["contam_frac"] == pytest.approx(0.5)
+    assert got[2]["n_contam_windows"] == 1
+    assert got[2]["covered_tokens"] == 3
+    assert got[3]["covered_tokens"] == 0 and got[3]["contam_frac"] == 0.0
+    assert (got[4]["n_windows"], got[4]["covered_tokens"]) == (0, 0)
+
+
+def test_decontaminate_spans_matches_python_reference(tables):
+    """Exact agreement with a brute-force python twin on real corpus data
+    (benchmark = the doc_id<25 slice), both hash functions."""
+    docs = tables["documents"]
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    n = 5
+    import re as _re
+
+    def toks(t):
+        return _re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    bench_windows = set()
+    for i, t in rows:
+        if i < 25:
+            w = toks(t)
+            for j in range(len(w) - n + 1):
+                bench_windows.add(" ".join(w[j : j + n]))
+
+    expect = {}
+    for i, t in rows:
+        w = toks(t)
+        hits = [
+            j
+            for j in range(max(len(w) - n + 1, 0))
+            if " ".join(w[j : j + n]) in bench_windows
+        ]
+        cov, end = 0, -1
+        for p in hits:
+            cov += max(0, p + n - max(p, end))
+            end = max(end, p + n)
+        expect[i] = (len(hits), cov)
+
+    bench = docs.filter(F.col("doc_id") < 25)
+    for hf in ("md5", "xxhash64"):
+        got = {
+            r["doc_id"]: (r["n_contam_windows"], r["covered_tokens"])
+            for r in D.decontaminate_spans(docs, bench, n=n, hash_fn=hf).collect()
+        }
+        assert got == expect, hf
+
+
+def test_decontaminate_spans_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        D.decontaminate_spans(df, df, n=0)
+    with pytest.raises(ValueError):
+        D.decontaminate_spans(df, df, hash_fn="crc")
