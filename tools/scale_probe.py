@@ -441,6 +441,37 @@ def probe_shuffle_corpus(spark, nd: int) -> dict:
     }
 
 
+def probe_decontaminate_spans(spark, nd: int) -> dict:
+    """Span-level decontamination: corpus windows hashed in codegen,
+    broadcast-matched against a FIXED benchmark window set (eval suites
+    do not grow with the corpus), one doc-keyed aggregate. Flat per-doc
+    cost across nd = the match stays map-side and no all-pairs term
+    hides anywhere."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import decontaminate_spans
+
+    docs = (
+        _synth_docs(spark, nd, ntok=100, salt=43)
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    bench = (
+        _synth_docs(spark, 10_000, ntok=100, salt=43)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: decontaminate_spans(docs, bench, n=20)
+        .agg(F.sum("covered_tokens"), F.sum("n_contam_windows"))
+        .first()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
 def probe_line_dedup(spark, nd: int) -> dict:
     """CCNet line-level dedup at word granularity: three shuffles
     (map-side-combinable firsts agg, line⋈firsts hash join, doc-id
@@ -554,6 +585,10 @@ def main() -> None:
         "minhash_lsh": lambda: [
             probe_minhash_lsh(spark, max(20_000, nd_small // 5)),
             probe_minhash_lsh(spark, max(100_000, nd_big // 5)),
+        ],
+        "decontaminate_spans": lambda: [
+            probe_decontaminate_spans(spark, nd_small),
+            probe_decontaminate_spans(spark, nd_big),
         ],
         "shuffle_corpus": lambda: [
             probe_shuffle_corpus(spark, nd_small),
