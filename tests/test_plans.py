@@ -275,3 +275,15 @@ def test_decontaminate_spans_broadcasts_benchmark(tables):
     p = plan(decontaminate_spans(docs, docs.filter("doc_id < 25"), n=5))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
     assert "Window" not in p
+
+
+def test_dedup_keep_first_and_best_use_window_group_limit(tables):
+    """Both exact-dedup transforms (rn == 1 over the fingerprint window)
+    must trigger WindowGroupLimit: each map task pre-filters to its local
+    top-1 per group BEFORE the exchange, so a 10^9-copy boilerplate group
+    ships <= one row per task instead of serializing a window sort."""
+    from faiss_spark.operators.dedup import dedup_keep_best, dedup_keep_first
+
+    docs = tables["documents"]
+    assert "WindowGroupLimit" in plan(dedup_keep_first(docs))
+    assert "WindowGroupLimit" in plan(dedup_keep_best(docs, F.col("n_chars")))
