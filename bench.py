@@ -64,38 +64,145 @@ def _run_once(df, force_columns: bool) -> int:
     return df.count()
 
 
+# ------------------------------------------------------- contention sentinel
+
+CALIBRATION_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIBRATION.json"
+)
+
+
+def _sentinel_probe(spark) -> dict:
+    """Fixed-work probes whose code NEVER changes round to round: a pure
+    numpy GEMM (measures CPU/BLAS contention) and a pure codegen SQL
+    aggregate (measures JVM/scheduler contention). Run at the START and
+    END of the bench; if either drifts >1.5x against the stored idle
+    calibration (or start vs end disagree >1.5x), the round's numbers
+    are a contention band, not the engine — the artifact says so itself
+    (VERDICT r7 'What's wrong' #1: two consecutive rounds recorded VM
+    weather as the round's number with no way to label it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    A = rng.standard_normal((2000, 256))
+    B = rng.standard_normal((256, 2000))
+    out = np.empty((2000, 2000))
+    np.dot(A, B, out=out)  # warm the buffer
+    best_np = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.dot(A, B, out=out)
+        dt = time.perf_counter() - t0
+        best_np = dt if best_np is None else min(best_np, dt)
+
+    # pure whole-stage-codegen aggregate: no files, no Python, no shuffle
+    sql = (
+        "select max(xxhash64(id * 31 + 7)) as h "
+        "from range(20000000)"
+    )
+    spark.sql(sql).first()  # warm codegen compile
+    best_sql = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.sql(sql).first()
+        dt = time.perf_counter() - t0
+        best_sql = dt if best_sql is None else min(best_sql, dt)
+    return {"numpy_sec": round(best_np, 4), "sql_sec": round(best_sql, 4)}
+
+
+def _sentinel_summary(start: dict, end: dict) -> dict:
+    """Fold the two probes + stored calibration into a self-labeling
+    verdict. First run on a host writes the calibration file (commit it);
+    later runs compare against it."""
+    cal = None
+    if os.path.exists(CALIBRATION_FILE):
+        with open(CALIBRATION_FILE) as f:
+            cal = json.load(f)
+    best = {
+        "numpy_sec": min(start["numpy_sec"], end["numpy_sec"]),
+        "sql_sec": min(start["sql_sec"], end["sql_sec"]),
+    }
+    if cal is None:
+        cal = dict(best)
+        with open(CALIBRATION_FILE, "w") as f:
+            json.dump(cal, f)
+        calibrated_now = True
+    else:
+        # self-healing: a faster draw than the stored calibration means
+        # the calibration itself was taken under load — tighten it
+        updated = {k: min(cal.get(k, best[k]), best[k]) for k in best}
+        if updated != cal:
+            with open(CALIBRATION_FILE, "w") as f:
+                json.dump(updated, f)
+            cal = updated
+        calibrated_now = False
+    drift = max(
+        max(start["numpy_sec"], end["numpy_sec"])
+        / min(start["numpy_sec"], end["numpy_sec"]),
+        max(start["sql_sec"], end["sql_sec"])
+        / min(start["sql_sec"], end["sql_sec"]),
+    )
+    band = max(
+        best["numpy_sec"] / cal["numpy_sec"], best["sql_sec"] / cal["sql_sec"]
+    )
+    return {
+        "start": start,
+        "end": end,
+        "calibration": cal,
+        "calibrated_this_run": calibrated_now,
+        # band_factor: how much slower the WHOLE run's best fixed-work
+        # draws are vs the idle calibration; drift_factor: how much the
+        # two ends of the run disagree. Either >1.5 => the headline
+        # numbers sit in a contention band.
+        "band_factor": round(band, 2),
+        "drift_factor": round(drift, 2),
+        "contended": bool(band > 1.5 or drift > 1.5),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark("faiss_spark_bench")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     # warm the JVM/Arrow path and the big-table scan once so timings
     # measure the operators, not session init / first-touch page cache
     qs["knn_l2"](spark, sf_dir).count()
     entrymod._lineitem_features(spark, sf_dir).count()
-    for name in BENCH_QUERIES:
-        # best-of-2: this host shows 2-4× run-to-run variance from
-        # external contention; min-of-two is the engine's number, not
-        # the noise's
-        fn = BENCH_OVERRIDES[name]() if name in BENCH_OVERRIDES else qs[name]
-        force = name in BENCH_FORCE_COLUMNS
-        best = None
-        for _ in range(2):
+    sent_start = _sentinel_probe(spark)
+    # TWO temporally separated passes over the whole query list, per-query
+    # min (VERDICT r7 fix #2b): a best-of-2 run back-to-back sits entirely
+    # inside one contention window — the r7 artifact recorded 2-4x weather
+    # outliers as per-query numbers exactly that way. A full-list pass
+    # between a query's two draws means a multi-second window cannot taint
+    # both.
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = (
+                BENCH_OVERRIDES[name]() if name in BENCH_OVERRIDES else qs[name]
+            )
+            force = name in BENCH_FORCE_COLUMNS
             t0 = time.perf_counter()
             n = _run_once(fn(spark, sf_dir), force)
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if force:
-            n = fn(spark, sf_dir).count()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if force and name not in rows:
+                n = fn(spark, sf_dir).count()
+            rows[name] = n
+    for name in BENCH_QUERIES:
+        timings[name] = round(timings[name], 3)
+        print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
     kernel = _kernel_bench(spark, cpus)
     graph = _graph_bench(spark, cpus)
     kmeans = _kmeans_bench(spark, cpus)
     ivf_add = _ivf_add_bench(spark, cpus)
     nsg = _nsg_bench(spark, cpus)
+    sent_end = _sentinel_probe(spark)
+    sentinel = _sentinel_summary(sent_start, sent_end)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -105,6 +212,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sentinel": sentinel,
                 "kernel_knn": kernel,
                 "graph_bucketed": graph,
                 "kmeans": kmeans,
@@ -156,33 +264,26 @@ def _kernel_bench(
         F.col("id").alias("qid"), "vec"
     )
 
-    def best_of(dtype: str, runs: int = 3) -> float:
+    def _roofline_draw(np_dtype, Q, chunk, out, iters) -> float:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.dot(Q, chunk.T, out=out)
+        return time.perf_counter() - t0
+
+    def paired(dtype: str, np_dtype, runs: int = 3) -> tuple[float, float, float]:
+        """Interleaved (spark draw, numpy draw) rounds so the engine and
+        its roofline DENOMINATOR are measured under the same load
+        (VERDICT r7 fix #2c: the r7 artifact recorded ratio_vs_blas 0.47 —
+        'Spark 2x faster than local numpy', impossible — because the numpy
+        draw alone caught a contention window). Returns (min spark sec,
+        min numpy sec, median paired ratio): the mins are the capability
+        numbers; the median-of-paired-ratios is robust to one strangled
+        round in either direction."""
         # one UNTIMED warm-up first: each dtype has its own per-worker
         # workspace buffers, and their first-touch page faults on this VM
         # cost multiples of the GEMM itself (the r4 artifact recorded an
-        # f32 number dominated by exactly that cold start); then best-of-3
-        # — this VM shows multi-second contention windows that can cover
-        # two consecutive runs, and a third draw makes recording a 2-4x
-        # outlier as the round's number much less likely
+        # f32 number dominated by exactly that cold start)
         knn(base, queries, k, dtype=dtype).count()
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            n = knn(base, queries, k, dtype=dtype).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        assert n == nq * k
-        return best
-
-    spark_sec = best_of("f64")
-    spark_sec_f32 = best_of("f32")
-    flops = 2.0 * nv * nq * d
-
-    def roofline(np_dtype) -> float:
-        # best-of-2 with a warmed out= buffer: the roofline is the
-        # comparison BAR, so a contention-window draw here misstates the
-        # engine ratio in either direction (an idle r7 run recorded an
-        # f32 roofline slower than the f64 one — nonsense for sgemm)
         rng = np.random.default_rng(0)
         rows = min(20_000, max(1, nv // 4))
         Q = rng.standard_normal((nq, d)).astype(np_dtype)
@@ -190,26 +291,34 @@ def _kernel_bench(
         out = np.empty((nq, rows), dtype=np_dtype)
         np.dot(Q, chunk.T, out=out)  # warm: fault the buffer once
         iters = nv // rows
-        best = None
-        for _ in range(2):
+        ratios = []
+        best_s = best_n = None
+        for _ in range(runs):
             t0 = time.perf_counter()
-            for _ in range(iters):
-                np.dot(Q, chunk.T, out=out)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+            n = knn(base, queries, k, dtype=dtype).count()
+            s = time.perf_counter() - t0
+            r = _roofline_draw(np_dtype, Q, chunk, out, iters)
+            assert n == nq * k
+            ratios.append(s / r)
+            best_s = s if best_s is None else min(best_s, s)
+            best_n = r if best_n is None else min(best_n, r)
+        ratios.sort()
+        return best_s, best_n, ratios[len(ratios) // 2]
 
-    np_sec = roofline(np.float64)
-    np_sec_f32 = roofline(np.float32)
+    spark_sec, np_sec, ratio = paired("f64", np.float64)
+    spark_sec_f32, np_sec_f32, ratio_f32 = paired("f32", np.float32)
+    flops = 2.0 * nv * nq * d
     return {
         "spark_sec": round(spark_sec, 3),
         # 6 decimals: at smoke-test toy sizes the roofline is sub-ms and
         # 3-decimal rounding would truncate it to 0.0
         "numpy_gemm_sec": round(np_sec, 6),
-        "ratio_vs_blas": round(spark_sec / np_sec, 2),
+        # median of TIME-PAIRED per-round ratios (not min/min: the two
+        # mins can come from different contention regimes)
+        "ratio_vs_blas": round(ratio, 2),
         "spark_sec_f32": round(spark_sec_f32, 3),
         "numpy_gemm_sec_f32": round(np_sec_f32, 6),
-        "ratio_vs_blas_f32": round(spark_sec_f32 / np_sec_f32, 2),
+        "ratio_vs_blas_f32": round(ratio_f32, 2),
         "gflops": round(flops / spark_sec / 1e9, 1),
         "gflops_f32": round(flops / spark_sec_f32 / 1e9, 1),
         "qvd_per_core_sec": round(nv * nq * d / spark_sec / cpus / 1e9, 3),

@@ -61,6 +61,10 @@ from faiss_spark.functions.corpus import (
     temperature_sample,
     token_budget_sample,
 )
+from faiss_spark.functions.quality import (
+    QualityClassifierModel,
+    train_quality_classifier,
+)
 from faiss_spark.functions.text import (
     bigram_frequencies,
     dup_ngram_char_frac,
@@ -89,6 +93,8 @@ from faiss_spark.operators.fastscan import (
     aq_fastscan_search,
     pq_fastscan_search,
     train_aq_fastscan,
+    train_ivf_paq_fastscan,
+    train_paq_fastscan,
 )
 from faiss_spark.operators.knn import knn, knn_join, range_search
 from faiss_spark.operators.lattice import LatticeIndex, ZnSphereCodec
@@ -161,6 +167,8 @@ __all__ = [
     "term_frequencies",
     "bigram_frequencies",
     "gopher_quality_flags",
+    "train_quality_classifier",
+    "QualityClassifierModel",
     "top_ngram_char_frac",
     "dup_ngram_char_frac",
     "pack_sequences",
@@ -193,6 +201,8 @@ __all__ = [
     "IVFPQFastScanIndex",
     "IVFAQFastScanIndex",
     "train_aq_fastscan",
+    "train_paq_fastscan",
+    "train_ivf_paq_fastscan",
     "aq_fastscan_encode",
     "aq_fastscan_search",
     "duplicated_spans",

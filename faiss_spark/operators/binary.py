@@ -311,7 +311,6 @@ class BinaryIVFIndex:
 
     def save(self, path: str) -> "BinaryIVFIndex":
         """write_index: partitioned code-words table + centroid artifact."""
-        import json as _json
         import os as _os
 
         if self.codes is None:
@@ -320,22 +319,22 @@ class BinaryIVFIndex:
         self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
             "list_no"
         ).parquet(path)
-        _os.makedirs(path, exist_ok=True)
-        np.save(_os.path.join(path, "_bivf_centroid_words.npy"), self.centroid_words)
-        with open(_os.path.join(path, "_bivf_meta.json"), "w") as f:
-            _json.dump({"nbits": int(self.nbits)}, f)
+        from faiss_spark.sources import fsio
+
+        fsio.write_npy(spark, _os.path.join(path, "_bivf_centroid_words.npy"), self.centroid_words)
+        fsio.write_json(spark, _os.path.join(path, "_bivf_meta.json"), {"nbits": int(self.nbits)})
         self.codes = spark.read.parquet(path)
         return self
 
     @staticmethod
     def load(spark, path: str) -> "BinaryIVFIndex":
-        import json as _json
         import os as _os
 
-        with open(_os.path.join(path, "_bivf_meta.json")) as f:
-            meta = _json.load(f)
+        from faiss_spark.sources import fsio
+
+        meta = fsio.read_json(spark, _os.path.join(path, "_bivf_meta.json"))
         idx = BinaryIVFIndex(
-            centroid_words=np.load(_os.path.join(path, "_bivf_centroid_words.npy")),
+            centroid_words=fsio.read_npy(spark, _os.path.join(path, "_bivf_centroid_words.npy")),
             nbits=meta["nbits"],
         )
         idx.codes = spark.read.parquet(path)
@@ -349,7 +348,12 @@ class BinaryIVFIndex:
         Hamming scan -> window top-k."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
-        qpdf = qcodes.select(qid_col, qcode_col).toPandas()
+        from faiss_spark.operators.ivf import collect_query_frame_bounded
+
+        qpdf = collect_query_frame_bounded(
+            qcodes, qid_col, qcode_col, "binary_ivf_search",
+            d=self.centroid_words.shape[1],
+        )
         qwords = np.stack([np.asarray(w, np.int64) for w in qpdf[qcode_col]])
         pc = self._hamming_to_centroids(qwords)
         nprobe_ = min(nprobe, len(self.centroid_words))
@@ -445,8 +449,12 @@ class BinaryHashIndex:
         a true neighbor differing in > radius prefix bits is missed."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
+        from faiss_spark.operators.ivf import collect_query_frame_bounded
+
         spark = self.codes.sparkSession
-        qpdf = qcodes.select(qid_col, qcode_col).toPandas()
+        qpdf = collect_query_frame_bounded(
+            qcodes, qid_col, qcode_col, "binary_hash_search"
+        )
         mask = (1 << self.b) - 1
         probe_rows = []
         probed: set[int] = set()
@@ -552,8 +560,12 @@ class BinaryMultiHashIndex:
         verify full Hamming once per (query, candidate), top-k."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
+        from faiss_spark.operators.ivf import collect_query_frame_bounded
+
         spark = self.codes.sparkSession
-        qpdf = qcodes.select(qid_col, qcode_col).toPandas()
+        qpdf = collect_query_frame_bounded(
+            qcodes, qid_col, qcode_col, "binary_hash_search"
+        )
         mask = (1 << self.b) - 1
         probe_rows = []
         probed: set[tuple[int, int]] = set()

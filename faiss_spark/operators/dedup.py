@@ -1061,26 +1061,35 @@ def duplicated_spans(
 
         # pass 1: exact counts with NO positions — map-side combinable,
         # narrowest possible shuffle rows; the surviving counts are
-        # final, so the positional pass (2) needs no re-count
+        # final, so the positional pass (2) needs no re-count.
+        # NOTE: this branch runs ONE eager Spark job at construction
+        # time (the bounded collect below) — the broadcast-vs-shuffle
+        # decision is a plan-time choice, so it cannot be deferred to
+        # the caller's action. No persisted/checkpointed state is left
+        # behind (ADVICE r7): the broadcast path ships the collected
+        # rows, and the fallback path re-derives ``hot`` lazily inside
+        # the final plan.
         hot = (
             df.select(F.explode(windows).alias("span_hash"))
             .groupBy("span_hash")
             .agg(F.count("*").alias("n_occurrences"))
             .filter(F.col("n_occurrences") >= min_count)
-            # materialize once: the size probe below and the join reuse
-            # the same pass-1 result instead of re-aggregating
-            .localCheckpoint(eager=True)
         )
         key_bytes = 56 if hash_fn == "md5" else 24
-        n_hot = hot.count()
-        if n_hot * key_bytes <= max_broadcast_mb << 20:
-            dups = spans.join(F.broadcast(hot), "span_hash")
+        budget_rows = (max_broadcast_mb << 20) // key_bytes
+        # one job: fetch up to budget+1 rows — both the size probe and
+        # (when it fits) the broadcast payload in a single pass
+        hot_rows = hot.limit(budget_rows + 1).collect()
+        if len(hot_rows) <= budget_rows:
+            spark = df.sparkSession
+            hot_local = spark.createDataFrame(hot_rows, schema=hot.schema)
+            dups = spans.join(F.broadcast(hot_local), "span_hash")
         else:
             warnings.warn(
-                f"hot_hash prefilter: {n_hot} duplicated hashes exceed the "
-                f"{max_broadcast_mb} MB broadcast budget — falling back to "
-                "a shuffle join (result identical; if most windows repeat, "
-                "skip the prefilter)"
+                f"hot_hash prefilter: >{budget_rows} duplicated hashes "
+                f"exceed the {max_broadcast_mb} MB broadcast budget — "
+                "falling back to a shuffle join (result identical; if "
+                "most windows repeat, skip the prefilter)"
             )
             dups = spans.join(hot, "span_hash")
         w = Window.partitionBy("span_hash")

@@ -315,21 +315,25 @@ class IVFPQFastScanIndex:
         """write_index: the IVFPQ layout plus the by_residual flag —
         reload reproduces the same LUT mode (per-probe residual LUTs vs
         the shared flat LUT)."""
-        import json as _json
         import os as _os
 
+        from faiss_spark.sources import fsio
+
         self.base.save(path)
-        with open(_os.path.join(path, "_ivfpqfs_meta.json"), "w") as f:
-            _json.dump({"by_residual": bool(self.by_residual)}, f)
+        fsio.write_json(
+            self.base.codes.sparkSession,
+            _os.path.join(path, "_ivfpqfs_meta.json"),
+            {"by_residual": bool(self.by_residual)},
+        )
         return self
 
     @staticmethod
     def load(spark, path: str) -> "IVFPQFastScanIndex":
-        import json as _json
         import os as _os
 
-        with open(_os.path.join(path, "_ivfpqfs_meta.json")) as f:
-            meta = _json.load(f)
+        from faiss_spark.sources import fsio
+
+        meta = fsio.read_json(spark, _os.path.join(path, "_ivfpqfs_meta.json"))
         return IVFPQFastScanIndex(
             base=IVFPQIndex.load(spark, path),
             by_residual=meta["by_residual"],
@@ -454,14 +458,14 @@ class IVFPQFastScanIndex:
         across its probes (the reference's by_residual=false branch) —
         identical arithmetic to pq_fastscan_search, restricted to the
         probed partitions."""
-        M, ksub, dsub = books.shape
         nq = len(Q)
-        Qs = Q.reshape(nq, M, dsub)
-        luts = (
-            (Qs * Qs).sum(2)[:, :, None]
-            + (books * books).sum(2)[None, :, :]
-            - 2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
-        )
+        # LUT via the SAME distance_table arithmetic as pq_fastscan_search
+        # (fastscan.py pq path / ProductQuantizerModel.distance_table):
+        # the full-probe == flat-scan bit-identity depends on IDENTICAL
+        # floats entering uint8 quantization — an algebraically-equal
+        # expanded form (|q|²+|c|²−2⟨q,c⟩) can land a value on the other
+        # side of a bin boundary (ADVICE r7).
+        luts = np.stack([self.base.pq.distance_table(q) for q in Q])
         lutq, a, b = quantize_lut_flat(luts)
         probed_lists = sorted({int(c) for c in probes.ravel()})
         l2q: dict[int, list[int]] = {c: [] for c in probed_lists}
@@ -877,15 +881,16 @@ class IVFAQFastScanIndex:
     ) -> "IVFAQFastScanIndex":
         spark = vectors.sparkSession
         by_res = self.by_residual
+        # broadcast the MODEL, not bare codebooks: a ProductAQAdapter
+        # must encode per-split on executors (a flat beam search over its
+        # padded codebooks would produce different codes), and for plain
+        # RQ the broadcast model is the identical encoder
         bc = spark.sparkContext.broadcast(
-            (self.centroids, self.rq.codebooks, self.norm_books)
+            (self.centroids, self.rq, self.norm_books)
         )
 
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from faiss_spark.operators.codecs import ResidualQuantizerModel
-
-            C, books, nbk = bc.value
-            rqm = ResidualQuantizerModel(codebooks=books, beam=4)
+            C, rqm, nbk = bc.value
             cn = (C * C).sum(1)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -922,7 +927,6 @@ class IVFAQFastScanIndex:
     def save(self, path: str) -> "IVFAQFastScanIndex":
         """write_index: partitioned (rcodes ++ norm-code) table +
         centroid/RQ-codebook/norm-codebook artifacts."""
-        import json as _json
         import os as _os
 
         if self.codes is None:
@@ -931,38 +935,55 @@ class IVFAQFastScanIndex:
         self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
             "list_no"
         ).parquet(path)
-        _os.makedirs(path, exist_ok=True)
-        np.save(_os.path.join(path, "_ivfaqfs_centroids.npy"), self.centroids)
-        np.save(_os.path.join(path, "_ivfaqfs_codebooks.npy"), self.rq.codebooks)
-        np.save(_os.path.join(path, "_ivfaqfs_norm_books.npy"), self.norm_books)
-        with open(_os.path.join(path, "_ivfaqfs_meta.json"), "w") as f:
-            _json.dump(
-                {
-                    "norm_scale": int(self.norm_scale),
-                    "by_residual": bool(self.by_residual),
-                    "beam": int(getattr(self.rq, "beam", 4)),
-                },
-                f,
-            )
+        from faiss_spark.sources import fsio
+
+        fsio.write_npy(spark, _os.path.join(path, "_ivfaqfs_centroids.npy"), self.centroids)
+        fsio.write_npy(spark, _os.path.join(path, "_ivfaqfs_codebooks.npy"), self.rq.codebooks)
+        fsio.write_npy(spark, _os.path.join(path, "_ivfaqfs_norm_books.npy"), self.norm_books)
+        meta = {
+            "norm_scale": int(self.norm_scale),
+            "by_residual": bool(self.by_residual),
+            "beam": int(getattr(self.rq, "beam", 4)),
+        }
+        if isinstance(self.rq, ProductAQAdapter):
+            # stamp the split structure so load rebuilds the PER-SPLIT
+            # encoder (the padded codebooks alone reproduce decode/LUTs
+            # but not PRQ/PLSQ encoding)
+            from faiss_spark.operators.codecs import LocalSearchQuantizerModel
+
+            sub0 = self.rq.paq.subs[0]
+            meta["paq"] = {
+                "nsplits": len(self.rq.paq.subs),
+                "msub": int(sub0.M),
+                "lsq": isinstance(sub0, LocalSearchQuantizerModel),
+                "icm_iters": int(getattr(sub0, "icm_iters", 3)),
+            }
+        fsio.write_json(spark, _os.path.join(path, "_ivfaqfs_meta.json"), meta)
         self.codes = spark.read.parquet(path)
         return self
 
     @staticmethod
     def load(spark, path: str) -> "IVFAQFastScanIndex":
-        import json as _json
         import os as _os
 
         from faiss_spark.operators.codecs import ResidualQuantizerModel
+        from faiss_spark.sources import fsio
 
-        with open(_os.path.join(path, "_ivfaqfs_meta.json")) as f:
-            meta = _json.load(f)
+        meta = fsio.read_json(spark, _os.path.join(path, "_ivfaqfs_meta.json"))
+        books = fsio.read_npy(
+            spark, _os.path.join(path, "_ivfaqfs_codebooks.npy")
+        )
+        if "paq" in meta:
+            pm = meta["paq"]
+            rq = _paq_adapter_from_books(
+                books, pm["nsplits"], pm["msub"], pm["lsq"], pm["icm_iters"]
+            )
+        else:
+            rq = ResidualQuantizerModel(codebooks=books, beam=meta["beam"])
         return IVFAQFastScanIndex(
-            centroids=np.load(_os.path.join(path, "_ivfaqfs_centroids.npy")),
-            rq=ResidualQuantizerModel(
-                codebooks=np.load(_os.path.join(path, "_ivfaqfs_codebooks.npy")),
-                beam=meta["beam"],
-            ),
-            norm_books=np.load(_os.path.join(path, "_ivfaqfs_norm_books.npy")),
+            centroids=fsio.read_npy(spark, _os.path.join(path, "_ivfaqfs_centroids.npy")),
+            rq=rq,
+            norm_books=fsio.read_npy(spark, _os.path.join(path, "_ivfaqfs_norm_books.npy")),
             norm_scale=meta["norm_scale"],
             codes=spark.read.parquet(path),
             by_residual=meta["by_residual"],
@@ -1082,3 +1103,198 @@ class IVFAQFastScanIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+# --------------------------------------- product-AQ fast-scan (PRQ/PLSQ)
+
+
+class ProductAQAdapter:
+    """Present a ProductAdditiveQuantizerModel as a plain additive
+    quantizer: a product of additive quantizers IS an additive quantizer
+    whose per-split codebooks are zero-padded to full dimension
+    (reference faiss/impl/ProductAdditiveQuantizer.h:28 derives from
+    AdditiveQuantizer exactly this way — decode and LUT math are the
+    ordinary gather-sum over (M_total, ksub, d) codebooks, while ENCODING
+    stays per-split). With the adapter every AQ fast-scan code path
+    (float_luts, quantization, norm books, flat + IVF scans, save/load)
+    works unchanged for PRQ/PLSQ (reference index_factory.cpp:381-395
+    IndexIVFProduct{Residual,LocalSearch}QuantizerFastScan and :625-640
+    the flat forms)."""
+
+    def __init__(self, paq, beam: int = 4):
+        self.paq = paq
+        self.beam = beam
+        subs = paq.subs
+        dsub = paq.dsub
+        d = dsub * len(subs)
+        ksubs = {s.codebooks.shape[1] for s in subs}
+        if len(ksubs) != 1:
+            raise ValueError(
+                f"PRQ/PLSQ fast-scan needs a uniform ksub across splits, "
+                f"got {sorted(ksubs)}"
+            )
+        m_total = sum(s.M for s in subs)
+        books = np.zeros((m_total, ksubs.pop(), d), np.float64)
+        off = 0
+        for s_i, s in enumerate(subs):
+            books[off : off + s.M, :, s_i * dsub : (s_i + 1) * dsub] = (
+                s.codebooks
+            )
+            off += s.M
+        self.codebooks = books
+
+    @property
+    def M(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    def encode_np(self, X: np.ndarray) -> np.ndarray:
+        return self.paq.encode_np(X)
+
+    def decode_np(self, codes: np.ndarray) -> np.ndarray:
+        return self.paq.decode_np(codes)
+
+
+def _paq_adapter_from_books(
+    books: np.ndarray, nsplits: int, msub: int, lsq: bool, icm_iters: int = 3
+) -> ProductAQAdapter:
+    """Rebuild a ProductAQAdapter from the persisted PADDED codebooks by
+    slicing each split's block back out — save/load round-trips the
+    per-split encode semantics, not just the decode/LUT math."""
+    from faiss_spark.operators.codecs import (
+        LocalSearchQuantizerModel,
+        ProductAdditiveQuantizerModel,
+        ResidualQuantizerModel,
+    )
+
+    d = books.shape[2]
+    dsub = d // nsplits
+    subs = []
+    for s in range(nsplits):
+        blk = np.ascontiguousarray(
+            books[s * msub : (s + 1) * msub, :, s * dsub : (s + 1) * dsub]
+        )
+        subs.append(
+            LocalSearchQuantizerModel(codebooks=blk, icm_iters=icm_iters)
+            if lsq
+            else ResidualQuantizerModel(codebooks=blk, beam=4)
+        )
+    return ProductAQAdapter(
+        ProductAdditiveQuantizerModel(subs=subs, dsub=dsub)
+    )
+
+
+def train_paq_fastscan(
+    vectors: "DataFrame",
+    nsplits: int = 2,
+    Msub: int = 2,
+    lsq: bool = False,
+    niter: int = 10,
+    seed: int = 1234,
+    vec_col: str = "vec",
+) -> AQFastScanModel:
+    """Train a 4-bit PRQ/PLSQ codec + the 2x4-bit norm quantizer: the
+    flat IndexProduct{Residual,LocalSearch}QuantizerFastScan of the
+    reference (index_factory.cpp:625-640), searched through the SAME
+    ST_norm_rq2x4 LUT machinery as RQ fast-scan."""
+    from faiss_spark.operators.codecs import (
+        ProductAdditiveQuantizer,
+        _sampled_matrix,
+    )
+
+    paq = ProductAdditiveQuantizer(
+        nsplits=nsplits, M_per_split=Msub, nbits=4, niter=niter, seed=seed,
+        lsq=lsq,
+    ).fit(vectors, vec_col=vec_col)
+    rq = ProductAQAdapter(paq)
+    X = _sampled_matrix(vectors, vec_col, 16384, seed)
+    xhat = rq.decode_np(rq.encode_np(X))
+    norm_books = _fit_norm_books((xhat * xhat).sum(1), rq.ksub, seed)
+    return AQFastScanModel(
+        rq=rq,
+        norm_books=norm_books,
+        norm_scale=_estimate_norm_scale(
+            X[: min(256, len(X))], rq.codebooks, norm_books
+        ),
+    )
+
+
+def train_ivf_paq_fastscan(
+    vectors: "DataFrame",
+    nlist: int,
+    nsplits: int = 2,
+    Msub: int = 2,
+    lsq: bool = False,
+    vec_col: str = "vec",
+    seed: int = 1234,
+    niter: int = 10,
+    paq_niter: int = 10,
+    by_residual: bool = True,
+) -> "IVFAQFastScanIndex":
+    """IVF<n>,PRQ/PLSQ<ns>x<M>x4fs[r] (reference index_factory.cpp:381-395):
+    coarse k-means + 4-bit product-additive codes, searched through the
+    IVFAQFastScanIndex machinery via the ProductAQAdapter. Plain x4fs =
+    by_residual=false (codec on RAW vectors, one shared LUT per query —
+    at full probe bit-identical to the flat PRQ fast-scan over the same
+    codes); x4fsr encodes residuals, built by feeding the residual frame
+    (map-only, broadcast centroids) to the SAME distributed PAQ trainer
+    the flat codec uses."""
+    from faiss_spark.operators.cluster import KMeans
+    from faiss_spark.operators.codecs import (
+        ProductAdditiveQuantizer,
+        _sampled_matrix,
+    )
+
+    km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+    C = km.centroids
+    if not by_residual:
+        model = train_paq_fastscan(
+            vectors, nsplits=nsplits, Msub=Msub, lsq=lsq, niter=paq_niter,
+            seed=seed, vec_col=vec_col,
+        )
+        return IVFAQFastScanIndex(
+            centroids=C,
+            rq=model.rq,
+            norm_books=model.norm_books,
+            norm_scale=model.norm_scale,
+            by_residual=False,
+        )
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def to_resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = bc.value
+        cn = (C_ * C_).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = as_matrix(pdf["vec"])
+            d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C_.T)
+            resid = X - C_[d2.argmin(1)]
+            yield pd.DataFrame({"vec": list(resid.astype(np.float64))})
+
+    resid_df = vectors.select(F.col(vec_col).alias("vec")).mapInPandas(
+        to_resid, schema="vec array<double>"
+    )
+    paq = ProductAdditiveQuantizer(
+        nsplits=nsplits, M_per_split=Msub, nbits=4, niter=paq_niter,
+        seed=seed, lsq=lsq,
+    ).fit(resid_df, vec_col="vec")
+    rq = ProductAQAdapter(paq)
+    # norm quantizer over FULL reconstructed norms ||c + r^||^2
+    X = _sampled_matrix(vectors, vec_col, 16384, seed)
+    d2 = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+    lists = d2.argmin(1)
+    xhat = C[lists] + rq.decode_np(rq.encode_np(X - C[lists]))
+    norm_books = _fit_norm_books((xhat * xhat).sum(1), rq.ksub, seed)
+    return IVFAQFastScanIndex(
+        centroids=C,
+        rq=rq,
+        norm_books=norm_books,
+        norm_scale=_estimate_norm_scale(
+            X[: min(256, len(X))], rq.codebooks, norm_books
+        ),
+    )

@@ -59,8 +59,17 @@ def nn_descent(
     n. Two bounds keep the k_eff² term in check at 100 TB:
     (1) the INCREMENTAL join (reference NNDescent.cpp new/old flags):
         only 2-hop pairs with at least one new-this-iteration hop are
-        generated — identical results, and the join's generating side
-        shrinks with convergence (late iterations are near-free);
+        generated — with sample_candidates=None the results are
+        IDENTICAL to the unrestricted join (inductive argument below),
+        and the join's generating side shrinks with convergence (late
+        iterations are near-free). With sample_candidates SET the
+        identity does not hold pair-for-pair (the sampling cutoff can
+        drop a both-old pair an earlier iteration would have kept, and
+        removing both-old pairs shifts which pairs the hash-ranked cap
+        admits) — that combination is exactly the reference's own
+        ρ-sampling + new/old flags (NNDescent.cpp join()), i.e. a
+        sanctioned approximation, not a bug; recall is what the tests
+        pin in sampled mode, not pair equality;
     (2) sample_candidates ≈ 8·k_eff (the reference's ρ·K sampling) caps
         the SCORED pairs per node; NN-Descent converges under candidate
         sampling — that is the point of the ρ parameter in the paper

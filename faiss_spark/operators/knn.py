@@ -57,13 +57,18 @@ def _validate_metric(metric: str) -> None:
 
 
 def _collect_queries(
-    queries: DataFrame, qid_col: str, qvec_col: str, dtype=np.float64
+    queries: DataFrame, qid_col: str, qvec_col: str, dtype=np.float64,
+    op: str = "knn",
 ):
-    """Collect the (small) query side to the driver as (ids, matrix)."""
-    pdf = queries.select(qid_col, qvec_col).toPandas()
-    qids = pdf[qid_col].to_numpy(dtype=np.int64)
-    Q = as_matrix(pdf[qvec_col], dtype=dtype)
-    return qids, Q
+    """Collect the (small) query side to the driver as (ids, matrix).
+
+    Brute-force search broadcasts the queries BY CONTRACT, so the
+    collect is bounded by the same one-job MAX_DRIVER_QUERY_CELLS budget
+    the IVF family uses (VERDICT r7 #5): a million-query frame gets the
+    actionable chunk-or-distribute error instead of a driver OOM."""
+    from faiss_spark.operators.ivf import collect_queries_bounded
+
+    return collect_queries_bounded(queries, qid_col, qvec_col, op, dtype=dtype)
 
 
 def _np_dtype(dtype: str):
@@ -188,7 +193,7 @@ def range_search(
     _validate_metric(metric)
     largest = metric in SIMILARITY_METRICS
     spark = vectors.sparkSession
-    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    qids, Q = _collect_queries(queries, qid_col, qvec_col, op="range_search")
     if len(qids) == 0:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     bc = spark.sparkContext.broadcast((qids, Q))

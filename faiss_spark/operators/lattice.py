@@ -30,7 +30,6 @@ aggregate (slice + aggregate + min/max), so the scan stays in codegen.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 from dataclasses import dataclass
@@ -429,14 +428,27 @@ class LatticeIndex:
     def save(self, path: str, codes: DataFrame | None = None) -> None:
         if self.model is None:
             raise ValueError("index is not trained; call fit() first")
-        os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "_lattice_mins.npy"), self.model.mins)
-        np.save(os.path.join(path, "_lattice_maxs.npy"), self.model.maxs)
-        with open(os.path.join(path, "_lattice_meta.json"), "w") as f:
-            json.dump(
-                {"d": self.model.d, "nsq": self.nsq,
-                 "scale_nbit": self.scale_nbit, "r2": self.r2}, f,
+        from pyspark.sql import SparkSession
+
+        from faiss_spark.sources import fsio
+
+        spark = (
+            codes.sparkSession if codes is not None
+            else SparkSession.getActiveSession()
+        )
+        if spark is None:
+            raise RuntimeError(
+                "LatticeIndex.save needs an active SparkSession to reach "
+                "the target filesystem"
             )
+        fsio.write_npy(spark, os.path.join(path, "_lattice_mins.npy"), self.model.mins)
+        fsio.write_npy(spark, os.path.join(path, "_lattice_maxs.npy"), self.model.maxs)
+        fsio.write_json(
+            spark,
+            os.path.join(path, "_lattice_meta.json"),
+            {"d": self.model.d, "nsq": self.nsq,
+             "scale_nbit": self.scale_nbit, "r2": self.r2},
+        )
         if codes is not None:
             codes.write.mode("overwrite").parquet(
                 os.path.join(path, "codes")
@@ -444,17 +456,18 @@ class LatticeIndex:
 
     @staticmethod
     def load(spark, path: str) -> "LatticeIndex":
-        with open(os.path.join(path, "_lattice_meta.json")) as f:
-            meta = json.load(f)
+        from faiss_spark.sources import fsio
+
+        meta = fsio.read_json(spark, os.path.join(path, "_lattice_meta.json"))
         idx = LatticeIndex(
             nsq=meta["nsq"], scale_nbit=meta["scale_nbit"], r2=meta["r2"]
         )
         idx.model = LatticeModel(
             meta["d"], meta["nsq"], meta["scale_nbit"], meta["r2"],
-            np.load(os.path.join(path, "_lattice_mins.npy")),
-            np.load(os.path.join(path, "_lattice_maxs.npy")),
+            fsio.read_npy(spark, os.path.join(path, "_lattice_mins.npy")),
+            fsio.read_npy(spark, os.path.join(path, "_lattice_maxs.npy")),
         )
         codes_path = os.path.join(path, "codes")
-        if os.path.exists(codes_path):
+        if fsio.exists(spark, codes_path):
             idx.codes = spark.read.parquet(codes_path)
         return idx

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
 from faiss_spark.kernels import as_matrix
+from faiss_spark.sources import fsio
 
 
 def _local_knn(X: np.ndarray, k: int, tile: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -432,7 +433,6 @@ class NSGIndex:
         )
 
     def save(self, path: str) -> "NSGIndex":
-        import json as _json
         import os as _os
 
         spark = self.table.sparkSession
@@ -440,9 +440,22 @@ class NSGIndex:
             "shard"
         ).parquet(path)
         self.table = spark.read.parquet(path)
-        _os.makedirs(path, exist_ok=True)
-        with open(_os.path.join(path, "_nsg_meta.json"), "w") as f:
-            _json.dump({"R": int(self.R), "nshards": int(self.nshards)}, f)
+        fsio.write_json(
+            spark,
+            _os.path.join(path, "_nsg_meta.json"),
+            {"R": int(self.R), "nshards": int(self.nshards)},
+        )
+        # a previous save of a DIFFERENT storage kind at this path may
+        # have left sidecars behind (e.g. flat re-save over an old PQ
+        # save): load would attach a pq/sq model to a table with no
+        # 'code' column and fail at search — delete the ones that do
+        # not apply to the current mode (ADVICE r7)
+        if self.centroids is None:
+            fsio.delete(spark, path + "_centroids")
+        if self.pq_codebooks is None:
+            fsio.delete(spark, path + "_pq")
+        if self.sq_model is None:
+            fsio.delete(spark, path + "_sq")
         if self.centroids is not None:
             subs = (
                 self.cell_subs
@@ -487,14 +500,12 @@ class NSGIndex:
 
     @staticmethod
     def load(spark: SparkSession, path: str, R: int = 16) -> "NSGIndex":
-        import json as _json
         import os as _os
 
         t = spark.read.parquet(path)
         meta_p = _os.path.join(path, "_nsg_meta.json")
-        if _os.path.exists(meta_p):
-            with open(meta_p) as f:
-                meta = _json.load(f)
+        if fsio.exists(spark, meta_p):
+            meta = fsio.read_json(spark, meta_p)
             R = meta["R"]
             nshards = meta["nshards"]
         else:  # pre-meta layouts: count the shard directories
@@ -565,10 +576,16 @@ class NSGIndex:
         nprobe (cell-sharded indexes only): route each query to its
         nprobe nearest cell shards; unprobed shards are pruned from the
         scan entirely. None = search every shard."""
+        from faiss_spark.operators.ivf import collect_queries_bounded
+
         spark = self.table.sparkSession
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        # bounded one-job collect (VERDICT r7 #5): routed search holds
+        # O(nq·d) floats on the driver by contract; past the budget the
+        # fix is chunking, not a silent OOM
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "nsg_search",
+            d=self.centroids.shape[1] if self.centroids is not None else None,
+        )
         shard2q = None
         src = self.table
         if nprobe is not None:

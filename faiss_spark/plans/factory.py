@@ -10,9 +10,11 @@ Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
   main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
                {Flat|PQ<M>[x<b>]|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|SQfp16|RQ<M>|
-                RQ<M>x4fs[r]} | IMI2x<b>,Flat |
+                RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|PLSQ<ns>x<M>x4fs[r]} |
+               IMI2x<b>,Flat |
                PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
-               PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> | LSH[r][t] |
+               PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> |
+               PRQ<ns>x<M>x4fs[_bbs] | PLSQ<ns>x<M>x4fs[_bbs] | LSH[r][t] |
                NSG<R>[,Flat|,PQ<m>[np]|,SQ{4|6|8|fp16}] | ZnLattice<n>x<r2>_<b>
   refinement : RFlat | Refine(<codec>) (exact / codec-reconstruction
                re-rank of k*k_factor candidates, reference IndexRefine /
@@ -237,6 +239,20 @@ class IndexPlan:
                 cur, nlist=self.nlist, M=self.rq_m, seed=seed,
                 by_residual=self.fs_residual,
             ).add(cur)
+        elif self.index_type == "ivfpaqfs":
+            if self.metric != "l2":
+                raise ValueError(
+                    "IVF<n>,PRQ/PLSQ<ns>x<M>x4fs supports METRIC_L2 only "
+                    "(the norm-code decomposition is L2-specific), got "
+                    f"metric={self.metric!r}"
+                )
+            from faiss_spark.operators.fastscan import train_ivf_paq_fastscan
+
+            self.index = train_ivf_paq_fastscan(
+                cur, nlist=self.nlist, nsplits=self.paq_nsplits,
+                Msub=self.paq_msub, lsq=self.paq_lsq, seed=seed,
+                by_residual=self.fs_residual,
+            ).add(cur)
         elif self.index_type == "rq":
             model = ResidualQuantizer(M=self.rq_m, seed=seed).fit(cur)
             self._rq_model = model
@@ -249,6 +265,19 @@ class IndexPlan:
             )
 
             model = train_aq_fastscan(cur, M=self.rq_m, seed=seed)
+            self._aqfs_model = model
+            self._aqfs_codes = aq_fastscan_encode(model, cur)
+            self.index = model
+        elif self.index_type == "paqfs":
+            from faiss_spark.operators.fastscan import (
+                aq_fastscan_encode,
+                train_paq_fastscan,
+            )
+
+            model = train_paq_fastscan(
+                cur, nsplits=self.paq_nsplits, Msub=self.paq_msub,
+                lsq=self.paq_lsq, seed=seed,
+            )
             self._aqfs_model = model
             self._aqfs_codes = aq_fastscan_encode(model, cur)
             self.index = model
@@ -354,7 +383,9 @@ class IndexPlan:
             res = knn(self._transformed, q, k_cand, metric=self.metric, qid_col="qid")
         elif self.index_type == "ivfflat" and self.coarse_graph:
             res = self._graph_routed_search(q, k_cand, nprobe)
-        elif self.index_type in ("ivfflat", "ivfpq", "ivfsq", "ivfrq", "ivfrqfs"):
+        elif self.index_type in (
+            "ivfflat", "ivfpq", "ivfsq", "ivfrq", "ivfrqfs", "ivfpaqfs",
+        ):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
             if self.flat_dedup:
                 # IndexIVFFlatDedup: duplicated ids materialize at result
@@ -376,7 +407,7 @@ class IndexPlan:
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
             res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
-        elif self.index_type == "rqfs":
+        elif self.index_type in ("rqfs", "paqfs"):
             from faiss_spark.operators.fastscan import aq_fastscan_search
 
             res = aq_fastscan_search(
@@ -586,6 +617,21 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif re.match(r"^RQ(\d+)$", code):
             plan.index_type = "ivfrq"
             plan.rq_m = int(code[2:])
+        elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fsr?(_\d+)?$", code):
+            # IVF<n>,PRQ/PLSQ<ns>x<M>x4fs[r][_<bbs>] (reference
+            # index_factory.cpp:381-395 IndexIVFProduct{Residual,
+            # LocalSearch}QuantizerFastScan) — 4-bit product-additive
+            # codes through the AQ fast-scan machinery
+            pm = re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fs(r?)(?:_(\d+))?$", code)
+            plan.index_type = "ivfpaqfs"
+            plan.paq_lsq = pm.group(1) == "PLSQ"
+            plan.paq_nsplits = int(pm.group(2))
+            plan.paq_msub = int(pm.group(3))
+            plan.paq_nbits = 4
+            plan.fastscan = True
+            plan.fs_residual = pm.group(4) == "r"
+            if pm.group(5):
+                plan.bbs = int(pm.group(5))
         else:
             raise ValueError(f"unsupported IVF code stage {code!r}")
         i += 1
@@ -624,6 +670,19 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     elif re.match(r"^RQ(\d+)$", tok):
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
+        i += 1
+    elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fs(_\d+)?$", tok):
+        # flat PRQ/PLSQ fast-scan (reference index_factory.cpp:625-640
+        # IndexProduct{Residual,LocalSearch}QuantizerFastScan)
+        pm = re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fs(?:_(\d+))?$", tok)
+        plan.index_type = "paqfs"
+        plan.paq_lsq = pm.group(1) == "PLSQ"
+        plan.paq_nsplits = int(pm.group(2))
+        plan.paq_msub = int(pm.group(3))
+        plan.paq_nbits = 4
+        plan.fastscan = True
+        if pm.group(4):
+            plan.bbs = int(pm.group(4))
         i += 1
     elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x(\d+)$", tok):
         # product additive quantizer codecs (reference
@@ -757,6 +816,14 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             f"RQ{plan.rq_m}x4fs" + ("r" if plan.fs_residual else "")
             + (f"_{plan.bbs}" if plan.bbs != 32 else "")
         )
+    elif plan.index_type == "ivfpaqfs":
+        parts.append(ivf_tok())
+        parts.append(
+            ("PLSQ" if plan.paq_lsq else "PRQ")
+            + f"{plan.paq_nsplits}x{plan.paq_msub}x4fs"
+            + ("r" if plan.fs_residual else "")
+            + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+        )
     elif plan.index_type == "pq":
         if plan.fastscan:
             parts.append(
@@ -774,6 +841,12 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "rqfs":
         parts.append(
             f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
+        )
+    elif plan.index_type == "paqfs":
+        parts.append(
+            ("PLSQ" if plan.paq_lsq else "PRQ")
+            + f"{plan.paq_nsplits}x{plan.paq_msub}x4fs"
+            + (f"_{plan.bbs}" if plan.bbs != 32 else "")
         )
     elif plan.index_type == "nsg":
         parts.append(f"NSG{plan.nsg_r}")
@@ -831,6 +904,10 @@ def get_code_size(d: int, plan: IndexPlan) -> int:
         # one byte per additive level per split (8-bit levels; reference
         # AdditiveQuantizer code_size for nbits ≤ 8)
         return plan.paq_nsplits * plan.paq_msub
+    if plan.index_type in ("paqfs", "ivfpaqfs"):
+        # 4-bit levels (packed pairs in the reference layout) plus the
+        # 2×4-bit norm code (ST_norm_rq2x4)
+        return (plan.paq_nsplits * plan.paq_msub * 4 + 7) // 8 + 1
     if plan.index_type == "lsh":
         # nbits = d sign bits (reference IndexLSH ctor: (nbits+7)/8)
         return (d + 7) // 8

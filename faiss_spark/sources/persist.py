@@ -17,10 +17,11 @@ search would broadcast anyway) touch the driver.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import SparkSession
+
+from faiss_spark.sources import fsio
 
 __all__ = ["write_index", "read_index"]
 
@@ -82,22 +83,26 @@ def write_index(index, path: str):
     else:
         index.save(path)
     # written AFTER save: the parquet overwrite clears the directory
-    with open(os.path.join(path, _KIND_FILE), "w") as f:
-        json.dump({"kind": kind}, f)
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "write_index needs an active SparkSession to reach the "
+            "target filesystem"
+        )
+    fsio.write_json(spark, os.path.join(path, _KIND_FILE), {"kind": kind})
     return index
 
 
 def read_index(spark: SparkSession, path: str):
     """Reconstruct whatever ``write_index`` stored at ``path``."""
     marker = os.path.join(path, _KIND_FILE)
-    if not os.path.exists(marker):
+    if not fsio.exists(spark, marker):
         raise FileNotFoundError(
             f"read_index: no {_KIND_FILE} under {path!r} — either the "
             "directory is not a write_index layout, or it was saved via a "
             "class-specific save(); call that class's load() directly"
         )
-    with open(marker) as f:
-        kind = json.load(f)["kind"]
+    kind = fsio.read_json(spark, marker)["kind"]
     reg = _registry()
     if kind not in reg:
         raise TypeError(f"read_index: unknown index kind {kind!r}")

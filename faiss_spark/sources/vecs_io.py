@@ -9,6 +9,12 @@ so driver memory stays O(chunk). The formats are not splittable
 mid-record without knowing d, so cluster-scale ingestion should convert
 to Parquet once (``vecs_to_parquet``) then scan the Parquet — which is
 how every other operator here wants its input anyway.
+
+Contract: ``path`` is a DRIVER-LOCAL file (open()/np.memmap — a .fvecs
+on S3/HDFS must be fetched first). This is deliberate: TexMex files are
+one-off benchmark inputs, not a data plane; index artifacts by contrast
+go through the Hadoop FS API (``sources/fsio.py``) and work on any
+scheme.
 """
 
 from __future__ import annotations

@@ -143,6 +143,46 @@ def running_dedup_stream(
     )
 
 
+def _make_neardup_fold(ttl_minutes: int | None):
+    """Per-bucket keep-first fold for ``neardup_stream`` (module-level so
+    the TTL branch is directly unit-testable). With a TTL, a bucket whose
+    state timed out is simply forgotten — its next claimant starts a
+    fresh keep-first scope (recency-bounded dedup)."""
+
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        ids_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ids_all.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+        if not ids_all:
+            return
+        ids = np.unique(np.concatenate(ids_all))
+        if state.exists:
+            rep = state.get[0]
+            dups = ids[ids != rep]
+        else:
+            rep = int(ids[0])
+            dups = ids[1:]
+        state.update((rep,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if len(dups):
+            yield pd.DataFrame(
+                {
+                    "bucket": key[0],
+                    "doc_id": dups,
+                    "dup_of": rep,
+                }
+            )
+
+    return fold
+
+
 def neardup_stream(
     docs: DataFrame,
     text_col: str = "text",
@@ -150,6 +190,7 @@ def neardup_stream(
     num_hashes: int = 12,
     num_bands: int = 4,
     n: int = 3,
+    ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate detection — the streaming form of
     ``dedup.minhash_lsh_pairs``'s candidate generation for a
@@ -168,7 +209,21 @@ def neardup_stream(
     pinned so in tests), never a groupBy aggregation; the single
     stateful op is the per-bucket keep-first fold, whose state is one
     bigint (the claimant id) per touched bucket — the minimum state
-    keep-first candidate dedup can carry."""
+    keep-first candidate dedup can carry.
+
+    State sizing (provision the state store for this): keep-first
+    against ALL history means state NEVER expires by default — one entry
+    per distinct touched bucket, i.e. up to ``num_bands × distinct
+    docs`` entries of (32-char md5 bucket key + one bigint + store
+    overhead) ≈ 100 B/entry: ~400 GB of state store per 10⁹ documents at
+    num_bands=4 (RocksDB state store territory, not the in-memory
+    HDFSBackedStateStore). A forgotten bucket would silently re-admit
+    its duplicates, which is why no-TTL is the default. When
+    recency-bounded dedup is acceptable (only flag duplicates of
+    documents seen in the last N minutes — the common shape for feed /
+    log ingestion), set ``ttl_minutes``: bucket state then expires via a
+    processing-time timeout and the store holds only the active window's
+    buckets."""
     from faiss_spark.functions.text import bind, shingles
     from faiss_spark.operators.dedup import _minhash_array
 
@@ -203,33 +258,12 @@ def neardup_stream(
         ]
     )
     state_type = StructType([StructField("rep", LongType())])
-
-    def fold(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        ids_all = []
-        for pdf in pdfs:
-            if len(pdf):
-                ids_all.append(pdf["doc_id"].to_numpy(dtype=np.int64))
-        if not ids_all:
-            return
-        ids = np.unique(np.concatenate(ids_all))
-        if state.exists:
-            rep = state.get[0]
-            dups = ids[ids != rep]
-        else:
-            rep = int(ids[0])
-            dups = ids[1:]
-        state.update((rep,))
-        if len(dups):
-            yield pd.DataFrame(
-                {
-                    "bucket": key[0],
-                    "doc_id": dups,
-                    "dup_of": rep,
-                }
-            )
-
+    fold = _make_neardup_fold(ttl_minutes)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return src.groupBy("bucket").applyInPandasWithState(
-        fold, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+        fold, out_type, state_type, "update", timeout
     )

@@ -45,3 +45,27 @@ def test_nsg_bench_machinery(spark):
     out = bench._nsg_bench(spark, cpus=8, nv=2_000, nq=100)
     assert out["build_rows_per_sec"] > 0 and out["queries_per_sec"] > 0
     assert out["result_rows"] > 0 and out["nv"] > 0
+
+
+def test_sentinel_machinery(spark, tmp_path, monkeypatch):
+    """The contention sentinel must (1) run both fixed-work probes, (2)
+    write a calibration file on first sight, (3) self-heal a stale
+    (too-slow) calibration, (4) flag a fabricated 2x band as contended."""
+    monkeypatch.setattr(bench, "CALIBRATION_FILE", str(tmp_path / "cal.json"))
+    probe = bench._sentinel_probe(spark)
+    assert probe["numpy_sec"] > 0 and probe["sql_sec"] > 0
+    s = bench._sentinel_summary(probe, probe)
+    assert s["calibrated_this_run"] is True
+    assert s["drift_factor"] == 1.0 and not s["contended"]
+    # second run against the stored calibration: identical probes => clean
+    s2 = bench._sentinel_summary(probe, probe)
+    assert s2["calibrated_this_run"] is False and not s2["contended"]
+    # fabricate a 2x-slower run: band_factor ~2, flagged
+    slow = {k: v * 2 for k, v in probe.items()}
+    s3 = bench._sentinel_summary(slow, slow)
+    assert s3["band_factor"] > 1.5 and s3["contended"]
+    # self-healing: a faster draw tightens the stored calibration
+    fast = {k: v / 2 for k, v in probe.items()}
+    s4 = bench._sentinel_summary(fast, fast)
+    assert s4["calibration"]["numpy_sec"] == fast["numpy_sec"]
+    assert not s4["contended"]

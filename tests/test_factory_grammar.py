@@ -57,6 +57,13 @@ ROUNDTRIP = [
     "IVF64,SQfp16",
     "IVF64,PQ8x4fsr",
     "IVF64,RQ2x4fsr",
+    "PRQ2x2x4fs",
+    "PLSQ2x2x4fs",
+    "PRQ2x2x4fs_64",
+    "IVF64,PRQ2x2x4fs",
+    "IVF64,PRQ2x2x4fsr",
+    "IVF64,PLSQ2x2x4fs",
+    "IVF64,PLSQ2x2x4fsr",
 ]
 
 
@@ -247,3 +254,55 @@ def test_nsg_sq_storage_tokens(vectors, queries, exact10):
     res = fitted.search(queries, 10)
     assert res.count() == 8 * 10
     assert _recall(res, exact10) >= 0.6
+
+
+def test_prq_fastscan_fullprobe_equals_flat(vectors, queries, exact10):
+    """IVF<n>,PRQ<ns>x<M>x4fs (reference index_factory.cpp:381-395): the
+    plain spelling is by_residual=false, the codec is the per-split
+    product-AQ adapter, and at FULL probe the IVF scan is bit-identical
+    to the flat aq_fastscan_search over the same codes (shared flat LUT
+    quantization, no per-probe bias)."""
+    from faiss_spark.operators.fastscan import (
+        AQFastScanModel,
+        ProductAQAdapter,
+        aq_fastscan_search,
+    )
+
+    plan = index_factory("IVF8,PRQ4x4x4fs").fit(vectors, seed=42)
+    idx = plan.index
+    assert isinstance(idx.rq, ProductAQAdapter)
+    assert idx.by_residual is False
+    idx.codes = idx.codes.localCheckpoint()
+    ivf = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in idx.search(queries, 10, nprobe=8).collect()
+    }
+    model = AQFastScanModel(
+        rq=idx.rq, norm_books=idx.norm_books, norm_scale=idx.norm_scale
+    )
+    flat = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in aq_fastscan_search(
+            model, idx.codes.select("id", "code"), queries, 10
+        ).collect()
+    }
+    assert ivf == flat and len(ivf) > 0
+
+
+def test_plsq_fastscan_residual_search(vectors, queries, exact10):
+    """The x4fsr spelling trains the PAQ on residuals (per-probe bias in
+    the scan) and still ranks sanely: recall@10 vs exact >= 0.3 at full
+    probe, and the split structure survives (LSQ subs for PLSQ)."""
+    from faiss_spark.operators.codecs import LocalSearchQuantizerModel
+    from faiss_spark.operators.fastscan import ProductAQAdapter
+
+    plan = index_factory("IVF8,PLSQ2x2x4fsr").fit(vectors, seed=42)
+    idx = plan.index
+    assert isinstance(idx.rq, ProductAQAdapter) and idx.by_residual is True
+    assert isinstance(idx.rq.paq.subs[0], LocalSearchQuantizerModel)
+    got = {
+        (r["qid"], r["id"])
+        for r in plan.search(queries, 10, nprobe=8).collect()
+    }
+    hits = len(got & exact10)
+    assert hits / len(exact10) >= 0.3

@@ -143,3 +143,30 @@ def test_ivfaq_fastscan_roundtrip(spark, emb, queries, tmp_path):
         spark, idx, queries, str(tmp_path / "aqfs")
     )
     assert re.norm_scale == idx.norm_scale and re.by_residual is True
+
+
+def test_ivf_paq_fastscan_roundtrip(spark, emb, queries, tmp_path):
+    """PRQ fast-scan save/load: the paq meta stamp must rebuild the
+    PER-SPLIT adapter (not a flat RQ over the padded codebooks), so both
+    search AND post-reload encode reproduce the original."""
+    import numpy as np
+
+    from faiss_spark.operators.fastscan import (
+        ProductAQAdapter,
+        train_ivf_paq_fastscan,
+    )
+
+    idx = train_ivf_paq_fastscan(
+        emb, nlist=8, nsplits=4, Msub=4, by_residual=False
+    ).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "paqfs")
+    )
+    assert isinstance(re.rq, ProductAQAdapter)
+    assert re.by_residual is False
+    assert len(re.rq.paq.subs) == 4 and re.rq.paq.subs[0].M == 4
+    # per-split encode survives the round-trip bit-for-bit
+    X = np.stack(
+        [np.asarray(v, np.float64) for v in emb.limit(64).toPandas()["vec"]]
+    )
+    assert np.array_equal(idx.rq.encode_np(X), re.rq.encode_np(X))

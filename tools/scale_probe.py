@@ -498,6 +498,49 @@ def probe_line_dedup(spark, nd: int) -> dict:
     }
 
 
+def probe_line_dedup_skew(spark, nd: int) -> dict:
+    """VERDICT r7 #6: measure (not argue) line_dedup's hot-line skew
+    claim. 40% of documents share ONE byte-identical boilerplate line —
+    at 5M docs that fingerprint occurs 2M times. A window-over-hash
+    implementation would sort all 2M copies in one task (the classic
+    boilerplate straggler); the shipped shape (map-side-combinable
+    ``groupBy(hash).agg(min(struct))`` firsts table + AQE-skew-splittable
+    hash join) must hold per-line throughput flat from 1M to 5M docs.
+    Docs carry ~10 real newline-separated lines; the 9 non-boilerplate
+    lines are doc-unique so the firsts table stays corpus-sized."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import line_dedup
+
+    lines_per_doc = 10
+    docs = (
+        spark.range(nd)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.when(
+                    F.pmod("id", F.lit(5)) < 2,
+                    F.lit("all rights reserved - common boilerplate footer\n"),
+                ).otherwise(F.lit("unique head line \n")),
+                F.expr(
+                    "array_join(transform(sequence(0, 8), j -> "
+                    "concat('line ', id, ' ', j, ' ', xxhash64(id, j))), "
+                    "'\\n')"
+                ),
+            ).alias("text"),
+        )
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(lambda: line_dedup(docs).agg(F.sum("n_kept")).first())
+    return {
+        "nd": nd,
+        "hot_copies": int(nd * 2 / 5),
+        "sec": round(sec, 3),
+        "lines_per_core_sec": round(nd * lines_per_doc / sec / CPUS, 1),
+    }
+
+
 def probe_ngram_repetition(spark, nd: int) -> dict:
     """Gopher char-mass repetition fold: per-doc array_sort + linear
     aggregate, pure map-only codegen — per-doc cost must be flat (the
@@ -597,6 +640,10 @@ def main() -> None:
         "line_dedup": lambda: [
             probe_line_dedup(spark, nd_small),
             probe_line_dedup(spark, nd_big),
+        ],
+        "line_dedup_skew": lambda: [
+            probe_line_dedup_skew(spark, nd_small),
+            probe_line_dedup_skew(spark, nd_big),
         ],
         "token_budget": lambda: [
             probe_token_budget(spark, nd_small),
