@@ -2546,6 +2546,31 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 importance filtering (Brown et al. 2020 appendix A: keep a
+    document when a Pareto(α=9) draw exceeds 1 − score), in the
+    deterministic hex-threshold form (functions/corpus.importance_filter).
+    The oracle is EXACT: the score here is a deterministic SQL-expressible
+    proxy (n_chars scaled into [0,1], the composition point where
+    ``QualityClassifierModel.score`` plugs in for real pipelines), and
+    both engines evaluate the identical md5-hex keep rule — hash equality
+    proves the Pareto-threshold algebra and the rounding discipline."""
+    from faiss_spark.functions.corpus import importance_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(500.0)),
+            9,
+        ).alias("quality_score"),
+    )
+    return importance_filter(docs, alpha=9.0).select(
+        "doc_id",
+        F.round("quality_score", ROUND).alias("quality_score"),
+        F.round("keep_prob", ROUND).alias("keep_prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2): this
@@ -2679,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions (tail end: first driver check in r9/r10) ---
         "prq_fastscan": q_prq_fastscan,
         "quality_classifier": q_quality_classifier,
+        "importance_filter": q_importance_filter,
     }
 
 
@@ -3801,6 +3827,26 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'prqfs_fullprobe_equals_flat_scan', TRUE "
         "UNION ALL SELECT 'prqfs_recall_vs_exact_ge_0.3', TRUE"
     )
+    sql["importance_filter"] = f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 round(least(1.0, CAST(n_chars AS DOUBLE) / 500.0), 9) AS quality_score
+          FROM documents),
+        thresh AS (
+          SELECT doc_id, quality_score,
+                 round(pow(2.0 - quality_score, -9.0), 9) AS keep_prob,
+                 CAST(floor(round(1.0 - pow(2.0 - quality_score, -9.0), 9)
+                            * 4294967296.0) AS BIGINT) AS scaled
+          FROM scored)
+        SELECT doc_id,
+               round(quality_score, {ROUND}) AS quality_score,
+               round(keep_prob, {ROUND}) AS keep_prob
+        FROM thresh
+        WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 8) >=
+              CASE WHEN scaled >= 4294967296 THEN 'g'
+                   ELSE lpad(lower(hex(least(scaled, 4294967295))), 8, '0')
+              END
+    """
     sql["quality_classifier"] = (
         "SELECT 'qcls_heldout_auc_ge_0.9' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'qcls_scores_are_probabilities', TRUE "

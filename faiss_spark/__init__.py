@@ -55,6 +55,7 @@ from faiss_spark.functions.bpe import bpe_encode, bpe_train, bpe_word_counts
 from faiss_spark.functions.corpus import (
     assign_splits,
     chunk_documents,
+    importance_filter,
     pack_sequences,
     repeat_corpus,
     shuffle_corpus,
@@ -175,6 +176,7 @@ __all__ = [
     "temperature_sample",
     "assign_splits",
     "chunk_documents",
+    "importance_filter",
     "repeat_corpus",
     "shuffle_corpus",
     "token_budget_sample",

@@ -178,6 +178,42 @@ def temperature_sample(
     return kept.select(*df.columns, "rate")
 
 
+def importance_filter(
+    df: DataFrame,
+    alpha: float = 9.0,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-3-style importance filtering over a quality score (Brown et
+    al. 2020 appendix A: a document is kept when ``np.random.pareto(α) >
+    1 − document_score`` with α=9 — high-scoring documents are mostly
+    kept, low-scoring ones survive with small probability, so the tail
+    of the distribution is sampled rather than cliffed).
+
+    Deterministic re-expression (no RNG state at 100 TB): the Pareto
+    condition over a uniform draw u is ``(1−u)^(−1/α) − 1 > 1 − score``
+    ⟺ ``u > 1 − (2 − score)^(−α)``, so a document is kept iff
+    ``uniform_hex(id, seed) ≥ rate_hex(threshold)`` with ``threshold =
+    round(1 − (2 − score)^(−α), 9)`` (the same 9-dp-rounded hex-compare
+    discipline as temperature_sample — reproducible across engines and
+    run orders). Per-document keep probability = (2 − score)^(−α):
+    score 1 → always kept, score 0 → 2^(−α) ≈ 0.2% at α=9.
+
+    Scores are clamped to [0, 1] (they are probabilities — e.g.
+    ``QualityClassifierModel.score``'s ``quality_score``); null scores
+    drop the row (filter semantics). Map-only: zero shuffles at any
+    corpus size. Returns the input rows plus ``keep_prob`` (9 dp)."""
+    if alpha <= 0:
+        raise ValueError(f"importance_filter: alpha must be > 0, got {alpha}")
+    score = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(score_col).cast("double")))
+    keep_prob = F.round(F.pow(F.lit(2.0) - score, F.lit(-float(alpha))), 9)
+    thresh = F.round(F.lit(1.0) - F.pow(F.lit(2.0) - score, F.lit(-float(alpha))), 9)
+    return df.filter(
+        uniform_hex(F.col(id_col), seed) >= rate_hex(thresh)
+    ).select(*df.columns, keep_prob.alias("keep_prob"))
+
+
 def chunk_documents(
     df: DataFrame,
     size: int = 128,

@@ -443,3 +443,39 @@ def test_token_budget_window_is_bucketed(docs):
     # include the bucket column
     body = p.lower()
     assert "_bucket" in body, p
+
+
+def test_importance_filter_semantics(spark, docs):
+    """GPT-3 appendix-A importance filter: keep probability is
+    (2-score)^(-alpha) — score 1 always kept, score 0 kept at ~2^-alpha;
+    deterministic across runs; map-only (no Exchange); alpha guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.corpus import importance_filter
+
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), F.length("text").cast("double") / 40.0), 9
+        ).alias("quality_score"),
+    ).localCheckpoint()
+    kept = importance_filter(scored, alpha=9.0)
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in importance_filter(scored, alpha=9.0).select("doc_id").collect())
+    assert a == b and len(a) > 0  # deterministic, non-empty
+    # score==1 rows are ALWAYS kept
+    ones = scored.filter("quality_score >= 1.0")
+    kept_ones = importance_filter(ones, alpha=9.0)
+    assert kept_ones.count() == ones.count()
+    # keep_prob column matches the formula, and low scores are rarer
+    row = kept.filter("quality_score >= 1.0").select("keep_prob").first()
+    assert row["keep_prob"] == 1.0
+    n_low = scored.filter("quality_score < 0.5").count()
+    k_low = kept.filter("quality_score < 0.5").count()
+    assert k_low < n_low  # strictly filtered at alpha=9
+    # map-only plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="alpha"):
+        importance_filter(scored, alpha=0)
