@@ -275,10 +275,14 @@ def _kernel_bench(
         its roofline DENOMINATOR are measured under the same load
         (VERDICT r7 fix #2c: the r7 artifact recorded ratio_vs_blas 0.47 —
         'Spark 2x faster than local numpy', impossible — because the numpy
-        draw alone caught a contention window). Returns (min spark sec,
-        min numpy sec, median paired ratio): the mins are the capability
-        numbers; the median-of-paired-ratios is robust to one strangled
-        round in either direction."""
+        draws all sat in one block that caught a contention window).
+        Returns (min spark sec, min numpy sec, min/min ratio): with the
+        draws interleaved, a contention window cannot suppress ALL of one
+        side's draws without also hitting the other's, so min/min cannot
+        invert the way the blocked layout could. (A median of per-round
+        ratios was tried and rejected: one slow in-process numpy draw per
+        round — GC/page-cache pressure right after a Spark job — flips
+        individual rounds below 1.0 even on an idle box.)"""
         # one UNTIMED warm-up first: each dtype has its own per-worker
         # workspace buffers, and their first-touch page faults on this VM
         # cost multiples of the GEMM itself (the r4 artifact recorded an
@@ -291,7 +295,6 @@ def _kernel_bench(
         out = np.empty((nq, rows), dtype=np_dtype)
         np.dot(Q, chunk.T, out=out)  # warm: fault the buffer once
         iters = nv // rows
-        ratios = []
         best_s = best_n = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -299,11 +302,9 @@ def _kernel_bench(
             s = time.perf_counter() - t0
             r = _roofline_draw(np_dtype, Q, chunk, out, iters)
             assert n == nq * k
-            ratios.append(s / r)
             best_s = s if best_s is None else min(best_s, s)
             best_n = r if best_n is None else min(best_n, r)
-        ratios.sort()
-        return best_s, best_n, ratios[len(ratios) // 2]
+        return best_s, best_n, best_s / best_n
 
     spark_sec, np_sec, ratio = paired("f64", np.float64)
     spark_sec_f32, np_sec_f32, ratio_f32 = paired("f32", np.float32)
@@ -313,8 +314,7 @@ def _kernel_bench(
         # 6 decimals: at smoke-test toy sizes the roofline is sub-ms and
         # 3-decimal rounding would truncate it to 0.0
         "numpy_gemm_sec": round(np_sec, 6),
-        # median of TIME-PAIRED per-round ratios (not min/min: the two
-        # mins can come from different contention regimes)
+        # min/min over INTERLEAVED draws (see paired() for why)
         "ratio_vs_blas": round(ratio, 2),
         "spark_sec_f32": round(spark_sec_f32, 3),
         "numpy_gemm_sec_f32": round(np_sec_f32, 6),

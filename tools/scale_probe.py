@@ -541,6 +541,41 @@ def probe_line_dedup_skew(spark, nd: int) -> dict:
     }
 
 
+def probe_quality_classifier(spark, nd: int) -> dict:
+    """Hashed-BOW logistic quality classifier: fit = treeAggregate
+    L-BFGS (map-side gradient partials; driver state = one coefficient
+    vector), score = map-only broadcast dot product. Both should be
+    ~linear in nd; the planted label (doc contains a pivot token) keeps
+    the fit non-degenerate at any size."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.quality import train_quality_classifier
+
+    docs = (
+        _synth_docs(spark, nd, ntok=60, salt=77)
+        .withColumn("label", F.col("text").contains("t100").cast("int"))
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    t0 = _t.perf_counter()
+    m = train_quality_classifier(
+        docs, "label", num_features=1 << 16, max_iter=10
+    )
+    fit_sec = _t.perf_counter() - t0
+    score_sec = _best_of(
+        lambda: m.score(docs).agg(F.sum("quality_score")).first()
+    )
+    return {
+        "nd": nd,
+        "fit_sec": round(fit_sec, 3),
+        "score_sec": round(score_sec, 3),
+        "fit_docs_per_core_sec": round(nd / fit_sec / CPUS, 1),
+        "score_docs_per_core_sec": round(nd / score_sec / CPUS, 1),
+    }
+
+
 def probe_ngram_repetition(spark, nd: int) -> dict:
     """Gopher char-mass repetition fold: per-doc array_sort + linear
     aggregate, pure map-only codegen — per-doc cost must be flat (the
@@ -644,6 +679,10 @@ def main() -> None:
         "line_dedup_skew": lambda: [
             probe_line_dedup_skew(spark, nd_small),
             probe_line_dedup_skew(spark, nd_big),
+        ],
+        "quality_classifier": lambda: [
+            probe_quality_classifier(spark, nd_small),
+            probe_quality_classifier(spark, nd_big),
         ],
         "token_budget": lambda: [
             probe_token_budget(spark, nd_small),
