@@ -190,9 +190,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            if force and name not in rows:
-                n = fn(spark, sf_dir).count()
-            rows[name] = n
+            if name not in rows:
+                # force-columns queries report -1 from the timed run; the
+                # real count is metadata-cheap and fetched once
+                rows[name] = fn(spark, sf_dir).count() if force else n
     for name in BENCH_QUERIES:
         timings[name] = round(timings[name], 3)
         print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)

@@ -1078,11 +1078,15 @@ def duplicated_spans(
         key_bytes = 56 if hash_fn == "md5" else 24
         budget_rows = (max_broadcast_mb << 20) // key_bytes
         # one job: fetch up to budget+1 rows — both the size probe and
-        # (when it fits) the broadcast payload in a single pass
-        hot_rows = hot.limit(budget_rows + 1).collect()
-        if len(hot_rows) <= budget_rows:
+        # (when it fits) the broadcast payload in a single pass. Arrow
+        # both ways (toPandas / createDataFrame-from-pandas): near the
+        # budget ceiling this is millions of rows, which as Python Row
+        # objects would cost ~10× the nominal broadcast size on the
+        # driver
+        hot_pdf = hot.limit(budget_rows + 1).toPandas()
+        if len(hot_pdf) <= budget_rows:
             spark = df.sparkSession
-            hot_local = spark.createDataFrame(hot_rows, schema=hot.schema)
+            hot_local = spark.createDataFrame(hot_pdf, schema=hot.schema)
             dups = spans.join(F.broadcast(hot_local), "span_hash")
         else:
             warnings.warn(

@@ -367,9 +367,7 @@ class IVFPQFastScanIndex:
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
         if not self.by_residual:
-            return self._search_flat_lut(
-                spark, qids, Q, probes, k, books
-            )
+            return self._search_flat_lut(spark, qids, Q, probes, k)
 
         # Residual LUTs per (query, probe), quantized in QUERY BLOCKS so
         # only the uint8 tables persist on the driver: the float64
@@ -453,7 +451,7 @@ class IVFPQFastScanIndex:
             .select("qid", "id", "dist", "rank")
         )
 
-    def _search_flat_lut(self, spark, qids, Q, probes, k, books):
+    def _search_flat_lut(self, spark, qids, Q, probes, k):
         """Non-residual scan: ONE quantize_lut_flat LUT per query shared
         across its probes (the reference's by_residual=false branch) —
         identical arithmetic to pq_fastscan_search, restricted to the
