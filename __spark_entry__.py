@@ -2571,6 +2571,20 @@ def q_importance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (dedup.dedup_against) — the
+    snapshot-update pattern (FineWeb/RefinedWeb dedup each new dump
+    against previous dumps, CCNet hashes new shards against stored hash
+    sets). Here: odd-doc_id docs are the 'new dump', even-doc_id docs
+    the stored reference; a new doc survives iff its normalized-text
+    fingerprint does not appear in the reference. Exact-hash oracle (SQL
+    LEFT ANTI join over the same md5 fingerprints)."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.dedup_against(new, ref).select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2): this
@@ -2705,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prq_fastscan": q_prq_fastscan,
         "quality_classifier": q_quality_classifier,
         "importance_filter": q_importance_filter,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -3827,6 +3842,15 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'prqfs_fullprobe_equals_flat_scan', TRUE "
         "UNION ALL SELECT 'prqfs_recall_vs_exact_ge_0.3', TRUE"
     )
+    sql["dedup_against"] = f"""
+        WITH ref AS (
+          SELECT DISTINCT md5({_NORM}) AS fp
+          FROM documents WHERE doc_id % 2 = 0)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND md5({_NORM.replace('text', 'd.text')}) NOT IN (SELECT fp FROM ref)
+    """
     sql["importance_filter"] = f"""
         WITH scored AS (
           SELECT doc_id,

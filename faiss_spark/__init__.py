@@ -38,6 +38,7 @@ from faiss_spark.operators.codecs import (
 from faiss_spark.operators.dedup import (
     decontaminate,
     decontaminate_spans,
+    dedup_against,
     dedup_components,
     dedup_keep_best,
     duplicated_spans,
@@ -154,6 +155,7 @@ __all__ = [
     "binarize",
     "hamming_knn",
     "jaccard_knn",
+    "dedup_against",
     "dedup_components",
     "dedup_keep_best",
     "exact_dedup",

@@ -59,6 +59,44 @@ def exact_dedup(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop every document of ``df`` whose
+    normalized-text fingerprint already exists in ``reference`` — the
+    snapshot-update pattern of crawl pipelines (FineWeb/RefinedWeb dedup
+    each new dump AGAINST the union of previous dumps rather than
+    re-deduplicating the whole accumulated corpus; CCNet likewise hashes
+    new shards against stored hash sets). Within-``df`` duplicates are
+    NOT touched — compose with ``dedup_keep_first`` for that.
+
+    Shape at 100 TB: the reference side reduces to its DISTINCT
+    fingerprints (map-side-combinable aggregate — one narrow shuffle of
+    hash keys, never the reference text), then a LEFT ANTI hash join
+    against df's fingerprints. The anti join broadcasts when the
+    distinct-fingerprint table fits (Catalyst/AQE decide from its size —
+    the common case when deduping one dump against a stored hash table),
+    else degrades to a shuffle join of keys only; df's text rides the
+    join untouched, the reference's text never leaves its scan. Returns
+    ``df``'s rows (all columns) minus the already-seen documents."""
+    fp = fingerprint(F.col(text_col))
+    ref_fp = (
+        reference.select(
+            fingerprint(F.col(ref_text_col or text_col)).alias("__fp")
+        )
+        .distinct()
+    )
+    return (
+        df.withColumn("__fp", fp)
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

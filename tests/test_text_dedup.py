@@ -797,3 +797,44 @@ def test_decontaminate_spans_validates(spark):
         D.decontaminate_spans(df, df, n=0)
     with pytest.raises(ValueError):
         D.decontaminate_spans(df, df, hash_fn="crc")
+
+
+def test_dedup_against_cross_corpus(spark):
+    """Cross-corpus exact dedup: a 'new dump' doc survives iff its
+    fingerprint is unseen in the reference; within-new duplicates are
+    untouched; all input columns survive; plan is a single anti join
+    with the reference reduced to distinct fingerprints."""
+    from faiss_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(0, "shared text one"), (1, "ref only text")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "shared text one"),        # dup of ref -> dropped
+            (11, "SHARED   text one "),     # normalized dup of ref -> dropped
+            (12, "brand new text"),         # unseen -> kept
+            (13, "brand new text"),         # within-new dup -> KEPT (policy)
+            (14, "ref only text"),          # dup of ref -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup_against(new, ref)
+    assert sorted(r["doc_id"] for r in out.collect()) == [12, 13]
+    assert out.columns == new.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_dedup_against_ref_text_col(spark):
+    from faiss_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(0, "shared text one")], "rid bigint, body string"
+    )
+    new = spark.createDataFrame(
+        [(1, "shared text one"), (2, "other")], "doc_id bigint, text string"
+    )
+    out = dedup_against(new, ref, ref_text_col="body")
+    assert [r["doc_id"] for r in out.collect()] == [2]
