@@ -2585,6 +2585,18 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_against(new, ref).select("doc_id", "source", "n_chars")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language (Wenzek et al. 2019
+    §4.4) — exact mode, so the SQL twin reproduces the interpolated
+    per-language tercile thresholds (quantile_cont) over the SAME
+    4-dp-rounded bpc values and the bucket labels hash-match exactly."""
+    from faiss_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), exact=True).select(
+        "id", "lang", "n_grams", "bpc", "bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2): this
@@ -2720,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "importance_filter": q_importance_filter,
         "dedup_against": q_dedup_against,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -3842,6 +3855,38 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'prqfs_fullprobe_equals_flat_scan', TRUE "
         "UNION ALL SELECT 'prqfs_recall_vs_exact_ge_0.3', TRUE"
     )
+    _P1, _P2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    sql["perplexity_buckets"] = f"""
+        WITH nrm AS (SELECT doc_id AS id, {_NORM} AS s FROM documents),
+        g AS (
+          SELECT id, unnest(list_transform(range(1, length(s) - 1),
+                                           i -> substr(s, i, 3))) AS gram
+          FROM nrm WHERE length(s) >= 3
+        ),
+        cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM cnt),
+        lp AS (SELECT gram, log2(CAST(c AS DOUBLE) / t) AS lp FROM cnt, tot),
+        ppl AS (
+          SELECT g.id, count(*) AS n_grams,
+                 round(-sum(lp.lp) / count(*), 4) AS bpc
+          FROM g JOIN lp USING (gram) GROUP BY g.id
+        ),
+        grouped AS (
+          SELECT p.id, d.lang, p.n_grams, p.bpc
+          FROM ppl p JOIN documents d ON p.id = d.doc_id
+        ),
+        th AS (
+          SELECT lang,
+                 round(quantile_cont(bpc, {_P1}), 9) AS t1,
+                 round(quantile_cont(bpc, {_P2}), 9) AS t2
+          FROM grouped GROUP BY lang
+        )
+        SELECT g.id, g.lang, g.n_grams, g.bpc,
+               CASE WHEN g.bpc <= th.t1 THEN 'head'
+                    WHEN g.bpc <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM grouped g JOIN th USING (lang)
+    """
     sql["dedup_against"] = f"""
         WITH ref AS (
           SELECT DISTINCT md5({_NORM}) AS fp

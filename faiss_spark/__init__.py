@@ -71,6 +71,7 @@ from faiss_spark.functions.text import (
     bigram_frequencies,
     dup_ngram_char_frac,
     gopher_quality_flags,
+    perplexity_buckets,
     term_frequencies,
     top_ngram_char_frac,
 )
@@ -170,6 +171,7 @@ __all__ = [
     "term_frequencies",
     "bigram_frequencies",
     "gopher_quality_flags",
+    "perplexity_buckets",
     "train_quality_classifier",
     "QualityClassifierModel",
     "top_ngram_char_frac",

@@ -386,6 +386,67 @@ def char_ngram_perplexity(
     )
 
 
+def perplexity_buckets(
+    df,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    model=None,
+    exact: bool = False,
+    round_bpc: int = 4,
+):
+    """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.4): within
+    each language, bucket documents into perplexity terciles — "head"
+    (lowest perplexity, most Wikipedia-like), "middle", "tail". Training
+    recipes then keep head+middle, or sample the tail at a reduced rate.
+
+    Perplexity = ``char_ngram_perplexity`` bits-per-character (self-
+    trained corpus model by default; pass ``model`` for an external
+    reference model, the true CCNet configuration). bpc is rounded to
+    ``round_bpc`` decimals BEFORE thresholding (per-doc log-prob sums are
+    order-dependent at ~1e-13; bucket boundaries must not hinge on
+    reduction order).
+
+    Scale shape: thresholds are a per-language AGGREGATE — never a
+    per-language sorted window (the one-task-per-language straggler
+    CCNet's own sample-based thresholds avoid). ``exact=False`` (default,
+    the 100 TB path) uses ``percentile_approx`` — a t-digest-style sketch
+    aggregate, map-side combinable; ``exact=True`` uses the exact
+    interpolated ``percentile`` (what a SQL twin can reproduce). Either
+    way the tiny (group, t1, t2) table broadcasts and assignment is
+    map-only. Returns (id, group, n_grams, bpc, bucket)."""
+    ppl = char_ngram_perplexity(
+        df, n=n, text_col=text_col, id_col=id_col, model=model
+    ).withColumn("bpc", F.round("bpc", round_bpc))
+    grouped = ppl.join(
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(group_col).alias("grp"),
+        ),
+        "id",
+    )
+    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
+    fn = "percentile" if exact else "percentile_approx"
+    thresholds = grouped.groupBy("grp").agg(
+        F.round(F.expr(f"{fn}(bpc, {p1!r})"), 9).alias("t1"),
+        F.round(F.expr(f"{fn}(bpc, {p2!r})"), 9).alias("t2"),
+    )
+    return (
+        grouped.join(F.broadcast(thresholds), "grp")
+        .select(
+            "id",
+            F.col("grp").alias(group_col),
+            "n_grams",
+            "bpc",
+            F.when(F.col("bpc") <= F.col("t1"), F.lit("head"))
+            .when(F.col("bpc") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 # The eight high-frequency English function words the Gopher rules test
 # for (Rae et al. 2021, appendix A1.1 "quality filtering"): a document
 # should contain at least 2 of them.

@@ -838,3 +838,37 @@ def test_dedup_against_ref_text_col(spark):
     )
     out = dedup_against(new, ref, ref_text_col="body")
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_perplexity_buckets_ccnet(spark, tables):
+    """CCNet head/middle/tail terciles: buckets are monotone in bpc
+    within each language (max head bpc <= min middle bpc <= ... ), every
+    doc gets exactly one bucket, and the approx (100 TB) mode emits the
+    same schema with monotone buckets too."""
+    from faiss_spark.functions.text import perplexity_buckets
+
+    docs = tables["documents"]
+    out = perplexity_buckets(docs, exact=True).localCheckpoint()
+    assert out.count() == docs.filter("length(text) >= 3").count()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    rows = out.collect()
+    assert set(r["bucket"] for r in rows) <= set(order)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["bpc"], r["bucket"]))
+    for lang, vals in by_lang.items():
+        for bpc, bucket in vals:
+            for bpc2, bucket2 in vals:
+                if order[bucket] < order[bucket2]:
+                    assert bpc <= bpc2, (lang, bpc, bucket, bpc2, bucket2)
+    approx = perplexity_buckets(docs, exact=False)
+    assert approx.columns == out.columns
+    arows = approx.collect()
+    a_by_lang = {}
+    for r in arows:
+        a_by_lang.setdefault(r["lang"], []).append((r["bpc"], r["bucket"]))
+    for lang, vals in a_by_lang.items():
+        for bpc, bucket in vals:
+            for bpc2, bucket2 in vals:
+                if order[bucket] < order[bucket2]:
+                    assert bpc <= bpc2
