@@ -287,3 +287,30 @@ def test_dedup_keep_first_and_best_use_window_group_limit(tables):
     docs = tables["documents"]
     assert "WindowGroupLimit" in plan(dedup_keep_first(docs))
     assert "WindowGroupLimit" in plan(dedup_keep_best(docs, F.col("n_chars")))
+
+
+def test_perplexity_buckets_no_window_broadcast_thresholds(tables):
+    """CCNet bucketing must assign by BROADCAST thresholds — never a
+    per-language sorted window (the one-task-per-language straggler);
+    holds in both the sketch (approx) and exact-percentile modes."""
+    from faiss_spark.functions.text import perplexity_buckets
+
+    docs = tables["documents"]
+    for exact in (False, True):
+        p = plan(perplexity_buckets(docs, exact=exact))
+        assert "Window" not in p
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_dedup_against_is_left_anti_on_keys(tables):
+    """Cross-corpus dedup: one LEFT ANTI join; the reference side is the
+    distinct-fingerprint aggregate (keys only), never its text."""
+    from faiss_spark.operators.dedup import dedup_against
+
+    docs = tables["documents"]
+    p = plan(
+        dedup_against(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+        )
+    )
+    assert "LeftAnti" in p

@@ -576,6 +576,34 @@ def probe_quality_classifier(spark, nd: int) -> dict:
     }
 
 
+def probe_perplexity_buckets(spark, nd: int) -> dict:
+    """CCNet bucketing in the 100 TB (sketch) mode: gram model shuffle +
+    broadcast model join + per-language percentile_approx aggregate +
+    broadcast threshold assign. Every stage is map-side-combinable or
+    map-only, so per-doc cost must stay flat."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.functions.text import perplexity_buckets
+
+    docs = (
+        _synth_docs(spark, nd, ntok=60, salt=55)
+        .withColumn("lang", F.expr("concat('l', pmod(doc_id, 5))"))
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: perplexity_buckets(docs, exact=False)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    return {
+        "nd": nd,
+        "sec": round(sec, 3),
+        "docs_per_core_sec": round(nd / sec / CPUS, 1),
+    }
+
+
 def probe_ngram_repetition(spark, nd: int) -> dict:
     """Gopher char-mass repetition fold: per-doc array_sort + linear
     aggregate, pure map-only codegen — per-doc cost must be flat (the
@@ -683,6 +711,10 @@ def main() -> None:
         "quality_classifier": lambda: [
             probe_quality_classifier(spark, nd_small),
             probe_quality_classifier(spark, nd_big),
+        ],
+        "perplexity_buckets": lambda: [
+            probe_perplexity_buckets(spark, nd_small),
+            probe_perplexity_buckets(spark, nd_big),
         ],
         "token_budget": lambda: [
             probe_token_budget(spark, nd_small),
