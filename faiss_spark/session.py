@@ -22,6 +22,17 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # big shuffles START fine-grained and AQE coalesces the small
+        # ones back to ~cpus tasks (parallelismFirst default): the r8
+        # line_dedup skew probe measured a 50M-row sort-merge join at a
+        # fixed 32 partitions spilling into a 12.5× wall at 5× data,
+        # restored to ~linear at 256 — this makes that sizing adaptive
+        # instead of per-job manual. On a real cluster the same knob is
+        # the standard spill guard.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(8 * cpus, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
