@@ -120,6 +120,7 @@ from faiss_spark.plans.factory import (
     reverse_index_binary_factory,
     reverse_index_factory,
 )
+from faiss_spark.sources.datasets import SyntheticDataset
 from faiss_spark.sources.persist import read_index, write_index
 
 __version__ = "0.1.0"
@@ -191,6 +192,7 @@ __all__ = [
     "reverse_index_factory",
     "write_index",
     "read_index",
+    "SyntheticDataset",
     "IMIIVFIndex",
     "IVFSpectralHash",
     "ivf_range_search",
