@@ -136,11 +136,15 @@ def _sentinel_summary(start: dict, end: dict) -> dict:
                 json.dump(updated, f)
             cal = updated
         calibrated_now = False
-    drift = max(
-        max(start["numpy_sec"], end["numpy_sec"])
-        / min(start["numpy_sec"], end["numpy_sec"]),
-        max(start["sql_sec"], end["sql_sec"])
-        / min(start["sql_sec"], end["sql_sec"]),
+    # drift compares the NUMPY probe only: it has no JVM state, so a
+    # start/end disagreement is real machine weather. The SQL probe runs
+    # ~1.5-2x slower at START than END on every run — measured to be C2
+    # warm-up (a fresh session plateaus at ~0.2 s; only a fully bench-hot
+    # JVM reaches ~0.09 s), so start-vs-end SQL drift would chronically
+    # false-flag. The SQL probe still contributes its BEST draw to
+    # band_factor (JVM-side contention covering the whole run).
+    drift = max(start["numpy_sec"], end["numpy_sec"]) / min(
+        start["numpy_sec"], end["numpy_sec"]
     )
     band = max(
         best["numpy_sec"] / cal["numpy_sec"], best["sql_sec"] / cal["sql_sec"]
