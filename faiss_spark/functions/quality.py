@@ -85,8 +85,15 @@ class QualityClassifierModel:
         from faiss_spark.sources import fsio
 
         self.lr_model.write().overwrite().save(os.path.join(path, "lr"))
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "QualityClassifierModel.save needs an active SparkSession "
+                "(fsio routes writes through the JVM's Hadoop FS so the "
+                "artifact lands on the same object store as the model)."
+            )
         fsio.write_json(
-            SparkSession.getActiveSession(),
+            spark,
             os.path.join(path, "_quality_meta.json"),
             {
                 "num_features": int(self.num_features),

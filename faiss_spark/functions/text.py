@@ -336,7 +336,7 @@ def char_ngram_counts(
 
 def char_ngram_perplexity(
     df, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
-    model=None,
+    model=None, carry_cols: tuple = (),
 ):
     """Per-document bits-per-character under a char n-gram unigram model
     — the CCNet/Wikipedia-LM quality-filter signal of a pretraining
@@ -353,7 +353,12 @@ def char_ngram_perplexity(
     Scale shape: the model table is bounded by charset^n (NOT corpus
     size) → broadcast hash join against the exploded doc grams; the
     per-doc aggregation re-groups by doc id — one shuffle keyed on the
-    id, map-side combinable. Returns (id, n_grams, bpc)."""
+    id, map-side combinable. ``carry_cols`` names per-doc columns to
+    thread through the per-doc groupBy as extra grouping keys (ids are
+    unique, so the grouping cardinality is unchanged) — callers that
+    need doc attributes downstream (perplexity_buckets' language column)
+    avoid a second corpus scan + id-keyed re-join. Returns
+    (id, *carry_cols, n_grams, bpc)."""
     from pyspark.sql.functions import broadcast
 
     if model is None:
@@ -374,11 +379,13 @@ def char_ngram_perplexity(
         ),
     ).otherwise(F.array().cast("array<string>"))
     posted = df.select(
-        F.col(id_col).cast("bigint").alias("id"), F.explode(grams).alias("gram")
+        F.col(id_col).cast("bigint").alias("id"),
+        *[F.col(c) for c in carry_cols],
+        F.explode(grams).alias("gram"),
     )
     return (
         posted.join(broadcast(logp), "gram")
-        .groupBy("id")
+        .groupBy("id", *carry_cols)
         .agg(
             F.count("*").alias("n_grams"),
             (-F.sum("lp") / F.count("*")).alias("bpc"),
@@ -415,17 +422,16 @@ def perplexity_buckets(
     aggregate, map-side combinable; ``exact=True`` uses the exact
     interpolated ``percentile`` (what a SQL twin can reproduce). Either
     way the tiny (group, t1, t2) table broadcasts and assignment is
-    map-only. Returns (id, group, n_grams, bpc, bucket)."""
-    ppl = char_ngram_perplexity(
-        df, n=n, text_col=text_col, id_col=id_col, model=model
-    ).withColumn("bpc", F.round("bpc", round_bpc))
-    grouped = ppl.join(
+    map-only. The group column rides through char_ngram_perplexity's
+    per-doc groupBy as an extra key (carry_cols) — one corpus scan, no
+    id-keyed re-join. Returns (id, group, n_grams, bpc, bucket)."""
+    grouped = char_ngram_perplexity(
         df.select(
-            F.col(id_col).cast("bigint").alias("id"),
-            F.col(group_col).alias("grp"),
+            F.col(id_col), F.col(text_col), F.col(group_col).alias("grp")
         ),
-        "id",
-    )
+        n=n, text_col=text_col, id_col=id_col, model=model,
+        carry_cols=("grp",),
+    ).withColumn("bpc", F.round("bpc", round_bpc))
     p1, p2 = 1.0 / 3.0, 2.0 / 3.0
     fn = "percentile" if exact else "percentile_approx"
     thresholds = grouped.groupBy("grp").agg(

@@ -564,7 +564,7 @@ class BinaryMultiHashIndex:
 
         spark = self.codes.sparkSession
         qpdf = collect_query_frame_bounded(
-            qcodes, qid_col, qcode_col, "binary_hash_search"
+            qcodes, qid_col, qcode_col, "binary_multihash_search"
         )
         mask = (1 << self.b) - 1
         probe_rows = []

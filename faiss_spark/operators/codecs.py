@@ -376,9 +376,12 @@ class ProductQuantizerModel:
         whose code Hamming distance to the query's own code exceeds ht
         (reference faiss/IndexPQ.h:35 search_core polysemous filter; the
         SIFT1M rows of BASELINE.md). ht ≥ M·8 disables the filter."""
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        from faiss_spark.operators.ivf import collect_queries_bounded
+
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "pq_adc_search",
+            d=self.M * self.dsub,
+        )
         luts = np.stack([self.distance_table(q) for q in Q])  # (nq, M, ksub)
         qcodes = self.encode_np(Q) if polysemous_ht is not None else None
         return self._lut_search(codes_df, qids, luts, k, qcodes, polysemous_ht)
@@ -409,9 +412,12 @@ class ProductQuantizerModel:
         ``search_core`` with ``st == ST_SDC``; the BASELINE.md SIFT1M
         PQ64-SDC row). After the per-query row gather the scan is
         byte-identical to the ADC path, so it shares ``_lut_search``."""
-        qpdf = queries.select(qid_col, qvec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(np.int64)
-        Q = as_matrix(qpdf[qvec_col])
+        from faiss_spark.operators.ivf import collect_queries_bounded
+
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "pq_sdc_search",
+            d=self.M * self.dsub,
+        )
         qcodes = self.encode_np(Q).astype(np.int64)  # (nq, M)
         sdc = self.sdc_table()
         # luts[q, m, :] = sdc[m, qcode[q, m], :]

@@ -950,6 +950,25 @@ class IVFAQFastScanIndex:
             from faiss_spark.operators.codecs import LocalSearchQuantizerModel
 
             sub0 = self.rq.paq.subs[0]
+            # the meta stamps sub0's shape for ALL splits; a hand-built
+            # adapter with heterogeneous splits would silently round-trip
+            # to corrupted per-split slicing in _paq_adapter_from_books —
+            # fail loudly instead (the trainer always produces uniform
+            # splits, so this only rejects hand-built adapters)
+            for s in self.rq.paq.subs[1:]:
+                if (
+                    s.M != sub0.M
+                    or s.ksub != sub0.ksub
+                    or type(s) is not type(sub0)
+                    or int(getattr(s, "icm_iters", 3))
+                    != int(getattr(sub0, "icm_iters", 3))
+                ):
+                    raise ValueError(
+                        "IVFAQFastScanIndex.save: heterogeneous ProductAQ "
+                        "splits (M/ksub/type/icm_iters differ) cannot be "
+                        "persisted — the meta format stores one shared "
+                        "split shape. Retrain with uniform splits."
+                    )
             meta["paq"] = {
                 "nsplits": len(self.rq.paq.subs),
                 "msub": int(sub0.M),

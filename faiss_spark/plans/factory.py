@@ -451,15 +451,18 @@ class IndexPlan:
         nq×nlist scan — at nlist ≥ 1M the assign cost drops from
         nq·nlist·d to nq·L·R·d. The list scan itself is identical to the
         exact-assign plan (partition-pruned, broadcast probes)."""
-        from faiss_spark.kernels import as_matrix
-        from faiss_spark.operators.ivf import _scan_probed_lists
+        from faiss_spark.operators.ivf import (
+            _scan_probed_lists,
+            collect_queries_bounded,
+        )
         from faiss_spark.operators.nsg import _beam_search_all
 
         nlist = len(self.index.centroids)
         nprobe = min(nprobe, nlist)
-        qpdf = q.select("qid", "vec").toPandas()
-        qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        Q = as_matrix(qpdf["vec"])
+        qids, Q = collect_queries_bounded(
+            q, "qid", "vec", "graph_routed_search",
+            d=self.index.centroids.shape[1],
+        )
         C = np.ascontiguousarray(self.index.centroids, np.float64)
         probes, _ = _beam_search_all(
             C, self._cgraph, self._cep, Q, nprobe,
