@@ -306,3 +306,17 @@ def test_plsq_fastscan_residual_search(vectors, queries, exact10):
     }
     hits = len(got & exact10)
     assert hits / len(exact10) >= 0.3
+
+
+def test_graph_routed_query_collect_is_bounded(vectors, queries, monkeypatch):
+    """VERDICT r8 #4: _graph_routed_search was one of the last three bare
+    query-side toPandas() sites — it must share the one-job budget +
+    actionable error of every other driver-planned search."""
+    import faiss_spark.operators.ivf as ivfmod
+
+    plan = index_factory("IVF64_NSG8,Flat").fit(vectors)
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)  # 1 row at d=64
+    with pytest.raises(ValueError, match="graph_routed_search.*driver-planned"):
+        plan.search(queries, 10, nprobe=8).count()
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
+    assert plan.search(queries, 10, nprobe=8).count() == 8 * 10

@@ -87,3 +87,28 @@ def test_polysemous_ht_filter(vectors):
     assert all((q, q) in got_pairs for q in range(5))
     top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
     assert top1 == {q: q for q in range(5)}
+
+
+def test_pq_adc_sdc_query_collect_is_bounded(spark, monkeypatch):
+    """VERDICT r8 #4: ProductQuantizerModel.adc_search/sdc_search were the
+    other two bare query-side toPandas() sites — both now share the
+    bounded-collect budget and its actionable error."""
+    import numpy as np
+    import pytest as _pytest
+
+    import faiss_spark.operators.ivf as ivfmod
+    from faiss_spark.operators.codecs import ProductQuantizer
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "id bigint, vec array<float>")
+    pqm = ProductQuantizer(M=2, nbits=4, seed=1, niter=2).fit(df)
+    codes = pqm.encode(df)
+    qs = df.limit(16).selectExpr("id as qid", "vec")
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 8)  # 1 row at d=8
+    with _pytest.raises(ValueError, match="pq_adc_search.*driver-planned"):
+        pqm.adc_search(codes, qs, 3)
+    with _pytest.raises(ValueError, match="pq_sdc_search.*driver-planned"):
+        pqm.sdc_search(codes, qs, 3)
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
+    assert pqm.adc_search(codes, qs, 3).count() == 16 * 3
