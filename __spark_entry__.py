@@ -771,6 +771,15 @@ def _kmeans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_simhash_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw 32-bit SimHash near-dup pairs (the bench workload, kept
+    comparable with rounds ≤8; the r9-consolidated ★dedup_simhash entry
+    unions both widths for the correctness gate)."""
+    from faiss_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def _dedup_bucketed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw bucketed near-dup pairs (the bench workload; the oracle entry
     wraps it in recall/subset property checks)."""
@@ -1266,25 +1275,23 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring profile (the span-level dedup of large
     LM corpora): per doc, n-token windows whose content recurs anywhere
     in the corpus, plus the removable (non-first-occurrence) count.
-    JVM-codegen window hashing, one shuffle on the md5 span key —
-    byte-exact DuckDB oracle."""
+    JVM-codegen window hashing, one shuffle on the md5 span key. This
+    single entry covers BOTH execution paths (r9 surface consolidation,
+    VERDICT r8 #9): the plain one-pass plan AND the hot-hash prefilter
+    (the 100 TB shuffle-volume mitigation: pass 1 count-only map-side
+    combinable aggregation; pass 2 broadcast-joins surviving hashes back
+    against positional windows so the wide exchange carries duplicated
+    windows only). Exact counts from pass 1 make the two paths
+    byte-IDENTICAL — the `path` column tags each, the oracle is the
+    same profile twice."""
     from faiss_spark.operators.dedup import span_dedup_stats
 
-    return span_dedup_stats(_docs(spark, sf_dir), n=8)
-
-
-def q_span_dedup_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★span_dedup's twin through the hot-hash prefilter (the 100 TB
-    shuffle-volume mitigation, now CODE: pass 1 is a COUNT-ONLY
-    aggregation of the window hashes — map-side combinable, no
-    positions, the narrowest rows; pass 2 broadcast-joins the hashes
-    that reached min_count back against the positional windows, so the
-    wide exchange carries duplicated windows only). Exact counts from
-    pass 1 make the result byte-IDENTICAL — same oracle as
-    span_dedup."""
-    from faiss_spark.operators.dedup import span_dedup_stats
-
-    return span_dedup_stats(_docs(spark, sf_dir), n=8, prefilter="hot_hash")
+    docs = _docs(spark, sf_dir)
+    plain = span_dedup_stats(docs, n=8).withColumn("path", F.lit("plain"))
+    pref = span_dedup_stats(docs, n=8, prefilter="hot_hash").withColumn(
+        "path", F.lit("prefiltered")
+    )
+    return plain.unionByName(pref)
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,20 +1484,24 @@ def q_knn_selector_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit fingerprint, 4 byte-bands bucket
-    join, exact-hamming verify ≤ 3."""
-    from faiss_spark.operators.dedup import simhash_neardup_pairs
+    """SimHash near-dup pairs at BOTH fingerprint widths in one entry
+    (r9 surface consolidation, VERDICT r8 #9): 32-bit (4 byte-bands) and
+    64-bit (two 32-bit md5-half words — single 64-bit words overflow
+    double-exact HOF arithmetic — 8 byte-bands), each bucket-joined and
+    exact-hamming verified ≤ 3, tagged by a `bits` column."""
+    from faiss_spark.operators.dedup import (
+        simhash64_neardup_pairs,
+        simhash_neardup_pairs,
+    )
 
-    return simhash_neardup_pairs(_docs(spark, sf_dir))
-
-
-def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs as two 32-bit words (lo/hi md5
-    halves — single 64-bit words overflow double-exact HOF arithmetic),
-    8 byte-bands, exact two-word hamming verify ≤ 3."""
-    from faiss_spark.operators.dedup import simhash64_neardup_pairs
-
-    return simhash64_neardup_pairs(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    w32 = simhash_neardup_pairs(docs).withColumn(
+        "bits", F.lit(32).cast("int")
+    )
+    w64 = simhash64_neardup_pairs(docs).withColumn(
+        "bits", F.lit(64).cast("int")
+    )
+    return w32.unionByName(w64)
 
 
 def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,17 +2610,86 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2): this
-    # round the head = the 10 round-7 entries that have NEVER seen a
-    # driver row (lead) + the 40 oldest r06-green entries, exactly as the
-    # r7 verdict prescribed. That leaves only 10 r06-green entries for
-    # the r9 gate, closing the rotation-staleness window: after r8 every
-    # driver-checked entry is green in r07∪r08, and r9's head has room
-    # for the 10 leftovers plus the whole r07-green cohort's oldest half.
+    # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2):
+    # this round the head = the 10 remaining r06-stale entries (now 9 —
+    # dedup_simhash64 merged into dedup_simhash, r8 #9) + the 5
+    # never-driver-checked round-8 entries + the 36 oldest r07-green
+    # entries. After r9 every driver-checked entry is green within the
+    # last two rounds and the rotation-staleness window is CLOSED; r10's
+    # head absorbs the rest of the r07 cohort + the r08-green block.
     return {
-        # --- the 10 never-driver-checked round-7 additions (r7 verdict
-        # item #1) — each green in the judge's independent 110/110 sweep
-        # and in this round's local sf0.001/0.01/0.1 re-sweep ---
+        # --- the r06-stale entries (last driver check: CORRECTNESS_r06;
+        # judge-green in the r8 verdict's independent 115/115 sweep) ---
+        "dedup_simhash": q_dedup_simhash,
+        "matrix_stats": q_matrix_stats,
+        "knn_selector_batch": q_knn_selector_batch,
+        "knn_1d": q_knn_1d,
+        "image_features": q_image_features,
+        "sq6_reconstruction": q_sq6_reconstruction,
+        "bivf_search": q_bivf_search,
+        "knn_graph_bucketed": q_knn_graph_bucketed,
+        "factory_pipeline": q_factory_pipeline,
+        # --- the 5 never-driver-checked round-8 additions ---
+        "prq_fastscan": q_prq_fastscan,
+        "quality_classifier": q_quality_classifier,
+        "importance_filter": q_importance_filter,
+        "dedup_against": q_dedup_against,
+        "perplexity_buckets": q_perplexity_buckets,
+        # --- the 36 oldest r07-green entries (driver-green in
+        # CORRECTNESS_r07, rotated back under the 50-slot cap) ---
+        "refine_search": q_refine_search,
+        "knn_l2": q_knn_l2,
+        "imi_search_exact": q_imi_search_exact,
+        "spectral_hash_search": q_spectral_hash_search,
+        "polysemous_filter": q_polysemous_filter,
+        "lattice_codec": q_lattice_codec,
+        "knn_filtered": q_knn_filtered,
+        "knn_lp3": q_knn_lp3,
+        "vector_dedup": q_vector_dedup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "events_sessions": q_events_sessions,
+        "events_sessionize": q_events_sessionize,
+        "range_search_l2": q_range_search,
+        "ivf_range_search": q_ivf_range_search,
+        "knn_graph": q_knn_graph,
+        "vector_norms": q_vector_norms,
+        "knn_tabular": q_knn_tabular,
+        "ivfsq_search_exact": q_ivfsq_search_exact,
+        "ivfaq_search": q_ivfaq_search,
+        "rcq_ivf_search": q_rcq_ivf_search,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "kmeans_assign": q_kmeans_assign,
+        "temperature_sample": q_temperature_sample,
+        "assign_splits": q_assign_splits,
+        "filter_corpus": q_filter_corpus,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
+        "term_frequencies": q_term_frequencies,
+        "autotune_nprobe": q_autotune_nprobe,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "text_features": q_text_features,
+        "pii_features": q_pii_features,
+        "decontaminate": q_decontaminate,
+        # --- tail starts here (entry 51): the rest of the r07-green
+        # cohort (they lead the r10 gate), then the r08-green block,
+        # then round-9 additions at the very end ---
+        "repetition_features": q_repetition_features,
+        "pca_project": q_pca_project,
+        "pq_adc_search": q_pq_adc_search,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
+        "bigram_frequencies": q_bigram_frequencies,
+        "ivfpqr_search": q_ivfpqr_search,
+        "ivfpqr_codes": q_ivfpqr_codes,
+        "knn_jaccard_float": q_knn_jaccard_float,
+        "knn_hamming_float": q_knn_hamming_float,
+        "image_features_png": q_image_features_png,
+        "ngram_perplexity": q_ngram_perplexity,
+        "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
+        "bpe_train": q_bpe_train,
+        # --- r08-green block (driver-green in CORRECTNESS_r08) ---
         "shuffle_corpus": q_shuffle_corpus,
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
@@ -2620,8 +2700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsg_sq_search": q_nsg_sq_search,
         "repeat_corpus": q_repeat_corpus,
         "token_budget_sample": q_token_budget_sample,
-        # --- the 40 oldest r06-green entries, rotated back under the
-        # cap (green-on-record → green-now) ---
         "knn_graph_nndescent": q_knn_graph_nndescent,
         "ivfaq_fastscan": q_ivfaq_fastscan,
         "ivfpq_fastscan": q_ivfpq_fastscan,
@@ -2662,77 +2740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_reconstruction": q_sq8_reconstruction,
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
-        # --- tail starts here (entry 51): first the 10 remaining
-        # r06-green entries (they lead the r9 gate), then the r07-green
-        # cohort (fresh last round), then any round-8 additions at the
-        # very end so the r9 head can absorb both groups ---
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash64": q_dedup_simhash64,
-        "matrix_stats": q_matrix_stats,
-        "knn_selector_batch": q_knn_selector_batch,
-        "knn_1d": q_knn_1d,
-        "image_features": q_image_features,
-        "sq6_reconstruction": q_sq6_reconstruction,
-        "bivf_search": q_bivf_search,
-        "knn_graph_bucketed": q_knn_graph_bucketed,
-        "factory_pipeline": q_factory_pipeline,
-        # --- r07-green cohort (driver-green in CORRECTNESS_r07) ---
-        "refine_search": q_refine_search,
-        "knn_l2": q_knn_l2,
-        "imi_search_exact": q_imi_search_exact,
-        "spectral_hash_search": q_spectral_hash_search,
-        "polysemous_filter": q_polysemous_filter,
-        "lattice_codec": q_lattice_codec,
-        "knn_filtered": q_knn_filtered,
-        "knn_lp3": q_knn_lp3,
-        "vector_dedup": q_vector_dedup,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "events_sessions": q_events_sessions,
-        "events_sessionize": q_events_sessionize,
-        "range_search_l2": q_range_search,
-        "ivf_range_search": q_ivf_range_search,
-        "knn_graph": q_knn_graph,
-        "vector_norms": q_vector_norms,
-        "knn_tabular": q_knn_tabular,
-        "ivfsq_search_exact": q_ivfsq_search_exact,
-        "ivfaq_search": q_ivfaq_search,
-        "rcq_ivf_search": q_rcq_ivf_search,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "kmeans_assign": q_kmeans_assign,
-        "temperature_sample": q_temperature_sample,
-        "assign_splits": q_assign_splits,
-        "filter_corpus": q_filter_corpus,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "dedup_components": q_dedup_components,
-        "term_frequencies": q_term_frequencies,
-        "autotune_nprobe": q_autotune_nprobe,
-        "dedup_ngram_jaccard": q_dedup_ngram,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "text_features": q_text_features,
-        "pii_features": q_pii_features,
-        "decontaminate": q_decontaminate,
-        "repetition_features": q_repetition_features,
-        "pca_project": q_pca_project,
-        "pq_adc_search": q_pq_adc_search,
-        "span_dedup_rewrite": q_span_dedup_rewrite,
-        "bigram_frequencies": q_bigram_frequencies,
-        "ivfpqr_search": q_ivfpqr_search,
-        "ivfpqr_codes": q_ivfpqr_codes,
-        "knn_jaccard_float": q_knn_jaccard_float,
-        "knn_hamming_float": q_knn_hamming_float,
-        "image_features_png": q_image_features_png,
-        "ngram_perplexity": q_ngram_perplexity,
-        "ivfpq_fastscan_nores": q_ivfpq_fastscan_nores,
-        "span_dedup_prefiltered": q_span_dedup_prefiltered,
-        "bpe_train": q_bpe_train,
-        # --- round-8 additions (tail end: first driver check in r9/r10) ---
-        "prq_fastscan": q_prq_fastscan,
-        "quality_classifier": q_quality_classifier,
-        "importance_filter": q_importance_filter,
-        "dedup_against": q_dedup_against,
-        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -3274,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """
+    _SIMHASH32_SQL = sql["dedup_simhash"]
     # 64-bit simhash = two independent 32-bit words from the two md5
     # halves (single 64-bit ints overflow double-exact HOF arithmetic)
     _SH_H_HI = f"list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT)"
@@ -3282,7 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         for i, w in enumerate(("lo", "hi"))
         for b in range(4)
     )
-    sql["dedup_simhash64"] = f"""
+    _SIMHASH64_SQL = f"""
         WITH hs AS (SELECT doc_id AS id, {_SH_H} AS hs, {_SH_H_HI} AS hs2 FROM documents),
         sig AS (SELECT id, {_SH_CODE} AS lo,
                        {_SH_CODE.replace('hs', 'hs2')} AS hi
@@ -3300,6 +3308,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+    """
+    # r9 consolidation: one entry, both widths, tagged by `bits`
+    sql["dedup_simhash"] = f"""
+        SELECT id_a, id_b, hamming, CAST(32 AS INT) AS bits
+        FROM ({_SIMHASH32_SQL})
+        UNION ALL
+        SELECT id_a, id_b, hamming, CAST(64 AS INT) AS bits
+        FROM ({_SIMHASH64_SQL})
     """
     # binary codes: word w = bits of dims 32w+1..32w+32 (exact in doubles)
     def bword(tbl: str, w: int) -> str:
@@ -3817,6 +3833,13 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END) * 1e6) / 1e6 AS dup_frac
         FROM base b LEFT JOIN per_doc p USING (doc_id)
     """
+    # r9 consolidation: the plain and hot-hash-prefiltered paths are
+    # byte-identical by construction — one entry checks both
+    sql["span_dedup"] = f"""
+        SELECT *, 'plain' AS path FROM ({sql["span_dedup"]})
+        UNION ALL
+        SELECT *, 'prefiltered' AS path FROM ({sql["span_dedup"]})
+    """
     sql["aq_fastscan"] = (
         "SELECT 'aqfs_agrees_with_float_estimate_ge_0.8' AS prop, "
         "TRUE AS passed "
@@ -3826,7 +3849,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'ivfpqr_rerank_dominates_adc' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpqr_recall_ge_0.85', TRUE"
     )
-    sql["span_dedup_prefiltered"] = sql["span_dedup"]
     sql["shuffle_corpus"] = """
         SELECT doc_id, shard,
                (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1)

@@ -54,6 +54,10 @@ def test_sentinel_machinery(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "CALIBRATION_FILE", str(tmp_path / "cal.json"))
     probe = bench._sentinel_probe(spark)
     assert probe["numpy_sec"] > 0 and probe["sql_sec"] > 0
+    # r9: a write-heavy section (ivf_add) can sit in a disk-contention
+    # band the CPU probes never see — the disk probe must exist and
+    # feed band_factor like the other two
+    assert probe["disk_sec"] > 0
     s = bench._sentinel_summary(probe, probe)
     assert s["calibrated_this_run"] is True
     assert s["drift_factor"] == 1.0 and not s["contended"]
@@ -69,3 +73,26 @@ def test_sentinel_machinery(spark, tmp_path, monkeypatch):
     s4 = bench._sentinel_summary(fast, fast)
     assert s4["calibration"]["numpy_sec"] == fast["numpy_sec"]
     assert not s4["contended"]
+
+
+def test_sentinel_disk_band_flags_without_cpu_band(tmp_path, monkeypatch):
+    """A disk-only contention band (CPU probes clean) must flag
+    contended — exactly the BENCH_r08 failure mode (ivf_add 3.1x slow,
+    recorded under contended: false)."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(bench_mod, "CALIBRATION_FILE", str(tmp_path / "c.json"))
+    clean = {"numpy_sec": 0.05, "sql_sec": 0.08, "disk_sec": 1.0}
+    s = bench_mod._sentinel_summary(clean, clean)
+    assert s["calibrated_this_run"] and not s["contended"]
+    disk_band = {"numpy_sec": 0.05, "sql_sec": 0.08, "disk_sec": 2.4}
+    s2 = bench_mod._sentinel_summary(disk_band, disk_band)
+    assert s2["band_factor"] > 1.5 and s2["contended"]
+    # a calibration file that PREDATES the disk probe (r8 format) adopts
+    # the run's disk draw instead of crashing
+    with open(tmp_path / "c.json", "w") as f:
+        import json as _json
+
+        _json.dump({"numpy_sec": 0.05, "sql_sec": 0.08}, f)
+    s3 = bench_mod._sentinel_summary(clean, clean)
+    assert not s3["contended"] and s3["calibration"]["disk_sec"] == 1.0
