@@ -596,6 +596,7 @@ def embedding_neardup_bucketed(
     vec_col: str = "embedding",
     seed: int = 1234,
     nprobe: int = 1,
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: k-means bucket the vectors
     (spherical — cosine cells), then compute cosine pairs ONLY within each
@@ -605,12 +606,26 @@ def embedding_neardup_bucketed(
     idea as the reference's knn-graph sharding, benchs/README.md:313).
 
     Shuffle discipline: one assign pass (broadcast centroids, no shuffle),
-    one hash shuffle on bucket id (AQE skew-split for hot cells), then a
-    per-bucket vectorized GEMM (applyInPandas) that emits only the pairs
-    at/above the threshold — the same per-cell kernel shape as
-    graph.knn_graph_bucketed. An earlier version scored each candidate
-    pair with an interpreted zip_with/aggregate expression; the GEMM does
-    the whole cell in one BLAS call instead of one lambda walk per pair.
+    one hash shuffle on bucket id, then a per-bucket vectorized GEMM
+    (applyInPandas) that emits only the pairs at/above the threshold —
+    the same per-cell kernel shape as graph.knn_graph_bucketed. An
+    earlier version scored each candidate pair with an interpreted
+    zip_with/aggregate expression; the GEMM does the whole cell in one
+    BLAS call instead of one lambda walk per pair.
+
+    Hot-cell skew: AQE skew handling splits JOIN partitions, not
+    ``groupBy().applyInPandas`` groups — a hot k-means cell lands in
+    exactly ONE task and becomes the straggler/OOM at scale.
+    ``max_cell_rows`` bounds that: any cell above the budget is split
+    into ``ceil(|cell|/max_cell_rows)`` hash sub-shards (the same salting
+    answer as nsg.py's ``max_shard_rows``), and the group key becomes the
+    sub-shard PAIR (bucket, i, j) with every row replicated to the nsub
+    groups that touch its shard — the classic all-pairs triangle
+    partitioning, so every intra-cell pair is still co-grouped exactly
+    once by shard (mixed groups re-derive some same-shard pairs; a final
+    pair-edge dedup removes them). Each task's rows are bounded by
+    ~2·max_cell_rows regardless of how hot the cell is, at the cost of
+    replicating only the HOT cells' rows nsub×.
 
     nprobe > 1 assigns every vector to its nprobe nearest cells
     (symmetric multi-probe, the knn_graph_bucketed recall lever): a pair
@@ -689,12 +704,75 @@ def embedding_neardup_bucketed(
             }
         )
 
-    pairs = bucketed.groupBy("bucket").applyInPandas(
-        local_pairs, schema="id_a bigint, id_b bigint, cosine double"
-    )
-    if nprobe > 1:
-        # the same pair surfaces in every cell both members probe — dedup
-        # on the (tiny) pair edges, never re-shuffling vector payloads
+    subs: dict[int, int] = {}
+    if max_cell_rows is not None:
+        # one tiny aggregate (≤ n_buckets rows) to find hot cells; the
+        # bucketed frame is recomputed by the pair pass, which at scale
+        # beats persisting nprobe× the corpus
+        subs = {
+            int(r["bucket"]): -(-int(r["count"]) // max_cell_rows)
+            for r in bucketed.groupBy("bucket").count().collect()
+            if int(r["count"]) > max_cell_rows
+        }
+
+    if subs:
+        bc_subs = spark.sparkContext.broadcast(subs)
+
+        def fan_out(batches):
+            subs_ = bc_subs.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                hot_mask = pdf["bucket"].isin(list(subs_)).to_numpy()
+                cold = pdf[~hot_mask]
+                if len(cold):
+                    yield pd.DataFrame(
+                        {
+                            "bucket": cold["bucket"].to_numpy(np.int32),
+                            "gi": np.zeros(len(cold), np.int32),
+                            "gj": np.zeros(len(cold), np.int32),
+                            "id": cold["id"].to_numpy(np.int64),
+                            "vec": cold["vec"].to_numpy(),
+                        }
+                    )
+                hot = pdf[hot_mask]
+                for b in hot["bucket"].unique():
+                    sel = hot[hot["bucket"] == b]
+                    nsub = subs_[int(b)]
+                    ids = sel["id"].to_numpy(np.int64)
+                    # deterministic vectorized shard hash (Fibonacci mix)
+                    s = (
+                        (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                        >> np.uint64(33)
+                    ) % np.uint64(nsub)
+                    s = s.astype(np.int32)
+                    for t in range(nsub):
+                        yield pd.DataFrame(
+                            {
+                                "bucket": np.full(len(sel), b, np.int32),
+                                "gi": np.minimum(s, t),
+                                "gj": np.maximum(s, t),
+                                "id": ids,
+                                "vec": sel["vec"].to_numpy(),
+                            }
+                        )
+
+        sharded = bucketed.mapInPandas(
+            fan_out,
+            schema="bucket int, gi int, gj int, id bigint, vec array<float>",
+        )
+        pairs = sharded.groupBy("bucket", "gi", "gj").applyInPandas(
+            local_pairs, schema="id_a bigint, id_b bigint, cosine double"
+        )
+    else:
+        pairs = bucketed.groupBy("bucket").applyInPandas(
+            local_pairs, schema="id_a bigint, id_b bigint, cosine double"
+        )
+    if nprobe > 1 or subs:
+        # the same pair surfaces in every cell both members probe (and,
+        # under hot-cell sharding, same-shard pairs recur in mixed
+        # groups) — dedup on the (tiny) pair edges, never re-shuffling
+        # vector payloads
         pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     return pairs
 

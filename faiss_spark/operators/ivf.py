@@ -679,6 +679,31 @@ class IVFPQIndex:
     pq: ProductQuantizerModel
     codes: DataFrame | None = None
     path: str | None = None
+    # lazy cache of the precomputed ADC term (see _precomputed_tables)
+    _pct: np.ndarray | None = None
+
+    def _precomputed_tables(self) -> np.ndarray:
+        """THE standard IVFPQ optimization (reference
+        faiss/IndexIVFPQ.h:49-141 use_precomputed_table /
+        precompute_table): decompose the per-(query, list) ADC LUT
+
+            ‖(q − c_l)_m − d_mk‖² = ‖q − c_l‖²·[per-query coarse dist]
+                + (‖d_mk‖² + 2⟨c_lm, d_mk⟩)   [query-INDEPENDENT → this]
+                − 2⟨q_m, d_mk⟩                [per-query, list-free]
+
+        so search builds each (query, list) LUT with M·ksub adds instead
+        of an M·ksub·dsub GEMM — the dsub× term moves to a once-per-model
+        table of shape (nlist, M, ksub), computed here and broadcast with
+        the codebooks. f64 to keep distances bit-comparable with the
+        direct expansion up to summation order."""
+        if self._pct is None:
+            books = self.pq.codebooks
+            M, ksub, dsub = books.shape
+            Cs = self.centroids.reshape(len(self.centroids), M, dsub)
+            self._pct = (books * books).sum(2)[None, :, :] + 2.0 * np.einsum(
+                "lmd,mkd->lmk", Cs, books
+            )
+        return self._pct
 
     @staticmethod
     def train(
@@ -816,8 +841,19 @@ class IVFPQIndex:
         nprobe: int = 1,
         qid_col: str = "qid",
         qvec_col: str = "vec",
+        polysemous_ht: int | None = None,
     ) -> DataFrame:
-        """ADC search over the probed partitions (SURVEY §3.2 stage B)."""
+        """ADC search over the probed partitions (SURVEY §3.2 stage B).
+
+        polysemous_ht: with polysemous-trained codebooks (reorder via
+        codecs.PolysemousTraining().optimize_pq(idx.pq) BEFORE add), skip
+        candidates whose code Hamming distance to the query's
+        per-list RESIDUAL code exceeds ht — the in-IVF-list Hamming
+        pre-filter of reference faiss/IndexIVFPQ.h:44 polysemous_ht /
+        IndexIVFPQ.cpp QueryTables (the query is re-encoded against each
+        probed list's centroid, exactly as the reference's per-list
+        q_code). ht ≥ M·8 keeps everything (bit-identical to unfiltered);
+        tighter ht trades recall for scan-cost at 100 TB."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
@@ -842,14 +878,27 @@ class IVFPQIndex:
                 self.centroids,
                 self.pq.codebooks,
                 {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+                self._precomputed_tables(),
             )
         )
         k_ = k
+        ht = polysemous_ht
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids_, Q_, C, books, l2q = bc.value
+            qids_, Q_, C, books, l2q, pct = bc.value
             M, ksub, dsub = books.shape
+            pqm_ = ProductQuantizerModel(codebooks=books) if ht is not None else None
+            pop8 = (
+                np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+                .sum(1)
+                .astype(np.int64)
+            )
+            # term3 = −2⟨q_m, d_mk⟩: per QUERY, list-independent — built
+            # lazily once per task for the queries this task touches
+            # (np.empty pages are only materialized for rows written)
+            t3 = np.empty((len(Q_), M, ksub), np.float64)
+            have_t3 = np.zeros(len(Q_), bool)
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
             for pdf in batches:
@@ -859,23 +908,39 @@ class IVFPQIndex:
                     qsel = l2q.get(int(list_no))
                     if qsel is None or len(qsel) == 0:
                         continue
-                    # residual queries for this cell
-                    R = Q_[qsel] - C[int(list_no)][None, :]  # (nq_l, d)
-                    # LUTs: (nq_l, M, ksub)
-                    Rs = R.reshape(len(R), M, dsub)
-                    luts = (
-                        (Rs * Rs).sum(2)[:, :, None]
-                        + (books * books).sum(2)[None, :, :]
-                        - 2.0 * np.einsum("qmd,mkd->qmk", Rs, books)
-                    )
+                    need = qsel[~have_t3[qsel]]
+                    if len(need):
+                        Qs = Q_[need].reshape(len(need), M, dsub)
+                        t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+                        have_t3[need] = True
+                    # coarse term ‖q − c_l‖² + precomputed + per-query:
+                    # M·ksub adds per (query, list) — no per-probe GEMM
+                    R = Q_[qsel] - C[int(list_no)][None, :]
+                    coarse = (R * R).sum(1)  # (nq_l,)
+                    luts = pct[int(list_no)][None, :, :] + t3[qsel]
                     codes = np.stack(
                         [np.frombuffer(c, np.uint8) for c in grp["code"]]
                     )
-                    # D[q, x] = sum_m lut[q, m, code[x, m]] — per-m
-                    # accumulation, no (nq_l, n_codes, M) gather temp
-                    D = np.zeros((len(R), len(codes)), np.float64)
+                    # D[q, x] = coarse[q] + sum_m lut[q, m, code[x, m]] —
+                    # per-m accumulation, no (nq_l, n_codes, M) gather temp
+                    D = np.broadcast_to(
+                        coarse[:, None], (len(qsel), len(codes))
+                    ).copy()
                     for m in range(M):
                         D += luts[:, m, codes[:, m].astype(np.int64)]
+                    if pqm_ is not None:
+                        # per-list residual query codes (the reference's
+                        # QueryTables q_code), then per-byte popcount of
+                        # q⊕x — candidates past ht drop out of the heap
+                        qc = pqm_.encode_np(R)
+                        ham = np.zeros(D.shape, np.int64)
+                        for m in range(M):
+                            ham += pop8[
+                                np.bitwise_xor(
+                                    qc[:, m][:, None], codes[None, :, m]
+                                )
+                            ]
+                        D[ham > ht] = np.inf
                     key = int(list_no)
                     if key not in acc:
                         acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
@@ -883,8 +948,13 @@ class IVFPQIndex:
                     acc[key].push(D, grp["id"].to_numpy(np.int64))
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
+                fin = np.isfinite(nd)  # polysemous-pruned slots are +inf
                 yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                    {
+                        "qid": qids_[qsels[key][qidx[fin]]],
+                        "id": nid[fin],
+                        "dist": nd[fin],
+                    }
                 )
 
         cands = pruned.select("list_no", "id", "code").mapInPandas(

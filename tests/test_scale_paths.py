@@ -72,6 +72,29 @@ def test_bucketed_neardup_perfect_on_planted_dups(tables):
         assert (i, i + 1_000_000) in got
 
 
+def test_bucketed_neardup_hot_cell_split_is_exact(tables):
+    """max_cell_rows sharding must return EXACTLY the unsplit pair set:
+    the triangle partitioning co-groups every intra-cell pair at least
+    once, and the pair-edge dedup removes the mixed-group re-derivations.
+    n_buckets=1 makes the single cell maximally hot, so every bucket is
+    split."""
+    emb = tables["embeddings"].limit(300)
+    unsplit = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in embedding_neardup_bucketed(
+            emb, threshold=0.4, n_buckets=1, max_cell_rows=None
+        ).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in embedding_neardup_bucketed(
+            emb, threshold=0.4, n_buckets=1, max_cell_rows=40
+        ).collect()
+    }
+    assert unsplit  # non-trivial at this threshold
+    assert split == unsplit
+
+
 def test_ivfsq_full_probe_recall(vectors):
     """IVF+SQ8: full probe leaves only SQ quantization error — top-10
     recall vs exact should be near 1 on 64-d data."""

@@ -635,6 +635,59 @@ def probe_ngram_repetition(spark, nd: int) -> dict:
     }
 
 
+def probe_embedding_neardup_skew(spark, nv: int, max_cell_rows) -> dict:
+    """VERDICT r8 what's-wrong #3: hot-cell skew in
+    embedding_neardup_bucketed. 40% of vectors share one dominant
+    direction → one spherical k-means cell; AQE cannot split an
+    applyInPandas group (the pandas group IS the task), so without a cap
+    that cell's blocked GEMM runs as ONE straggler task. max_cell_rows
+    shards the hot cell into sub-shard pair-groups (triangle
+    partitioning, exact — pinned by test_scale_paths); the capped run
+    must beat the uncapped twin at the same size and scale ~with the
+    sharded work. The hot vectors' pairwise cosine is ≈0.75 (same cell,
+    few emitted pairs), so the probe times the GEMM, not the pair sink."""
+    from pyspark.sql import functions as F
+
+    from faiss_spark.operators.dedup import embedding_neardup_bucketed
+
+    vecs = (
+        _synth_vecs(spark, nv, D, 3_333)
+        .select(
+            F.col("id").alias("vid"),
+            F.when(
+                F.pmod("id", F.lit(5)) < 2,
+                F.expr(
+                    "transform(vec, (x, i) -> cast(CASE WHEN i = 0 THEN "
+                    "2.0 ELSE x * 0.5 END as float))"
+                ),
+            )
+            .otherwise(F.col("vec"))
+            .alias("vec"),
+        )
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    sec = _best_of(
+        lambda: embedding_neardup_bucketed(
+            vecs,
+            threshold=0.95,
+            n_buckets=16,
+            id_col="vid",
+            vec_col="vec",
+            max_cell_rows=max_cell_rows,
+        ).count(),
+        runs=1,
+    )
+    hot = int(nv * 2 / 5)
+    return {
+        "nv": nv,
+        "hot_rows": hot,
+        "max_cell_rows": max_cell_rows,
+        "sec": round(sec, 3),
+        "hot_gemm_tflop": round(hot * hot * D * 2 / 1e12, 3),
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -707,6 +760,14 @@ def main() -> None:
         "line_dedup_skew": lambda: [
             probe_line_dedup_skew(spark, nd_small),
             probe_line_dedup_skew(spark, nd_big),
+        ],
+        # fixed sizes (not small/big): the uncapped twin is a single
+        # 205-GFLOP task by construction — it exists to SHOW the
+        # straggler, so it runs once at the small size only
+        "embedding_neardup_skew": lambda: [
+            probe_embedding_neardup_skew(spark, 100_000, None),
+            probe_embedding_neardup_skew(spark, 100_000, 25_000),
+            probe_embedding_neardup_skew(spark, 300_000, 25_000),
         ],
         "quality_classifier": lambda: [
             probe_quality_classifier(spark, nd_small),
