@@ -681,6 +681,42 @@ def q_polysemous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_polysemous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polysemous Hamming pre-filter INSIDE the IVF list scan (reference
+    faiss/IndexIVFPQ.h:44 polysemous_ht + IndexIVFPQ.cpp QueryTables:
+    the query is re-encoded against each probed list's centroid and
+    candidates past ht drop before the heap). Annealed codebooks are
+    k-means artifacts no SQL reproduces, so the oracle is the property
+    triple: loose ht (M·8) is bit-identical to unfiltered; each query's
+    own stored code (residual in its own best list → Hamming 0) survives
+    a tight ht at rank 1; the filter only ever removes rows."""
+    from faiss_spark.operators.codecs import PolysemousTraining
+    from faiss_spark.operators.ivf import IVFPQIndex
+
+    vecs = _emb(spark, sf_dir)
+    idx = IVFPQIndex.train(vecs, nlist=8, M=4, seed=42, niter=5)
+    idx.pq, _ = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(idx.pq)
+    idx.add(vecs)
+    idx.codes = idx.codes.localCheckpoint(eager=True)
+    qs = _queries_df(spark, sf_dir)
+    full = idx.search(qs, K, nprobe=8).collect()
+    full_set = {(r["qid"], r["rank"], r["id"]) for r in full}
+    loose = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(qs, K, nprobe=8, polysemous_ht=32).collect()
+    }
+    tight = idx.search(qs, K, nprobe=8, polysemous_ht=4).collect()
+    top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
+    return _prop_df(
+        spark,
+        [
+            ("ivfpq_poly_loose_ht_equals_unfiltered", loose == full_set),
+            ("ivfpq_poly_self_survives_tight_ht", top1 == {q: q for q in range(NQ)}),
+            ("ivfpq_poly_filter_only_removes", len(tight) <= len(full)),
+        ],
+    )
+
+
 def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with an additive (residual) COARSE quantizer (reference
     ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h:161 — the
@@ -2612,11 +2648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2):
     # this round the head = the 10 remaining r06-stale entries (now 9 —
-    # dedup_simhash64 merged into dedup_simhash, r8 #9) + the 5
-    # never-driver-checked round-8 entries + the 36 oldest r07-green
-    # entries. After r9 every driver-checked entry is green within the
-    # last two rounds and the rotation-staleness window is CLOSED; r10's
-    # head absorbs the rest of the r07 cohort + the r08-green block.
+    # dedup_simhash64 merged into dedup_simhash, r8 #9) + the 6
+    # never-driver-checked entries (5 from r8, ivfpq_polysemous from r9)
+    # + the 35 oldest r07-green entries. After r9 every driver-checked
+    # entry is green within the last two rounds except `decontaminate`
+    # (bumped to slot 51 by the new r9 entry); r10's head absorbs it plus
+    # the rest of the r07 cohort + the r08-green block.
     return {
         # --- the r06-stale entries (last driver check: CORRECTNESS_r06;
         # judge-green in the r8 verdict's independent 115/115 sweep) ---
@@ -2629,14 +2666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivf_search": q_bivf_search,
         "knn_graph_bucketed": q_knn_graph_bucketed,
         "factory_pipeline": q_factory_pipeline,
-        # --- the 5 never-driver-checked round-8 additions ---
+        # --- the never-driver-checked round-8/9 additions (5 from r8 +
+        # ivfpq_polysemous, new this round) ---
         "prq_fastscan": q_prq_fastscan,
         "quality_classifier": q_quality_classifier,
         "importance_filter": q_importance_filter,
         "dedup_against": q_dedup_against,
         "perplexity_buckets": q_perplexity_buckets,
-        # --- the 36 oldest r07-green entries (driver-green in
-        # CORRECTNESS_r07, rotated back under the 50-slot cap) ---
+        "ivfpq_polysemous": q_ivfpq_polysemous,
+        # --- the 35 oldest r07-green entries (driver-green in
+        # CORRECTNESS_r07, rotated back under the 50-slot cap; the new
+        # head entry above bumps `decontaminate` to the r10 head) ---
         "refine_search": q_refine_search,
         "knn_l2": q_knn_l2,
         "imi_search_exact": q_imi_search_exact,
@@ -3726,6 +3766,11 @@ def oracle_sql() -> dict[str, str]:
     sql["polysemous_filter"] = (
         "SELECT 'polysemous_loose_ht_equals_unfiltered' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'polysemous_self_survives_tight_ht', TRUE"
+    )
+    sql["ivfpq_polysemous"] = (
+        "SELECT 'ivfpq_poly_loose_ht_equals_unfiltered' AS prop, TRUE AS passed "
+        "UNION ALL SELECT 'ivfpq_poly_self_survives_tight_ht', TRUE "
+        "UNION ALL SELECT 'ivfpq_poly_filter_only_removes', TRUE"
     )
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "

@@ -681,6 +681,7 @@ class IVFPQIndex:
     path: str | None = None
     # lazy cache of the precomputed ADC term (see _precomputed_tables)
     _pct: np.ndarray | None = None
+    _pct_key: tuple | None = None
 
     def _precomputed_tables(self) -> np.ndarray:
         """THE standard IVFPQ optimization (reference
@@ -696,13 +697,17 @@ class IVFPQIndex:
         table of shape (nlist, M, ksub), computed here and broadcast with
         the codebooks. f64 to keep distances bit-comparable with the
         direct expansion up to summation order."""
-        if self._pct is None:
-            books = self.pq.codebooks
+        books = self.pq.codebooks
+        # cheap fingerprint so replacing idx.pq (e.g. polysemous reorder)
+        # after a search can never serve a stale table
+        key = (books.shape, float(books.sum()))
+        if self._pct is None or self._pct_key != key:
             M, ksub, dsub = books.shape
             Cs = self.centroids.reshape(len(self.centroids), M, dsub)
             self._pct = (books * books).sum(2)[None, :, :] + 2.0 * np.einsum(
                 "lmd,mkd->lmk", Cs, books
             )
+            self._pct_key = key
         return self._pct
 
     @staticmethod

@@ -112,3 +112,36 @@ def test_pq_adc_sdc_query_collect_is_bounded(spark, monkeypatch):
         pqm.sdc_search(codes, qs, 3)
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
     assert pqm.adc_search(codes, qs, 3).count() == 16 * 3
+
+
+def test_ivfpq_polysemous_ht_filter(vectors):
+    """VERDICT r8 #7 (reference faiss/IndexIVFPQ.h:44 polysemous_ht): the
+    Hamming pre-filter runs INSIDE the IVF list scan against the query's
+    per-list RESIDUAL code. ht ≥ M·8 is bit-identical to unfiltered;
+    a tight ht never filters each query's own encoding (the stored code
+    of a vector in its own best list is the query's residual code —
+    Hamming 0) and only ever removes candidates."""
+    from faiss_spark.operators.codecs import PolysemousTraining
+    from faiss_spark.operators.ivf import IVFPQIndex
+
+    idx = IVFPQIndex.train(vectors, nlist=8, M=4, seed=42, niter=5)
+    # swapping idx.pq must auto-invalidate the precomputed ADC table
+    idx.pq, _ = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(idx.pq)
+    idx.add(vectors)
+    qs = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    full = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(qs, 5, nprobe=8).collect()
+    }
+    loose = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(qs, 5, nprobe=8, polysemous_ht=32).collect()
+    }
+    assert loose == full
+    tight = idx.search(qs, 5, nprobe=8, polysemous_ht=4).collect()
+    got_pairs = {(r["qid"], r["id"]) for r in tight}
+    assert all((q, q) in got_pairs for q in range(5))
+    top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
+    assert top1 == {q: q for q in range(5)}
+    # pruning only removes rows
+    assert len(tight) <= len(full)
