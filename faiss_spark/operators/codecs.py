@@ -181,6 +181,58 @@ class ScalarQuantizerModel:
         return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
 
 
+def _sq_optim_ranges(
+    X: np.ndarray, k: int, niter: int = 500
+) -> tuple[np.ndarray, np.ndarray]:
+    """RS_optim range training (reference ScalarQuantizer.cpp:499-560
+    train_Uniform RS_optim), vectorized across dims: alternate between
+    assigning each component its nearest of k levels and solving the 2×2
+    least-squares for the affine (a, b) that minimizes reconstruction
+    error. Per-dim early stop after 16 iterations with unchanged error,
+    exactly as the reference.
+
+    One deliberate deviation: the reference stores vmin = b, which
+    leaves a half-bin offset between the trained levels (b + ni·a) and
+    the codec's decode-at-bin-centers (vmin + (q+0.5)·unit) — the ALS
+    optimum is not what decode reproduces. We return vmin = b − a/2 so
+    decode lands EXACTLY on the trained levels; reconstruction error is
+    then monotone-better than the minmax-range initialization by
+    construction."""
+    n, d = X.shape
+    vmin0, vmax0 = X.min(0), X.max(0)
+    a = (vmax0 - vmin0).astype(np.float64) / (k - 1)
+    a = np.where(a == 0, 1.0, a)
+    # init at the CENTER-aligned minmax points (b + q·a == the codec's
+    # decode points for minmax ranges) rather than the reference's
+    # endpoint-aligned b = vmin: the ALS is monotone in its objective, so
+    # starting AT the minmax codec scheme guarantees the trained ranges
+    # never reconstruct worse than rangestat="minmax"
+    b = vmin0.astype(np.float64) + a / 2.0
+    sx = X.sum(0)
+    last_err = np.full(d, -1.0)
+    stall = np.zeros(d, np.int64)
+    for _ in range(niter):
+        NI = np.clip(np.floor((X - b) / a + 0.5), 0, k - 1)
+        err1 = ((X - (NI * a + b)) ** 2).sum(0)
+        stall = np.where(err1 == last_err, stall + 1, 0)
+        last_err = err1
+        active = stall < 16
+        if not active.any():
+            break
+        sn = NI.sum(0)
+        sn2 = (NI * NI).sum(0)
+        sxn = (NI * X).sum(0)
+        det = sn * sn - sn2 * n
+        safe = np.where(det == 0, 1.0, det)
+        b = np.where(active & (det != 0), (sn * sxn - sn2 * sx) / safe, b)
+        a_new = np.where(active & (det != 0), (sn * sx - n * sxn) / safe, a)
+        a = np.where(a_new == 0, a, a_new)
+    # half-bin shift so decode-at-centers reproduces the trained levels:
+    # vmin = b − a/2 and vdiff = a·(k−1) give unit = a and decode points
+    # vmin + (q+0.5)·a = b + q·a for q = 0..k−1
+    return b - a / 2.0, b + a * (k - 1.5)
+
+
 class ScalarQuantizer:
     """Estimator for the ScalarQuantizer variants (reference
     faiss/impl/ScalarQuantizer.h:26-48):
@@ -192,11 +244,22 @@ class ScalarQuantizer:
       bits=8,    direct=True     QT_8bit_direct — no training, code=uint8(x)
       bits=16                    QT_fp16
 
-    rangestat: "minmax" (RS_minmax, exact distributed min/max) or
-    "meanstd" (RS_meanstd: lo = mean − rs_arg·std, hi = mean + rs_arg·std,
-    reference ScalarQuantizer.cpp train ranges). Every statistic is one
-    distributed aggregation over posexploded components — exact,
-    partition-order independent, map-side partial."""
+    rangestat (reference faiss/impl/ScalarQuantizer.h:40-48 RangeStat +
+    ScalarQuantizer.cpp train_Uniform/train_NonUniform):
+      "minmax"    RS_minmax — exact distributed min/max
+      "meanstd"   RS_meanstd — lo/hi = mean ∓ rs_arg·std (rs_arg def. 3)
+      "quantiles" RS_quantiles — lo/hi = Q(rs_arg)/Q(1−rs_arg) order
+                  statistics (rs_arg def. 0.05); exact `percentile`
+                  aggregate here, `percentile_approx` is the drop-in at
+                  corpus scale (a t-digest sketch, map-side combinable)
+      "optim"     RS_optim — per-dim alternating least squares on the
+                  affine (a, b) minimizing reconstruction error
+                  (ScalarQuantizer.cpp:499-560), run vectorized across
+                  dims on a seeded driver sample (the reference trains on
+                  its in-RAM training set; sampling is the Spark twin of
+                  that bound, same as PQ codebook training)
+    The first three are each ONE distributed aggregation over posexploded
+    components — exact, partition-order independent, map-side partial."""
 
     def __init__(
         self,
@@ -204,19 +267,29 @@ class ScalarQuantizer:
         uniform: bool = False,
         direct: bool = False,
         rangestat: str = "minmax",
-        rs_arg: float = 3.0,
+        rs_arg: float | None = None,
+        optim_niter: int = 500,
+        seed: int = 1234,
     ):
         if bits not in (4, 6, 8, 16):
             raise ValueError("bits must be 4, 6, 8 (int codes) or 16 (fp16)")
         if direct and bits != 8:
             raise ValueError("8bit_direct requires bits=8")
-        if rangestat not in ("minmax", "meanstd"):
-            raise ValueError("rangestat must be 'minmax' or 'meanstd'")
+        if rangestat not in ("minmax", "meanstd", "quantiles", "optim"):
+            raise ValueError(
+                "rangestat must be 'minmax', 'meanstd', 'quantiles' or 'optim'"
+            )
+        if rs_arg is None:
+            rs_arg = {"meanstd": 3.0, "quantiles": 0.05}.get(rangestat, 0.0)
+        if rangestat == "quantiles" and not 0.0 <= rs_arg < 0.5:
+            raise ValueError("quantiles rs_arg must be in [0, 0.5)")
         self.bits = bits
         self.uniform = uniform
         self.direct = direct
         self.rangestat = rangestat
         self.rs_arg = rs_arg
+        self.optim_niter = optim_niter
+        self.seed = seed
 
     @staticmethod
     def from_qtype(qtype: str) -> "ScalarQuantizer":
@@ -245,7 +318,42 @@ class ScalarQuantizer:
                 vmin=np.zeros(d), vdiff=np.full(d, 255.0), bits=8,
                 variant="direct",
             )
+        if self.rangestat == "optim":
+            X = _sampled_matrix(df, vec_col, 65536, self.seed)
+            if self.uniform:
+                lo, hi = _sq_optim_ranges(
+                    X.reshape(-1, 1), 1 << self.bits, self.optim_niter
+                )
+                vmin, vmax = np.full(d, lo[0]), np.full(d, hi[0])
+            else:
+                vmin, vmax = _sq_optim_ranges(
+                    X, 1 << self.bits, self.optim_niter
+                )
+            return ScalarQuantizerModel(
+                vmin=vmin, vdiff=vmax - vmin, bits=self.bits,
+                variant="uniform" if self.uniform else "trained",
+            )
         comp = df.select(F.posexplode(vec_col).alias("pos", "x"))
+        if self.rangestat == "quantiles":
+            # reference train ranges pick the sorted offsets
+            # x[o], x[n-1-o] with o = rs_arg·n; `percentile` is the same
+            # order statistic with linear interpolation between ranks
+            pexpr = F.expr(
+                f"percentile(x, array({self.rs_arg}, {1.0 - self.rs_arg}))"
+            ).alias("p")
+            if self.uniform:
+                # train_Uniform quantiles run over ALL n·d components
+                p = comp.agg(pexpr).first()["p"]
+                return ScalarQuantizerModel(
+                    vmin=np.full(d, p[0]), vdiff=np.full(d, p[1] - p[0]),
+                    bits=self.bits, variant="uniform",
+                )
+            stats = comp.groupBy("pos").agg(pexpr).orderBy("pos").collect()
+            vmin = np.array([r["p"][0] for r in stats], dtype=np.float64)
+            vmax = np.array([r["p"][1] for r in stats], dtype=np.float64)
+            return ScalarQuantizerModel(
+                vmin=vmin, vdiff=vmax - vmin, bits=self.bits, variant="trained"
+            )
         if self.rangestat == "meanstd":
             stats = (
                 comp.groupBy("pos")

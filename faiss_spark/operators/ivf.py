@@ -1081,13 +1081,17 @@ class IVFSQIndex:
         vec_col: str = "vec",
         seed: int = 1234,
         niter: int = 20,
+        rangestat: str = "minmax",
+        rs_arg: float | None = None,
     ) -> "IVFSQIndex":
         from faiss_spark.operators.codecs import ScalarQuantizer
 
         km = KMeans(
             k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
         ).fit(vectors, vec_col=vec_col)
-        sq = ScalarQuantizer(bits=bits).fit(vectors, vec_col=vec_col)
+        sq = ScalarQuantizer(
+            bits=bits, rangestat=rangestat, rs_arg=rs_arg, seed=seed
+        ).fit(vectors, vec_col=vec_col)
         return IVFSQIndex(centroids=km.centroids, sq=sq, metric=metric)
 
     def add(

@@ -303,3 +303,84 @@ def test_pq_sdc_equals_adc_of_roundtripped_query(vectors, spark):
     a = {(r["qid"], r["rank"], r["id"], round(r["dist"], 6)) for r in sdc.collect()}
     b = {(r["qid"], r["rank"], r["id"], round(r["dist"], 6)) for r in adc_rt.collect()}
     assert a == b
+
+
+def test_sq_rangestat_outlier_robust(spark):
+    """VERDICT r8 #8 (reference faiss/impl/ScalarQuantizer.h:40-48
+    RangeStat + ScalarQuantizer.cpp train ranges): on outlier-planted
+    data, min-max ranges are inflated by the outliers and the robust
+    range stats (RS_meanstd, RS_quantiles) must reconstruct the INLIER
+    mass strictly better; RS_optim minimizes TOTAL reconstruction error
+    (outliers included — the reference objective), so it is judged on
+    that instead."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.operators.codecs import ScalarQuantizer
+
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-0.5, 0.5, size=(2000, 16))
+    # 1% of rows get a ±50 outlier in a random dim
+    rows = rng.choice(2000, 20, replace=False)
+    X[rows, rng.integers(0, 16, 20)] = rng.choice([-50.0, 50.0], 20)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(2000), "vec": [r.astype(np.float32) for r in X]})
+    )
+    inliers = np.delete(X, rows, axis=0)
+
+    def recons_err(model, M):
+        Xr = model.decode_np(model.encode_np(M))
+        return float(((M - Xr) ** 2).mean())
+
+    models = {
+        rs: ScalarQuantizer(bits=8, rangestat=rs).fit(df)
+        for rs in ("minmax", "meanstd", "quantiles", "optim")
+    }
+    inlier_errs = {rs: recons_err(m, inliers) for rs, m in models.items()}
+    for rs in ("meanstd", "quantiles"):
+        assert inlier_errs[rs] < inlier_errs["minmax"], inlier_errs
+    total_mm = recons_err(models["minmax"], X)
+    total_op = recons_err(models["optim"], X)
+    assert total_op <= total_mm * 1.001, (total_op, total_mm)
+
+
+def test_sq_optim_beats_minmax_on_clean_data(spark):
+    """RS_optim minimizes reconstruction MSE directly, so even WITHOUT
+    outliers it must not lose to plain min-max ranges (it starts from
+    them and only accepts error-reducing updates)."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.operators.codecs import ScalarQuantizer
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(3000, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(3000), "vec": [r.astype(np.float32) for r in X]})
+    )
+
+    def recons_err(model):
+        Xr = model.decode_np(model.encode_np(X))
+        return float(((X - Xr) ** 2).mean())
+
+    e_mm = recons_err(ScalarQuantizer(bits=4, rangestat="minmax").fit(df))
+    e_op = recons_err(ScalarQuantizer(bits=4, rangestat="optim").fit(df))
+    assert e_op <= e_mm * 1.001, (e_op, e_mm)
+
+
+def test_sq_quantiles_uniform_is_global(spark):
+    """train_Uniform RS_quantiles runs over ALL n·d components (one
+    global order statistic), so every dim shares one range."""
+    import numpy as np
+    import pandas as pd
+
+    from faiss_spark.operators.codecs import ScalarQuantizer
+
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0, 1, size=(500, 4)) * np.array([1.0, 2.0, 4.0, 8.0])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(500), "vec": [r.astype(np.float32) for r in X]})
+    )
+    m = ScalarQuantizer(bits=8, uniform=True, rangestat="quantiles").fit(df)
+    assert len(set(np.round(m.vmin, 9))) == 1
+    assert len(set(np.round(m.vdiff, 9))) == 1
