@@ -1448,6 +1448,77 @@ class IMIIVFIndex:
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
 
 
+@dataclass
+class MIQ2IVFIndex(IMIIVFIndex):
+    """IVFFlat with a MultiIndexQuantizer2 coarse (reference
+    faiss/IndexPQ.h:171 MultiIndexQuantizer2, IndexPQ.cpp:1000-1110): the
+    per-half assignment is performed by ASSIGN SUB-INDEXES holding that
+    half's ksub centroids, each returning only its top-k2 candidates
+    (k2 = min(K, ksub) in the reference), and the product combination
+    min-sums over the truncated k2×k2 grid instead of the full
+    ksub×ksub one. With assign_k2 = ksub this is exactly
+    MultiIndexQuantizer (pinned by the oracle entry); smaller k2 trades
+    probe recall for an O((ksub/k2)²) smaller candidate grid — the knob
+    that matters when ksub is 2^12+ at 1B-vector nlist. The per-half
+    sub-index here is the exact flat search (one small GEMM against
+    broadcast half-centroids); an approximate sub-index would slot into
+    the same per-half top-k2 step, as in the reference's
+    MultiIndexQuantizer2(d, nbits, assign_index_0, assign_index_1)."""
+
+    assign_k2: int | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nbits: int,
+        assign_k2: int | None = None,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 15,
+    ) -> "MIQ2IVFIndex":
+        sub = train_imi(vectors, 1 << nbits, vec_col=vec_col, seed=seed, niter=niter)
+        # reference MultiIndexQuantizer2::train = MIQ train + add the
+        # trained centroids to the per-half assign sub-indexes
+        return MIQ2IVFIndex(sub_centroids=sub, assign_k2=assign_k2)
+
+    def _probe(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
+        ksub, dsub = self.ksub, self.sub_centroids.shape[2]
+        k2 = min(self.assign_k2 or ksub, ksub)
+        ids_h, dis_h = [], []
+        for h in range(2):
+            sub = Q[:, h * dsub : (h + 1) * dsub]
+            C = self.sub_centroids[h]
+            D = (
+                (sub * sub).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (sub @ C.T)
+            )
+            # the assign sub-index's top-k2 (deterministic (dist, id))
+            part = np.argpartition(D, k2 - 1, axis=1)[:, :k2]
+            pd_ = np.take_along_axis(D, part, axis=1)
+            order = np.lexsort((part, pd_), axis=1)
+            ids_h.append(np.take_along_axis(part, order, axis=1))
+            dis_h.append(np.take_along_axis(pd_, order, axis=1))
+        # min-sum over the truncated k2×k2 grid (MinSumK over pre-sorted
+        # per-half lists in the reference; the grid is small enough here
+        # to evaluate densely)
+        cd = dis_h[0][:, :, None] + dis_h[1][:, None, :]
+        cells = ids_h[0][:, :, None] * ksub + ids_h[1][:, None, :]
+        flat_d = cd.reshape(len(Q), -1)
+        flat_c = cells.reshape(len(Q), -1)
+        nprobe = min(nprobe, flat_d.shape[1])
+        part = np.argpartition(flat_d, nprobe - 1, axis=1)[:, :nprobe]
+        order = np.lexsort(
+            (
+                np.take_along_axis(flat_c, part, axis=1),
+                np.take_along_axis(flat_d, part, axis=1),
+            ),
+            axis=1,
+        )
+        sel = np.take_along_axis(part, order, axis=1)
+        return np.take_along_axis(flat_c, sel, axis=1)
+
+
 def train_imi(
     vectors: DataFrame,
     k: int,

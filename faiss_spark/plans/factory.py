@@ -9,8 +9,9 @@ pipelines: transform chain (operators/transforms.py) + index stage
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
   main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
-               {Flat|PQ<M>[x<b>]|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|SQfp16|RQ<M>|
-                RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|PLSQ<ns>x<M>x4fs[r]} |
+               {Flat|PQ<M>[x<b>]|PQ<M1>+<M2>|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|
+                SQfp16|RQ<M>|RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|
+                PLSQ<ns>x<M>x4fs[r]} |
                IMI2x<b>,Flat |
                PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
                PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> |
@@ -115,6 +116,9 @@ class IndexPlan:
     paq_msub: int | None = None
     paq_nbits: int = 8
     paq_lsq: bool = False
+    # PQ<M1>+<M2> (reference index_factory.cpp:321-327 IndexIVFPQR):
+    # refine PQ with M2 sub-quantizers on the second-level residual
+    pqr_m2: int | None = None
     # LSH[r][t] (reference index_factory.cpp:528-532 IndexLSH: nbits=d,
     # r = rotate_data, t = train_thresholds)
     lsh_rotate: bool = False
@@ -217,6 +221,17 @@ class IndexPlan:
                     cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
                     seed=seed,
                 ).add(cur)
+        elif self.index_type == "ivfpqr":
+            from faiss_spark.operators.ivf import IVFPQRIndex
+
+            # train() with M_refine encodes (list_no, id, code, rcode) in
+            # one map-only pass; search defaults to raw-table rerank here
+            # (the table exists in the plan) and pqr_codes works after
+            # dropping it — both modes of the reference's IndexIVFPQR
+            self.index = IVFPQRIndex.train(
+                cur, nlist=self.nlist, M=self.pq_m, M_refine=self.pqr_m2,
+                k_factor=self.k_factor, seed=seed,
+            )
         elif self.index_type == "ivfsq":
             self.index = IVFSQIndex.train(
                 cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
@@ -384,7 +399,8 @@ class IndexPlan:
         elif self.index_type == "ivfflat" and self.coarse_graph:
             res = self._graph_routed_search(q, k_cand, nprobe)
         elif self.index_type in (
-            "ivfflat", "ivfpq", "ivfsq", "ivfrq", "ivfrqfs", "ivfpaqfs",
+            "ivfflat", "ivfpq", "ivfpqr", "ivfsq", "ivfrq", "ivfrqfs",
+            "ivfpaqfs",
         ):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
             if self.flat_dedup:
@@ -598,6 +614,19 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.fs_residual = pm.group(2) == "r"
             if pm.group(3):
                 plan.bbs = int(pm.group(3))
+        elif re.match(r"^PQ(\d+)\+(\d+)$", code):
+            # IVF<n>,PQ<M1>+<M2> (reference index_factory.cpp:321-327
+            # IndexIVFPQR): M1-byte PQ codes + an M2-sub-quantizer refine
+            # PQ on the second-level residual. L2 only, as the reference.
+            if metric != "l2":
+                raise ValueError(
+                    f"{code!r}: IVFPQR is L2-only in the reference "
+                    "(not implemented for inner product search)"
+                )
+            pm = re.match(r"^PQ(\d+)\+(\d+)$", code)
+            plan.index_type = "ivfpqr"
+            plan.pq_m = int(pm.group(1))
+            plan.pqr_m2 = int(pm.group(2))
         elif re.match(r"^PQ(\d+)(x\d+)?$", code):
             pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
             plan.index_type = "ivfpq"
@@ -807,6 +836,9 @@ def reverse_index_factory(plan: IndexPlan) -> str:
                 f"PQ{plan.pq_m}"
                 + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
             )
+    elif plan.index_type == "ivfpqr":
+        parts.append(ivf_tok())
+        parts.append(f"PQ{plan.pq_m}+{plan.pqr_m2}")
     elif plan.index_type == "ivfsq":
         parts.append(ivf_tok())
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])

@@ -22,16 +22,22 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # big shuffles START fine-grained and AQE coalesces the small
-        # ones back to ~cpus tasks (parallelismFirst default): the r8
-        # line_dedup skew probe measured a 50M-row sort-merge join at a
-        # fixed 32 partitions spilling into a 12.5× wall at 5× data,
-        # restored to ~linear at 256 — this makes that sizing adaptive
-        # instead of per-job manual. On a real cluster the same knob is
-        # the standard spill guard.
+        # Initial shuffle granularity is WORKLOAD-KEYED, not one-size:
+        # the r8 line_dedup skew probe measured a 50M-row sort-merge join
+        # at fixed 32 partitions spilling into a 12.5× wall at 5× data,
+        # restored to ~linear at 256 — but the r9 interleaved A/B
+        # (tools/aqe_ab.py, 5 paired draws × 15 headline queries at
+        # sf0.1) measured the 256 default costing 1.24× overall with
+        # consistent 4/5-sign losers up to 1.74× (knn_tabular) — AQE
+        # coalescing does not refund the per-block overhead of 8× more
+        # map outputs on second-scale queries. Default = cpus (the
+        # bench-scale winner); big-corpus jobs set
+        # SPARK_GRAFT_INITIAL_PARTITIONS (the scale probe does, and a
+        # 100 TB deployment would set the conf high as standard job
+        # conf — AQE then coalesces what the data doesn't need).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(8 * cpus, 256)),
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

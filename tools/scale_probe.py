@@ -691,6 +691,13 @@ def probe_embedding_neardup_skew(spark, nv: int, max_cell_rows) -> dict:
 def main() -> None:
     quick = "--quick" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # big-corpus shuffle sizing (see session.py): the probes run at 1-5M
+    # docs / 0.6-3M vectors where fine-grained initial partitions are the
+    # spill guard (r8 line_dedup finding); the session default stays
+    # cpus-sized for second-scale queries (r9 A/B, tools/aqe_ab.py)
+    os.environ.setdefault(
+        "SPARK_GRAFT_INITIAL_PARTITIONS", str(max(8 * CPUS, 256))
+    )
     spark = get_spark("scale_probe")
     small, big = (600_000, 3_000_000) if not quick else (60_000, 300_000)
     nd_small, nd_big = (1_000_000, 5_000_000) if not quick else (20_000, 100_000)
