@@ -134,3 +134,45 @@ def test_driver_planned_searches_bound_the_query_collect(vectors, monkeypatch):
     # within budget: unchanged behavior
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
     assert idx.search(queries, 3, nprobe=4).count() == 8 * 3
+
+
+def test_miq2_equals_imi_at_full_k2(vectors):
+    """MultiIndexQuantizer2 (reference faiss/IndexPQ.h:171): with
+    assign_k2 == ksub the per-half truncation is a no-op, so probes are
+    bit-equal to plain IMI; truncating k2 shrinks the candidate grid."""
+    from faiss_spark.operators.ivf import IMIIVFIndex, MIQ2IVFIndex
+
+    imi = IMIIVFIndex.train(vectors, nbits=3, seed=42, niter=5)
+    miq2 = MIQ2IVFIndex.train(vectors, nbits=3, seed=42, niter=5)
+    Q = np.stack([np.array(r["vec"]) for r in vectors.limit(8).collect()])
+    assert (imi._probe(Q, 12) == miq2._probe(Q, 12)).all()
+    # truncated per-half lists: every probed cell must decompose into
+    # per-half candidates from the top-k2 of that half
+    m3 = MIQ2IVFIndex(sub_centroids=miq2.sub_centroids, assign_k2=3)
+    probes = m3._probe(Q, 9)
+    assert probes.shape == (8, 9)
+    ksub = m3.ksub
+    dsub = m3.sub_centroids.shape[2]
+    for h in range(2):
+        sub = Q[:, h * dsub : (h + 1) * dsub]
+        C = m3.sub_centroids[h]
+        D = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        topk2 = np.sort(np.argsort(D, axis=1)[:, :3], axis=1)
+        half_ids = probes // ksub if h == 0 else probes % ksub
+        for qi in range(len(Q)):
+            assert set(half_ids[qi]) <= set(topk2[qi]), (h, qi)
+
+
+def test_miq2_full_probe_equals_exact(vectors):
+    from faiss_spark.operators.ivf import MIQ2IVFIndex
+
+    idx = MIQ2IVFIndex.train(vectors, nbits=2, seed=42, niter=5).add(vectors)
+    qs = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    got = {
+        (r["qid"], r["rank"], r["id"])
+        for r in idx.search(qs, 5, nprobe=idx.nlist).collect()
+    }
+    want = {
+        (r["qid"], r["rank"], r["id"]) for r in knn(vectors, qs, 5).collect()
+    }
+    assert got == want

@@ -320,3 +320,24 @@ def test_graph_routed_query_collect_is_bounded(vectors, queries, monkeypatch):
         plan.search(queries, 10, nprobe=8).count()
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
     assert plan.search(queries, 10, nprobe=8).count() == 8 * 10
+
+
+def test_factory_pq_plus_token_ivfpqr(vectors, queries):
+    """PQ<M1>+<M2> inside IVF (reference index_factory.cpp:321-327 →
+    IndexIVFPQR): parses, round-trips through reverse_index_factory,
+    builds a searchable IVFPQR, and rejects inner-product metric exactly
+    as the reference throws."""
+    from faiss_spark.plans.factory import reverse_index_factory
+
+    plan = index_factory("IVF16,PQ4+4")
+    assert plan.index_type == "ivfpqr"
+    assert (plan.pq_m, plan.pqr_m2) == (4, 4)
+    assert reverse_index_factory(plan) == "IVF16,PQ4+4"
+    plan.fit(vectors)
+    res = plan.search(queries, 5, nprobe=16)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == set(range(8))
+    top1 = {r["qid"]: r["id"] for r in rows if r["rank"] == 1}
+    assert top1 == {q: q for q in range(8)}  # full probe + raw rerank
+    with pytest.raises(ValueError, match="L2-only"):
+        index_factory("IVF16,PQ4+4", metric="ip")
