@@ -78,9 +78,12 @@ from faiss_spark.functions.text import (
 from faiss_spark.operators.graph import knn_graph_bucketed, nn_descent
 from faiss_spark.operators.ivf import (
     IMIIVFIndex,
+    IMIPQIndex,
+    MIQ2IVFIndex,
     IVFAQIndex,
     IVFIndex,
     IVFPQIndex,
+    IVFPQRIndex,
     IVFRCQIndex,
     IVFSpectralHash,
     IVFSQIndex,
@@ -136,6 +139,7 @@ __all__ = [
     "kmeans_1d",
     "IVFIndex",
     "IVFPQIndex",
+    "IVFPQRIndex",
     "IVFAQIndex",
     "IVFSQIndex",
     "search_preassigned",
@@ -194,6 +198,8 @@ __all__ = [
     "read_index",
     "SyntheticDataset",
     "IMIIVFIndex",
+    "IMIPQIndex",
+    "MIQ2IVFIndex",
     "IVFSpectralHash",
     "ivf_range_search",
     "search_with_parameters",

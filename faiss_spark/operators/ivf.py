@@ -1519,6 +1519,270 @@ class MIQ2IVFIndex(IMIIVFIndex):
         return np.take_along_axis(flat_c, sel, axis=1)
 
 
+@dataclass
+class IMIPQIndex:
+    """IMI coarse + PQ-on-residual codes — the reference's classic
+    billion-scale composite (factory "IMI2x<b>,PQ<M>", IndexIVFPQ over a
+    MultiIndexQuantizer: index_factory.cpp:466; the SIFT1B/Deep1B
+    "IMI2x12,PQ16" bench configuration). nlist = ksub² virtual cells
+    from 2·ksub trained half-centroids; the full centroid of cell
+    (i, j) is concat(c0_i, c1_j) and is RECONSTRUCTED where needed —
+    the 2^(2b)×d centroid matrix is never materialized (at 2x12 / d=64
+    it would be ~4 GB f64 per executor; the halves are ~4 MB).
+
+    Assignment is separable (argmin over the product grid = per-half
+    argmin → imi_assign's map-only pass); search probes by product
+    distance (the IMI driver plan) and scans with per-list residual ADC
+    LUTs, hoisting the query-independent ‖d‖²+2⟨c_l,d⟩ term per probed
+    LIST inside the task (the IVFPQ precomputed-table decomposition,
+    computed lazily per cell because materializing it for 2^(2b) cells
+    is exactly what IMI exists to avoid)."""
+
+    sub_centroids: np.ndarray  # (2, ksub, d/2)
+    pq: ProductQuantizerModel
+    codes: DataFrame | None = None
+    path: str | None = None
+
+    @property
+    def ksub(self) -> int:
+        return self.sub_centroids.shape[1]
+
+    @property
+    def nlist(self) -> int:
+        return self.ksub * self.ksub
+
+    def _cell_centroids(self, lists: np.ndarray) -> np.ndarray:
+        """(n, d) centroids of the given cell ids, from the halves."""
+        i, j = lists // self.ksub, lists % self.ksub
+        return np.concatenate(
+            [self.sub_centroids[0][i], self.sub_centroids[1][j]], axis=1
+        )
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nbits: int,
+        M: int = 8,
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 15,
+        pq_niter: int = 15,
+        pq_nbits: int = 8,
+    ) -> "IMIPQIndex":
+        from faiss_spark.operators.codecs import _kmeans_np, _sampled_matrix
+
+        sub = train_imi(vectors, 1 << nbits, vec_col=vec_col, seed=seed, niter=niter)
+        idx = IMIPQIndex(sub_centroids=sub, pq=None)  # books next
+        # PQ trained on residuals of a seeded sample (separable assign)
+        X = _sampled_matrix(vectors, vec_col, 65536, seed)
+        d = X.shape[1]
+        if d % M:
+            raise ValueError(f"d={d} not divisible by M={M}")
+        dsub2 = sub.shape[2]
+        cells = np.zeros(len(X), np.int64)
+        for h in range(2):
+            s = X[:, h * dsub2 : (h + 1) * dsub2]
+            C = sub[h]
+            d2 = (s * s).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (s @ C.T)
+            cells = cells * idx.ksub + d2.argmin(1)
+        resid = X - idx._cell_centroids(cells)
+        dsub = d // M
+        ksub_pq = min(1 << pq_nbits, len(resid))
+        books = np.empty((M, ksub_pq, dsub), np.float64)
+        for m in range(M):
+            books[m], _ = _kmeans_np(
+                resid[:, m * dsub : (m + 1) * dsub], ksub_pq, pq_niter, seed + m
+            )
+        idx.pq = ProductQuantizerModel(codebooks=books)
+        return idx
+
+    def _encode_df(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Map-only (list_no, id, code) encode — separable IMI assign +
+        PQ residual code in one pass (shared by add and streaming)."""
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast((self.sub_centroids, self.pq.codebooks))
+        ksub = self.ksub
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sub_c, books = bc.value
+            pqm = ProductQuantizerModel(codebooks=books)
+            dsub2 = sub_c.shape[2]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = as_matrix(pdf["vec"])
+                cells = np.zeros(len(X), np.int64)
+                for h in range(2):
+                    s = X[:, h * dsub2 : (h + 1) * dsub2]
+                    C = sub_c[h]
+                    d2 = (
+                        (s * s).sum(1)[:, None]
+                        + (C * C).sum(1)[None, :]
+                        - 2.0 * (s @ C.T)
+                    )
+                    cells = cells * ksub + d2.argmin(1)
+                i, j = cells // ksub, cells % ksub
+                cent = np.concatenate([sub_c[0][i], sub_c[1][j]], axis=1)
+                codes = pqm.encode_np(X - cent)
+                yield pd.DataFrame(
+                    {
+                        "list_no": cells.astype(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "code": list(map(bytes, codes)),
+                    }
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+
+    def add(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
+        path: str | None = None,
+    ) -> "IMIPQIndex":
+        spark = vectors.sparkSession
+        codes = self._encode_df(vectors, id_col=id_col, vec_col=vec_col)
+        if path is not None:
+            codes.repartition("list_no").write.mode("overwrite").partitionBy(
+                "list_no"
+            ).parquet(path)
+            self._save_artifact(spark, path)
+            self.codes = spark.read.parquet(path)
+            self.path = path
+        else:
+            self.codes = codes
+        return self
+
+    def _save_artifact(self, spark, path: str) -> None:
+        fsio.write_npy(
+            spark, os.path.join(path, "_imipq_sub_centroids.npy"), self.sub_centroids
+        )
+        fsio.write_npy(
+            spark, os.path.join(path, "_imipq_codebooks.npy"), self.pq.codebooks
+        )
+        fsio.write_json(
+            spark, os.path.join(path, "_imipq_meta.json"),
+            {"ksub": int(self.ksub), "M": int(self.pq.M)},
+        )
+
+    def save(self, path: str) -> "IMIPQIndex":
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._save_artifact(spark, path)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IMIPQIndex":
+        return IMIPQIndex(
+            sub_centroids=fsio.read_npy(
+                spark, os.path.join(path, "_imipq_sub_centroids.npy")
+            ),
+            pq=ProductQuantizerModel(
+                codebooks=fsio.read_npy(spark, os.path.join(path, "_imipq_codebooks.npy"))
+            ),
+            codes=spark.read.parquet(path),
+            path=path,
+        )
+
+    def search(
+        self, queries: DataFrame, k: int, nprobe: int = 1,
+        qid_col: str = "qid", qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Product-distance probing + per-list residual ADC scan."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IMIPQIndex.search",
+            d=2 * self.sub_centroids.shape[2],
+        )
+        probes = IMIIVFIndex(sub_centroids=self.sub_centroids)._probe(Q, nprobe)
+        probed_lists = sorted({int(c) for c in probes.ravel()})
+        list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
+        for qi in range(len(qids)):
+            for c in probes[qi]:
+                list_to_q[int(c)].append(qi)
+        bc = spark.sparkContext.broadcast(
+            (
+                qids,
+                Q,
+                self.sub_centroids,
+                self.pq.codebooks,
+                {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
+            )
+        )
+        k_ = k
+        ksub_c = self.ksub
+        pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, sub_c, books, l2q = bc.value
+            M, ksub, dsub = books.shape
+            dd = (books * books).sum(2)  # (M, ksub), hoisted per task
+            t3 = np.empty((len(Q_), M, ksub), np.float64)
+            have_t3 = np.zeros(len(Q_), bool)
+            acc: dict[int, TopKAccumulator] = {}
+            qsels: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for list_no, grp in pdf.groupby("list_no"):
+                    qsel = l2q.get(int(list_no))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    need = qsel[~have_t3[qsel]]
+                    if len(need):
+                        Qs = Q_[need].reshape(len(need), M, dsub)
+                        t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+                        have_t3[need] = True
+                    i, j = int(list_no) // ksub_c, int(list_no) % ksub_c
+                    c = np.concatenate([sub_c[0][i], sub_c[1][j]])
+                    # per-LIST precomputed term (lazy — 2^(2b) cells are
+                    # never materialized up front)
+                    Cs = c.reshape(M, dsub)
+                    pct_l = dd + 2.0 * np.einsum("md,mkd->mk", Cs, books)
+                    R = Q_[qsel] - c[None, :]
+                    coarse = (R * R).sum(1)
+                    luts = pct_l[None, :, :] + t3[qsel]
+                    codes = np.stack(
+                        [np.frombuffer(x, np.uint8) for x in grp["code"]]
+                    )
+                    D = np.broadcast_to(
+                        coarse[:, None], (len(qsel), len(codes))
+                    ).copy()
+                    for m in range(M):
+                        D += luts[:, m, codes[:, m].astype(np.int64)]
+                    key = int(list_no)
+                    if key not in acc:
+                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
+                        qsels[key] = qsel
+                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+            for key, a in acc.items():
+                qidx, nid, nd = a.emit()
+                yield pd.DataFrame(
+                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                )
+
+        cands = pruned.select("list_no", "id", "code").mapInPandas(
+            scan, schema="qid bigint, id bigint, dist double"
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_)
+            .select("qid", "id", "dist", "rank")
+        )
+
+
 def train_imi(
     vectors: DataFrame,
     k: int,

@@ -176,6 +176,12 @@ class IndexPlan:
             self.index = IMIIVFIndex.train(
                 cur, nbits=self.coarse_nbits, seed=seed
             ).add(cur)
+        elif self.index_type == "imipq":
+            from faiss_spark.operators.ivf import IMIPQIndex
+
+            self.index = IMIPQIndex.train(
+                cur, nbits=self.coarse_nbits, M=self.pq_m, seed=seed
+            ).add(cur)
         elif self.index_type == "ivfflat" and self.coarse is not None:
             from faiss_spark.operators.ivf import IVFRCQIndex
 
@@ -400,7 +406,7 @@ class IndexPlan:
             res = self._graph_routed_search(q, k_cand, nprobe)
         elif self.index_type in (
             "ivfflat", "ivfpq", "ivfpqr", "ivfsq", "ivfrq", "ivfrqfs",
-            "ivfpaqfs",
+            "ivfpaqfs", "imipq",
         ):
             res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
             if self.flat_dedup:
@@ -541,14 +547,21 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     m = re.match(r"^IMI2x(\d+)$", tok)
     if m:
         # MultiIndexQuantizer coarse (reference index_factory.cpp:241-289
-        # "IMI2x<b>" → nlist = 2^(2b) product cells); Flat codes only
+        # "IMI2x<b>" → nlist = 2^(2b) product cells); Flat codes, or
+        # PQ<M> residual codes (the classic billion-scale "IMI2x12,PQ16"
+        # configuration — IndexIVFPQ over a MultiIndexQuantizer)
         plan.coarse = "imi"
         plan.coarse_nbits = int(m.group(1))
         plan.nlist = 1 << (2 * plan.coarse_nbits)
         i += 1
-        if i >= len(tokens) or tokens[i] != "Flat":
-            raise ValueError(f"{tok!r} supports Flat codes only")
-        plan.index_type = "ivfflat"
+        pm = re.match(r"^PQ(\d+)$", tokens[i]) if i < len(tokens) else None
+        if pm:
+            plan.index_type = "imipq"
+            plan.pq_m = int(pm.group(1))
+        elif i < len(tokens) and tokens[i] == "Flat":
+            plan.index_type = "ivfflat"
+        else:
+            raise ValueError(f"{tok!r} supports Flat or PQ<M> codes only")
         i += 1
         if i < len(tokens) and tokens[i] == "RFlat":
             plan.refine_flat = True
@@ -839,6 +852,9 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "ivfpqr":
         parts.append(ivf_tok())
         parts.append(f"PQ{plan.pq_m}+{plan.pqr_m2}")
+    elif plan.index_type == "imipq":
+        parts.append(f"IMI2x{plan.coarse_nbits}")
+        parts.append(f"PQ{plan.pq_m}")
     elif plan.index_type == "ivfsq":
         parts.append(ivf_tok())
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])

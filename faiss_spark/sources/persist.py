@@ -38,6 +38,7 @@ def _registry():
     )
     from faiss_spark.operators.ivf import (
         IMIIVFIndex,
+        IMIPQIndex,
         IVFAQIndex,
         IVFIndex,
         IVFPQIndex,
@@ -57,6 +58,7 @@ def _registry():
         IVFPQRIndex,
         IVFRCQIndex,
         IMIIVFIndex,
+        IMIPQIndex,
         IVFSpectralHash,
         IVFPQFastScanIndex,
         IVFAQFastScanIndex,

@@ -176,3 +176,30 @@ def test_miq2_full_probe_equals_exact(vectors):
         (r["qid"], r["rank"], r["id"]) for r in knn(vectors, qs, 5).collect()
     }
     assert got == want
+
+
+def test_imipq_full_probe_recall_and_factory(vectors):
+    """IMI coarse + PQ residual codes (the 'IMI2x<b>,PQ<M>' composite):
+    at full probe only PQ quantization error remains — recall vs exact
+    well above the nprobe=1 level and monotone; the factory parses the
+    classic token and reverse round-trips."""
+    from faiss_spark.operators.ivf import IMIPQIndex
+    from faiss_spark.plans.factory import index_factory, reverse_index_factory
+
+    idx = IMIPQIndex.train(vectors, nbits=2, M=8, seed=42, niter=5).add(vectors)
+    qs = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+    truth = {(r["qid"], r["id"]) for r in knn(vectors, qs, 10).collect()}
+    full = {
+        (r["qid"], r["id"])
+        for r in idx.search(qs, 10, nprobe=idx.nlist).collect()
+    }
+    one = {(r["qid"], r["id"]) for r in idx.search(qs, 10, nprobe=1).collect()}
+    r_full = len(full & truth) / len(truth)
+    r_one = len(one & truth) / len(truth)
+    assert r_full >= 0.5, r_full
+    assert r_one <= r_full
+    plan = index_factory("IMI2x2,PQ4")
+    assert plan.index_type == "imipq" and plan.pq_m == 4
+    assert reverse_index_factory(plan) == "IMI2x2,PQ4"
+    plan.fit(vectors)
+    assert plan.search(qs, 5, nprobe=16).count() == 25

@@ -170,3 +170,14 @@ def test_ivf_paq_fastscan_roundtrip(spark, emb, queries, tmp_path):
         [np.asarray(v, np.float64) for v in emb.limit(64).toPandas()["vec"]]
     )
     assert np.array_equal(idx.rq.encode_np(X), re.rq.encode_np(X))
+
+
+def test_imipq_write_read_roundtrip(spark, emb, queries, tmp_path):
+    from faiss_spark.operators.ivf import IMIPQIndex
+
+    idx = IMIPQIndex.train(emb, nbits=2, M=4, niter=5).add(emb)
+    idx.codes = idx.codes.localCheckpoint(eager=True)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "imipq")
+    )
+    assert re.sub_centroids.shape == idx.sub_centroids.shape
