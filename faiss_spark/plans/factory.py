@@ -8,12 +8,11 @@ pipelines: transform chain (operators/transforms.py) + index stage
 
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
-  main       : Flat | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
-               {Flat|PQ<M>[x<b>]|PQ<M1>+<M2>|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|
+  main       : Flat | IMI2x<b>,{Flat|PQ<M>} | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
+               {Flat|PQ<M>[x<b>][np]|PQ<M1>+<M2>|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|
                 SQfp16|RQ<M>|RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|
                 PLSQ<ns>x<M>x4fs[r]} |
-               IMI2x<b>,Flat |
-               PQ<M>[x<b>] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
+               PQ<M>[x<b>][np] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
                PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> |
                PRQ<ns>x<M>x4fs[_bbs] | PLSQ<ns>x<M>x4fs[_bbs] | LSH[r][t] |
                NSG<R>[,Flat|,PQ<m>[np]|,SQ{4|6|8|fp16}] | ZnLattice<n>x<r2>_<b>
@@ -119,6 +118,14 @@ class IndexPlan:
     # PQ<M1>+<M2> (reference index_factory.cpp:321-327 IndexIVFPQR):
     # refine PQ with M2 sub-quantizers on the second-level residual
     pqr_m2: int | None = None
+    # PQ<M>[np] (reference index_factory.cpp:315-319 / :445:
+    # do_polysemous_training defaults TRUE for plain PQ / IVFPQ; 'np'
+    # disables). Reordering is codec-identical (decode(perm[c]) ==
+    # decode(c)), so results match either way; training it enables the
+    # polysemous_ht Hamming pre-filter at search. Annealing is bounded
+    # (n_iter=2000) — the reference's default SA budget is a tuning
+    # knob, not a semantic.
+    pq_polysemous: bool = False
     # LSH[r][t] (reference index_factory.cpp:528-532 IndexLSH: nbits=d,
     # r = rotate_data, t = train_thresholds)
     lsh_rotate: bool = False
@@ -226,7 +233,16 @@ class IndexPlan:
                 self.index = IVFPQIndex.train(
                     cur, nlist=self.nlist, M=self.pq_m, nbits=self.pq_nbits,
                     seed=seed,
-                ).add(cur)
+                )
+                if self.pq_polysemous:
+                    # reference default (index_factory.cpp:315-319):
+                    # codec-identical reorder enabling polysemous_ht
+                    from faiss_spark.operators.codecs import PolysemousTraining
+
+                    self.index.pq, _ = PolysemousTraining(
+                        n_iter=2000, seed=seed
+                    ).optimize_pq(self.index.pq)
+                self.index.add(cur)
         elif self.index_type == "ivfpqr":
             from faiss_spark.operators.ivf import IVFPQRIndex
 
@@ -306,6 +322,12 @@ class IndexPlan:
             model = ProductQuantizer(
                 M=self.pq_m, nbits=self.pq_nbits, seed=seed
             ).fit(cur)
+            if self.pq_polysemous and not self.fastscan:
+                from faiss_spark.operators.codecs import PolysemousTraining
+
+                model, _ = PolysemousTraining(
+                    n_iter=2000, seed=seed
+                ).optimize_pq(model)
             self._pq_model = model
             self._pq_codes = model.encode(cur)
             self.index = model
@@ -385,9 +407,19 @@ class IndexPlan:
         raise ValueError(f"{self.index_type!r} has no reconstruction table")
 
     def search(self, queries: DataFrame, k: int, nprobe: int = 8,
-               qid_col: str = "qid", qvec_col: str = "vec") -> DataFrame:
+               qid_col: str = "qid", qvec_col: str = "vec",
+               polysemous_ht: int | None = None) -> DataFrame:
         from faiss_spark.operators.knn import knn
 
+        if polysemous_ht is not None and (
+            self.index_type not in ("pq", "ivfpq") or self.fastscan
+        ):
+            raise ValueError(
+                "polysemous_ht applies to plain PQ / IVFPQ plans only "
+                f"(this plan is {self.index_type!r}"
+                + (", fastscan" if self.fastscan else "")
+                + ")"
+            )
         q = queries.select(
             F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
         )
@@ -408,7 +440,12 @@ class IndexPlan:
             "ivfflat", "ivfpq", "ivfpqr", "ivfsq", "ivfrq", "ivfrqfs",
             "ivfpaqfs", "imipq",
         ):
-            res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid")
+            kw = (
+                {"polysemous_ht": polysemous_ht}
+                if polysemous_ht is not None
+                else {}
+            )
+            res = self.index.search(q, k_cand, nprobe=nprobe, qid_col="qid", **kw)
             if self.flat_dedup:
                 # IndexIVFFlatDedup: duplicated ids materialize at result
                 # time (reference IndexIVFFlatDedup.h:30 instances map)
@@ -424,7 +461,8 @@ class IndexPlan:
                 )
             else:
                 res = self._pq_model.adc_search(
-                    self._pq_codes, q, k_cand, qid_col="qid"
+                    self._pq_codes, q, k_cand, qid_col="qid",
+                    polysemous_ht=polysemous_ht,
                 )
         elif self.index_type == "rq":
             decoded = self._rq_model.decode(self._rq_codes)
@@ -640,12 +678,13 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.index_type = "ivfpqr"
             plan.pq_m = int(pm.group(1))
             plan.pqr_m2 = int(pm.group(2))
-        elif re.match(r"^PQ(\d+)(x\d+)?$", code):
-            pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", code)
+        elif re.match(r"^PQ(\d+)(x\d+)?(np)?$", code):
+            pm = re.match(r"^PQ(\d+)(?:x(\d+))?(np)?$", code)
             plan.index_type = "ivfpq"
             plan.pq_m = int(pm.group(1))
             if pm.group(2):
                 plan.pq_nbits = int(pm.group(2))
+            plan.pq_polysemous = pm.group(3) != "np"
         elif re.match(r"^SQ(4|6|8|fp16)$", code):
             # IVF<n>,SQfp16 (reference index_factory.cpp SQfp16 -> QT_fp16)
             plan.index_type = "ivfsq"
@@ -692,12 +731,13 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         if pm.group(2):
             plan.bbs = int(pm.group(2))
         i += 1
-    elif re.match(r"^PQ(\d+)(x\d+)?$", tok):
-        pm = re.match(r"^PQ(\d+)(?:x(\d+))?$", tok)
+    elif re.match(r"^PQ(\d+)(x\d+)?(np)?$", tok):
+        pm = re.match(r"^PQ(\d+)(?:x(\d+))?(np)?$", tok)
         plan.index_type = "pq"
         plan.pq_m = int(pm.group(1))
         if pm.group(2):
             plan.pq_nbits = int(pm.group(2))
+        plan.pq_polysemous = pm.group(3) != "np"
         i += 1
     elif re.match(r"^SQ(4|6|8|fp16)$", tok):
         plan.index_type = "sq"
@@ -848,6 +888,7 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             parts.append(
                 f"PQ{plan.pq_m}"
                 + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+                + ("" if plan.pq_polysemous else "np")
             )
     elif plan.index_type == "ivfpqr":
         parts.append(ivf_tok())
@@ -884,6 +925,7 @@ def reverse_index_factory(plan: IndexPlan) -> str:
             parts.append(
                 f"PQ{plan.pq_m}"
                 + (f"x{plan.pq_nbits}" if plan.pq_nbits != 8 else "")
+                + ("" if plan.pq_polysemous else "np")
             )
     elif plan.index_type == "sq":
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])

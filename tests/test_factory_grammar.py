@@ -341,3 +341,38 @@ def test_factory_pq_plus_token_ivfpqr(vectors, queries):
     assert top1 == {q: q for q in range(8)}  # full probe + raw rerank
     with pytest.raises(ValueError, match="L2-only"):
         index_factory("IVF16,PQ4+4", metric="ip")
+
+
+def test_factory_pq_np_suffix_and_polysemous_default(vectors, queries):
+    """Reference index_factory PQ grammar: do_polysemous_training
+    defaults TRUE for plain PQ / IVFPQ, 'np' disables (a codec-identical
+    reorder — results match either way; training enables polysemous_ht).
+    The np flag round-trips through reverse_index_factory and
+    plan.search(polysemous_ht=) reaches the underlying scan."""
+    from faiss_spark.plans.factory import reverse_index_factory
+
+    trained = index_factory("IVF8,PQ4").fit(vectors, seed=42)
+    np_plan = index_factory("IVF8,PQ4np")
+    assert trained.pq_polysemous and not np_plan.pq_polysemous
+    assert reverse_index_factory(np_plan) == "IVF8,PQ4np"
+    assert reverse_index_factory(trained) == "IVF8,PQ4"
+    full = {
+        (r["qid"], r["rank"], r["id"])
+        for r in trained.search(queries, 5, nprobe=8).collect()
+    }
+    loose = {
+        (r["qid"], r["rank"], r["id"])
+        for r in trained.search(queries, 5, nprobe=8, polysemous_ht=32).collect()
+    }
+    assert loose == full  # ht >= M*8 keeps everything
+    # np plan without polysemous-trained books still searches identically
+    np_fit = np_plan.fit(vectors, seed=42)
+    same = {
+        (r["qid"], r["rank"], r["id"])
+        for r in np_fit.search(queries, 5, nprobe=8).collect()
+    }
+    assert same == full  # reorder is codec-identical
+    with pytest.raises(ValueError, match="plain PQ / IVFPQ"):
+        index_factory("IVF8,SQ8").fit(vectors).search(
+            queries, 5, polysemous_ht=4
+        )

@@ -134,8 +134,10 @@ def test_factory_imi_string_roundtrip_and_search(vectors, queries):
 
     import pytest as _pytest
 
+    # r9: PQ<M> codes now supported (IMIPQIndex); other codes still raise
+    assert index_factory("IMI2x2,PQ4").index_type == "imipq"
     with _pytest.raises(ValueError):
-        index_factory("IMI2x2,PQ4")  # Flat codes only
+        index_factory("IMI2x2,SQ8")  # Flat or PQ<M> codes only
 
 
 def test_imi_full_probe_equals_exact(vectors, queries):
