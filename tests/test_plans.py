@@ -81,7 +81,7 @@ def test_range_search_has_no_keyed_shuffle(emb, queries):
     assert "hashpartitioning" not in p
     assert "rangepartitioning" not in p
     assert p.count("RoundRobinPartitioning") <= 1
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p  # r9: zero-copy Arrow scan
 
 
 def test_knn_shuffles_only_candidates(emb, queries):
@@ -90,7 +90,7 @@ def test_knn_shuffles_only_candidates(emb, queries):
     single-split local file). The full vector table is never exchanged
     by key."""
     p = plan(knn(emb, queries, 3))
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p  # r9: zero-copy Arrow scan
     # exactly one keyed shuffle: the candidate merge, partitioned by qid
     assert p.count("hashpartitioning") == 1
     assert "hashpartitioning(qid" in p
@@ -152,7 +152,7 @@ def test_nn_descent_init_has_no_single_partition_exchange(emb):
 def test_text_pipeline_stays_in_codegen(tables):
     """The pure-JVM operators (text features, dedup aggregations) must
     compile into WholeStageCodegen spans — no interpreted row loops in
-    the hot path. (knn's own plan is MapInPandas + Window, which Spark
+    the hot path. (knn's own plan is MapInArrow + Window, which Spark
     never codegens; its JVM hot path is the scan below the UDF.)"""
     from faiss_spark.operators.dedup import exact_dedup
 
