@@ -125,20 +125,36 @@ class KMeansModel:
         faiss/Index.h:158 ``assign``): broadcast centroids, workspace-tiled
         GEMM argmin per Arrow batch. No shuffle; output schema
         (id, cluster, dist[, vec]) — keep_vec carries the vector through
-        so encode-and-layout callers don't need a join-back shuffle."""
+        so encode-and-layout callers don't need a join-back shuffle.
+
+        mapInArrow, not mapInPandas: the list<float> values buffer
+        reshapes zero-copy into the GEMM tile, and keep_vec passes the
+        ORIGINAL Arrow column back untouched — the pandas route
+        materialized one Python object per row in both directions (the
+        r9 knn-scan finding; assign is the encode primitive every IVF
+        add path runs over the full 100 TB table)."""
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(self.centroids)
         spherical = self.spherical
 
-        def do_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def do_assign(batches):
+            import pyarrow as pa
+
             from faiss_spark.kernels import _compute_block, _row_chunk
 
+            f32_list = pa.list_(pa.float32())
             C = np.ascontiguousarray(bc.value)
             cnorm = (C * C).sum(1)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                X = as_matrix(pdf["vec"])
+                vec_arr = b.column(1)
+                if keep_vec and vec_arr.type != f32_list:
+                    vec_arr = vec_arr.cast(f32_list)
+                X = np.asarray(
+                    b.column(1).flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                ).reshape(b.num_rows, -1)
                 n = len(X)
                 xn = None if spherical else (X * X).sum(1)
                 labels = np.empty(n, dtype=np.int64)
@@ -160,14 +176,19 @@ class KMeansModel:
                         lab = np.argmin(D, axis=1)
                         dist[r0:r1] = np.maximum(D[rows, lab], 0.0)
                     labels[r0:r1] = lab
-                out = {
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
-                    "cluster": labels.astype(np.int32),
-                    "dist": dist,
-                }
+                ids = np.asarray(
+                    b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                arrays = [
+                    pa.array(ids, pa.int64()),
+                    pa.array(labels.astype(np.int32), pa.int32()),
+                    pa.array(dist, pa.float64()),
+                ]
+                names = ["id", "cluster", "dist"]
                 if keep_vec:
-                    out["vec"] = pdf["vec"]
-                yield pd.DataFrame(out)
+                    arrays.append(vec_arr)
+                    names.append("vec")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
         src = df.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -175,7 +196,7 @@ class KMeansModel:
         schema = "id bigint, cluster int, dist double" + (
             ", vec array<float>" if keep_vec else ""
         )
-        return src.mapInPandas(do_assign, schema=schema)
+        return src.mapInArrow(do_assign, schema=schema)
 
     def imbalance_factor(self, assigned: DataFrame) -> float:
         """Cluster balance diagnostic (reference faiss/Clustering.cpp:49,
