@@ -63,6 +63,25 @@ def as_matrix(col, dtype=np.float64) -> np.ndarray:
     return np.asarray(np.stack(col), dtype=dtype)
 
 
+def arrow_id_vec_blocks(batches, dtype=np.float64):
+    """Zero-copy ``(ids, X, vec_arrow)`` blocks from ``mapInArrow``
+    batches whose first two columns are ``(id bigint, vec array<float>)``:
+    the list column's values buffer reshapes directly into the (n, d)
+    matrix (cast only when dtype differs) — no per-row Python objects,
+    unlike the mapInPandas + as_matrix route. ``vec_arrow`` is the
+    original Arrow column for zero-copy pass-through outputs."""
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ids = np.asarray(
+            b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        X = np.asarray(
+            b.column(1).flatten().to_numpy(zero_copy_only=False), dtype=dtype
+        ).reshape(b.num_rows, -1)
+        yield ids, X, b.column(1)
+
+
 def pairwise_distances(
     Q: np.ndarray, X: np.ndarray, metric: str, metric_arg: float | None = None
 ) -> np.ndarray:

@@ -774,34 +774,37 @@ class IVFPQIndex:
     def _encode_df(
         self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> DataFrame:
-        """Frozen-artifact encode to (list_no, id, code) rows — map-only,
+        """Frozen-artifact encode to (list_no, id, code) rows — map-only
+        (Arrow-native input: zero-copy GEMM tiles, no per-row objects),
         shared by add() and the streaming incremental writer."""
         spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast((self.centroids, self.pq.codebooks))
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
             C, books = bc.value
             pqm = ProductQuantizerModel(codebooks=books)
             cn = (C * C).sum(1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
                 lists = d2.argmin(1)
                 codes = pqm.encode_np(X - C[lists])
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, codes)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, codes)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, spark, path: str) -> None:
         fsio.write_npy(spark, os.path.join(path, "_ivfpq_centroids.npy"), self.centroids)
@@ -1122,32 +1125,33 @@ class IVFSQIndex:
             (self.centroids, self.sq.vmin, self.sq.vdiff, self.sq.bits, self.metric)
         )
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
             from faiss_spark.operators.codecs import ScalarQuantizerModel
 
             C, vmin, vdiff, bits, metric = bc.value
             sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 D = pairwise_distances(X, C, metric)
                 lists = (
                     np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
                 )
                 codes = sqm.encode_np(X)
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, codes)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, codes)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, spark, path: str) -> None:
         fsio.write_npy(spark, os.path.join(path, "_ivfsq_centroids.npy"), self.centroids)
@@ -1600,19 +1604,21 @@ class IMIPQIndex:
         self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> DataFrame:
         """Map-only (list_no, id, code) encode — separable IMI assign +
-        PQ residual code in one pass (shared by add and streaming)."""
+        PQ residual code in one Arrow-native pass (shared by add and
+        streaming)."""
         spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast((self.sub_centroids, self.pq.codebooks))
         ksub = self.ksub
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
             sub_c, books = bc.value
             pqm = ProductQuantizerModel(codebooks=books)
             dsub2 = sub_c.shape[2]
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 cells = np.zeros(len(X), np.int64)
                 for h in range(2):
                     s = X[:, h * dsub2 : (h + 1) * dsub2]
@@ -1626,18 +1632,19 @@ class IMIPQIndex:
                 i, j = cells // ksub, cells % ksub
                 cent = np.concatenate([sub_c[0][i], sub_c[1][j]], axis=1)
                 codes = pqm.encode_np(X - cent)
-                yield pd.DataFrame(
-                    {
-                        "list_no": cells.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, codes)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cells.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, codes)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def add(
         self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec",
