@@ -471,39 +471,66 @@ def _scan_probed_lists(
     acc_scans = stats._acc_list_scans if stats is not None else None
     acc_ndis = stats._acc_ndis if stats is not None else None
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
         qids_, Q_, l2q = bc.value
         acc: dict[int, TopKAccumulator] = {}
         touched: dict[int, np.ndarray] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+
+        def push(key: int, X: np.ndarray, ids: np.ndarray) -> None:
+            qsel = l2q.get(key)
+            if qsel is None or len(qsel) == 0:
+                return
+            if key not in acc:
+                acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
+                # fused workspace scan path: per-list query block
+                # bound once, distance tiles reused across batches
+                acc[key].bind_queries(np.ascontiguousarray(Q_[qsel]), metric)
+                touched[key] = qsel
+                if acc_scans is not None:
+                    acc_scans.add(len(qsel))
+            if acc_ndis is not None:
+                acc_ndis.add(int(len(qsel) * len(ids)))
+            acc[key].push_block(X, ids)
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            for list_no, grp in pdf.groupby("list_no"):
-                qsel = l2q.get(int(list_no))
-                if qsel is None or len(qsel) == 0:
-                    continue
-                X = as_matrix(grp["vec"])
-                ids = grp["id"].to_numpy(dtype=np.int64)
-                key = int(list_no)
-                if key not in acc:
-                    acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
-                    # fused workspace scan path: per-list query block
-                    # bound once, distance tiles reused across batches
-                    acc[key].bind_queries(np.ascontiguousarray(Q_[qsel]), metric)
-                    touched[key] = qsel
-                    if acc_scans is not None:
-                        acc_scans.add(len(qsel))
-                if acc_ndis is not None:
-                    acc_ndis.add(int(len(qsel) * len(ids)))
-                acc[key].push_block(X, ids)
+            lists = np.asarray(
+                b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            ids_all = np.asarray(
+                b.column(1).to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            X_all = np.asarray(
+                b.column(2).flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ).reshape(b.num_rows, -1)
+            # the codes table is partitioned by list_no, so a batch is
+            # almost always ONE list — feed the tile zero-gather then
+            if lists[0] == lists[-1] and (lists == lists[0]).all():
+                push(int(lists[0]), X_all, ids_all)
+                continue
+            order = np.argsort(lists, kind="stable")
+            sl = lists[order]
+            bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = order[s:e]
+                push(int(sl[s]), X_all[rows], ids_all[rows])
         for key, a in acc.items():
             qidx, nid, nd = a.emit()
             qsel = touched[key]
-            yield pd.DataFrame(
-                {"qid": qids_[qsel[qidx]], "id": nid, "dist": nd}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids_[qsel[qidx]], pa.int64()),
+                    pa.array(nid, pa.int64()),
+                    pa.array(nd, pa.float64()),
+                ],
+                names=["qid", "id", "dist"],
             )
 
-    candidates = pruned.select("list_no", "id", "vec").mapInPandas(
+    candidates = pruned.select("list_no", "id", "vec").mapInArrow(
         scan, schema="qid bigint, id bigint, dist double"
     )
 
