@@ -82,6 +82,32 @@ def arrow_id_vec_blocks(batches, dtype=np.float64):
         yield ids, X, b.column(1)
 
 
+def arrow_binary_matrix(arr) -> np.ndarray:
+    """(n, w) uint8 view of an Arrow binary column of EQUAL-LENGTH,
+    non-null values (PQ/SQ/fast-scan code columns) — zero-copy from the
+    values buffer, replacing the per-row
+    ``np.stack([np.frombuffer(c) for c in col])`` Python loop that costs
+    ~1 µs/row on the scan hot path. Falls back to the stack loop if rows
+    are ragged (never true for codec tables, but cheap to verify)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    widths = offs[1:] - offs[:-1]
+    w = int(widths[0])
+    if not (widths == w).all():
+        return np.stack([np.frombuffer(c.as_py(), np.uint8) for c in arr])
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data[int(offs[0]) : int(offs[-1])].reshape(n, w)
+
+
 def pairwise_distances(
     Q: np.ndarray, X: np.ndarray, metric: str, metric_arg: float | None = None
 ) -> np.ndarray:

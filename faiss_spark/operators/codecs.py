@@ -542,13 +542,19 @@ class ProductQuantizerModel:
         polysemous_ht: int | None = None,
     ) -> DataFrame:
         """Shared LUT top-k scan over the codes table (ADC and SDC both
-        reduce to D[q, x] = Σ_m lut[q, m, code[x, m]])."""
+        reduce to D[q, x] = Σ_m lut[q, m, code[x, m]]). Arrow-native:
+        the binary code column reshapes zero-copy into the (n, M) uint8
+        matrix (kernels.arrow_binary_matrix) — no per-row frombuffer."""
         spark = codes_df.sparkSession
         bc = spark.sparkContext.broadcast((qids, luts, qcodes))
         k_ = k
         ht = polysemous_ht
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_binary_matrix
+
             qids_, luts_, qcodes_ = bc.value
             nq, M, ksub = luts_.shape
             flat = luts_.reshape(nq, M * ksub)
@@ -557,10 +563,10 @@ class ProductQuantizerModel:
                 np.arange(256, dtype=np.uint8)[:, None], axis=1
             ).sum(1).astype(np.int64)
             acc = TopKAccumulator(nq, k_, largest=False)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+                codes = arrow_binary_matrix(b.column(1))
                 # D[q, x] = sum_m lut[q, m, code[x, m]] — accumulated per
                 # sub-quantizer so no (nq, n, M) gather temp materializes
                 D = np.zeros((nq, len(codes)), np.float64)
@@ -577,14 +583,24 @@ class ProductQuantizerModel:
                             )
                         ]
                     D[ham > ht] = np.inf
-                acc.push(D, pdf["id"].to_numpy(np.int64))
+                acc.push(
+                    D,
+                    np.asarray(
+                        b.column(0).to_numpy(zero_copy_only=False), np.int64
+                    ),
+                )
             qidx, nid, nd = acc.emit()
             fin = np.isfinite(nd)
-            yield pd.DataFrame(
-                {"qid": qids_[qidx[fin]], "id": nid[fin], "dist": nd[fin]}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids_[qidx[fin]], pa.int64()),
+                    pa.array(nid[fin], pa.int64()),
+                    pa.array(nd[fin], pa.float64()),
+                ],
+                names=["qid", "id", "dist"],
             )
 
-        cands = codes_df.select("id", "code").mapInPandas(
+        cands = codes_df.select("id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())

@@ -920,7 +920,11 @@ class IVFPQIndex:
         ht = polysemous_ht
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_binary_matrix
+
             qids_, Q_, C, books, l2q, pct = bc.value
             M, ksub, dsub = books.shape
             pqm_ = ProductQuantizerModel(codebooks=books) if ht is not None else None
@@ -936,63 +940,76 @@ class IVFPQIndex:
             have_t3 = np.zeros(len(Q_), bool)
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    need = qsel[~have_t3[qsel]]
-                    if len(need):
-                        Qs = Q_[need].reshape(len(need), M, dsub)
-                        t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
-                        have_t3[need] = True
-                    # coarse term ‖q − c_l‖² + precomputed + per-query:
-                    # M·ksub adds per (query, list) — no per-probe GEMM
-                    R = Q_[qsel] - C[int(list_no)][None, :]
-                    coarse = (R * R).sum(1)  # (nq_l,)
-                    luts = pct[int(list_no)][None, :, :] + t3[qsel]
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
-                    )
-                    # D[q, x] = coarse[q] + sum_m lut[q, m, code[x, m]] —
-                    # per-m accumulation, no (nq_l, n_codes, M) gather temp
-                    D = np.broadcast_to(
-                        coarse[:, None], (len(qsel), len(codes))
-                    ).copy()
+
+            def push(list_no: int, codes: np.ndarray, ids: np.ndarray) -> None:
+                qsel = l2q.get(list_no)
+                if qsel is None or len(qsel) == 0:
+                    return
+                need = qsel[~have_t3[qsel]]
+                if len(need):
+                    Qs = Q_[need].reshape(len(need), M, dsub)
+                    t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+                    have_t3[need] = True
+                # coarse term ‖q − c_l‖² + precomputed + per-query:
+                # M·ksub adds per (query, list) — no per-probe GEMM
+                R = Q_[qsel] - C[list_no][None, :]
+                coarse = (R * R).sum(1)  # (nq_l,)
+                luts = pct[list_no][None, :, :] + t3[qsel]
+                # D[q, x] = coarse[q] + sum_m lut[q, m, code[x, m]] —
+                # per-m accumulation, no (nq_l, n_codes, M) gather temp
+                D = np.broadcast_to(
+                    coarse[:, None], (len(qsel), len(codes))
+                ).copy()
+                for m in range(M):
+                    D += luts[:, m, codes[:, m].astype(np.int64)]
+                if pqm_ is not None:
+                    # per-list residual query codes (the reference's
+                    # QueryTables q_code), then per-byte popcount of
+                    # q⊕x — candidates past ht drop out of the heap
+                    qc = pqm_.encode_np(R)
+                    ham = np.zeros(D.shape, np.int64)
                     for m in range(M):
-                        D += luts[:, m, codes[:, m].astype(np.int64)]
-                    if pqm_ is not None:
-                        # per-list residual query codes (the reference's
-                        # QueryTables q_code), then per-byte popcount of
-                        # q⊕x — candidates past ht drop out of the heap
-                        qc = pqm_.encode_np(R)
-                        ham = np.zeros(D.shape, np.int64)
-                        for m in range(M):
-                            ham += pop8[
-                                np.bitwise_xor(
-                                    qc[:, m][:, None], codes[None, :, m]
-                                )
-                            ]
-                        D[ham > ht] = np.inf
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+                        ham += pop8[
+                            np.bitwise_xor(qc[:, m][:, None], codes[None, :, m])
+                        ]
+                    D[ham > ht] = np.inf
+                if list_no not in acc:
+                    acc[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                acc[list_no].push(D, ids)
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                lists = np.asarray(
+                    b.column(0).to_numpy(zero_copy_only=False), np.int64
+                )
+                ids_all = np.asarray(
+                    b.column(1).to_numpy(zero_copy_only=False), np.int64
+                )
+                codes_all = arrow_binary_matrix(b.column(2))
+                if lists[0] == lists[-1] and (lists == lists[0]).all():
+                    push(int(lists[0]), codes_all, ids_all)
+                    continue
+                order = np.argsort(lists, kind="stable")
+                sl = lists[order]
+                bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    rows = order[s:e]
+                    push(int(sl[s]), codes_all[rows], ids_all[rows])
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 fin = np.isfinite(nd)  # polysemous-pruned slots are +inf
-                yield pd.DataFrame(
-                    {
-                        "qid": qids_[qsels[key][qidx[fin]]],
-                        "id": nid[fin],
-                        "dist": nd[fin],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsels[key][qidx[fin]]], pa.int64()),
+                        pa.array(nid[fin], pa.int64()),
+                        pa.array(nd[fin], pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
