@@ -649,23 +649,28 @@ def embedding_neardup_bucketed(
     bc = spark.sparkContext.broadcast((km.centroids, nprobe))
 
     def assign_cells(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
         C_, nprobe_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = as_matrix(pdf["vec"])
+        for ids, X, vec_arr in arrow_id_vec_blocks(batches):
             # spherical cells: nearest by cosine similarity
             sims = pairwise_distances(X, C_, "cosine")
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_]
-            yield pd.DataFrame(
-                {
-                    "bucket": order.ravel().astype(np.int32),
-                    "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe_),
-                    "vec": [v for v in pdf["vec"] for _ in range(nprobe_)],
-                }
+            rep = np.repeat(np.arange(len(ids)), nprobe_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(order.ravel().astype(np.int32), pa.int32()),
+                    pa.array(ids[rep], pa.int64()),
+                    # Arrow take replicates the list rows without ever
+                    # materializing per-row Python objects
+                    vec_arr.take(pa.array(rep, pa.int64())),
+                ],
+                names=["bucket", "id", "vec"],
             )
 
-    bucketed = src.mapInPandas(
+    bucketed = src.mapInArrow(
         assign_cells, schema="bucket int, id bigint, vec array<float>"
     )
     thr = float(threshold)
@@ -719,45 +724,60 @@ def embedding_neardup_bucketed(
         bc_subs = spark.sparkContext.broadcast(subs)
 
         def fan_out(batches):
+            import pyarrow as pa
+
             subs_ = bc_subs.value
-            for pdf in batches:
-                if len(pdf) == 0:
+
+            def emit(buckets, gi, gj, ids, vec_rows):
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(buckets.astype(np.int32), pa.int32()),
+                        pa.array(gi.astype(np.int32), pa.int32()),
+                        pa.array(gj.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        vec_rows,
+                    ],
+                    names=["bucket", "gi", "gj", "id", "vec"],
+                )
+
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                hot_mask = pdf["bucket"].isin(list(subs_)).to_numpy()
-                cold = pdf[~hot_mask]
+                buckets = np.asarray(
+                    batch.column(0).to_numpy(zero_copy_only=False), np.int64
+                )
+                ids_all = np.asarray(
+                    batch.column(1).to_numpy(zero_copy_only=False), np.int64
+                )
+                vec_arr = batch.column(2)
+                hot_mask = np.isin(buckets, list(subs_))
+                cold = np.flatnonzero(~hot_mask)
                 if len(cold):
-                    yield pd.DataFrame(
-                        {
-                            "bucket": cold["bucket"].to_numpy(np.int32),
-                            "gi": np.zeros(len(cold), np.int32),
-                            "gj": np.zeros(len(cold), np.int32),
-                            "id": cold["id"].to_numpy(np.int64),
-                            "vec": cold["vec"].to_numpy(),
-                        }
+                    zeros = np.zeros(len(cold), np.int32)
+                    yield emit(
+                        buckets[cold], zeros, zeros, ids_all[cold],
+                        vec_arr.take(pa.array(cold, pa.int64())),
                     )
-                hot = pdf[hot_mask]
-                for b in hot["bucket"].unique():
-                    sel = hot[hot["bucket"] == b]
+                hot = np.flatnonzero(hot_mask)
+                for b in np.unique(buckets[hot]):
+                    rows = hot[buckets[hot] == b]
                     nsub = subs_[int(b)]
-                    ids = sel["id"].to_numpy(np.int64)
+                    ids = ids_all[rows]
                     # deterministic vectorized shard hash (Fibonacci mix)
                     s = (
                         (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                         >> np.uint64(33)
                     ) % np.uint64(nsub)
                     s = s.astype(np.int32)
+                    vec_rows = vec_arr.take(pa.array(rows, pa.int64()))
+                    bcol = np.full(len(rows), b, np.int64)
                     for t in range(nsub):
-                        yield pd.DataFrame(
-                            {
-                                "bucket": np.full(len(sel), b, np.int32),
-                                "gi": np.minimum(s, t),
-                                "gj": np.maximum(s, t),
-                                "id": ids,
-                                "vec": sel["vec"].to_numpy(),
-                            }
+                        yield emit(
+                            bcol, np.minimum(s, t), np.maximum(s, t), ids,
+                            vec_rows,
                         )
 
-        sharded = bucketed.mapInPandas(
+        sharded = bucketed.mapInArrow(
             fan_out,
             schema="bucket int, gi int, gj int, id bigint, vec array<float>",
         )
