@@ -108,6 +108,33 @@ def arrow_binary_matrix(arr) -> np.ndarray:
     return data[int(offs[0]) : int(offs[-1])].reshape(n, w)
 
 
+def arrow_code_groups(batches):
+    """(list_no, codes (n, w) uint8, ids int64) per-list groups from
+    ``mapInArrow`` batches of ``(list_no, id, code binary)`` — zero-copy
+    code matrix, numpy group-bounds instead of pandas groupby, and a
+    no-gather fast path for the common case where a batch holds exactly
+    one list (codes tables are partitioned by list_no)."""
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        lists = np.asarray(
+            b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        ids = np.asarray(
+            b.column(1).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        codes = arrow_binary_matrix(b.column(2))
+        if lists[0] == lists[-1] and (lists == lists[0]).all():
+            yield int(lists[0]), codes, ids
+            continue
+        order = np.argsort(lists, kind="stable")
+        sl = lists[order]
+        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            yield int(sl[s]), codes[rows], ids[rows]
+
+
 def pairwise_distances(
     Q: np.ndarray, X: np.ndarray, metric: str, metric_arg: float | None = None
 ) -> np.ndarray:

@@ -45,6 +45,23 @@ from faiss_spark.operators.ivf import IVFPQIndex, collect_queries_bounded
 # ------------------------------------------------------------ quantization
 
 
+def _emit_group_candidates(qids, accs, qsels):
+    """RecordBatch candidate emitter shared by the grouped fast-scan
+    scans (one batch per touched list's accumulator)."""
+    import pyarrow as pa
+
+    for key, acc in accs.items():
+        qidx, nid, nd = acc.emit()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids[qsels[key][qidx]], pa.int64()),
+                pa.array(nid, pa.int64()),
+                pa.array(nd, pa.float64()),
+            ],
+            names=["qid", "id", "dist"],
+        )
+
+
 def quantize_lut_flat(luts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Quantize per-query 2-D LUTs, no bias (reference
     quantize_lut.cpp:152-170, the ``!bias`` branch), vectorized over
@@ -161,21 +178,37 @@ def pq_fastscan_search(
     bc = spark.sparkContext.broadcast((qids, lutq, a, b))
     k_ = k
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_binary_matrix
+
         qids_, lutq_, a_, b_ = bc.value
         nq = len(qids_)
         acc = TopKAccumulator(nq, k_, largest=False)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+            codes = arrow_binary_matrix(batch.column(1))
             D16 = _saturating_lut_sum(lutq_, codes)
             est = D16 / a_[:, None] + b_[:, None]
-            acc.push(est, pdf["id"].to_numpy(np.int64))
+            acc.push(
+                est,
+                np.asarray(
+                    batch.column(0).to_numpy(zero_copy_only=False), np.int64
+                ),
+            )
         qidx, nid, nd = acc.emit()
-        yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids_[qidx], pa.int64()),
+                pa.array(nid, pa.int64()),
+                pa.array(nd, pa.float64()),
+            ],
+            names=["qid", "id", "dist"],
+        )
 
-    cands = codes_df.select("id", "code").mapInPandas(
+    cands = codes_df.select("id", "code").mapInArrow(
         scan, schema="qid bigint, id bigint, dist double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -411,37 +444,28 @@ class IVFPQFastScanIndex:
         k_ = k
         pruned = base.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            from faiss_spark.kernels import arrow_code_groups
+
             qids_, lutq_, biasq_, a_, b_, l2q_ = bc.value
             accs: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                sel = l2q_.get(list_no)
+                if sel is None or len(sel[0]) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    sel = l2q_.get(int(list_no))
-                    if sel is None or len(sel[0]) == 0:
-                        continue
-                    qsel, jsel = sel
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
-                    )
-                    D16 = _saturating_lut_sum(
-                        lutq_[qsel, jsel], codes, init=biasq_[qsel, jsel]
-                    )
-                    est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
-                    key = int(list_no)
-                    if key not in accs:
-                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    accs[key].push(est, grp["id"].to_numpy(np.int64))
-            for key, acc in accs.items():
-                qidx, nid, nd = acc.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                qsel, jsel = sel
+                D16 = _saturating_lut_sum(
+                    lutq_[qsel, jsel], codes, init=biasq_[qsel, jsel]
                 )
+                est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
+                if list_no not in accs:
+                    accs[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                accs[list_no].push(est, ids)
+            yield from _emit_group_candidates(qids_, accs, qsels)
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -475,34 +499,25 @@ class IVFPQFastScanIndex:
         k_ = k
         pruned = self.base.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            from faiss_spark.kernels import arrow_code_groups
+
             qids_, lutq_, a_, b_, l2q_ = bc.value
             accs: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                qsel = l2q_.get(list_no)
+                if qsel is None or len(qsel) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q_.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
-                    )
-                    D16 = _saturating_lut_sum(lutq_[qsel], codes)
-                    est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
-                    key = int(list_no)
-                    if key not in accs:
-                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    accs[key].push(est, grp["id"].to_numpy(np.int64))
-            for key, acc in accs.items():
-                qidx, nid, nd = acc.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
-                )
+                D16 = _saturating_lut_sum(lutq_[qsel], codes)
+                est = D16 / a_[qsel][:, None] + b_[qsel][:, None]
+                if list_no not in accs:
+                    accs[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                accs[list_no].push(est, ids)
+            yield from _emit_group_candidates(qids_, accs, qsels)
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(
@@ -718,21 +733,37 @@ def aq_fastscan_search(
     bc = spark.sparkContext.broadcast((qids, lutq, a, b, qsq, weights))
     k_ = k
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_binary_matrix
+
         qids_, lutq_, a_, b_, qsq_, w_ = bc.value
         nq = len(qids_)
         acc = TopKAccumulator(nq, k_, largest=False)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
+            codes = arrow_binary_matrix(batch.column(1))
             D16 = _saturating_lut_sum(lutq_, codes, row_weights=w_)
             est = D16 / a_[:, None] + b_[:, None] + qsq_[:, None]
-            acc.push(est, pdf["id"].to_numpy(np.int64))
+            acc.push(
+                est,
+                np.asarray(
+                    batch.column(0).to_numpy(zero_copy_only=False), np.int64
+                ),
+            )
         qidx, nid, nd = acc.emit()
-        yield pd.DataFrame({"qid": qids_[qidx], "id": nid, "dist": nd})
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids_[qidx], pa.int64()),
+                pa.array(nid, pa.int64()),
+                pa.array(nd, pa.float64()),
+            ],
+            names=["qid", "id", "dist"],
+        )
 
-    cands = codes_df.select("id", "code").mapInPandas(
+    cands = codes_df.select("id", "code").mapInArrow(
         scan, schema="qid bigint, id bigint, dist double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -1074,44 +1105,35 @@ class IVFAQFastScanIndex:
         k_ = k
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            from faiss_spark.kernels import arrow_code_groups
+
             qids_, lutq_, biasq_, a_, b_, qsq_, w_, l2q_ = bc.value
             accs: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                sel = l2q_.get(list_no)
+                if sel is None or len(sel[0]) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    sel = l2q_.get(int(list_no))
-                    if sel is None or len(sel[0]) == 0:
-                        continue
-                    qsel, jsel = sel
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
-                    )
-                    D16 = _saturating_lut_sum(
-                        lutq_[qsel],
-                        codes,
-                        init=biasq_[qsel, jsel],
-                        row_weights=w_,
-                    )
-                    est = (
-                        D16 / a_[qsel][:, None]
-                        + b_[qsel][:, None]
-                        + qsq_[qsel][:, None]
-                    )
-                    key = int(list_no)
-                    if key not in accs:
-                        accs[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    accs[key].push(est, grp["id"].to_numpy(np.int64))
-            for key, acc in accs.items():
-                qidx, nid, nd = acc.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                qsel, jsel = sel
+                D16 = _saturating_lut_sum(
+                    lutq_[qsel],
+                    codes,
+                    init=biasq_[qsel, jsel],
+                    row_weights=w_,
                 )
+                est = (
+                    D16 / a_[qsel][:, None]
+                    + b_[qsel][:, None]
+                    + qsq_[qsel][:, None]
+                )
+                if list_no not in accs:
+                    accs[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                accs[list_no].push(est, ids)
+            yield from _emit_group_candidates(qids_, accs, qsels)
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
