@@ -31,8 +31,6 @@ tests/test_plans.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, Window
@@ -311,28 +309,32 @@ class IVFPQFastScanIndex:
             (self.base.centroids, self.base.pq.codebooks)
         )
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
             C, books = bc.value
             pqm = ProductQuantizerModel(codebooks=books)
             cn = (C * C).sum(1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
-                yield pd.DataFrame(
-                    {
-                        "list_no": d2.argmin(1).astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, pqm.encode_np(X))),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(d2.argmin(1).astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(
+                            list(map(bytes, pqm.encode_np(X))), pa.binary()
+                        ),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"),
             F.col(vec_col).alias("vec"),
         )
-        codes = src.mapInPandas(
+        codes = src.mapInArrow(
             enc, schema="list_no int, id bigint, code binary"
         )
         if path is not None:
@@ -918,13 +920,14 @@ class IVFAQFastScanIndex:
             (self.centroids, self.rq, self.norm_books)
         )
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
             C, rqm, nbk = bc.value
             cn = (C * C).sum(1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
                 lists = d2.argmin(1)
                 if by_res:
@@ -937,18 +940,19 @@ class IVFAQFastScanIndex:
                 codes = np.concatenate(
                     [rcodes, c0[:, None], c1[:, None]], axis=1
                 )
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, codes)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, codes)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        self.codes = src.mapInPandas(
+        self.codes = src.mapInArrow(
             enc, schema="list_no int, id bigint, code binary"
         )
         return self
@@ -1304,18 +1308,28 @@ def train_ivf_paq_fastscan(
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(C)
 
-    def to_resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def to_resid(batches):
+        import pyarrow as pa
+
         C_ = bc.value
         cn = (C_ * C_).sum(1)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            X = as_matrix(pdf["vec"])
+            X = np.asarray(
+                b.column(0).flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ).reshape(b.num_rows, -1)
             d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C_.T)
             resid = X - C_[d2.argmin(1)]
-            yield pd.DataFrame({"vec": list(resid.astype(np.float64))})
+            n, d = resid.shape
+            offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            vals = pa.array(resid.ravel(), pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [pa.ListArray.from_arrays(offsets, vals)], names=["vec"]
+            )
 
-    resid_df = vectors.select(F.col(vec_col).alias("vec")).mapInPandas(
+    resid_df = vectors.select(F.col(vec_col).alias("vec")).mapInArrow(
         to_resid, schema="vec array<double>"
     )
     paq = ProductAdditiveQuantizer(
