@@ -410,10 +410,25 @@ def search_with_parameters(
     nprobe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    max_codes: int | None = None,
 ) -> tuple[DataFrame, IVFSearchStats]:
     """IVF search under explicit parameters, returning (results, stats)
     (reference faiss/IVFlib.h:129-141 ``search_with_parameters`` /
     ``ivf_search_precomputed`` — the variant that outputs IndexIVFStats).
+
+    max_codes (reference SearchParametersIVF / faiss/IndexIVF.h:69 and
+    the scan loop's ``if (max_codes && ndis >= max_codes) break`` at
+    IndexIVF.cpp:415): a per-query SCAN BUDGET — probe lists in
+    nearest-first order and stop once the cumulative list sizes reach
+    the budget (whole lists at a time, including the list that crosses
+    the boundary, exactly the reference's post-check). Spark-first form:
+    the reference enforces it inside the sequential scan loop; here the
+    driver already plans probes per query, and per-list COUNTS are plan
+    metadata (one cached aggregate), so the budget truncates the probe
+    sets BEFORE the scan — the pruned plan never reads the partitions a
+    sequential scan would have skipped, instead of reading and
+    discarding. This is the SIFT1B "IMI2x12,PQ16 / max_codes=10000"
+    serving knob (SURVEY §4 scan-budget row, benchs/README.md:122).
 
     The stats object reads Spark accumulators, so its counters are
     populated only after the returned DataFrame is materialized (count /
@@ -432,11 +447,33 @@ def search_with_parameters(
     CD = pairwise_distances(Q, index.centroids, index.metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
     probes = order[:, :nprobe]
+    if max_codes is not None:
+        sizes = _list_sizes(index)
+        cum = np.cumsum(sizes[probes], axis=1)
+        # keep list j iff the budget was not yet exhausted BEFORE it
+        keep = np.concatenate(
+            [np.ones((len(probes), 1), bool), cum[:, :-1] < max_codes], axis=1
+        )
+        probes = [probes[qi][keep[qi]] for qi in range(len(probes))]
     stats = IVFSearchStats(spark, nq=len(qids))
     res = _scan_probed_lists(
         index.codes, qids, Q, probes, k, index.metric, stats=stats
     )
     return res, stats
+
+
+def _list_sizes(index) -> np.ndarray:
+    """(nlist,) row counts of the codes table, cached on the index —
+    plan metadata for the max_codes scan budget (one metadata-cheap
+    aggregate over the partitioning column)."""
+    cached = getattr(index, "_list_sizes_cache", None)
+    if cached is not None and cached[0] is index.codes:
+        return cached[1]
+    sizes = np.zeros(len(index.centroids), np.int64)
+    for r in index.codes.groupBy("list_no").count().collect():
+        sizes[int(r["list_no"])] = int(r["count"])
+    index._list_sizes_cache = (index.codes, sizes)
+    return sizes
 
 
 def _scan_probed_lists(
@@ -454,8 +491,15 @@ def _scan_probed_lists(
     spark = codes.sparkSession
     largest = metric in SIMILARITY_METRICS
     # invert: list_no -> local query indexes (the ivf_tools big-batch
-    # regrouping, contrib/ivf_tools.py:26)
-    probed_lists = sorted({int(c) for c in probes.ravel()})
+    # regrouping, contrib/ivf_tools.py:26). probes may be ragged (a list
+    # of per-query arrays) under the max_codes scan budget.
+    if isinstance(probes, np.ndarray):
+        flat = probes.ravel()
+    elif len(probes):
+        flat = np.concatenate([np.asarray(p) for p in probes])
+    else:
+        flat = np.empty(0, np.int64)
+    probed_lists = sorted({int(c) for c in flat})
     list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
     for qi in range(len(qids)):
         for c in probes[qi]:

@@ -132,20 +132,34 @@ def parameter_sweep(
     truth: DataFrame,
     k: int,
     nprobes: list[int],
+    max_codes: list[int | None] | None = None,
 ) -> list[OperatingPoint]:
-    """Sweep nprobe, measure recall-vs-exact and wall time, mark the
-    Pareto-optimal points (reference ParameterSpace::explore,
-    faiss/AutoTune.cpp; OperatingPoints frontier AutoTune.h:87-125)."""
+    """Sweep nprobe (× optionally max_codes — the scan-budget axis the
+    reference's ParameterSpace exposes as the "max_codes" parameter,
+    AutoTune.cpp set_index_parameter), measure recall-vs-exact and wall
+    time, mark the Pareto-optimal points (reference
+    ParameterSpace::explore, faiss/AutoTune.cpp; OperatingPoints
+    frontier AutoTune.h:87-125)."""
     from faiss_spark.functions.evaluation import knn_intersection_measure
+    from faiss_spark.operators.ivf import search_with_parameters
 
     points: list[OperatingPoint] = []
     for np_ in nprobes:
-        t0 = time.perf_counter()
-        res = index.search(queries, k, nprobe=np_)
-        res.count()  # materialize
-        dt = time.perf_counter() - t0
-        rec = knn_intersection_measure(res, truth, k)
-        points.append(OperatingPoint({"nprobe": np_}, rec, dt))
+        for mc in max_codes or [None]:
+            t0 = time.perf_counter()
+            if mc is None:
+                res = index.search(queries, k, nprobe=np_)
+            else:
+                res, _ = search_with_parameters(
+                    index, queries, k, nprobe=np_, max_codes=mc
+                )
+            res.count()  # materialize
+            dt = time.perf_counter() - t0
+            rec = knn_intersection_measure(res, truth, k)
+            params = {"nprobe": np_}
+            if mc is not None:
+                params["max_codes"] = mc
+            points.append(OperatingPoint(params, rec, dt))
     # Pareto: no other point has (recall ≥, time ≤) with one strict
     for p in points:
         p.pareto = not any(

@@ -365,3 +365,47 @@ def test_bhash_self_find_and_subset(bincodes, binqueries):
             a, b = codes[r["qid"]], codes[r["id"]]
             ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
             assert ham == int(r["dist"])
+
+
+def test_max_codes_scan_budget(vectors, queries):
+    """max_codes (reference faiss/IndexIVF.h:69 + IndexIVF.cpp:415 scan
+    budget; the SIFT1B 'max_codes=10000' serving knob): probes are
+    consumed nearest-first and cut once cumulative list sizes reach the
+    budget, whole lists at a time INCLUDING the crossing list. A huge
+    budget is a no-op; a tiny one still probes each query's nearest
+    list; ndis respects the per-query bound."""
+    from faiss_spark.operators.ivf import (
+        IVFIndex,
+        _list_sizes,
+        search_with_parameters,
+    )
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    idx.codes = idx.codes.localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted((r["qid"], r["rank"], r["id"]) for r in df.collect())
+
+    full, _ = search_with_parameters(idx, queries, 5, nprobe=8)
+    full_rows = rows(full)
+    nolimit, _ = search_with_parameters(
+        idx, queries, 5, nprobe=8, max_codes=10_000_000
+    )
+    assert rows(nolimit) == full_rows
+    # tiny budget: every query scans exactly its nearest list (the
+    # crossing list is included even when it alone exceeds the budget)
+    res1, s1 = search_with_parameters(idx, queries, 5, nprobe=8, max_codes=1)
+    r1 = res1.collect()
+    nq = queries.count()
+    assert {r["qid"] for r in r1} == set(range(nq))
+    np1, s1b = search_with_parameters(idx, queries, 5, nprobe=1)
+    assert rows(res1) == rows(np1)  # budget=1 ≡ nprobe=1
+    # intermediate budget: ndis bounded by budget + one crossing list
+    sizes = _list_sizes(idx)
+    budget = int(sizes.sum() // 4)
+    resm, sm = search_with_parameters(
+        idx, queries, 5, nprobe=8, max_codes=budget
+    )
+    resm.count()
+    assert sm.ndis <= nq * (budget + int(sizes.max()))
+    full.count()
