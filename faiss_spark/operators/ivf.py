@@ -469,7 +469,8 @@ def _list_sizes(index) -> np.ndarray:
     cached = getattr(index, "_list_sizes_cache", None)
     if cached is not None and cached[0] is index.codes:
         return cached[1]
-    sizes = np.zeros(len(index.centroids), np.int64)
+    nlist = getattr(index, "nlist", None) or len(index.centroids)
+    sizes = np.zeros(nlist, np.int64)
     for r in index.codes.groupBy("list_no").count().collect():
         sizes[int(r["list_no"])] = int(r["count"])
     index._list_sizes_cache = (index.codes, sizes)
@@ -1791,8 +1792,18 @@ class IMIPQIndex:
     def search(
         self, queries: DataFrame, k: int, nprobe: int = 1,
         qid_col: str = "qid", qvec_col: str = "vec",
+        polysemous_ht: int | None = None,
+        max_codes: int | None = None,
     ) -> DataFrame:
-        """Product-distance probing + per-list residual ADC scan."""
+        """Product-distance probing + per-list residual ADC scan.
+
+        polysemous_ht and max_codes make this THE SIFT1B serving row
+        (benchs/README.md:122 "IMI2x12,PQ16, nprobe=16, max_codes=10000,
+        ht=48"): the per-list residual-code Hamming pre-filter of
+        IndexIVFPQ.h:44 and the IndexIVF.cpp:415 scan budget (probes cut
+        nearest-first once cumulative list sizes reach the budget,
+        crossing list included — planned from cached per-list counts, so
+        the pruned scan never reads the skipped partitions)."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
@@ -1801,7 +1812,19 @@ class IMIPQIndex:
             d=2 * self.sub_centroids.shape[2],
         )
         probes = IMIIVFIndex(sub_centroids=self.sub_centroids)._probe(Q, nprobe)
-        probed_lists = sorted({int(c) for c in probes.ravel()})
+        if max_codes is not None:
+            sizes = _list_sizes(self)
+            cum = np.cumsum(sizes[probes], axis=1)
+            keep = np.concatenate(
+                [np.ones((len(probes), 1), bool), cum[:, :-1] < max_codes],
+                axis=1,
+            )
+            probes = [probes[qi][keep[qi]] for qi in range(len(probes))]
+            probed_lists = sorted(
+                {int(c) for p in probes for c in p}
+            )
+        else:
+            probed_lists = sorted({int(c) for c in probes.ravel()})
         list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
         for qi in range(len(qids)):
             for c in probes[qi]:
@@ -1816,58 +1839,78 @@ class IMIPQIndex:
             )
         )
         k_ = k
+        ht = polysemous_ht
         ksub_c = self.ksub
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_code_groups
+
             qids_, Q_, sub_c, books, l2q = bc.value
             M, ksub, dsub = books.shape
             dd = (books * books).sum(2)  # (M, ksub), hoisted per task
+            pqm_ = ProductQuantizerModel(codebooks=books) if ht is not None else None
+            pop8 = (
+                np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+                .sum(1)
+                .astype(np.int64)
+            )
             t3 = np.empty((len(Q_), M, ksub), np.float64)
             have_t3 = np.zeros(len(Q_), bool)
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                qsel = l2q.get(list_no)
+                if qsel is None or len(qsel) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    need = qsel[~have_t3[qsel]]
-                    if len(need):
-                        Qs = Q_[need].reshape(len(need), M, dsub)
-                        t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
-                        have_t3[need] = True
-                    i, j = int(list_no) // ksub_c, int(list_no) % ksub_c
-                    c = np.concatenate([sub_c[0][i], sub_c[1][j]])
-                    # per-LIST precomputed term (lazy — 2^(2b) cells are
-                    # never materialized up front)
-                    Cs = c.reshape(M, dsub)
-                    pct_l = dd + 2.0 * np.einsum("md,mkd->mk", Cs, books)
-                    R = Q_[qsel] - c[None, :]
-                    coarse = (R * R).sum(1)
-                    luts = pct_l[None, :, :] + t3[qsel]
-                    codes = np.stack(
-                        [np.frombuffer(x, np.uint8) for x in grp["code"]]
-                    )
-                    D = np.broadcast_to(
-                        coarse[:, None], (len(qsel), len(codes))
-                    ).copy()
+                need = qsel[~have_t3[qsel]]
+                if len(need):
+                    Qs = Q_[need].reshape(len(need), M, dsub)
+                    t3[need] = -2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+                    have_t3[need] = True
+                i, j = list_no // ksub_c, list_no % ksub_c
+                c = np.concatenate([sub_c[0][i], sub_c[1][j]])
+                # per-LIST precomputed term (lazy — 2^(2b) cells are
+                # never materialized up front)
+                Cs = c.reshape(M, dsub)
+                pct_l = dd + 2.0 * np.einsum("md,mkd->mk", Cs, books)
+                R = Q_[qsel] - c[None, :]
+                coarse = (R * R).sum(1)
+                luts = pct_l[None, :, :] + t3[qsel]
+                D = np.broadcast_to(
+                    coarse[:, None], (len(qsel), len(codes))
+                ).copy()
+                for m in range(M):
+                    D += luts[:, m, codes[:, m].astype(np.int64)]
+                if pqm_ is not None:
+                    # per-list residual query codes → Hamming prune
+                    # (faiss/IndexIVFPQ.h:44 polysemous_ht)
+                    qc = pqm_.encode_np(R)
+                    ham = np.zeros(D.shape, np.int64)
                     for m in range(M):
-                        D += luts[:, m, codes[:, m].astype(np.int64)]
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    acc[key].push(D, grp["id"].to_numpy(np.int64))
+                        ham += pop8[
+                            np.bitwise_xor(qc[:, m][:, None], codes[None, :, m])
+                        ]
+                    D[ham > ht] = np.inf
+                if list_no not in acc:
+                    acc[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                acc[list_no].push(D, ids)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                fin = np.isfinite(nd)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsels[key][qidx[fin]]], pa.int64()),
+                        pa.array(nid[fin], pa.int64()),
+                        pa.array(nd[fin], pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())

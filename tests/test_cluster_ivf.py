@@ -203,3 +203,32 @@ def test_imipq_full_probe_recall_and_factory(vectors):
     assert reverse_index_factory(plan) == "IMI2x2,PQ4"
     plan.fit(vectors)
     assert plan.search(qs, 5, nprobe=16).count() == 25
+
+
+def test_imipq_sift1b_serving_knobs(vectors):
+    """The SIFT1B serving row (reference benchs/README.md:122:
+    'IMI2x12,PQ16, nprobe=16, max_codes=10000, ht=48') end-to-end on
+    IMIPQIndex: loose ht (M·8) is bit-identical to unfiltered, a huge
+    max_codes is a no-op, max_codes=1 probes exactly the nearest cell,
+    and both knobs compose."""
+    from faiss_spark.operators.codecs import PolysemousTraining
+    from faiss_spark.operators.ivf import IMIPQIndex
+
+    idx = IMIPQIndex.train(vectors, nbits=2, M=4, seed=42, niter=5)
+    idx.pq, _ = PolysemousTraining(n_iter=1000, seed=7).optimize_pq(idx.pq)
+    idx.add(vectors)
+    idx.codes = idx.codes.localCheckpoint(eager=True)
+    qs = vectors.filter("id < 5").select(F.col("id").alias("qid"), "vec")
+
+    def rows(df):
+        return sorted((r["qid"], r["rank"], r["id"]) for r in df.collect())
+
+    full = rows(idx.search(qs, 5, nprobe=8))
+    assert rows(idx.search(qs, 5, nprobe=8, polysemous_ht=32)) == full
+    assert rows(idx.search(qs, 5, nprobe=8, max_codes=10_000_000)) == full
+    assert rows(idx.search(qs, 5, nprobe=8, max_codes=1)) == rows(
+        idx.search(qs, 5, nprobe=1)
+    )
+    both = idx.search(qs, 5, nprobe=8, polysemous_ht=6, max_codes=300)
+    got = {r["qid"] for r in both.collect()}
+    assert got <= set(range(5))  # tight knobs only remove candidates
