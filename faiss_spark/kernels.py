@@ -108,12 +108,12 @@ def arrow_binary_matrix(arr) -> np.ndarray:
     return data[int(offs[0]) : int(offs[-1])].reshape(n, w)
 
 
-def arrow_code_groups(batches):
-    """(list_no, codes (n, w) uint8, ids int64) per-list groups from
-    ``mapInArrow`` batches of ``(list_no, id, code binary)`` — zero-copy
-    code matrix, numpy group-bounds instead of pandas groupby, and a
-    no-gather fast path for the common case where a batch holds exactly
-    one list (codes tables are partitioned by list_no)."""
+def _arrow_matrix_groups(batches, extract):
+    """Shared per-list grouping over ``mapInArrow`` batches of
+    ``(list_no, id, <payload>)``: numpy group-bounds instead of pandas
+    groupby, and a no-gather fast path for the common case where a batch
+    holds exactly one list (codes tables are partitioned by list_no).
+    ``extract(column, num_rows)`` builds the payload matrix."""
     for b in batches:
         if b.num_rows == 0:
             continue
@@ -123,16 +123,39 @@ def arrow_code_groups(batches):
         ids = np.asarray(
             b.column(1).to_numpy(zero_copy_only=False), dtype=np.int64
         )
-        codes = arrow_binary_matrix(b.column(2))
+        M = extract(b.column(2), b.num_rows)
         if lists[0] == lists[-1] and (lists == lists[0]).all():
-            yield int(lists[0]), codes, ids
+            yield int(lists[0]), M, ids
             continue
         order = np.argsort(lists, kind="stable")
         sl = lists[order]
         bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
         for s, e in zip(bounds[:-1], bounds[1:]):
             rows = order[s:e]
-            yield int(sl[s]), codes[rows], ids[rows]
+            yield int(sl[s]), M[rows], ids[rows]
+
+
+def arrow_code_groups(batches):
+    """(list_no, codes (n, w) uint8, ids int64) per-list groups from
+    ``mapInArrow`` batches of ``(list_no, id, code binary)`` — zero-copy
+    code matrix via arrow_binary_matrix."""
+    yield from _arrow_matrix_groups(
+        batches, lambda col, n: arrow_binary_matrix(col)
+    )
+
+
+def arrow_vec_groups(batches, dtype=np.float64):
+    """(list_no, X (n, d) dtype, ids int64) per-list groups from
+    ``mapInArrow`` batches of ``(list_no, id, vec array<float>)`` —
+    zero-copy reshape of the list values buffer (cast only when dtype
+    differs)."""
+
+    def extract(col, n):
+        return np.asarray(
+            col.flatten().to_numpy(zero_copy_only=False), dtype=dtype
+        ).reshape(n, -1)
+
+    yield from _arrow_matrix_groups(batches, extract)
 
 
 def pairwise_distances(

@@ -347,36 +347,36 @@ def ivf_range_search(
     acc_ndis = stats._acc_ndis if stats is not None else None
     pruned = index.codes.filter(F.col("list_no").isin(probed_lists))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_vec_groups
+
         qids_, Q_, l2q = bc.value
         seen: set[int] = set()
-        for pdf in batches:
-            if len(pdf) == 0:
+        for list_no, X, ids in arrow_vec_groups(batches):
+            qsel = l2q.get(list_no)
+            if qsel is None or len(qsel) == 0:
                 continue
-            for list_no, grp in pdf.groupby("list_no"):
-                qsel = l2q.get(int(list_no))
-                if qsel is None or len(qsel) == 0:
-                    continue
-                X = as_matrix(grp["vec"])
-                ids = grp["id"].to_numpy(np.int64)
-                if acc_scans is not None and int(list_no) not in seen:
-                    seen.add(int(list_no))
-                    acc_scans.add(len(qsel))
-                if acc_ndis is not None:
-                    acc_ndis.add(int(len(qsel) * len(ids)))
-                rq, rc, vals = range_pairs(
-                    np.ascontiguousarray(Q_[qsel]), X, metric, radius
+            if acc_scans is not None and list_no not in seen:
+                seen.add(list_no)
+                acc_scans.add(len(qsel))
+            if acc_ndis is not None:
+                acc_ndis.add(int(len(qsel) * len(ids)))
+            rq, rc, vals = range_pairs(
+                np.ascontiguousarray(Q_[qsel]), X, metric, radius
+            )
+            if len(rq):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsel[rq]], pa.int64()),
+                        pa.array(ids[rc], pa.int64()),
+                        pa.array(vals, pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
-                if len(rq):
-                    yield pd.DataFrame(
-                        {
-                            "qid": qids_[qsel[rq]],
-                            "id": ids[rc],
-                            "dist": vals,
-                        }
-                    )
 
-    return pruned.select("list_no", "id", "vec").mapInPandas(
+    return pruned.select("list_no", "id", "vec").mapInArrow(
         scan, schema="qid bigint, id bigint, dist double"
     )
 
@@ -519,14 +519,15 @@ def _scan_probed_lists(
     def scan(batches):
         import pyarrow as pa
 
+        from faiss_spark.kernels import arrow_vec_groups
+
         qids_, Q_, l2q = bc.value
         acc: dict[int, TopKAccumulator] = {}
         touched: dict[int, np.ndarray] = {}
-
-        def push(key: int, X: np.ndarray, ids: np.ndarray) -> None:
+        for key, X, ids in arrow_vec_groups(batches):
             qsel = l2q.get(key)
             if qsel is None or len(qsel) == 0:
-                return
+                continue
             if key not in acc:
                 acc[key] = TopKAccumulator(len(qsel), k, metric in SIMILARITY_METRICS)
                 # fused workspace scan path: per-list query block
@@ -538,31 +539,6 @@ def _scan_probed_lists(
             if acc_ndis is not None:
                 acc_ndis.add(int(len(qsel) * len(ids)))
             acc[key].push_block(X, ids)
-
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            lists = np.asarray(
-                b.column(0).to_numpy(zero_copy_only=False), dtype=np.int64
-            )
-            ids_all = np.asarray(
-                b.column(1).to_numpy(zero_copy_only=False), dtype=np.int64
-            )
-            X_all = np.asarray(
-                b.column(2).flatten().to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            ).reshape(b.num_rows, -1)
-            # the codes table is partitioned by list_no, so a batch is
-            # almost always ONE list — feed the tile zero-gather then
-            if lists[0] == lists[-1] and (lists == lists[0]).all():
-                push(int(lists[0]), X_all, ids_all)
-                continue
-            order = np.argsort(lists, kind="stable")
-            sl = lists[order]
-            bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                rows = order[s:e]
-                push(int(sl[s]), X_all[rows], ids_all[rows])
         for key, a in acc.items():
             qidx, nid, nd = a.emit()
             qsel = touched[key]
@@ -968,7 +944,7 @@ class IVFPQIndex:
         def scan(batches):
             import pyarrow as pa
 
-            from faiss_spark.kernels import arrow_binary_matrix
+            from faiss_spark.kernels import arrow_code_groups
 
             qids_, Q_, C, books, l2q, pct = bc.value
             M, ksub, dsub = books.shape
@@ -1023,25 +999,8 @@ class IVFPQIndex:
                     qsels[list_no] = qsel
                 acc[list_no].push(D, ids)
 
-            for b in batches:
-                if b.num_rows == 0:
-                    continue
-                lists = np.asarray(
-                    b.column(0).to_numpy(zero_copy_only=False), np.int64
-                )
-                ids_all = np.asarray(
-                    b.column(1).to_numpy(zero_copy_only=False), np.int64
-                )
-                codes_all = arrow_binary_matrix(b.column(2))
-                if lists[0] == lists[-1] and (lists == lists[0]).all():
-                    push(int(lists[0]), codes_all, ids_all)
-                    continue
-                order = np.argsort(lists, kind="stable")
-                sl = lists[order]
-                bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    rows = order[s:e]
-                    push(int(sl[s]), codes_all[rows], ids_all[rows])
+            for list_no_, codes_, ids_ in arrow_code_groups(batches):
+                push(list_no_, codes_, ids_)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 fin = np.isfinite(nd)  # polysemous-pruned slots are +inf
@@ -1101,33 +1060,34 @@ def search_preassigned(
     metric = index.metric
     nprobe_ = min(nprobe, len(C))
 
-    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_probes(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
         C_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = as_matrix(pdf["vec"])
+        for qids, Q, vec_arr in arrow_id_vec_blocks(batches):
             D = pairwise_distances(Q, C_, metric)
             order = np.argsort(-D if largest else D, axis=1, kind="stable")[
                 :, :nprobe_
             ]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(pdf["qid"].to_numpy(np.int64), nprobe_),
-                    "vec": [
-                        v
-                        for v in pdf["vec"]
-                        for _ in range(nprobe_)
-                    ],
-                    "list_no": order.astype(np.int32).ravel(),
-                }
+            # nprobe_× replication via Arrow take — no per-row objects
+            # (at 100 TB the query side is itself huge; this map is the
+            # whole plan's fan-out)
+            rep = np.repeat(np.arange(len(qids)), nprobe_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[rep], pa.int64()),
+                    vec_arr.take(pa.array(rep, pa.int64())),
+                    pa.array(order.astype(np.int32).ravel(), pa.int32()),
+                ],
+                names=["qid", "vec", "list_no"],
             )
 
     q = queries.select(
         F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
     )
-    probes = q.mapInPandas(
+    probes = q.mapInArrow(
         assign_probes, schema="qid bigint, vec array<float>, list_no int"
     )
 
@@ -1326,41 +1286,42 @@ class IVFSQIndex:
         k_ = k
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_code_groups
             from faiss_spark.operators.codecs import ScalarQuantizerModel
 
             qids_, Q_, l2q, vmin, vdiff, bits = bc.value
             sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                qsel = l2q.get(list_no)
+                if qsel is None or len(qsel) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                X = sqm.decode_np(codes)
+                if list_no not in acc:
+                    acc[list_no] = TopKAccumulator(
+                        len(qsel), k_, metric in SIMILARITY_METRICS
                     )
-                    X = sqm.decode_np(codes)
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(
-                            len(qsel), k_, metric in SIMILARITY_METRICS
-                        )
-                        acc[key].bind_queries(
-                            np.ascontiguousarray(Q_[qsel]), metric
-                        )
-                        qsels[key] = qsel
-                    acc[key].push_block(X, grp["id"].to_numpy(np.int64))
+                    acc[list_no].bind_queries(
+                        np.ascontiguousarray(Q_[qsel]), metric
+                    )
+                    qsels[list_no] = qsel
+                acc[list_no].push_block(X, ids)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsels[key][qidx]], pa.int64()),
+                        pa.array(nid, pa.int64()),
+                        pa.array(nd, pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         sort = [
