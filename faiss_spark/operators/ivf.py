@@ -1354,13 +1354,15 @@ def imi_assign(
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(sub_centroids)
 
-    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def do(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
         C = bc.value
         _, k, dsub = C.shape
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = as_matrix(pdf["vec"])
+        f32_list = pa.list_(pa.float32())
+        for ids, X, vec_arr in arrow_id_vec_blocks(batches):
             cells = np.zeros(len(X), np.int64)
             for h in range(2):
                 sub = X[:, h * dsub : (h + 1) * dsub]
@@ -1370,16 +1372,23 @@ def imi_assign(
                     - 2.0 * (sub @ C[h].T)
                 )
                 cells = cells * k + d2.argmin(1)
-            out = {"id": pdf["id"].to_numpy(np.int64), "list_no": cells.astype(np.int32)}
+            arrays = [
+                pa.array(ids, pa.int64()),
+                pa.array(cells.astype(np.int32), pa.int32()),
+            ]
+            names = ["id", "list_no"]
             if keep_vec:
-                out["vec"] = pdf["vec"]
-            yield pd.DataFrame(out)
+                if vec_arr.type != f32_list:
+                    vec_arr = vec_arr.cast(f32_list)
+                arrays.append(vec_arr)
+                names.append("vec")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     src = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
     schema = "id bigint, list_no int" + (", vec array<float>" if keep_vec else "")
-    return src.mapInPandas(do, schema=schema)
+    return src.mapInArrow(do, schema=schema)
 
 
 @dataclass
@@ -1998,34 +2007,36 @@ class IVFPQRIndex:
              self.refine_pq.codebooks)
         )
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
             C, books1, books2 = bc.value
             pq1 = ProductQuantizerModel(codebooks=books1)
             pq2 = ProductQuantizerModel(codebooks=books2)
             cn = (C * C).sum(1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 d2 = (X * X).sum(1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
                 lists = d2.argmin(1)
                 r1 = X - C[lists]
                 c1 = pq1.encode_np(r1)
                 r2 = r1 - pq1.decode_np(c1)
                 c2 = pq2.encode_np(r2)
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, c1)),
-                        "rcode": list(map(bytes, c2)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, c1)), pa.binary()),
+                        pa.array(list(map(bytes, c2)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code", "rcode"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        codes = src.mapInPandas(
+        codes = src.mapInArrow(
             enc, schema="list_no int, id bigint, code binary, rcode binary"
         )
         if path is not None:
@@ -2098,73 +2109,92 @@ class IVFPQRIndex:
         k_, kf = k, self.k_factor
         pruned = base.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_binary_matrix
+
             qids_, Q_, C, books1, books2, l2q = bc.value
             pq1 = ProductQuantizerModel(codebooks=books1)
             pq2 = ProductQuantizerModel(codebooks=books2)
             M, _, dsub = books1.shape
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
+
+            def groups():
+                # two binary payloads per row (code, rcode) — same
+                # group-bounds discipline as kernels.arrow_code_groups
+                for b in batches:
+                    if b.num_rows == 0:
                         continue
-                    R = Q_[qsel] - C[int(list_no)][None, :]
-                    Rs = R.reshape(len(R), M, dsub)
-                    luts = (
-                        (Rs * Rs).sum(2)[:, :, None]
-                        + (books1 * books1).sum(2)[None, :, :]
-                        - 2.0 * np.einsum("qmd,mkd->qmk", Rs, books1)
+                    lists = np.asarray(
+                        b.column(0).to_numpy(zero_copy_only=False), np.int64
                     )
-                    codes1 = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                    ids_all = np.asarray(
+                        b.column(1).to_numpy(zero_copy_only=False), np.int64
                     )
-                    D = np.zeros((len(R), len(codes1)), np.float64)
-                    for m in range(M):
-                        D += luts[:, m, codes1[:, m].astype(np.int64)]
-                    # per-query ADC shortlist of this chunk
-                    s = min(len(codes1), k_ * kf)
-                    if s < len(codes1):
-                        short = np.argpartition(D, s - 1, axis=1)[:, :s]
-                    else:
-                        short = np.broadcast_to(
-                            np.arange(len(codes1)), (len(R), len(codes1))
-                        )
-                    # decode pq1 + refine for the union of shortlisted rows
-                    uni = np.unique(short.ravel())
-                    codes2 = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["rcode"]]
+                    c1 = arrow_binary_matrix(b.column(2))
+                    c2 = arrow_binary_matrix(b.column(3))
+                    if lists[0] == lists[-1] and (lists == lists[0]).all():
+                        yield int(lists[0]), c1, c2, ids_all
+                        continue
+                    order = np.argsort(lists, kind="stable")
+                    sl = lists[order]
+                    bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+                    for st, en in zip(bounds[:-1], bounds[1:]):
+                        rows = order[st:en]
+                        yield int(sl[st]), c1[rows], c2[rows], ids_all[rows]
+
+            for list_no, codes1, codes2, ids in groups():
+                qsel = l2q.get(list_no)
+                if qsel is None or len(qsel) == 0:
+                    continue
+                R = Q_[qsel] - C[list_no][None, :]
+                Rs = R.reshape(len(R), M, dsub)
+                luts = (
+                    (Rs * Rs).sum(2)[:, :, None]
+                    + (books1 * books1).sum(2)[None, :, :]
+                    - 2.0 * np.einsum("qmd,mkd->qmk", Rs, books1)
+                )
+                D = np.zeros((len(R), len(codes1)), np.float64)
+                for m in range(M):
+                    D += luts[:, m, codes1[:, m].astype(np.int64)]
+                # per-query ADC shortlist of this chunk
+                s = min(len(codes1), k_ * kf)
+                if s < len(codes1):
+                    short = np.argpartition(D, s - 1, axis=1)[:, :s]
+                else:
+                    short = np.broadcast_to(
+                        np.arange(len(codes1)), (len(R), len(codes1))
                     )
-                    Y = pq1.decode_np(codes1[uni]) + pq2.decode_np(codes2[uni])
-                    pos = np.full(len(codes1), -1, np.int64)
-                    pos[uni] = np.arange(len(uni))
-                    ids = grp["id"].to_numpy(np.int64)
-                    # refined distances, shortlist only; everything else +inf
-                    DR = np.full_like(D, np.inf)
-                    for qi in range(len(R)):
-                        sel = short[qi]
-                        diff = R[qi][None, :] - Y[pos[sel]]
-                        DR[qi, sel] = (diff * diff).sum(1)
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(len(qsel), k_, largest=False)
-                        qsels[key] = qsel
-                    acc[key].push(DR, ids)
+                # decode pq1 + refine for the union of shortlisted rows
+                uni = np.unique(short.ravel())
+                Y = pq1.decode_np(codes1[uni]) + pq2.decode_np(codes2[uni])
+                pos = np.full(len(codes1), -1, np.int64)
+                pos[uni] = np.arange(len(uni))
+                # refined distances, shortlist only; everything else +inf
+                DR = np.full_like(D, np.inf)
+                for qi in range(len(R)):
+                    sel = short[qi]
+                    diff = R[qi][None, :] - Y[pos[sel]]
+                    DR[qi, sel] = (diff * diff).sum(1)
+                if list_no not in acc:
+                    acc[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
+                    qsels[list_no] = qsel
+                acc[list_no].push(DR, ids)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 keep = np.isfinite(nd)
-                yield pd.DataFrame(
-                    {
-                        "qid": qids_[qsels[key][qidx[keep]]],
-                        "id": nid[keep],
-                        "dist": nd[keep],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsels[key][qidx[keep]]], pa.int64()),
+                        pa.array(nid[keep], pa.int64()),
+                        pa.array(nd[keep], pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
 
-        cands = pruned.select("list_no", "id", "code", "rcode").mapInPandas(
+        cands = pruned.select("list_no", "id", "code", "rcode").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(
