@@ -697,7 +697,8 @@ def q_polysemous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     faiss/impl/PolysemousTraining.cpp, faiss/IndexPQ.h:35 — the SIFT1M
     polysemous rows of BASELINE.md). Annealed codebooks are k-means
     artifacts no SQL reproduces, so the oracle is the property pair: a
-    loose threshold (ht = M·8) returns exactly the unfiltered ADC top-k,
+    loose threshold (ht = M·8 + 1; strict hd < ht, as the reference)
+    returns exactly the unfiltered ADC top-k,
     and under a tight threshold each query's own code (Hamming 0) is
     never filtered and stays rank 1."""
     from faiss_spark.operators.codecs import (
@@ -716,7 +717,7 @@ def q_polysemous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     loose = {
         (r["qid"], r["rank"], r["id"])
-        for r in new_pqm.adc_search(codes, qs, K, polysemous_ht=32).collect()
+        for r in new_pqm.adc_search(codes, qs, K, polysemous_ht=33).collect()
     }
     tight = new_pqm.adc_search(codes, qs, K, polysemous_ht=4).collect()
     top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
@@ -735,7 +736,8 @@ def q_ivfpq_polysemous(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query is re-encoded against each probed list's centroid and
     candidates past ht drop before the heap). Annealed codebooks are
     k-means artifacts no SQL reproduces, so the oracle is the property
-    triple: loose ht (M·8) is bit-identical to unfiltered; each query's
+    triple: loose ht (M·8 + 1; strict hd < ht as the reference) is
+    bit-identical to unfiltered; each query's
     own stored code (residual in its own best list → Hamming 0) survives
     a tight ht at rank 1; the filter only ever removes rows."""
     from faiss_spark.operators.codecs import PolysemousTraining
@@ -751,7 +753,7 @@ def q_ivfpq_polysemous(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_set = {(r["qid"], r["rank"], r["id"]) for r in full}
     loose = {
         (r["qid"], r["rank"], r["id"])
-        for r in idx.search(qs, K, nprobe=8, polysemous_ht=32).collect()
+        for r in idx.search(qs, K, nprobe=8, polysemous_ht=33).collect()
     }
     tight = idx.search(qs, K, nprobe=8, polysemous_ht=4).collect()
     top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}

@@ -483,7 +483,7 @@ class ProductQuantizerModel:
         polysemous_ht: with polysemous-trained codebooks, skip candidates
         whose code Hamming distance to the query's own code exceeds ht
         (reference faiss/IndexPQ.h:35 search_core polysemous filter; the
-        SIFT1M rows of BASELINE.md). ht ≥ M·8 disables the filter."""
+        SIFT1M rows of BASELINE.md). ht > M·8 disables the filter (strict hd < ht, as the reference)."""
         from faiss_spark.operators.ivf import collect_queries_bounded
 
         qids, Q = collect_queries_bounded(
@@ -582,7 +582,9 @@ class ProductQuantizerModel:
                                 qcodes_[:, m][:, None], codes[None, :, m]
                             )
                         ]
-                    D[ham > ht] = np.inf
+                    # strict keep hd < ht, as the reference (IndexIVFPQ.cpp /
+                    # IndexPQ.cpp `if (hd < ht)`); ht > M*8 keeps everything
+                    D[ham >= ht] = np.inf
                 acc.push(
                     D,
                     np.asarray(

@@ -730,8 +730,12 @@ class IVFPQIndex:
     # lazy cache of the precomputed ADC term (see _precomputed_tables)
     _pct: np.ndarray | None = None
     _pct_key: tuple | None = None
+    # reference gate (faiss/IndexIVFPQ.cpp precomputed_table_max_bytes,
+    # default 2 GiB): above this, the full (nlist, M, ksub) table is
+    # neither cached nor built — only the probed lists' rows are
+    precomputed_table_max_bytes: int = 2 << 30
 
-    def _precomputed_tables(self) -> np.ndarray:
+    def _precomputed_tables(self, probed_lists) -> dict[int, np.ndarray]:
         """THE standard IVFPQ optimization (reference
         faiss/IndexIVFPQ.h:49-141 use_precomputed_table /
         precompute_table): decompose the per-(query, list) ADC LUT
@@ -741,22 +745,38 @@ class IVFPQIndex:
                 − 2⟨q_m, d_mk⟩                [per-query, list-free]
 
         so search builds each (query, list) LUT with M·ksub adds instead
-        of an M·ksub·dsub GEMM — the dsub× term moves to a once-per-model
-        table of shape (nlist, M, ksub), computed here and broadcast with
-        the codebooks. f64 to keep distances bit-comparable with the
-        direct expansion up to summation order."""
+        of an M·ksub·dsub GEMM. Returns ONLY the probed lists' rows as a
+        {list_no: (M, ksub)} dict — at billion-scale nlist the full table
+        is multi-GB, and broadcasting it for an nprobe-lists search is
+        the driver-allocation failure the reference's
+        precomputed_table_max_bytes gate exists for: below the gate the
+        full table is computed once and cached across searches; above
+        it, rows are computed per-search for the probed lists only (the
+        lazy per-list shape IMIPQIndex always uses). f64 to keep
+        distances bit-comparable with the direct expansion up to
+        summation order."""
         books = self.pq.codebooks
-        # cheap fingerprint so replacing idx.pq (e.g. polysemous reorder)
-        # after a search can never serve a stale table
-        key = (books.shape, float(books.sum()))
-        if self._pct is None or self._pct_key != key:
-            M, ksub, dsub = books.shape
-            Cs = self.centroids.reshape(len(self.centroids), M, dsub)
-            self._pct = (books * books).sum(2)[None, :, :] + 2.0 * np.einsum(
+        M, ksub, dsub = books.shape
+        probed = np.asarray(sorted(probed_lists), np.int64)
+        full_bytes = len(self.centroids) * M * ksub * 8
+        if full_bytes <= self.precomputed_table_max_bytes:
+            # content digest, not a value-sum fingerprint: polysemous
+            # reorder PERMUTES codebook rows, and a float sum of the same
+            # values collides bit-exactly — the digest can't
+            key = (books.shape, hash(books.tobytes()))
+            if self._pct is None or self._pct_key != key:
+                Cs = self.centroids.reshape(len(self.centroids), M, dsub)
+                self._pct = (books * books).sum(2)[None, :, :] + 2.0 * np.einsum(
+                    "lmd,mkd->lmk", Cs, books
+                )
+                self._pct_key = key
+            sub = self._pct[probed]
+        else:
+            Cs = self.centroids[probed].reshape(len(probed), M, dsub)
+            sub = (books * books).sum(2)[None, :, :] + 2.0 * np.einsum(
                 "lmd,mkd->lmk", Cs, books
             )
-            self._pct_key = key
-        return self._pct
+        return {int(l): sub[i] for i, l in enumerate(probed)}
 
     @staticmethod
     def train(
@@ -908,7 +928,9 @@ class IVFPQIndex:
         pre-filter of reference faiss/IndexIVFPQ.h:44 polysemous_ht /
         IndexIVFPQ.cpp QueryTables (the query is re-encoded against each
         probed list's centroid, exactly as the reference's per-list
-        q_code). ht ≥ M·8 keeps everything (bit-identical to unfiltered);
+        q_code). ht > M·8 keeps everything (strict hd < ht as the
+        reference's IndexIVFPQ.cpp, so ht = M·8 can drop an all-bits-flipped
+        candidate);
         tighter ht trades recall for scan-cost at 100 TB."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
@@ -934,7 +956,10 @@ class IVFPQIndex:
                 self.centroids,
                 self.pq.codebooks,
                 {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
-                self._precomputed_tables(),
+                # probed rows only: the broadcast scales with nprobe-ish
+                # coverage, never with nlist (ADVICE r9 — a billion-scale
+                # nlist must not cost a multi-GB broadcast per search)
+                self._precomputed_tables(probed_lists),
             )
         )
         k_ = k
@@ -993,7 +1018,9 @@ class IVFPQIndex:
                         ham += pop8[
                             np.bitwise_xor(qc[:, m][:, None], codes[None, :, m])
                         ]
-                    D[ham > ht] = np.inf
+                    # strict keep hd < ht, as the reference (IndexIVFPQ.cpp /
+                    # IndexPQ.cpp `if (hd < ht)`); ht > M*8 keeps everything
+                    D[ham >= ht] = np.inf
                 if list_no not in acc:
                     acc[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
                     qsels[list_no] = qsel
@@ -1066,11 +1093,17 @@ def search_preassigned(
         from faiss_spark.kernels import arrow_id_vec_blocks
 
         C_ = bc.value
+        f32_list = pa.list_(pa.float32())
         for qids, Q, vec_arr in arrow_id_vec_blocks(batches):
             D = pairwise_distances(Q, C_, metric)
             order = np.argsort(-D if largest else D, axis=1, kind="stable")[
                 :, :nprobe_
             ]
+            # the declared output schema is array<float>; an array<double>
+            # input (DataFrames built from Python floats) must cast before
+            # the zero-copy pass-through, as imi_assign/KMeansModel.assign do
+            if vec_arr.type != f32_list:
+                vec_arr = vec_arr.cast(f32_list)
             # nprobe_× replication via Arrow take — no per-row objects
             # (at 100 TB the query side is itself huge; this map is the
             # whole plan's fan-out)
@@ -1863,7 +1896,9 @@ class IMIPQIndex:
                         ham += pop8[
                             np.bitwise_xor(qc[:, m][:, None], codes[None, :, m])
                         ]
-                    D[ham > ht] = np.inf
+                    # strict keep hd < ht, as the reference (IndexIVFPQ.cpp /
+                    # IndexPQ.cpp `if (hd < ht)`); ht > M*8 keeps everything
+                    D[ham >= ht] = np.inf
                 if list_no not in acc:
                     acc[list_no] = TopKAccumulator(len(qsel), k_, largest=False)
                     qsels[list_no] = qsel

@@ -224,7 +224,7 @@ def test_imipq_sift1b_serving_knobs(vectors):
         return sorted((r["qid"], r["rank"], r["id"]) for r in df.collect())
 
     full = rows(idx.search(qs, 5, nprobe=8))
-    assert rows(idx.search(qs, 5, nprobe=8, polysemous_ht=32)) == full
+    assert rows(idx.search(qs, 5, nprobe=8, polysemous_ht=33)) == full
     assert rows(idx.search(qs, 5, nprobe=8, max_codes=10_000_000)) == full
     assert rows(idx.search(qs, 5, nprobe=8, max_codes=1)) == rows(
         idx.search(qs, 5, nprobe=1)

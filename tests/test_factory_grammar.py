@@ -362,9 +362,9 @@ def test_factory_pq_np_suffix_and_polysemous_default(vectors, queries):
     }
     loose = {
         (r["qid"], r["rank"], r["id"])
-        for r in trained.search(queries, 5, nprobe=8, polysemous_ht=32).collect()
+        for r in trained.search(queries, 5, nprobe=8, polysemous_ht=33).collect()
     }
-    assert loose == full  # ht >= M*8 keeps everything
+    assert loose == full  # ht > M*8 keeps everything (strict hd < ht)
     # np plan without polysemous-trained books still searches identically
     np_fit = np_plan.fit(vectors, seed=42)
     same = {

@@ -65,7 +65,8 @@ def test_optimize_pq_is_same_codec(vectors):
 
 
 def test_polysemous_ht_filter(vectors):
-    """ht ≥ M·8 keeps ADC results identical; a tight ht returns a subset
+    """ht > M·8 keeps ADC results identical (strict hd < ht, as the
+    reference); a tight ht returns a subset
     that always contains each query's own encoding (Hamming 0)."""
     pqm = ProductQuantizer(M=4, seed=42).fit(vectors)
     new_pqm, _ = PolysemousTraining(n_iter=1500, seed=7).optimize_pq(pqm)
@@ -77,7 +78,7 @@ def test_polysemous_ht_filter(vectors):
     }
     loose = {
         (r["qid"], r["rank"], r["id"])
-        for r in new_pqm.adc_search(codes, qs, 5, polysemous_ht=32).collect()
+        for r in new_pqm.adc_search(codes, qs, 5, polysemous_ht=33).collect()
     }
     assert loose == full
     tight = new_pqm.adc_search(codes, qs, 5, polysemous_ht=4).collect()
@@ -117,7 +118,7 @@ def test_pq_adc_sdc_query_collect_is_bounded(spark, monkeypatch):
 def test_ivfpq_polysemous_ht_filter(vectors):
     """VERDICT r8 #7 (reference faiss/IndexIVFPQ.h:44 polysemous_ht): the
     Hamming pre-filter runs INSIDE the IVF list scan against the query's
-    per-list RESIDUAL code. ht ≥ M·8 is bit-identical to unfiltered;
+    per-list RESIDUAL code. ht > M·8 is bit-identical to unfiltered;
     a tight ht never filters each query's own encoding (the stored code
     of a vector in its own best list is the query's residual code —
     Hamming 0) and only ever removes candidates."""
@@ -135,7 +136,7 @@ def test_ivfpq_polysemous_ht_filter(vectors):
     }
     loose = {
         (r["qid"], r["rank"], r["id"])
-        for r in idx.search(qs, 5, nprobe=8, polysemous_ht=32).collect()
+        for r in idx.search(qs, 5, nprobe=8, polysemous_ht=33).collect()
     }
     assert loose == full
     tight = idx.search(qs, 5, nprobe=8, polysemous_ht=4).collect()
@@ -145,3 +146,35 @@ def test_ivfpq_polysemous_ht_filter(vectors):
     assert top1 == {q: q for q in range(5)}
     # pruning only removes rows
     assert len(tight) <= len(full)
+
+
+def test_precomputed_table_digest_catches_permutation(vectors):
+    """ADVICE r9: the old (shape, sum) fingerprint was permutation-
+    invariant — PolysemousTraining reorders codebook ROWS with identical
+    values, so the f64 sum collides bit-exactly and a stale ADC table
+    could serve wrong distances. The content digest must invalidate on a
+    pure permutation, and the size gate must return the same rows as the
+    cached full table."""
+    import numpy as np
+
+    from faiss_spark.operators.ivf import IVFPQIndex
+
+    idx = IVFPQIndex.train(vectors, nlist=4, M=4, seed=42, niter=3, pq_niter=3)
+    before = idx._precomputed_tables([0, 1])
+    # pure row permutation of every sub-codebook: same value SUM, so the
+    # old fingerprint would collide; the digest must not
+    from faiss_spark.operators.codecs import ProductQuantizerModel
+
+    idx.pq = ProductQuantizerModel(
+        codebooks=np.ascontiguousarray(idx.pq.codebooks[:, ::-1, :])
+    )
+    after = idx._precomputed_tables([0, 1])
+    np.testing.assert_allclose(after[0], before[0][:, ::-1])
+    assert not np.allclose(after[0], before[0])
+    # size gate: above the byte budget the rows are computed per-search
+    # for the probed lists only — values identical to the cached path
+    idx.precomputed_table_max_bytes = 0
+    assert idx._pct is not None  # cache still holds the gated-off table
+    gated = idx._precomputed_tables([1, 3])
+    np.testing.assert_allclose(gated[1], after[1])
+    assert set(gated) == {1, 3}

