@@ -1968,7 +1968,7 @@ class IVFPQRIndex:
       (M + M_refine) bytes/row instead of 4·d.
 
     pqr_codes search plan (one pass, partition-pruned, no raw-vector
-    column anywhere): stage A probes on the driver; one mapInPandas scan
+    column anywhere): stage A probes on the driver; one Arrow-native scan
     per probed cell computes the ADC estimate for every code, shortlists
     the per-cell top k·k_factor by ADC (the reference shortlists the
     GLOBAL top k·k_factor — per-cell is a superset, so refined quality
@@ -1992,7 +1992,7 @@ class IVFPQRIndex:
     ) -> "IVFPQRIndex":
         """Train coarse + PQ1 (+ refine PQ on 2nd-level residuals when
         M_refine is set), then encode. With M_refine the add pass writes
-        (list_no, id, code, rcode) in ONE mapInPandas — the raw vectors
+        (list_no, id, code, rcode) in ONE Arrow-native map pass — the raw vectors
         are never needed again after this pass."""
         base = IVFPQIndex.train(
             vectors, nlist=nlist, M=M, seed=seed, pq_niter=pq_niter,
@@ -2557,7 +2557,9 @@ class IVFAQIndex:
     faiss/impl/AdditiveQuantizer.h:25), re-adds the list centroid, and
     GEMMs against the exact queries — same plan shape (partition-pruned
     scan + one candidate merge) as IVFSQIndex, so the 100 TB posture is
-    identical."""
+    identical. Encode, scan and reconstruct are Arrow-native
+    (mapInArrow + the shared zero-copy group helpers), like the other
+    IVF families."""
 
     centroids: np.ndarray  # (nlist, d)
     rq: "ResidualQuantizerModel"
@@ -2634,32 +2636,33 @@ class IVFAQIndex:
             (self.centroids, self.rq.codebooks, self.rq.beam, self.metric)
         )
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
             from faiss_spark.operators.codecs import ResidualQuantizerModel
 
             C, books, beam, metric = bc.value
             rqm = ResidualQuantizerModel(codebooks=books, beam=beam)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = as_matrix(pdf["vec"])
+            for ids, X, _ in arrow_id_vec_blocks(batches):
                 D = pairwise_distances(X, C, metric)
                 lists = (
                     np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
                 )
                 codes = rqm.encode_np(X - C[lists])
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "code": list(map(bytes, codes)),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(list(map(bytes, codes)), pa.binary()),
+                    ],
+                    names=["list_no", "id", "code"],
                 )
 
         src = vectors.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
         )
-        return src.mapInPandas(enc, schema="list_no int, id bigint, code binary")
+        return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, spark, path: str) -> None:
         fsio.write_npy(spark, os.path.join(path, "_ivfaq_centroids.npy"), self.centroids)
@@ -2703,26 +2706,39 @@ class IVFAQIndex:
         spark = self.codes.sparkSession
         bc = spark.sparkContext.broadcast((self.centroids, self.rq.codebooks))
 
-        def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dec(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_binary_matrix
+
             C, books = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf["code"]])
-                X = C[pdf["list_no"].to_numpy(np.int64)].astype(np.float64)
+                lists = np.asarray(
+                    b.column(0).to_numpy(zero_copy_only=False), np.int64
+                )
+                ids_ = np.asarray(
+                    b.column(1).to_numpy(zero_copy_only=False), np.int64
+                )
+                codes = arrow_binary_matrix(b.column(2))
+                X = C[lists].astype(np.float64)
                 for m in range(books.shape[0]):
                     X += books[m][codes[:, m]]
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "vec": list(X.astype(np.float32)),
-                    }
+                Xf = np.ascontiguousarray(X, np.float32)
+                n, d = Xf.shape
+                vec = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(Xf.ravel()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids_, pa.int64()), vec], names=["id", "vec"]
                 )
 
         src = self.codes
         if ids is not None:
             src = src.join(ids.select("id"), "id", "left_semi")
-        return src.select("list_no", "id", "code").mapInPandas(
+        return src.select("list_no", "id", "code").mapInArrow(
             dec, schema="id bigint, vec array<float>"
         )
 
@@ -2768,42 +2784,45 @@ class IVFAQIndex:
         k_ = k
         pruned = self.codes.filter(F.col("list_no").isin(probed_lists))
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def scan(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_code_groups
+
             qids_, Q_, l2q, C, books = bc.value
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
+            for list_no, codes, ids in arrow_code_groups(batches):
+                qsel = l2q.get(list_no)
+                if qsel is None or len(qsel) == 0:
                     continue
-                for list_no, grp in pdf.groupby("list_no"):
-                    qsel = l2q.get(int(list_no))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    codes = np.stack(
-                        [np.frombuffer(c, np.uint8) for c in grp["code"]]
+                # AQ decode: gather-sum the M codebook rows + list centroid
+                X = np.broadcast_to(
+                    C[list_no], (len(codes), C.shape[1])
+                ).astype(np.float64)
+                for m in range(books.shape[0]):
+                    X = X + books[m][codes[:, m]]
+                if list_no not in acc:
+                    acc[list_no] = TopKAccumulator(
+                        len(qsel), k_, metric in SIMILARITY_METRICS
                     )
-                    X = np.broadcast_to(
-                        C[int(list_no)], (len(codes), C.shape[1])
-                    ).astype(np.float64)
-                    for m in range(books.shape[0]):
-                        X = X + books[m][codes[:, m]]
-                    key = int(list_no)
-                    if key not in acc:
-                        acc[key] = TopKAccumulator(
-                            len(qsel), k_, metric in SIMILARITY_METRICS
-                        )
-                        acc[key].bind_queries(
-                            np.ascontiguousarray(Q_[qsel]), metric
-                        )
-                        qsels[key] = qsel
-                    acc[key].push_block(X, grp["id"].to_numpy(np.int64))
+                    acc[list_no].bind_queries(
+                        np.ascontiguousarray(Q_[qsel]), metric
+                    )
+                    qsels[list_no] = qsel
+                acc[list_no].push_block(X, ids)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
-                yield pd.DataFrame(
-                    {"qid": qids_[qsels[key][qidx]], "id": nid, "dist": nd}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[qsels[key][qidx]], pa.int64()),
+                        pa.array(nid, pa.int64()),
+                        pa.array(nd, pa.float64()),
+                    ],
+                    names=["qid", "id", "dist"],
                 )
 
-        cands = pruned.select("list_no", "id", "code").mapInPandas(
+        cands = pruned.select("list_no", "id", "code").mapInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         sort = [

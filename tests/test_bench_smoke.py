@@ -96,3 +96,35 @@ def test_sentinel_disk_band_flags_without_cpu_band(tmp_path, monkeypatch):
         _json.dump({"numpy_sec": 0.05, "sql_sec": 0.08}, f)
     s3 = bench_mod._sentinel_summary(clean, clean)
     assert not s3["contended"] and s3["calibration"]["disk_sec"] == 1.0
+
+
+def test_sentinel_stale_floor_ages_out(tmp_path, monkeypatch):
+    """VERDICT r9 #1: the old best-ever floor never aged — a machine
+    change left every subsequent run labeled contended (band ~2.4, drift
+    ~1.0) and the label stopped discriminating. The rolling window must
+    (a) keep flagging a genuinely slower run while the fast floor is in
+    the window, and (b) stop flagging once CAL_WINDOW consistent runs at
+    the new normal have aged the stale point out."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(bench_mod, "CALIBRATION_FILE", str(tmp_path / "c.json"))
+    fast = {"numpy_sec": 0.04, "sql_sec": 0.08, "disk_sec": 0.4}
+    slow = {k: v * 2.4 for k, v in fast.items()}  # the new machine normal
+    bench_mod._sentinel_summary(fast, fast)
+    s = bench_mod._sentinel_summary(slow, slow)
+    assert s["contended"]  # fast floor still in window: honest flag
+    for _ in range(bench_mod.CAL_WINDOW):
+        s = bench_mod._sentinel_summary(slow, slow)
+    # the stale fast draw aged out; slow IS the floor now
+    assert s["band_factor"] == 1.0 and not s["contended"]
+    assert s["calibration"]["numpy_sec"] == slow["numpy_sec"]
+    # and a faster draw still tightens immediately (self-healing down)
+    s2 = bench_mod._sentinel_summary(fast, fast)
+    assert s2["calibration"]["numpy_sec"] == fast["numpy_sec"]
+    # legacy flat-format file (pre-window): discarded, window restarts
+    with open(tmp_path / "c.json", "w") as f:
+        import json as _json
+
+        _json.dump({"numpy_sec": 0.01, "sql_sec": 0.01, "disk_sec": 0.01}, f)
+    s3 = bench_mod._sentinel_summary(slow, slow)
+    assert s3["calibrated_this_run"] and not s3["contended"]
