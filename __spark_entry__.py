@@ -2689,82 +2689,20 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2):
-    # this round the head = the 10 remaining r06-stale entries (now 9 —
-    # dedup_simhash64 merged into dedup_simhash, r8 #9) + the 8
-    # never-driver-checked entries (5 from r8; ivfpq_polysemous,
-    # miq2_search and imipq_search new in r9) + the 33 oldest r07-green
-    # entries. After r9 every driver-checked entry is green within the
-    # last two rounds except `text_features`, `pii_features` and
-    # `decontaminate` (bumped past slot 50 by the three new r9 entries);
-    # r10's head absorbs them plus the rest of the r07 cohort + the
-    # r08-green block. Surface stays at 115: ivfpq_fastscan_nores merged
-    # into ivfpq_fastscan (both by_residual modes, tagged prop rows).
+    # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2,
+    # r9 #2): this round the head = the 15 remaining r07-green entries
+    # (text_features / pii_features / decontaminate were bumped past slot
+    # 50 by the three new r9 entries, plus the rest of the r07 cohort) +
+    # the 35 oldest r08-green entries (CORRECTNESS_r08 order). The 15
+    # remaining r08-green entries follow at slots 51-65 and lead the r11
+    # head, then the r09-green block. Surface stays at 115 (r9 #9).
     return {
-        # --- the r06-stale entries (last driver check: CORRECTNESS_r06;
-        # judge-green in the r8 verdict's independent 115/115 sweep) ---
-        "dedup_simhash": q_dedup_simhash,
-        "matrix_stats": q_matrix_stats,
-        "knn_selector_batch": q_knn_selector_batch,
-        "knn_1d": q_knn_1d,
-        "image_features": q_image_features,
-        "sq6_reconstruction": q_sq6_reconstruction,
-        "bivf_search": q_bivf_search,
-        "knn_graph_bucketed": q_knn_graph_bucketed,
-        "factory_pipeline": q_factory_pipeline,
-        # --- the never-driver-checked round-8/9 additions (5 from r8 +
-        # ivfpq_polysemous, new this round) ---
-        "prq_fastscan": q_prq_fastscan,
-        "quality_classifier": q_quality_classifier,
-        "importance_filter": q_importance_filter,
-        "dedup_against": q_dedup_against,
-        "perplexity_buckets": q_perplexity_buckets,
-        "ivfpq_polysemous": q_ivfpq_polysemous,
-        "miq2_search": q_miq2_search,
-        "imipq_search": q_imipq_search,
-        # --- the 33 oldest r07-green entries (driver-green in
-        # CORRECTNESS_r07, rotated back under the 50-slot cap; the three
-        # new head entries above bump `text_features`, `pii_features`
-        # and `decontaminate` to the r10 head) ---
-        "refine_search": q_refine_search,
-        "knn_l2": q_knn_l2,
-        "imi_search_exact": q_imi_search_exact,
-        "spectral_hash_search": q_spectral_hash_search,
-        "polysemous_filter": q_polysemous_filter,
-        "lattice_codec": q_lattice_codec,
-        "knn_filtered": q_knn_filtered,
-        "knn_lp3": q_knn_lp3,
-        "vector_dedup": q_vector_dedup,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "events_sessions": q_events_sessions,
-        "events_sessionize": q_events_sessionize,
-        "range_search_l2": q_range_search,
-        "ivf_range_search": q_ivf_range_search,
-        "knn_graph": q_knn_graph,
-        "vector_norms": q_vector_norms,
-        "knn_tabular": q_knn_tabular,
-        "ivfsq_search_exact": q_ivfsq_search_exact,
-        "ivfaq_search": q_ivfaq_search,
-        "rcq_ivf_search": q_rcq_ivf_search,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "kmeans_assign": q_kmeans_assign,
-        "temperature_sample": q_temperature_sample,
-        "assign_splits": q_assign_splits,
-        "filter_corpus": q_filter_corpus,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "dedup_components": q_dedup_components,
-        "term_frequencies": q_term_frequencies,
-        "autotune_nprobe": q_autotune_nprobe,
-        "dedup_ngram_jaccard": q_dedup_ngram,
-        "dedup_embedding_cosine": q_dedup_embedding,
+        # --- the 15 r07-green entries (last driver check:
+        # CORRECTNESS_r07; judge-green in the r9 verdict's independent
+        # 115/115 sweep) ---
         "text_features": q_text_features,
         "pii_features": q_pii_features,
         "decontaminate": q_decontaminate,
-        # --- tail starts here (entry 51): the rest of the r07-green
-        # cohort (they lead the r10 gate), then the r08-green block,
-        # then round-9 additions at the very end ---
         "repetition_features": q_repetition_features,
         "pca_project": q_pca_project,
         "pq_adc_search": q_pq_adc_search,
@@ -2777,7 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_png": q_image_features_png,
         "ngram_perplexity": q_ngram_perplexity,
         "bpe_train": q_bpe_train,
-        # --- r08-green block (driver-green in CORRECTNESS_r08) ---
+        # --- the 35 oldest r08-green entries (CORRECTNESS_r08 order) ---
         "shuffle_corpus": q_shuffle_corpus,
         "gopher_quality": q_gopher_quality,
         "ngram_repetition": q_ngram_repetition,
@@ -2813,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aq_fastscan": q_aq_fastscan,
         "nsg_search": q_nsg_search,
         "knn_ip": q_knn_ip,
+        # --- tail starts here (entry 51): the 15 remaining r08-green
+        # entries (they lead the r11 gate), then the r09-green block ---
         "knn_cosine": q_knn_cosine,
         "knn_canberra": q_knn_canberra,
         "knn_braycurtis": q_knn_braycurtis,
@@ -2828,6 +2768,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_reconstruction": q_sq8_reconstruction,
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
+        # --- r09-green block (driver-green in CORRECTNESS_r09) ---
+        "dedup_simhash": q_dedup_simhash,
+        "matrix_stats": q_matrix_stats,
+        "knn_selector_batch": q_knn_selector_batch,
+        "knn_1d": q_knn_1d,
+        "image_features": q_image_features,
+        "sq6_reconstruction": q_sq6_reconstruction,
+        "bivf_search": q_bivf_search,
+        "knn_graph_bucketed": q_knn_graph_bucketed,
+        "factory_pipeline": q_factory_pipeline,
+        "prq_fastscan": q_prq_fastscan,
+        "quality_classifier": q_quality_classifier,
+        "importance_filter": q_importance_filter,
+        "dedup_against": q_dedup_against,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ivfpq_polysemous": q_ivfpq_polysemous,
+        "miq2_search": q_miq2_search,
+        "imipq_search": q_imipq_search,
+        "refine_search": q_refine_search,
+        "knn_l2": q_knn_l2,
+        "imi_search_exact": q_imi_search_exact,
+        "spectral_hash_search": q_spectral_hash_search,
+        "polysemous_filter": q_polysemous_filter,
+        "lattice_codec": q_lattice_codec,
+        "knn_filtered": q_knn_filtered,
+        "knn_lp3": q_knn_lp3,
+        "vector_dedup": q_vector_dedup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "events_sessions": q_events_sessions,
+        "events_sessionize": q_events_sessionize,
+        "range_search_l2": q_range_search,
+        "ivf_range_search": q_ivf_range_search,
+        "knn_graph": q_knn_graph,
+        "vector_norms": q_vector_norms,
+        "knn_tabular": q_knn_tabular,
+        "ivfsq_search_exact": q_ivfsq_search_exact,
+        "ivfaq_search": q_ivfaq_search,
+        "rcq_ivf_search": q_rcq_ivf_search,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "kmeans_assign": q_kmeans_assign,
+        "temperature_sample": q_temperature_sample,
+        "assign_splits": q_assign_splits,
+        "filter_corpus": q_filter_corpus,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
+        "term_frequencies": q_term_frequencies,
+        "autotune_nprobe": q_autotune_nprobe,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_embedding_cosine": q_dedup_embedding,
     }
 
 
