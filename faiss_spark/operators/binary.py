@@ -236,6 +236,53 @@ class BinaryIVFIndex:
         self.centroid_words = centroid_words  # (nlist, nwords) int64
         self.nbits = nbits
         self.codes: DataFrame | None = None
+        # graph-routed coarse assignment (BIVF<n>_HNSW<m>), see
+        # build_coarse_graph
+        self._cgraph: np.ndarray | None = None
+        self._cep: int | None = None
+        self._cbits: np.ndarray | None = None
+        self.coarse_graph_r: int | None = None
+
+    def build_coarse_graph(self, R: int = 32) -> "BinaryIVFIndex":
+        """`BIVF<n>_HNSW<m>` (reference index_factory.cpp:895-915: the
+        binary factory accepts an HNSW-assigned coarse quantizer).
+        Batch-graph twin of the float `IVF<n>_HNSW<m>` routing: a beam
+        walk over the FLOAT-CAST centroid bits — 0/1 squared-L2 equals
+        Hamming exactly (the same equivalence binary NSG rides,
+        nsg.py), so the walk ranks cells by true Hamming distance while
+        the assign cost drops from nq·nlist to nq·L·R word ops."""
+        from faiss_spark.operators.nsg import _build_shard_graph
+
+        C = _words_to_bits(self.centroid_words, self.nbits).astype(np.float64)
+        R = max(1, min(R, len(C) - 1)) if len(C) > 1 else 1
+        self._cbits = C
+        self._cgraph, self._cep = _build_shard_graph(C, R=R, knn_k=max(2 * R, 16))
+        self.coarse_graph_r = R
+        return self
+
+    def _routed_probes(self, qwords: np.ndarray, nprobe: int) -> np.ndarray:
+        """Beam-walk probe selection over the centroid graph, padded to
+        exactly nprobe DISTINCT cells per query (a short pool fills with
+        unvisited cells — scanning extras is a superset, a duplicate
+        would double-count candidates downstream)."""
+        from faiss_spark.operators.nsg import _beam_search_all
+
+        Qb = _words_to_bits(qwords, self.nbits).astype(np.float64)
+        probes, _ = _beam_search_all(
+            self._cbits, self._cgraph, self._cep, Qb, nprobe,
+            search_L=max(2 * nprobe, 16),
+        )
+        nlist = len(self.centroid_words)
+        for r in range(len(probes)):
+            row = probes[r]
+            if (row >= 0).all():
+                continue
+            used = set(int(c) for c in row[row >= 0])
+            fill = (c for c in range(nlist) if c not in used)
+            for j in range(len(row)):
+                if row[j] < 0:
+                    row[j] = next(fill)
+        return probes
 
     @staticmethod
     def train(
@@ -355,9 +402,12 @@ class BinaryIVFIndex:
             d=self.centroid_words.shape[1],
         )
         qwords = np.stack([np.asarray(w, np.int64) for w in qpdf[qcode_col]])
-        pc = self._hamming_to_centroids(qwords)
         nprobe_ = min(nprobe, len(self.centroid_words))
-        order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
+        if self._cgraph is not None:
+            order = self._routed_probes(qwords, nprobe_)
+        else:
+            pc = self._hamming_to_centroids(qwords)
+            order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
         probed = sorted({int(c) for c in order.ravel()})
         # probe table joined on list_no keeps everything JVM-side
         spark = self.codes.sparkSession

@@ -708,6 +708,220 @@ class IVFRCQIndex:
 
 
 @dataclass
+class NestedCoarseRouter:
+    """Coarse assignment through an arbitrary parenthesized SUB-INDEX
+    over the centroids (reference index_factory.cpp:241-289: the factory
+    builds `IVF<n>(<sub-description>)` with the sub-index as quantizer —
+    e.g. `IVF1000(PQ16)` assigns via ADC over PQ-coded centroids, nested
+    `IVF1000(IVF32,Flat)` routes through a two-level tree).
+
+    The centroid table is driver-sized (nlist × d floats), so the
+    sub-index here is its trained artifacts plus a vectorized assign
+    over a broadcast copy — the Spark plan (partition-pruned list scan)
+    is untouched; only stage A (probe selection) and the add-side
+    assignment change, exactly the split the graph-routed `IVF<n>_NSG`
+    family already uses.
+
+    kinds:
+      flat — exact argmin (``IVF<n>(Flat)`` ≡ plain ``IVF<n>``)
+      pq   — ADC over PQ codes of the centroids (``IVF<n>(PQ<M>[x<b>])``)
+      ivf  — two-level routing (``IVF<n>(IVF<m>,Flat)``): an inner
+             k-means over the centroids; probes come from ranking the
+             nearest inner cells' member centroids, nearest-cell-first,
+             until nprobe are ranked. At nprobe = nlist every member is
+             ranked exactly, so full probe == exact (the ★oracle hook).
+    """
+
+    kind: str  # "flat" | "pq" | "ivf"
+    centroids: np.ndarray  # (nlist, d) f64
+    pq_books: np.ndarray | None = None  # (M, ksub, dsub)
+    cent_codes: np.ndarray | None = None  # (nlist, M) int64
+    inner_centroids: np.ndarray | None = None  # (k2, d)
+    cent_cell: np.ndarray | None = None  # (nlist,) inner cell per centroid
+
+    @staticmethod
+    def build(
+        sub: tuple, centroids: np.ndarray, seed: int = 1234
+    ) -> "NestedCoarseRouter":
+        from faiss_spark.operators.codecs import _kmeans_np
+
+        C = np.ascontiguousarray(centroids, np.float64)
+        kind = sub[0]
+        if kind == "flat":
+            return NestedCoarseRouter(kind="flat", centroids=C)
+        if kind == "pq":
+            _, M, nbits = sub
+            d = C.shape[1]
+            if d % M:
+                raise ValueError(f"d={d} not divisible by sub-index PQ M={M}")
+            dsub = d // M
+            ksub = min(1 << nbits, len(C))
+            books = np.empty((M, ksub, dsub), np.float64)
+            codes = np.empty((len(C), M), np.int64)
+            for m in range(M):
+                books[m], codes[:, m] = _kmeans_np(
+                    C[:, m * dsub : (m + 1) * dsub], ksub, 15, seed + m
+                )
+            return NestedCoarseRouter(
+                kind="pq", centroids=C, pq_books=books, cent_codes=codes
+            )
+        if kind == "ivf":
+            _, k2 = sub
+            inner, labels = _kmeans_np(C, min(int(k2), len(C)), 15, seed)
+            return NestedCoarseRouter(
+                kind="ivf", centroids=C, inner_centroids=inner, cent_cell=labels
+            )
+        raise ValueError(f"unknown nested coarse kind {kind!r}")
+
+    def assign_np(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
+        """(nq, nprobe) probe cells, the sub-index's own ranking."""
+        Q = np.ascontiguousarray(Q, np.float64)
+        nprobe = min(nprobe, len(self.centroids))
+        if self.kind == "flat":
+            D = pairwise_distances(Q, self.centroids, "l2")
+            return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        if self.kind == "pq":
+            books, codes = self.pq_books, self.cent_codes
+            M, ksub, dsub = books.shape
+            Qs = Q.reshape(len(Q), M, dsub)
+            # per-query ADC LUTs over the centroid codes — the reference's
+            # quantizer->search with an IndexPQ quantizer
+            luts = (
+                (Qs * Qs).sum(2)[:, :, None]
+                + (books * books).sum(2)[None, :, :]
+                - 2.0 * np.einsum("qmd,mkd->qmk", Qs, books)
+            )
+            D = np.zeros((len(Q), len(codes)), np.float64)
+            for m in range(M):
+                D += luts[:, m, codes[:, m]]
+            return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        # kind == "ivf": rank member centroids of the nearest inner
+        # cells, nearest-cell-first, until nprobe are ranked exactly
+        Din = pairwise_distances(Q, self.inner_centroids, "l2")
+        inner_order = np.argsort(Din, axis=1, kind="stable")
+        members = [
+            np.flatnonzero(self.cent_cell == c)
+            for c in range(len(self.inner_centroids))
+        ]
+        out = np.empty((len(Q), nprobe), np.int64)
+        for qi in range(len(Q)):
+            cand, tot = [], 0
+            for c in inner_order[qi]:
+                if len(members[c]) == 0:
+                    continue
+                cand.append(members[c])
+                tot += len(members[c])
+                if tot >= nprobe:
+                    break
+            cc = np.concatenate(cand)
+            d = ((Q[qi][None, :] - self.centroids[cc]) ** 2).sum(1)
+            out[qi] = cc[np.argsort(d, kind="stable")[:nprobe]]
+        return out
+
+
+@dataclass
+class IVFNestedIndex:
+    """IVF whose coarse quantizer is an arbitrary parenthesized
+    sub-index (reference index_factory.cpp:241-289 — the generic
+    `IVF<n>(<any sub-index>)` grammar the RCQ/LSQ special case belongs
+    to). Flat codes; the codes-table layout, partition pruning, scan and
+    merge are IDENTICAL to IVFIndex — stage A (probe selection) and the
+    add-side assignment route through the sub-index instead of an exact
+    argmin. L2 only (the quantizer contract minimizes squared L2).
+
+    Why it matters at scale: with nlist ~ 2^20, exact assignment costs
+    nq·nlist·d per batch; a PQ sub-index drops that to nq·M·ksub·(dsub +
+    nlist/ksub-ish adds) and a nested IVF to nq·(k2 + nlist/k2)·d — the
+    same reason the reference quantizes its quantizer at billion scale."""
+
+    router: NestedCoarseRouter
+    metric: str = "l2"
+    codes: DataFrame | None = None
+    path: str | None = None
+
+    @staticmethod
+    def train(
+        vectors: DataFrame,
+        nlist: int,
+        sub: tuple = ("flat",),
+        vec_col: str = "vec",
+        seed: int = 1234,
+        niter: int = 20,
+    ) -> "IVFNestedIndex":
+        """Coarse k-means (train_q1), then train the sub-index ON the
+        centroids (the reference trains the parenthesized quantizer on
+        the same data the centroids came from; here the centroids ARE
+        its corpus, which is what it must rank)."""
+        km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
+        return IVFNestedIndex(
+            router=NestedCoarseRouter.build(sub, km.centroids, seed=seed)
+        )
+
+    @property
+    def nlist(self) -> int:
+        return len(self.router.centroids)
+
+    @property
+    def centroids(self) -> np.ndarray:
+        return self.router.centroids
+
+    def add(
+        self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> "IVFNestedIndex":
+        """Sub-index top-1 assignment, map-only (broadcast router, Arrow
+        zero-copy in, original vec column passed through)."""
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(self.router)
+
+        def do(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
+            r = bc.value
+            f32_list = pa.list_(pa.float32())
+            for ids, X, vec_arr in arrow_id_vec_blocks(batches):
+                lists = r.assign_np(X, 1)[:, 0]
+                if vec_arr.type != f32_list:
+                    vec_arr = vec_arr.cast(f32_list)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(ids, pa.int64()),
+                        vec_arr,
+                    ],
+                    names=["list_no", "id", "vec"],
+                )
+
+        src = vectors.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        )
+        self.codes = src.mapInArrow(
+            do, schema="list_no int, id bigint, vec array<float>"
+        )
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 1,
+        qid_col: str = "qid",
+        qvec_col: str = "vec",
+    ) -> DataFrame:
+        """Stage A = sub-index ranking; stages B+C shared with IVFIndex."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        nprobe = min(nprobe, self.nlist)
+        qids, Q = collect_queries_bounded(
+            queries, qid_col, qvec_col, "IVFNestedIndex.search",
+            d=self.router.centroids.shape[1],
+        )
+        probes = self.router.assign_np(Q, nprobe)
+        return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
+
+
+@dataclass
 class IVFPQIndex:
     """IVF + PQ-on-residuals — the reference's flagship composite
     (IndexIVFPQ, faiss/IndexIVFPQ.h:34-49; search lifecycle SURVEY §3.2).

@@ -133,33 +133,55 @@ def parameter_sweep(
     k: int,
     nprobes: list[int],
     max_codes: list[int | None] | None = None,
+    polysemous_hts: list[int | None] | None = None,
 ) -> list[OperatingPoint]:
-    """Sweep nprobe (× optionally max_codes — the scan-budget axis the
-    reference's ParameterSpace exposes as the "max_codes" parameter,
-    AutoTune.cpp set_index_parameter), measure recall-vs-exact and wall
-    time, mark the Pareto-optimal points (reference
-    ParameterSpace::explore, faiss/AutoTune.cpp; OperatingPoints
-    frontier AutoTune.h:87-125)."""
+    """Sweep nprobe × max_codes (the scan-budget axis the reference's
+    ParameterSpace exposes as "max_codes") × polysemous_ht (the Hamming
+    pre-filter axis — AutoTune.cpp set_index_parameter handles all
+    three), measure recall-vs-exact and wall time, mark the
+    Pareto-optimal points (reference ParameterSpace::explore,
+    faiss/AutoTune.cpp; OperatingPoints frontier AutoTune.h:87-125).
+
+    With all three axes on an IMIPQ index this reproduces the
+    reference's published SIFT1B operating point ("IMI2x12,PQ16,
+    nprobe=16, max_codes=10000, ht=48", benchs/README.md:122) as a sweep
+    row instead of a single hand-picked config. Indexes whose search()
+    takes the knobs directly (IMIPQIndex, IVFPQIndex for ht) are called
+    directly; a bare IVFIndex budget sweep routes through
+    search_with_parameters as before."""
+    import inspect
+
     from faiss_spark.functions.evaluation import knn_intersection_measure
     from faiss_spark.operators.ivf import search_with_parameters
 
+    sig = inspect.signature(index.search).parameters
     points: list[OperatingPoint] = []
     for np_ in nprobes:
         for mc in max_codes or [None]:
-            t0 = time.perf_counter()
-            if mc is None:
-                res = index.search(queries, k, nprobe=np_)
-            else:
-                res, _ = search_with_parameters(
-                    index, queries, k, nprobe=np_, max_codes=mc
-                )
-            res.count()  # materialize
-            dt = time.perf_counter() - t0
-            rec = knn_intersection_measure(res, truth, k)
-            params = {"nprobe": np_}
-            if mc is not None:
-                params["max_codes"] = mc
-            points.append(OperatingPoint(params, rec, dt))
+            for ht in polysemous_hts or [None]:
+                kw = {}
+                if mc is not None:
+                    kw["max_codes"] = mc
+                if ht is not None:
+                    kw["polysemous_ht"] = ht
+                t0 = time.perf_counter()
+                if all(key in sig for key in kw):
+                    res = index.search(queries, k, nprobe=np_, **kw)
+                elif set(kw) == {"max_codes"}:
+                    res, _ = search_with_parameters(
+                        index, queries, k, nprobe=np_, max_codes=mc
+                    )
+                else:
+                    raise ValueError(
+                        f"{type(index).__name__}.search does not take "
+                        f"{sorted(kw)} and no fallback covers them"
+                    )
+                res.count()  # materialize
+                dt = time.perf_counter() - t0
+                rec = knn_intersection_measure(res, truth, k)
+                params = {"nprobe": np_}
+                params.update(kw)
+                points.append(OperatingPoint(params, rec, dt))
     # Pareto: no other point has (recall ≥, time ≤) with one strict
     for p in points:
         p.pareto = not any(

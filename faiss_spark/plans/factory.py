@@ -8,7 +8,10 @@ pipelines: transform chain (operators/transforms.py) + index stage
 
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
-  main       : Flat | IMI2x<b>,{Flat|PQ<M>} | IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
+  main       : Flat | IMI2x<b>,{Flat|PQ<M>} |
+               IVF<nlist>(Flat|PQ<M>[x<b>]|IVF<m>[,Flat]),Flat  (nested
+               coarse quantizer, index_factory.cpp:241-289) |
+               IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
                {Flat|PQ<M>[x<b>][np]|PQ<M1>+<M2>|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|
                 SQfp16|RQ<M>|RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|
                 PLSQ<ns>x<M>x4fs[r]} |
@@ -19,7 +22,7 @@ Supported subset (the workhorse combinations):
   refinement : RFlat | Refine(<codec>) (exact / codec-reconstruction
                re-rank of k*k_factor candidates, reference IndexRefine /
                IndexRefineFlat, index_factory.cpp:664-689)
-  binary     : BFlat | BIVF<nlist> | BHash<b> (index_binary_factory,
+  binary     : BFlat | BIVF<nlist>[_HNSW<m>] | BHash<b> (index_binary_factory,
                reference faiss/index_factory.cpp:895-915)
 e.g. "PCA32,IVF256,PQ8", "L2norm,Flat", "OPQ8,IVF64,PQ8,RFlat",
 "IVF65536(RCQ2x8),Flat", "IVF1024_NSG32,Flat", "IMI2x10,Flat", "PQ8x4",
@@ -75,6 +78,9 @@ class IndexPlan:
     coarse: str | None = None  # None (k-means) | "rcq" | "lsq"
     coarse_m: int | None = None
     coarse_nbits: int | None = None
+    # generic nested coarse quantizer (reference index_factory.cpp:241-289
+    # `IVF<n>(<sub>)`): ("flat",) | ("pq", M, nbits) | ("ivf", k2)
+    nested: tuple | None = None
     # ZnLattice<nsq>x<r2>_<scale_nbit> (reference index_factory.cpp:535)
     lat_nsq: int | None = None
     lat_r2: int | None = None
@@ -195,6 +201,12 @@ class IndexPlan:
             self.index = IVFRCQIndex.train(
                 cur, M=self.coarse_m, nbits=self.coarse_nbits, seed=seed,
                 lsq=(self.coarse == "lsq"),
+            ).add(cur)
+        elif self.index_type == "ivfflat" and self.nested is not None:
+            from faiss_spark.operators.ivf import IVFNestedIndex
+
+            self.index = IVFNestedIndex.train(
+                cur, nlist=self.nlist, sub=self.nested, seed=seed
             ).add(cur)
         elif self.index_type == "ivfflat" and self.flat_dedup:
             from faiss_spark.operators.refine import dedup_flat
@@ -546,11 +558,40 @@ class IndexPlan:
         )
 
 
+def _split_tokens(description: str) -> list[str]:
+    """Comma split at paren depth 0 — a parenthesized sub-description is
+    ONE token (the reference tokenizer does the same so that nested
+    quantizers like ``IVF1000(IVF32,Flat),Flat`` parse,
+    index_factory.cpp:214)."""
+    toks: list[str] = []
+    depth, cur = 0, []
+    for ch in description:
+        if ch == "," and depth == 0:
+            t = "".join(cur).strip()
+            if t:
+                toks.append(t)
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parentheses in {description!r}")
+        cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in {description!r}")
+    t = "".join(cur).strip()
+    if t:
+        toks.append(t)
+    return toks
+
+
 def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     """Parse a faiss factory string (reference index_factory.cpp:192-804
     grammar, round-1 subset) into an IndexPlan."""
     plan = IndexPlan(metric=metric)
-    tokens = [t.strip() for t in description.split(",") if t.strip()]
+    tokens = _split_tokens(description)
     i = 0
     # leading transforms
     while i < len(tokens):
@@ -600,6 +641,44 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.index_type = "ivfflat"
         else:
             raise ValueError(f"{tok!r} supports Flat or PQ<M> codes only")
+        i += 1
+        if i < len(tokens) and tokens[i] == "RFlat":
+            plan.refine_flat = True
+            i += 1
+        if i != len(tokens):
+            raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
+        return plan
+    # generic nested coarse quantizer (reference index_factory.cpp:241-289:
+    # any parenthesized sub-description builds the quantizer; the RCQ/LSQ
+    # forms below are the additive special case). Supported sub-indexes:
+    # Flat (== plain IVF), PQ<M>[x<b>] (ADC-routed), IVF<m>[,Flat]
+    # (two-level nested IVF).
+    m = re.match(
+        r"^IVF(\d+)\((Flat|PQ\d+(?:x\d+)?|IVF\d+(?:,Flat)?)\)$", tok
+    )
+    if m:
+        if metric != "l2":
+            raise ValueError(
+                f"{tok!r}: nested coarse quantizers rank by squared L2 "
+                f"(the reference quantizer contract), got {metric!r}"
+            )
+        plan.nlist = int(m.group(1))
+        sub = m.group(2)
+        if sub == "Flat":
+            plan.nested = ("flat",)
+        elif sub.startswith("PQ"):
+            sm = re.match(r"^PQ(\d+)(?:x(\d+))?$", sub)
+            plan.nested = ("pq", int(sm.group(1)), int(sm.group(2) or 8))
+        else:
+            sm = re.match(r"^IVF(\d+)(?:,Flat)?$", sub)
+            plan.nested = ("ivf", int(sm.group(1)))
+        i += 1
+        if i >= len(tokens) or tokens[i] != "Flat":
+            raise ValueError(
+                f"nested coarse quantizer {tok!r} supports Flat codes only"
+                + (f", got {tokens[i]!r}" if i < len(tokens) else "")
+            )
+        plan.index_type = "ivfflat"
         i += 1
         if i < len(tokens) and tokens[i] == "RFlat":
             plan.refine_flat = True
@@ -830,10 +909,24 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             i += 1
         elif rm:
             # Refine(<sub>) (reference index_factory.cpp:664-677);
-            # Refine(Flat) IS IndexRefineFlat (:678-689 maps both)
+            # Refine(Flat) IS IndexRefineFlat (:678-689 maps both).
+            # Validate the sub-description NOW — the paren-aware
+            # tokenizer keeps "Refine(PCA8,SQ8)" as one token, so a bad
+            # codec must still fail at parse time, not first fit
             if rm.group(1) == "Flat":
                 plan.refine_flat = True
             else:
+                sub = index_factory(rm.group(1), metric=metric)
+                if sub.transforms or sub.sql_transforms:
+                    raise ValueError(
+                        f"Refine({rm.group(1)}): transforms are not "
+                        "allowed inside the refine codec"
+                    )
+                if sub.index_type not in ("sq", "pq", "rq", "paq"):
+                    raise ValueError(
+                        f"Refine({rm.group(1)}): refine stage must be a "
+                        "codec (SQn/PQm/RQm/PRQ/PLSQ) or Flat (RFlat)"
+                    )
                 plan.refine_desc = rm.group(1)
             i += 1
     if i != len(tokens):
@@ -874,6 +967,16 @@ def reverse_index_factory(plan: IndexPlan) -> str:
                 f"IVF{plan.nlist}({plan.coarse.upper()}"
                 f"{plan.coarse_m}x{plan.coarse_nbits})"
             )
+        elif plan.nested is not None:
+            if plan.nested[0] == "flat":
+                sub = "Flat"
+            elif plan.nested[0] == "pq":
+                sub = f"PQ{plan.nested[1]}" + (
+                    f"x{plan.nested[2]}" if plan.nested[2] != 8 else ""
+                )
+            else:
+                sub = f"IVF{plan.nested[1]},Flat"
+            parts.append(f"IVF{plan.nlist}({sub})")
         else:
             parts.append(ivf_tok())
         parts.append("FlatDedup" if plan.flat_dedup else "Flat")
@@ -1036,6 +1139,9 @@ class BinaryIndexPlan:
     nlist: int | None = None
     hash_b: int | None = None
     nhash: int | None = None
+    # BIVF<n>_HNSW<m> (reference index_factory.cpp:895-915): graph-routed
+    # coarse assignment over the binary centroids
+    coarse_graph_r: int | None = None
 
     index: object | None = None
     _codes = None
@@ -1055,6 +1161,9 @@ class BinaryIndexPlan:
             self.index = BinaryIVFIndex.train(
                 codes, nlist=self.nlist, nbits=nbits, code_col=code_col, seed=seed
             ).add(codes, id_col=id_col, code_col=code_col)
+            if self.coarse_graph_r is not None:
+                # the same batch-graph routing float IVF<n>_HNSW<m> uses
+                self.index.build_coarse_graph(R=self.coarse_graph_r)
         elif self.kind == "bmultihash":
             from faiss_spark.operators.binary import BinaryMultiHashIndex
 
@@ -1094,9 +1203,21 @@ def index_binary_factory(description: str) -> BinaryIndexPlan:
     desc = description.strip()
     if desc == "BFlat":
         return BinaryIndexPlan(kind="bflat")
-    m = re.match(r"^BIVF(\d+)$", desc)
+    m = re.match(r"^BIVF(\d+)(?:_HNSW(\d+)?)?$", desc)
     if m:
-        return BinaryIndexPlan(kind="bivf", nlist=int(m.group(1)))
+        # BIVF<n>[_HNSW<m>] (reference index_factory.cpp:895-915: the
+        # binary factory accepts an HNSW-assigned coarse quantizer; the
+        # batch twin routes probes through a beam-walk graph over the
+        # float-cast centroid bits — 0/1-L2 == Hamming exactly)
+        return BinaryIndexPlan(
+            kind="bivf",
+            nlist=int(m.group(1)),
+            coarse_graph_r=(
+                (int(m.group(2)) if m.group(2) else 32)
+                if desc != f"BIVF{m.group(1)}"
+                else None
+            ),
+        )
     m = re.match(r"^BHash(\d+)x(\d+)$", desc)
     if m:
         # IndexBinaryMultiHash (reference index_factory.cpp:911)
@@ -1113,7 +1234,9 @@ def reverse_index_binary_factory(plan: BinaryIndexPlan) -> str:
     if plan.kind == "bflat":
         return "BFlat"
     if plan.kind == "bivf":
-        return f"BIVF{plan.nlist}"
+        return f"BIVF{plan.nlist}" + (
+            f"_HNSW{plan.coarse_graph_r}" if plan.coarse_graph_r else ""
+        )
     if plan.kind == "bmultihash":
         return f"BHash{plan.nhash}x{plan.hash_b}"
     return f"BHash{plan.hash_b}"
