@@ -733,7 +733,14 @@ class NestedCoarseRouter:
     """
 
     kind: str  # "flat" | "pq" | "ivf"
-    centroids: np.ndarray  # (nlist, d) f64
+    nlist: int
+    d: int
+    # raw (nlist, d) f64 table — None for kind="pq": ADC assignment reads
+    # only the books + codes, and the reference's IVF<n>(PQ<M>) exists
+    # precisely so the quantizer ships compressed — broadcasting the raw
+    # table alongside would be a silent multi-GB executor copy at the
+    # billion-scale nlist the grammar targets
+    centroids: np.ndarray | None = None
     pq_books: np.ndarray | None = None  # (M, ksub, dsub)
     cent_codes: np.ndarray | None = None  # (nlist, M) int64
     inner_centroids: np.ndarray | None = None  # (k2, d)
@@ -746,12 +753,12 @@ class NestedCoarseRouter:
         from faiss_spark.operators.codecs import _kmeans_np
 
         C = np.ascontiguousarray(centroids, np.float64)
+        nlist, d = C.shape
         kind = sub[0]
         if kind == "flat":
-            return NestedCoarseRouter(kind="flat", centroids=C)
+            return NestedCoarseRouter(kind="flat", nlist=nlist, d=d, centroids=C)
         if kind == "pq":
             _, M, nbits = sub
-            d = C.shape[1]
             if d % M:
                 raise ValueError(f"d={d} not divisible by sub-index PQ M={M}")
             dsub = d // M
@@ -762,21 +769,24 @@ class NestedCoarseRouter:
                 books[m], codes[:, m] = _kmeans_np(
                     C[:, m * dsub : (m + 1) * dsub], ksub, 15, seed + m
                 )
+            # the raw centroid table is deliberately NOT retained (see
+            # field comment): assignment is pure ADC over books + codes
             return NestedCoarseRouter(
-                kind="pq", centroids=C, pq_books=books, cent_codes=codes
+                kind="pq", nlist=nlist, d=d, pq_books=books, cent_codes=codes
             )
         if kind == "ivf":
             _, k2 = sub
             inner, labels = _kmeans_np(C, min(int(k2), len(C)), 15, seed)
             return NestedCoarseRouter(
-                kind="ivf", centroids=C, inner_centroids=inner, cent_cell=labels
+                kind="ivf", nlist=nlist, d=d, centroids=C,
+                inner_centroids=inner, cent_cell=labels,
             )
         raise ValueError(f"unknown nested coarse kind {kind!r}")
 
     def assign_np(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
         """(nq, nprobe) probe cells, the sub-index's own ranking."""
         Q = np.ascontiguousarray(Q, np.float64)
-        nprobe = min(nprobe, len(self.centroids))
+        nprobe = min(nprobe, self.nlist)
         if self.kind == "flat":
             D = pairwise_distances(Q, self.centroids, "l2")
             return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
@@ -859,10 +869,12 @@ class IVFNestedIndex:
 
     @property
     def nlist(self) -> int:
-        return len(self.router.centroids)
+        return self.router.nlist
 
     @property
-    def centroids(self) -> np.ndarray:
+    def centroids(self) -> np.ndarray | None:
+        """Raw coarse table; None for the PQ-routed variant (the router
+        keeps only the compressed form — see NestedCoarseRouter)."""
         return self.router.centroids
 
     def add(
@@ -915,7 +927,7 @@ class IVFNestedIndex:
         nprobe = min(nprobe, self.nlist)
         qids, Q = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFNestedIndex.search",
-            d=self.router.centroids.shape[1],
+            d=self.router.d,
         )
         probes = self.router.assign_np(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
