@@ -883,18 +883,48 @@ class ResidualQuantizerModel:
         return _map_codec(df, id_col, code_col, fn, "id bigint, vec array<float>")
 
 
+def _normalize_nbits(nbits, M: int) -> list[int]:
+    """Per-level bit widths (reference aq_def_pattern
+    '<k1>x<b1>[_<k2>x<b2>...]' allows a DIFFERENT width per level group).
+    Codes are byte-packed (one byte per level) throughout this engine, so
+    widths above 8 are rejected loudly rather than silently truncated."""
+    bits = [int(nbits)] * M if isinstance(nbits, int) else [int(b) for b in nbits]
+    if len(bits) != M:
+        raise ValueError(f"nbits list has {len(bits)} entries for M={M}")
+    for b in bits:
+        if not 1 <= b <= 8:
+            raise NotImplementedError(
+                "additive-quantizer levels are byte-packed here: "
+                f"1..8 bits per level supported, got {b}"
+            )
+    return bits
+
+
+def _padded_books(books: list[np.ndarray], d: int) -> np.ndarray:
+    """Stack per-level codebooks of DIFFERENT sizes into one uniform
+    (M, max_ksub, d) array; pad rows are poisoned at +1e18 so a beam /
+    argmin can never select them (their squared distance dominates any
+    real candidate) and decode never sees them (codes only reference
+    trained rows)."""
+    ksub = max(len(b) for b in books)
+    out = np.full((len(books), ksub, d), 1e18, np.float64)
+    for m, b in enumerate(books):
+        out[m, : len(b)] = b
+    return out
+
+
 class ResidualQuantizer:
     """Estimator: greedy per-level k-means on residuals of the training
-    sample (reference ResidualQuantizer::train)."""
+    sample (reference ResidualQuantizer::train). ``nbits`` may be a list
+    (one width per level) for the reference's '2x8_3x4'-style specs."""
 
     def __init__(
-        self, M: int = 4, nbits: int = 8, beam: int = 4, niter: int = 15,
-        seed: int = 1234, max_train_points: int = 65536,
+        self, M: int = 4, nbits: int | list = 8, beam: int = 4,
+        niter: int = 15, seed: int = 1234, max_train_points: int = 65536,
     ):
-        if not 1 <= nbits <= 8:
-            raise NotImplementedError("RQ supports 1..8 bits per level")
+        self.nbits = _normalize_nbits(nbits, M)
         self.M = M
-        self.ksub = 1 << nbits
+        self.ksub = 1 << max(self.nbits)
         self.beam = beam
         self.niter = niter
         self.seed = seed
@@ -903,14 +933,125 @@ class ResidualQuantizer:
     def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualQuantizerModel:
         X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
         d = X.shape[1]
-        ksub = min(self.ksub, len(X))
-        books = np.empty((self.M, ksub, d), np.float64)
+        books = []
         resid = X.copy()
         for m in range(self.M):
+            ksub = min(1 << self.nbits[m], len(X))
             C, labels = _kmeans_np(resid, ksub, self.niter, self.seed + m)
-            books[m] = C
+            books.append(C)
             resid = resid - C[labels]
-        return ResidualQuantizerModel(codebooks=books, beam=self.beam)
+        return ResidualQuantizerModel(
+            codebooks=_padded_books(books, d), beam=self.beam
+        )
+
+
+# ===================================================== AQ norm quantizers
+
+
+class AQNormQuantizer:
+    """Stored-norm quantizer for the additive-quantizer norm search types
+    (reference faiss/impl/AdditiveQuantizer.cpp:112-222 — the `_N*`
+    factory suffixes). The search estimator is
+    dist = ‖q‖² − 2⟨q, x̂⟩ + N(‖x̂‖²) where N is:
+
+      float   — f32 round-trip of the exact reconstruction norm
+      qint8/4 — uniform levels over the TRAINING norm range
+                (encode = clamp(floor((x−min)/(max−min)·2^b)),
+                 decode = min + (i+0.5)/2^b·(max−min))
+      cqint8/4 — non-uniform 1-D k-means codebook, nearest assignment
+      rq2x4   — 2-level 4-bit residual quantizer on norms, FLATTENED to
+                its 256-entry cross product and assigned exactly
+                (the reference flattens the same way, :124-158)
+      lsq2x4  — same flattening, codebooks refined by exact 1-D
+                coordinate descent (the ICM of a 2-level 1-D LSQ is
+                exact alternation)
+    """
+
+    KINDS = ("float", "qint8", "qint4", "cqint8", "cqint4", "rq2x4", "lsq2x4")
+
+    def __init__(self, kind: str):
+        if kind not in self.KINDS:
+            raise ValueError(f"unknown norm search type {kind!r}")
+        self.kind = kind
+        self.norm_min: float | None = None
+        self.norm_max: float | None = None
+        self.codebook: np.ndarray | None = None  # sorted, for searchsorted
+
+    @staticmethod
+    def _lloyd_1d(x: np.ndarray, k: int, niter: int = 25) -> np.ndarray:
+        """1-D Lloyd with quantile init — the reference trains qnorm with
+        an ordinary Clustering (Lloyd), NOT the exact kmeans1d DP
+        (AdditiveQuantizer.cpp:124-131); the DP's O(n²k) Python loop is
+        also far too slow at k=256. Sorted-input assignment is exact via
+        searchsorted on the midpoints."""
+        xs = np.sort(np.asarray(x, np.float64))
+        k = min(k, len(xs))
+        C = np.quantile(xs, (np.arange(k) + 0.5) / k)
+        for _ in range(niter):
+            C = np.sort(C)
+            mid = (C[1:] + C[:-1]) / 2.0
+            lab = np.searchsorted(mid, xs)
+            sums = np.bincount(lab, weights=xs, minlength=k)
+            cnts = np.bincount(lab, minlength=k)
+            nz = cnts > 0
+            C[nz] = sums[nz] / cnts[nz]
+        return np.sort(C)
+
+    def fit_np(self, norms: np.ndarray) -> "AQNormQuantizer":
+        norms = np.asarray(norms, np.float64)
+        self.norm_min = float(norms.min())
+        self.norm_max = float(norms.max())
+        if self.kind in ("cqint8", "cqint4"):
+            k = 256 if self.kind == "cqint8" else 16
+            self.codebook = self._lloyd_1d(norms, k)
+        elif self.kind in ("rq2x4", "lsq2x4"):
+            c0 = self._lloyd_1d(norms, 16)
+            lab0 = np.abs(norms[:, None] - c0[None, :]).argmin(1)
+            resid = norms - c0[lab0]
+            c1 = self._lloyd_1d(resid, 16)
+            if self.kind == "lsq2x4":
+                # exact 1-D coordinate descent: re-assign each level given
+                # the other, then refit centroids to the mean — 2 rounds
+                for _ in range(2):
+                    lab1 = np.abs(
+                        (norms - c0[lab0])[:, None] - c1[None, :]
+                    ).argmin(1)
+                    lab0 = np.abs(
+                        (norms - c1[lab1])[:, None] - c0[None, :]
+                    ).argmin(1)
+                    for j in range(len(c0)):
+                        sel = lab0 == j
+                        if sel.any():
+                            c0[j] = (norms[sel] - c1[lab1[sel]]).mean()
+                    for j in range(len(c1)):
+                        sel = lab1 == j
+                        if sel.any():
+                            c1[j] = (norms[sel] - c0[lab0[sel]]).mean()
+            self.codebook = np.sort(
+                (c0[:, None] + c1[None, :]).ravel()
+            )
+        return self
+
+    def quantize_np(self, norms: np.ndarray) -> np.ndarray:
+        """Encode→decode round-trip: the value the search estimator adds."""
+        norms = np.asarray(norms, np.float64)
+        if self.kind == "float":
+            return norms.astype(np.float32).astype(np.float64)
+        if self.kind in ("qint8", "qint4"):
+            levels = 256 if self.kind == "qint8" else 16
+            span = self.norm_max - self.norm_min
+            if span <= 0:
+                return np.full_like(norms, self.norm_min)
+            i = np.clip(
+                np.floor((norms - self.norm_min) / span * levels),
+                0, levels - 1,
+            )
+            return (i + 0.5) / levels * span + self.norm_min
+        # codebook kinds: exact 1-D nearest via searchsorted on the
+        # sorted codebook (boundary = midpoint between neighbors)
+        cb = self.codebook
+        mid = (cb[1:] + cb[:-1]) / 2.0
+        return cb[np.searchsorted(mid, norms)]
 
 
 # ================================================= ResidualCoarseQuantizer
@@ -927,12 +1068,16 @@ class ResidualCoarseQuantizerModel:
     assignment cost is O(M·beam·ksub·d) instead of O(nlist·d).
 
     list_no layout matches the reference's bitstring order: level m
-    occupies bits [m·nbits, (m+1)·nbits), i.e.
-    list_no = Σ code[m] << (m·nbits).
+    occupies bits [off_m, off_m + nbits_m) with off = cumulative width,
+    i.e. list_no = Σ code[m] << off_m (uniform widths reduce to
+    m·nbits). ``nbits_list`` carries per-level widths for the
+    reference's 'RCQ1x3_1x4_1x5'-style specs; None = uniform, derived
+    from the codebook size.
     """
 
     codebooks: np.ndarray  # (M, ksub, d) float64
     beam_factor: float = 4.0  # reference default beam_factor = 4
+    nbits_list: tuple | None = None
 
     @property
     def M(self) -> int:
@@ -946,18 +1091,26 @@ class ResidualCoarseQuantizerModel:
     def nbits(self) -> int:
         return int(self.ksub - 1).bit_length()
 
+    def _level_bits(self) -> np.ndarray:
+        if self.nbits_list is not None:
+            return np.asarray(self.nbits_list, np.int64)
+        return np.full(self.M, self.nbits, np.int64)
+
     @property
     def nlist(self) -> int:
-        return self.ksub ** self.M
+        return 1 << int(self._level_bits().sum())
 
     def _codes_to_lists(self, codes: np.ndarray) -> np.ndarray:
         """(…, M) level codes → flat list numbers (bitstring order)."""
-        shifts = (np.arange(self.M) * self.nbits).astype(np.int64)
+        bits = self._level_bits()
+        shifts = np.concatenate(([0], np.cumsum(bits)[:-1]))
         return (codes.astype(np.int64) << shifts).sum(axis=-1)
 
     def _lists_to_codes(self, lists: np.ndarray) -> np.ndarray:
-        shifts = (np.arange(self.M) * self.nbits).astype(np.int64)
-        return ((lists[:, None] >> shifts) & (self.ksub - 1)).astype(np.uint8)
+        bits = self._level_bits()
+        shifts = np.concatenate(([0], np.cumsum(bits)[:-1]))
+        masks = (1 << bits) - 1
+        return ((lists[:, None] >> shifts) & masks).astype(np.uint8)
 
     def search_np(self, Q: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k nearest virtual centroids per query via beam search
@@ -1030,8 +1183,10 @@ class ResidualCoarseQuantizer:
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> ResidualCoarseQuantizerModel:
         m = self.rq.fit(df, vec_col=vec_col)
+        bits = self.rq.nbits
         return ResidualCoarseQuantizerModel(
-            codebooks=m.codebooks, beam_factor=self.beam_factor
+            codebooks=m.codebooks, beam_factor=self.beam_factor,
+            nbits_list=None if len(set(bits)) == 1 else tuple(bits),
         )
 
 
@@ -1175,6 +1330,12 @@ class LocalSearchQuantizer:
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> LocalSearchQuantizerModel:
         X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
+        return self.fit_np(X)
+
+    def fit_np(self, X: np.ndarray) -> LocalSearchQuantizerModel:
+        """Train on an in-memory matrix (the IVF-LSQ path trains on
+        residuals of the coarse assignment, reference
+        IndexIVFAdditiveQuantizer::train_residual)."""
         ksub = min(self.ksub, len(X))
         # init codebooks like RQ
         books = np.empty((self.M, ksub, X.shape[1]), np.float64)

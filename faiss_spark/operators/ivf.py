@@ -745,6 +745,12 @@ class NestedCoarseRouter:
     cent_codes: np.ndarray | None = None  # (nlist, M) int64
     inner_centroids: np.ndarray | None = None  # (k2, d)
     cent_cell: np.ndarray | None = None  # (nlist,) inner cell per centroid
+    # kind == "lsh" (`IVF<n>(LSH[r][t])`, reference index_factory.cpp
+    # sub-index parse → IndexLSH quantizer): cells ranked by Hamming
+    # between sign codes of rotated projections
+    lsh_proj: np.ndarray | None = None  # (d, nbits) or None (identity)
+    lsh_thr: np.ndarray | None = None  # (nbits,) thresholds
+    cent_bits: np.ndarray | None = None  # (nlist, nbits) bool
 
     @staticmethod
     def build(
@@ -781,6 +787,29 @@ class NestedCoarseRouter:
                 kind="ivf", nlist=nlist, d=d, centroids=C,
                 inner_centroids=inner, cent_cell=labels,
             )
+        if kind == "lsh":
+            # IndexLSH quantizer over the centroids (reference
+            # index_factory.cpp:528-532 semantics at the sub-index
+            # position): nbits = d sign bits; 'r' = seeded random
+            # rotation, 't' = thresholds trained on the data the index
+            # ranks (the centroids) — reference train_thresholds uses
+            # the per-component mean
+            _, rotate, train_thr = sub
+            rng = np.random.default_rng(seed)
+            proj = None
+            Cp = C
+            if rotate:
+                A = rng.standard_normal((d, d))
+                qmat, _ = np.linalg.qr(A)
+                proj = qmat
+                Cp = C @ proj
+            thr = Cp.mean(0) if train_thr else np.zeros(d)
+            # like the PQ kind, the raw table is not retained: ranking
+            # is pure Hamming over the sign codes
+            return NestedCoarseRouter(
+                kind="lsh", nlist=nlist, d=d,
+                lsh_proj=proj, lsh_thr=thr, cent_bits=(Cp > thr),
+            )
         raise ValueError(f"unknown nested coarse kind {kind!r}")
 
     def assign_np(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
@@ -804,6 +833,13 @@ class NestedCoarseRouter:
             D = np.zeros((len(Q), len(codes)), np.float64)
             for m in range(M):
                 D += luts[:, m, codes[:, m]]
+            return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        if self.kind == "lsh":
+            Qp = Q @ self.lsh_proj if self.lsh_proj is not None else Q
+            qb = Qp > self.lsh_thr
+            # Hamming between query sign codes and centroid sign codes;
+            # stable sort tie-breaks equal-radius cells by cell id
+            D = (qb[:, None, :] != self.cent_bits[None, :, :]).sum(2)
             return np.argsort(D, axis=1, kind="stable")[:, :nprobe]
         # kind == "ivf": rank member centroids of the nearest inner
         # cells, nearest-cell-first, until nprobe are ranked exactly
@@ -2608,6 +2644,33 @@ class IVFSpectralHash:
         if transform == "pca":
             m = PCAMatrix(d_out=nbit, seed=seed).fit(vectors, vec_col=vec_col)
             A, b = m.A, m.b
+        elif transform == "pcar":
+            m = PCAMatrix(d_out=nbit, random_rotation=True, seed=seed).fit(
+                vectors, vec_col=vec_col
+            )
+            A, b = m.A, m.b
+        elif transform == "itq":
+            # reference parse '(ITQ|PCA|PCAR)<d'>,SH...' replace_vt with
+            # ITQTransform(d, outdim, do_pca = d != outdim)
+            # (index_factory.cpp:398-404): PCA to nbit when reducing,
+            # then the ITQ sign-procrustes rotation — composed here on
+            # the same driver sample the standalone estimators use
+            X = _sampled_matrix(vectors, vec_col, 65536, seed)
+            A0, b0, Xp = None, None, X
+            if nbit != d:
+                mu = X.mean(0)
+                _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
+                A0, b0 = Vt[:nbit], -(Vt[:nbit] @ mu)
+                Xp = (X - mu) @ A0.T
+            Xp = Xp - Xp.mean(0)
+            R = random_rotation_matrix(Xp.shape[1], seed)
+            for _ in range(50):
+                B = np.sign(Xp @ R)
+                B[B == 0] = 1.0
+                U2, _, V2 = np.linalg.svd(Xp.T @ B, full_matrices=False)
+                R = U2 @ V2
+            A = R.T @ A0 if A0 is not None else R.T
+            b = (R.T @ b0) if b0 is not None else None
         else:  # seeded random rotation, the reference default (cpp:36-39)
             if nbit > d:
                 raise ValueError(f"nbit={nbit} > d={d} needs transform='pca'")
@@ -2788,10 +2851,19 @@ class IVFAQIndex:
     IVF families."""
 
     centroids: np.ndarray  # (nlist, d)
-    rq: "ResidualQuantizerModel"
+    # the additive codec — ResidualQuantizerModel (beam encode) or
+    # LocalSearchQuantizerModel (ICM encode); both share the
+    # encode_np/decode gather-sum surface the scan rides
+    rq: object
     metric: str = "l2"
     codes: DataFrame | None = None
     path: str | None = None
+    # '_N*' stored-norm search type (reference AdditiveQuantizer
+    # search_type): None = ST_decompress (exact decoded distances);
+    # "none" = ST_LUT_nonorm; else an AQNormQuantizer kind — the scan
+    # then ranks by ‖q‖² − 2⟨q,x̂⟩ + N(‖x̂‖²)
+    search_type: str | None = None
+    norm_q: object | None = None
 
     @staticmethod
     def train(
@@ -2804,12 +2876,22 @@ class IVFAQIndex:
         seed: int = 1234,
         niter: int = 20,
         rq_niter: int = 15,
+        nbits: int | list = 8,
+        lsq: bool = False,
+        search_type: str | None = None,
     ) -> "IVFAQIndex":
-        """train_q1 (coarse k-means) then RQ codebooks on residuals of the
-        training sample (reference IndexIVFAdditiveQuantizer::train_residual)."""
+        """train_q1 (coarse k-means) then RQ (greedy residual k-means) or
+        LSQ (ICM + least-squares, ``lsq=True``) codebooks on residuals of
+        the training sample (reference
+        IndexIVFAdditiveQuantizer::train_residual; IVF<n>,LSQ<M>x<b> →
+        IndexIVFLocalSearchQuantizer, index_factory.cpp:336-350)."""
         from faiss_spark.operators.codecs import (
+            AQNormQuantizer,
+            LocalSearchQuantizer,
             ResidualQuantizerModel,
             _kmeans_np,
+            _normalize_nbits,
+            _padded_books,
             _sampled_matrix,
         )
 
@@ -2821,17 +2903,38 @@ class IVFAQIndex:
         d2 = (
             (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         )
-        resid = X - C[d2.argmin(1)]
-        ksub = min(256, len(resid))
-        books = np.empty((M, ksub, X.shape[1]), np.float64)
-        r = resid.copy()
-        for m in range(M):
-            books[m], labels = _kmeans_np(r, ksub, rq_niter, seed + m)
-            r = r - books[m][labels]
+        assign = d2.argmin(1)
+        resid = X - C[assign]
+        bits = _normalize_nbits(nbits, M)
+        if lsq:
+            if len(set(bits)) != 1:
+                raise ValueError("LSQ takes one uniform bit width")
+            codec = LocalSearchQuantizer(
+                M=M, nbits=bits[0], niter_init=rq_niter, seed=seed
+            ).fit_np(resid)
+        else:
+            books = []
+            r = resid.copy()
+            for m in range(M):
+                ksub = min(1 << bits[m], len(resid))
+                Cb, labels = _kmeans_np(r, ksub, rq_niter, seed + m)
+                books.append(Cb)
+                r = r - Cb[labels]
+            codec = ResidualQuantizerModel(
+                codebooks=_padded_books(books, X.shape[1]), beam=beam
+            )
+        norm_q = None
+        if search_type not in (None, "none"):
+            # reconstruction norms INCLUDE the centroid (the estimator's
+            # ‖x̂‖² term is of the full reconstruction)
+            Xh = C[assign] + codec.decode_np(codec.encode_np(resid))
+            norm_q = AQNormQuantizer(search_type).fit_np((Xh * Xh).sum(1))
         return IVFAQIndex(
             centroids=C,
-            rq=ResidualQuantizerModel(codebooks=books, beam=beam),
+            rq=codec,
             metric=metric,
+            search_type=search_type,
+            norm_q=norm_q,
         )
 
     def add(
@@ -2859,17 +2962,17 @@ class IVFAQIndex:
         shared by add() and the streaming incremental writer."""
         spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast(
-            (self.centroids, self.rq.codebooks, self.rq.beam, self.metric)
+            (self.centroids, self.rq, self.metric)
         )
 
         def enc(batches):
             import pyarrow as pa
 
             from faiss_spark.kernels import arrow_id_vec_blocks
-            from faiss_spark.operators.codecs import ResidualQuantizerModel
 
-            C, books, beam, metric = bc.value
-            rqm = ResidualQuantizerModel(codebooks=books, beam=beam)
+            # the codec model travels whole: beam encode for RQ, ICM for
+            # LSQ — _encode_df must use the codec's OWN encoder
+            C, rqm, metric = bc.value
             for ids, X, _ in arrow_id_vec_blocks(batches):
                 D = pairwise_distances(X, C, metric)
                 lists = (
@@ -2893,7 +2996,28 @@ class IVFAQIndex:
     def _save_artifact(self, spark, path: str) -> None:
         fsio.write_npy(spark, os.path.join(path, "_ivfaq_centroids.npy"), self.centroids)
         fsio.write_npy(spark, os.path.join(path, "_ivfaq_codebooks.npy"), self.rq.codebooks)
-        fsio.write_json(spark, os.path.join(path, "_ivfaq_meta.json"), {"metric": self.metric, "beam": int(self.rq.beam)})
+        meta = {
+            "metric": self.metric,
+            "beam": int(getattr(self.rq, "beam", 4)),
+            "codec": (
+                "lsq" if type(self.rq).__name__ == "LocalSearchQuantizerModel"
+                else "rq"
+            ),
+            "search_type": self.search_type,
+        }
+        if self.norm_q is not None:
+            meta["norm"] = {
+                "kind": self.norm_q.kind,
+                "min": self.norm_q.norm_min,
+                "max": self.norm_q.norm_max,
+            }
+            if self.norm_q.codebook is not None:
+                fsio.write_npy(
+                    spark,
+                    os.path.join(path, "_ivfaq_norm_codebook.npy"),
+                    self.norm_q.codebook,
+                )
+        fsio.write_json(spark, os.path.join(path, "_ivfaq_meta.json"), meta)
 
     def save(self, path: str) -> "IVFAQIndex":
         """write_index: partitioned RQ codes + centroid/codebook artifacts."""
@@ -2910,16 +3034,33 @@ class IVFAQIndex:
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFAQIndex":
-        from faiss_spark.operators.codecs import ResidualQuantizerModel
+        from faiss_spark.operators.codecs import (
+            AQNormQuantizer,
+            LocalSearchQuantizerModel,
+            ResidualQuantizerModel,
+        )
 
         meta = fsio.read_json(spark, os.path.join(path, "_ivfaq_meta.json"))
+        books = fsio.read_npy(spark, os.path.join(path, "_ivfaq_codebooks.npy"))
+        if meta.get("codec") == "lsq":
+            codec = LocalSearchQuantizerModel(codebooks=books)
+        else:
+            codec = ResidualQuantizerModel(codebooks=books, beam=meta["beam"])
+        norm_q = None
+        if meta.get("norm"):
+            norm_q = AQNormQuantizer(meta["norm"]["kind"])
+            norm_q.norm_min = meta["norm"]["min"]
+            norm_q.norm_max = meta["norm"]["max"]
+            if norm_q.kind not in ("float", "qint8", "qint4"):
+                norm_q.codebook = fsio.read_npy(
+                    spark, os.path.join(path, "_ivfaq_norm_codebook.npy")
+                )
         return IVFAQIndex(
             centroids=fsio.read_npy(spark, os.path.join(path, "_ivfaq_centroids.npy")),
-            rq=ResidualQuantizerModel(
-                codebooks=fsio.read_npy(spark, os.path.join(path, "_ivfaq_codebooks.npy")),
-                beam=meta["beam"],
-            ),
+            rq=codec,
             metric=meta["metric"],
+            search_type=meta.get("search_type"),
+            norm_q=norm_q,
             codes=spark.read.parquet(path),
             path=path,
         )
@@ -2997,6 +3138,12 @@ class IVFAQIndex:
         for qi in range(len(qids)):
             for c in probes[qi]:
                 list_to_q[int(c)].append(qi)
+        # '_N*' stored-norm estimator (reference AdditiveQuantizer
+        # search_type): rank by ‖q‖² − 2⟨q,x̂⟩ + N(‖x̂‖²) instead of the
+        # exact decoded distance. "none" (ST_LUT_nonorm) is N ≡ 0. IP
+        # metric never uses the norm term (the LUT similarity is ⟨q,x̂⟩ —
+        # identical to the exact path on decoded vectors).
+        est = self.search_type is not None and self.metric == "l2"
         bc = spark.sparkContext.broadcast(
             (
                 qids,
@@ -3004,6 +3151,8 @@ class IVFAQIndex:
                 {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
                 self.centroids,
                 self.rq.codebooks,
+                self.norm_q if est else None,
+                est,
             )
         )
         metric = self.metric
@@ -3015,7 +3164,7 @@ class IVFAQIndex:
 
             from faiss_spark.kernels import arrow_code_groups
 
-            qids_, Q_, l2q, C, books = bc.value
+            qids_, Q_, l2q, C, books, norm_q, est_ = bc.value
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
             for list_no, codes, ids in arrow_code_groups(batches):
@@ -3032,11 +3181,27 @@ class IVFAQIndex:
                     acc[list_no] = TopKAccumulator(
                         len(qsel), k_, metric in SIMILARITY_METRICS
                     )
-                    acc[list_no].bind_queries(
-                        np.ascontiguousarray(Q_[qsel]), metric
-                    )
+                    if not est_:
+                        acc[list_no].bind_queries(
+                            np.ascontiguousarray(Q_[qsel]), metric
+                        )
                     qsels[list_no] = qsel
-                acc[list_no].push_block(X, ids)
+                if est_:
+                    n_raw = (X * X).sum(1)
+                    n_est = (
+                        norm_q.quantize_np(n_raw)
+                        if norm_q is not None
+                        else np.zeros(len(X))
+                    )
+                    Qs = np.ascontiguousarray(Q_[qsel], np.float64)
+                    D = (
+                        (Qs * Qs).sum(1)[:, None]
+                        - 2.0 * (Qs @ X.T)
+                        + n_est[None, :]
+                    )
+                    acc[list_no].push(D, ids)
+                else:
+                    acc[list_no].push_block(X, ids)
             for key, a in acc.items():
                 qidx, nid, nd = a.emit()
                 yield pa.RecordBatch.from_arrays(

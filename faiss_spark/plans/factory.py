@@ -132,6 +132,23 @@ class IndexPlan:
     # (n_iter=2000) — the reference's default SA budget is a tuning
     # knob, not a semantic.
     pq_polysemous: bool = False
+    # IVF<n>,(ITQ|PCA|PCAR)[<d'>],SH[<period>][g|c|m] — IndexIVFSpectralHash
+    # via the factory (reference index_factory.cpp:398-424)
+    sh_transform: str | None = None  # "itq" | "pca" | "pcar"
+    sh_nbit: int | None = None
+    sh_period: float | None = None
+    sh_threshold: str = "global"
+    # additive-quantizer per-level widths + stored-norm search type
+    # (reference aq_def_pattern '<k>x<b>[_<k>x<b>...]' and
+    # aq_norm_pattern '_N*', index_factory.cpp:159-161). aq_search_type:
+    # None = reference default (ST_decompress for L2, LUT for IP);
+    # "none" = ST_LUT_nonorm; else the stored-norm kind
+    # (float/qint8/qint4/cqint8/cqint4/rq2x4/lsq2x4).
+    aq_nbits: list | None = None
+    aq_search_type: str | None = None
+    # LSQ<M>x<b> flat index (reference IndexLocalSearchQuantizer)
+    lsq_m: int | None = None
+    lsq_nbits: int = 8
     # LSH[r][t] (reference index_factory.cpp:528-532 IndexLSH: nbits=d,
     # r = rotate_data, t = train_thresholds)
     lsh_rotate: bool = False
@@ -194,7 +211,17 @@ class IndexPlan:
 
             self.index = IMIPQIndex.train(
                 cur, nbits=self.coarse_nbits, M=self.pq_m, seed=seed
-            ).add(cur)
+            )
+            if self.pq_polysemous:
+                # same reference default as PQ / IVF,PQ ('np' disables):
+                # codec-identical reorder, enables the polysemous_ht
+                # Hamming pre-filter at search
+                from faiss_spark.operators.codecs import PolysemousTraining
+
+                self.index.pq, _ = PolysemousTraining(
+                    n_iter=2000, seed=seed
+                ).optimize_pq(self.index.pq)
+            self.index.add(cur)
         elif self.index_type == "ivfflat" and self.coarse is not None:
             from faiss_spark.operators.ivf import IVFRCQIndex
 
@@ -270,9 +297,22 @@ class IndexPlan:
             self.index = IVFSQIndex.train(
                 cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
             ).add(cur)
-        elif self.index_type == "ivfrq":
+        elif self.index_type == "ivfsh":
+            from faiss_spark.operators.ivf import IVFSpectralHash
+
+            self.index = IVFSpectralHash.train(
+                cur, nlist=self.nlist, nbit=self.sh_nbit,
+                period=self.sh_period, threshold_type=self.sh_threshold,
+                transform=self.sh_transform, seed=seed,
+            ).add(cur)
+        elif self.index_type in ("ivfrq", "ivflsq"):
             self.index = IVFAQIndex.train(
-                cur, nlist=self.nlist, M=self.rq_m, metric=self.metric, seed=seed
+                cur, nlist=self.nlist,
+                M=self.rq_m if self.index_type == "ivfrq" else self.lsq_m,
+                nbits=self.aq_nbits or 8,
+                lsq=(self.index_type == "ivflsq"),
+                search_type=self.aq_search_type,
+                metric=self.metric, seed=seed,
             ).add(cur)
         elif self.index_type == "ivfrqfs":
             if self.metric != "l2":
@@ -303,10 +343,31 @@ class IndexPlan:
                 by_residual=self.fs_residual,
             ).add(cur)
         elif self.index_type == "rq":
-            model = ResidualQuantizer(M=self.rq_m, seed=seed).fit(cur)
+            model = ResidualQuantizer(
+                M=self.rq_m, nbits=self.aq_nbits or 8, seed=seed
+            ).fit(cur)
             self._rq_model = model
             self._rq_codes = model.encode(cur)
+            self._aq_norm = self._fit_aq_norm(model, cur, seed)
             self.index = model
+        elif self.index_type == "lsq":
+            from faiss_spark.operators.codecs import LocalSearchQuantizer
+
+            model = LocalSearchQuantizer(
+                M=self.lsq_m, nbits=self.lsq_nbits, seed=seed
+            ).fit(cur)
+            # same decode/encode surface as the RQ model — the flat AQ
+            # search path below is shared
+            self._rq_model = model
+            self._rq_codes = model.encode(cur)
+            self._aq_norm = self._fit_aq_norm(model, cur, seed)
+            self.index = model
+        elif self.index_type == "rcq":
+            from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+
+            self.index = ResidualCoarseQuantizer(
+                M=len(self.aq_nbits), nbits=self.aq_nbits, seed=seed
+            ).fit(cur)
         elif self.index_type == "rqfs":
             from faiss_spark.operators.fastscan import (
                 aq_fastscan_encode,
@@ -412,11 +473,89 @@ class IndexPlan:
             return self._sq_model.decode(self._sq_codes)
         if self.index_type == "pq":
             return self._pq_model.decode(self._pq_codes)
-        if self.index_type == "rq":
+        if self.index_type in ("rq", "lsq"):
             return self._rq_model.decode(self._rq_codes)
         if self.index_type == "paq":
             return self._paq_model.decode(self._paq_codes)
         raise ValueError(f"{self.index_type!r} has no reconstruction table")
+
+    def _fit_aq_norm(self, model, cur: DataFrame, seed: int):
+        """Train the stored-norm quantizer for the '_N*' search types on
+        RECONSTRUCTION norms of the training sample (reference
+        AdditiveQuantizer::train_norm is fed the decoded norms)."""
+        if self.aq_search_type in (None, "none"):
+            return None
+        import numpy as np
+
+        from faiss_spark.operators.codecs import (
+            AQNormQuantizer,
+            _sampled_matrix,
+        )
+
+        X = _sampled_matrix(cur, "vec", 65536, seed)
+        Xh = model.decode_np(model.encode_np(X))
+        return AQNormQuantizer(self.aq_search_type).fit_np((Xh * Xh).sum(1))
+
+    def _aq_norm_est_search(self, q: DataFrame, k_cand: int) -> DataFrame:
+        """Flat AQ search under a stored-norm estimator (reference
+        AdditiveQuantizer '_N*' search types): rank by
+
+            dist_est = ‖q‖² − 2⟨q, x̂⟩ + N(‖x̂‖²)
+
+        (N = identity-0 for ST_LUT_nonorm '_Nnone'). Exact top-k under
+        the ESTIMATED distance via one augmented inner-product scan:
+        base rows carry y = [2x̂, −N(‖x̂‖²)], queries q' = [q, 1], so
+        ⟨q', y⟩ = 2⟨q,x̂⟩ − N and descending similarity IS ascending
+        est — the existing IP kernel (broadcast queries, zero-copy
+        GEMM tiles, candidate-only shuffle) does the selection."""
+        import numpy as np
+
+        from faiss_spark.operators.knn import knn
+
+        decoded = self._decoded_table()
+        nq_model = self._aq_norm  # None for "_Nnone" → N ≡ 0
+        bc = decoded.sparkSession.sparkContext.broadcast(nq_model)
+
+        def aug(batches):
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_id_vec_blocks
+
+            qz = bc.value
+            for ids, X, _ in arrow_id_vec_blocks(batches):
+                n_raw = (X * X).sum(1)
+                n_est = (
+                    qz.quantize_np(n_raw)
+                    if qz is not None
+                    else np.zeros(len(X))
+                )
+                Y = np.concatenate([2.0 * X, -n_est[:, None]], axis=1)
+                n, d = Y.shape
+                vec = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(np.ascontiguousarray(Y.ravel())),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, pa.int64()), vec], names=["id", "vec"]
+                )
+
+        aug_t = decoded.select("id", "vec").mapInArrow(
+            aug, schema="id bigint, vec array<double>"
+        )
+        dbl = F.transform("vec", lambda x: x.cast("double"))
+        q_aug = q.select(
+            "qid", F.concat(dbl, F.array(F.lit(1.0))).alias("vec")
+        )
+        qn = q.select(
+            "qid",
+            F.aggregate(
+                dbl, F.lit(0.0), lambda a, b: a + b * b
+            ).alias("__qn2"),
+        )
+        res = knn(aug_t, q_aug, k_cand, metric="ip", qid_col="qid")
+        return res.join(qn, "qid").select(
+            "qid", "id", (F.col("__qn2") - F.col("dist")).alias("dist"), "rank"
+        )
 
     def search(self, queries: DataFrame, k: int, nprobe: int = 8,
                qid_col: str = "qid", qvec_col: str = "vec",
@@ -449,8 +588,8 @@ class IndexPlan:
         elif self.index_type == "ivfflat" and self.coarse_graph:
             res = self._graph_routed_search(q, k_cand, nprobe)
         elif self.index_type in (
-            "ivfflat", "ivfpq", "ivfpqr", "ivfsq", "ivfrq", "ivfrqfs",
-            "ivfpaqfs", "imipq",
+            "ivfflat", "ivfpq", "ivfpqr", "ivfsq", "ivfrq", "ivflsq",
+            "ivfrqfs", "ivfpaqfs", "imipq", "ivfsh",
         ):
             kw = (
                 {"polysemous_ht": polysemous_ht}
@@ -476,9 +615,53 @@ class IndexPlan:
                     self._pq_codes, q, k_cand, qid_col="qid",
                     polysemous_ht=polysemous_ht,
                 )
-        elif self.index_type == "rq":
-            decoded = self._rq_model.decode(self._rq_codes)
-            res = knn(decoded, q, k_cand, metric=self.metric, qid_col="qid")
+        elif self.index_type in ("rq", "lsq"):
+            if self.aq_search_type is not None and self.metric == "l2":
+                # stored-norm estimator ('_N*'): ranked by est distance.
+                # For IP the reference LUT similarity is ⟨q, x̂⟩ with no
+                # norm term — identical to the decode+knn path below.
+                res = self._aq_norm_est_search(q, k_cand)
+            else:
+                decoded = self._rq_model.decode(self._rq_codes)
+                res = knn(
+                    decoded, q, k_cand, metric=self.metric, qid_col="qid"
+                )
+        elif self.index_type == "rcq":
+            # standalone coarse quantizer: top-k VIRTUAL centroids per
+            # query by beam (reference ResidualCoarseQuantizer::search) —
+            # map-only over the query side, the model broadcasts
+            import numpy as np
+
+            model = self.index
+            bcm = q.sparkSession.sparkContext.broadcast(model)
+            kk = k_cand
+
+            def rank_cells(batches):
+                import pyarrow as pa
+
+                from faiss_spark.kernels import arrow_id_vec_blocks
+
+                mdl = bcm.value
+                for qids, Q, _ in arrow_id_vec_blocks(batches):
+                    lists, dists = mdl.search_np(Q, kk)
+                    nq, kr = lists.shape
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.repeat(qids, kr), pa.int64()),
+                            pa.array(lists.ravel(), pa.int64()),
+                            pa.array(dists.ravel(), pa.float64()),
+                            pa.array(
+                                np.tile(np.arange(1, kr + 1), nq),
+                                pa.int32(),
+                            ),
+                        ],
+                        names=["qid", "id", "dist", "rank"],
+                    )
+
+            res = q.select("qid", "vec").mapInArrow(
+                rank_cells,
+                schema="qid bigint, id bigint, dist double, rank int",
+            )
         elif self.index_type in ("rqfs", "paqfs"):
             from faiss_spark.operators.fastscan import aq_fastscan_search
 
@@ -587,22 +770,73 @@ def _split_tokens(description: str) -> list[str]:
     return toks
 
 
+# '_N*' stored-norm suffixes (reference aq_norm_pattern,
+# index_factory.cpp:160): suffix → AQNormQuantizer kind / sentinel
+_AQ_NORM_SUFFIXES = {
+    "_Nnone": "none",
+    "_Nfloat": "float",
+    "_Nqint8": "qint8",
+    "_Nqint4": "qint4",
+    "_Ncqint8": "cqint8",
+    "_Ncqint4": "cqint4",
+    "_Nlsq2x4": "lsq2x4",
+    "_Nrq2x4": "rq2x4",
+}
+
+
+def _parse_aq_spec(tok: str, prefix: str) -> tuple[list[int], str | None] | None:
+    """Match '<prefix><k1>x<b1>[_<k2>x<b2>...][_N<st>]' (reference
+    aq_def_pattern + aq_norm_pattern) → (per-level nbits, search_type).
+    Returns None when the token is not this shape."""
+    m = re.match(rf"^{prefix}(\d+x\d+(?:_\d+x\d+)*)(_N[a-z0-9]+)?$", tok)
+    if not m:
+        return None
+    if m.group(2) is not None and m.group(2) not in _AQ_NORM_SUFFIXES:
+        return None
+    bits: list[int] = []
+    for grp in m.group(1).split("_"):
+        k, b = grp.split("x")
+        bits.extend([int(b)] * int(k))
+    if not bits:
+        return None
+    st = _AQ_NORM_SUFFIXES[m.group(2)] if m.group(2) else None
+    return bits, st
+
+
 def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     """Parse a faiss factory string (reference index_factory.cpp:192-804
     grammar, round-1 subset) into an IndexPlan."""
     plan = IndexPlan(metric=metric)
     tokens = _split_tokens(description)
+    # IDMap was "used both as a prefix and a suffix" (reference
+    # index_factory.cpp:739-751); ids are a column everywhere here, so
+    # both spellings are free wrappers
+    while len(tokens) > 1 and tokens[-1] in ("IDMap", "IDMap2"):
+        tokens.pop()
     i = 0
     # leading transforms
     while i < len(tokens):
         tok = tokens[i]
-        if tok == "L2norm":
+        if tok in ("L2norm", "L2Norm"):
+            # the reference transform grammar is "L2[nN]orm"
+            # (index_factory.cpp:202)
             plan.sql_transforms.append(("l2norm", None))
             i += 1
             continue
         if tok in ("IDMap", "IDMap2"):
             # id wrappers are free here — ids are a column everywhere
             # (reference index_factory.cpp:741-751)
+            i += 1
+            continue
+        m = re.match(r"^OPQ(\d+)_(\d+)$", tok)
+        if m:
+            # OPQ<M>_<d_out> (reference index_factory.cpp:211-216
+            # OPQMatrix(d, M, d_out)): dimension reduction + rotation.
+            # Composed as PCA(d_out) → OPQ(M) — OPQ's non-parametric
+            # init IS the PCA projection (the reference's OPQMatrix
+            # starts from it), the rotation then optimizes in d_out.
+            plan.transforms.append(PCAMatrix(int(m.group(2))))
+            plan.transforms.append(OPQMatrix(int(m.group(1))))
             i += 1
             continue
         m = re.match(r"^Pad(\d+)$", tok)
@@ -633,10 +867,22 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         plan.coarse_nbits = int(m.group(1))
         plan.nlist = 1 << (2 * plan.coarse_nbits)
         i += 1
-        pm = re.match(r"^PQ(\d+)$", tokens[i]) if i < len(tokens) else None
+        pm = (
+            re.match(r"^PQ(\d+)(?:x(\d+))?(np)?$", tokens[i])
+            if i < len(tokens)
+            else None
+        )
         if pm:
+            if pm.group(2) and int(pm.group(2)) != 8:
+                raise ValueError(
+                    f"{tokens[i]!r}: IMI PQ codes are 8-bit here "
+                    "(byte-packed layout)"
+                )
             plan.index_type = "imipq"
             plan.pq_m = int(pm.group(1))
+            # same convention as PQ / IVF,PQ below: 'np' disables the
+            # codec-identical polysemous reorder
+            plan.pq_polysemous = pm.group(3) != "np"
         elif i < len(tokens) and tokens[i] == "Flat":
             plan.index_type = "ivfflat"
         else:
@@ -654,7 +900,7 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     # Flat (== plain IVF), PQ<M>[x<b>] (ADC-routed), IVF<m>[,Flat]
     # (two-level nested IVF).
     m = re.match(
-        r"^IVF(\d+)\((Flat|PQ\d+(?:x\d+)?|IVF\d+(?:,Flat)?)\)$", tok
+        r"^IVF(\d+)\((Flat|PQ\d+(?:x\d+)?|IVF\d+(?:,Flat)?|LSH[rt]*)\)$", tok
     )
     if m:
         if metric != "l2":
@@ -669,6 +915,10 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif sub.startswith("PQ"):
             sm = re.match(r"^PQ(\d+)(?:x(\d+))?$", sub)
             plan.nested = ("pq", int(sm.group(1)), int(sm.group(2) or 8))
+        elif sub.startswith("LSH"):
+            # IVF<n>(LSH[r][t]) — IndexLSH as quantizer (cells ranked
+            # by Hamming over sign codes of the centroids)
+            plan.nested = ("lsh", "r" in sub[3:], "t" in sub[3:])
         else:
             sm = re.match(r"^IVF(\d+)(?:,Flat)?$", sub)
             plan.nested = ("ivf", int(sm.group(1)))
@@ -780,6 +1030,26 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         elif re.match(r"^RQ(\d+)$", code):
             plan.index_type = "ivfrq"
             plan.rq_m = int(code[2:])
+        elif _parse_aq_spec(code, "RQ") is not None:
+            # IVF<n>,RQ<spec>[_N*] (reference IndexIVFResidualQuantizer,
+            # index_factory.cpp:336-350)
+            bits, st = _parse_aq_spec(code, "RQ")
+            plan.index_type = "ivfrq"
+            plan.rq_m = len(bits)
+            plan.aq_nbits = bits
+            plan.aq_search_type = st
+        elif _parse_aq_spec(code, "LSQ") is not None:
+            # IVF<n>,LSQ<M>x<b>[_N*] (reference
+            # IndexIVFLocalSearchQuantizer, same parse branch). The
+            # reference LSQ spec is a single group.
+            bits, st = _parse_aq_spec(code, "LSQ")
+            if len(set(bits)) != 1:
+                raise ValueError(f"{code!r}: LSQ takes one <M>x<b> group")
+            plan.index_type = "ivflsq"
+            plan.lsq_m = len(bits)
+            plan.lsq_nbits = bits[0]
+            plan.aq_nbits = bits
+            plan.aq_search_type = st
         elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fsr?(_\d+)?$", code):
             # IVF<n>,PRQ/PLSQ<ns>x<M>x4fs[r][_<bbs>] (reference
             # index_factory.cpp:381-395 IndexIVFProduct{Residual,
@@ -795,6 +1065,27 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
             plan.fs_residual = pm.group(4) == "r"
             if pm.group(5):
                 plan.bbs = int(pm.group(5))
+        elif (
+            re.match(r"^(ITQ|PCA|PCAR)(\d+)?$", code)
+            and i + 1 < len(tokens)
+            and re.match(r"^SH(-?[0-9.e]+)?([gcm])?$", tokens[i + 1])
+        ):
+            # IVF<n>,(ITQ|PCA|PCAR)[<d'>],SH[<period>][g|c|m] —
+            # IndexIVFSpectralHash (reference index_factory.cpp:398-424:
+            # replace_vt + period + threshold type; no period = plain
+            # sign thresholding, spelled -1e10 there)
+            tm = re.match(r"^(ITQ|PCA|PCAR)(\d+)?$", code)
+            shm = re.match(r"^SH(-?[0-9.e]+)?([gcm])?$", tokens[i + 1])
+            plan.index_type = "ivfsh"
+            plan.sh_transform = tm.group(1).lower()
+            plan.sh_nbit = int(tm.group(2)) if tm.group(2) else None
+            plan.sh_period = (
+                float(shm.group(1)) if shm.group(1) else -1e10
+            )
+            plan.sh_threshold = {
+                "g": "global", "c": "centroid", "m": "median", None: "global",
+            }[shm.group(2)]
+            i += 1  # the SH token; the shared i += 1 below covers `code`
         else:
             raise ValueError(f"unsupported IVF code stage {code!r}")
         i += 1
@@ -834,6 +1125,36 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     elif re.match(r"^RQ(\d+)$", tok):
         plan.index_type = "rq"
         plan.rq_m = int(tok[2:])
+        i += 1
+    elif _parse_aq_spec(tok, "RQ") is not None:
+        # RQ<k1>x<b1>[_<k2>x<b2>...][_N*] (reference
+        # IndexResidualQuantizer, index_factory.cpp:563-574)
+        bits, st = _parse_aq_spec(tok, "RQ")
+        plan.index_type = "rq"
+        plan.rq_m = len(bits)
+        plan.aq_nbits = bits
+        plan.aq_search_type = st
+        i += 1
+    elif _parse_aq_spec(tok, "LSQ") is not None:
+        # LSQ<M>x<b>[_N*] (reference IndexLocalSearchQuantizer,
+        # index_factory.cpp:576-587; single group)
+        bits, st = _parse_aq_spec(tok, "LSQ")
+        if len(set(bits)) != 1:
+            raise ValueError(f"{tok!r}: LSQ takes one <M>x<b> group")
+        plan.index_type = "lsq"
+        plan.lsq_m = len(bits)
+        plan.lsq_nbits = bits[0]
+        plan.aq_nbits = bits
+        plan.aq_search_type = st
+        i += 1
+    elif _parse_aq_spec(tok, "RCQ") is not None:
+        # RCQ<k1>x<b1>[_...] (reference ResidualCoarseQuantizer as a
+        # standalone index, index_factory.cpp:563-570): search ranks the
+        # VIRTUAL centroid set by beam — the norm suffix is accepted and
+        # ignored exactly as the reference ctor ignores it for RCQ
+        bits, _ = _parse_aq_spec(tok, "RCQ")
+        plan.index_type = "rcq"
+        plan.aq_nbits = bits
         i += 1
     elif re.match(r"^(PRQ|PLSQ)(\d+)x(\d+)x4fs(_\d+)?$", tok):
         # flat PRQ/PLSQ fast-scan (reference index_factory.cpp:625-640
@@ -934,6 +1255,23 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     return plan
 
 
+def _aq_spec_str(prefix: str, plan: IndexPlan, default_m: int | None) -> str:
+    """Render an AQ token: per-level groups back to '<k>x<b>' spec form
+    when one was parsed, '<prefix><M>' otherwise; norm suffix appended."""
+    suf = ""
+    if plan.aq_search_type is not None:
+        suf = {v: k for k, v in _AQ_NORM_SUFFIXES.items()}[plan.aq_search_type]
+    if plan.aq_nbits is None:
+        return f"{prefix}{default_m}{suf}"
+    groups: list[list[int]] = []
+    for b in plan.aq_nbits:
+        if groups and groups[-1][1] == b:
+            groups[-1][0] += 1
+        else:
+            groups.append([1, b])
+    return prefix + "_".join(f"{k}x{b}" for k, b in groups) + suf
+
+
 def reverse_index_factory(plan: IndexPlan) -> str:
     """IndexPlan → factory string (reference contrib/factory_tools.py:76)."""
     parts = []
@@ -974,6 +1312,10 @@ def reverse_index_factory(plan: IndexPlan) -> str:
                 sub = f"PQ{plan.nested[1]}" + (
                     f"x{plan.nested[2]}" if plan.nested[2] != 8 else ""
                 )
+            elif plan.nested[0] == "lsh":
+                sub = "LSH" + ("r" if plan.nested[1] else "") + (
+                    "t" if plan.nested[2] else ""
+                )
             else:
                 sub = f"IVF{plan.nested[1]},Flat"
             parts.append(f"IVF{plan.nlist}({sub})")
@@ -998,13 +1340,29 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         parts.append(f"PQ{plan.pq_m}+{plan.pqr_m2}")
     elif plan.index_type == "imipq":
         parts.append(f"IMI2x{plan.coarse_nbits}")
-        parts.append(f"PQ{plan.pq_m}")
+        parts.append(f"PQ{plan.pq_m}" + ("" if plan.pq_polysemous else "np"))
     elif plan.index_type == "ivfsq":
         parts.append(ivf_tok())
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "ivfrq":
         parts.append(ivf_tok())
-        parts.append(f"RQ{plan.rq_m}")
+        parts.append(_aq_spec_str("RQ", plan, plan.rq_m))
+    elif plan.index_type == "ivflsq":
+        parts.append(ivf_tok())
+        parts.append(_aq_spec_str("LSQ", plan, plan.lsq_m))
+    elif plan.index_type == "ivfsh":
+        parts.append(ivf_tok())
+        parts.append(
+            plan.sh_transform.upper()
+            + (str(plan.sh_nbit) if plan.sh_nbit is not None else "")
+        )
+        parts.append(
+            "SH"
+            + (f"{plan.sh_period:g}" if plan.sh_period != -1e10 else "")
+            + {"global": "g", "centroid": "c", "median": "m"}[
+                plan.sh_threshold
+            ]
+        )
     elif plan.index_type == "ivfrqfs":
         parts.append(ivf_tok())
         parts.append(
@@ -1033,7 +1391,11 @@ def reverse_index_factory(plan: IndexPlan) -> str:
     elif plan.index_type == "sq":
         parts.append({4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[plan.sq_bits])
     elif plan.index_type == "rq":
-        parts.append(f"RQ{plan.rq_m}")
+        parts.append(_aq_spec_str("RQ", plan, plan.rq_m))
+    elif plan.index_type == "lsq":
+        parts.append(_aq_spec_str("LSQ", plan, plan.lsq_m))
+    elif plan.index_type == "rcq":
+        parts.append(_aq_spec_str("RCQ", plan, None))
     elif plan.index_type == "rqfs":
         parts.append(
             f"RQ{plan.rq_m}x4fs" + (f"_{plan.bbs}" if plan.bbs != 32 else "")
@@ -1094,6 +1456,8 @@ def get_code_size(d: int, plan: IndexPlan) -> int:
         return plan.pq_m
     if plan.index_type in ("rq", "ivfrq"):
         return plan.rq_m
+    if plan.index_type in ("lsq", "ivflsq"):
+        return plan.lsq_m
     if plan.index_type in ("sq", "ivfsq"):
         return (d * plan.sq_bits + 7) // 8
     if plan.index_type == "paq":
@@ -1203,12 +1567,17 @@ def index_binary_factory(description: str) -> BinaryIndexPlan:
     desc = description.strip()
     if desc == "BFlat":
         return BinaryIndexPlan(kind="bflat")
-    m = re.match(r"^BIVF(\d+)(?:_HNSW(\d+)?)?$", desc)
+    m = re.match(r"^BIVF(\d+)(?:_(?:B)?HNSW(\d+)?)?$", desc)
     if m:
         # BIVF<n>[_HNSW<m>] (reference index_factory.cpp:895-915: the
         # binary factory accepts an HNSW-assigned coarse quantizer; the
         # batch twin routes probes through a beam-walk graph over the
-        # float-cast centroid bits — 0/1-L2 == Hamming exactly)
+        # float-cast centroid bits — 0/1-L2 == Hamming exactly).
+        # '_BHNSW<m>' is accepted as the same routing: the reference's
+        # sscanf quirkily parses 'BIVF1024_BHNSW32' (its own test
+        # corpus spelling) as a PLAIN BIVF1024 because the unanchored
+        # '%d' match ignores the tail — honoring the intent (a graph
+        # coarse) beats replicating the accident.
         return BinaryIndexPlan(
             kind="bivf",
             nlist=int(m.group(1)),
