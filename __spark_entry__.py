@@ -2770,71 +2770,16 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2,
-    # r9 #2): this round the head = the 15 remaining r07-green entries
-    # (text_features / pii_features / decontaminate were bumped past slot
-    # 50 by the three new r9 entries, plus the rest of the r07 cohort) +
-    # the 35 oldest r08-green entries (CORRECTNESS_r08 order). The 15
-    # remaining r08-green entries follow at slots 51-65 and lead the r11
-    # head, then the r09-green block. Surface stays at 115 (r9 #9).
+    # r9 #2, r10 #1): this round the head = the 16 r08-cohort entries
+    # whose rotation window closes this round (last driver check:
+    # CORRECTNESS_r08) + the 34 oldest r09-green entries — with
+    # rcq_ivf_search pulled forward because it gains the RCQ-coarse-over-
+    # coded-lists variants this round (r10 verdict #2) and must be
+    # driver-checked with them. The 15 remaining r09-green entries sit
+    # at slots 51-65 and lead the r12 head; the 50 r10-checked entries
+    # fill the tail. Surface stays at 115 (r9 #9, r10 #9).
     return {
-        # --- the 2 never-driver-checked r10 entries (ivf_nested_coarse
-        # new; sq_reconstruction = sq6+sq8 merged, r10 consolidation) ---
-        "ivf_nested_coarse": q_ivf_nested_coarse,
-        "sq_reconstruction": q_sq_reconstruction,
-        # --- the 15 r07-green entries (last driver check:
-        # CORRECTNESS_r07; judge-green in the r9 verdict's independent
-        # 115/115 sweep) ---
-        "text_features": q_text_features,
-        "pii_features": q_pii_features,
-        "decontaminate": q_decontaminate,
-        "repetition_features": q_repetition_features,
-        "pca_project": q_pca_project,
-        "pq_adc_search": q_pq_adc_search,
-        "span_dedup_rewrite": q_span_dedup_rewrite,
-        "bigram_frequencies": q_bigram_frequencies,
-        "ivfpqr_search": q_ivfpqr_search,
-        "ivfpqr_codes": q_ivfpqr_codes,
-        "knn_jaccard_float": q_knn_jaccard_float,
-        "knn_hamming_float": q_knn_hamming_float,
-        "image_features_png": q_image_features_png,
-        "ngram_perplexity": q_ngram_perplexity,
-        "bpe_train": q_bpe_train,
-        # --- the 35 oldest r08-green entries (CORRECTNESS_r08 order) ---
-        "shuffle_corpus": q_shuffle_corpus,
-        "gopher_quality": q_gopher_quality,
-        "ngram_repetition": q_ngram_repetition,
-        "line_dedup": q_line_dedup,
-        "dedup_keep_best": q_dedup_keep_best,
-        "write_read_index": q_write_read_index,
-        "decontaminate_spans": q_decontaminate_spans,
-        "nsg_sq_search": q_nsg_sq_search,
-        "repeat_corpus": q_repeat_corpus,
-        "token_budget_sample": q_token_budget_sample,
-        "knn_graph_nndescent": q_knn_graph_nndescent,
-        "ivfaq_fastscan": q_ivfaq_fastscan,
-        "ivfpq_fastscan": q_ivfpq_fastscan,
-        "ivf_search_exact": q_ivf_search_exact,
-        "chunk_documents": q_chunk_documents,
-        "compute_residual": q_compute_residual,
-        "ivf_nsg_search": q_ivf_nsg_search,
-        "lsh_search": q_lsh_search,
-        "audio_features": q_audio_features,
-        "pack_sequences": q_pack_sequences,
-        "pq_sdc_search": q_pq_sdc_search,
-        "span_dedup": q_span_dedup,
-        "rowwise_minmax": q_rowwise_minmax,
-        "split_vectors": q_split_vectors,
-        "remove_then_search": q_remove_then_search,
-        "merge_from_search": q_merge_from_search,
-        "rq_codec": q_rq_codec,
-        "lsq_codec": q_lsq_codec,
-        "prq_codec": q_prq_codec,
-        "two_layer_codes": q_two_layer_codes,
-        "binary_nsg": q_binary_nsg,
-        "pq_fastscan_search": q_pq_fastscan,
-        "aq_fastscan": q_aq_fastscan,
-        # --- tail starts here (entry 51): the 15 remaining r08-green
-        # entries (they lead the r11 gate), then the r09-green block ---
+        # --- the 16 r08-cohort entries (window closes this round) ---
         "nsg_search": q_nsg_search,
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
@@ -2851,7 +2796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
-        # --- r09-green block (driver-green in CORRECTNESS_r09) ---
+        # --- rcq_ivf_search: r09-green, pulled forward (modified r11:
+        # tagged union gains the coded-list RCQ-coarse variants) ---
+        "rcq_ivf_search": q_rcq_ivf_search,
+        # --- the 33 oldest r09-green entries (CORRECTNESS_r09 order) ---
         "dedup_simhash": q_dedup_simhash,
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
@@ -2885,11 +2833,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search_l2": q_range_search,
         "ivf_range_search": q_ivf_range_search,
         "knn_graph": q_knn_graph,
+        # --- tail starts here (entry 51): the 15 remaining r09-green
+        # entries (they lead the r12 head), then the r10-checked 50 ---
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
         "ivfsq_search_exact": q_ivfsq_search_exact,
         "ivfaq_search": q_ivfaq_search,
-        "rcq_ivf_search": q_rcq_ivf_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "temperature_sample": q_temperature_sample,
@@ -2901,6 +2850,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autotune_nprobe": q_autotune_nprobe,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
+        # --- r10-checked block (driver-green in CORRECTNESS_r10) ---
+        "ivf_nested_coarse": q_ivf_nested_coarse,
+        "sq_reconstruction": q_sq_reconstruction,
+        "text_features": q_text_features,
+        "pii_features": q_pii_features,
+        "decontaminate": q_decontaminate,
+        "repetition_features": q_repetition_features,
+        "pca_project": q_pca_project,
+        "pq_adc_search": q_pq_adc_search,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
+        "bigram_frequencies": q_bigram_frequencies,
+        "ivfpqr_search": q_ivfpqr_search,
+        "ivfpqr_codes": q_ivfpqr_codes,
+        "knn_jaccard_float": q_knn_jaccard_float,
+        "knn_hamming_float": q_knn_hamming_float,
+        "image_features_png": q_image_features_png,
+        "ngram_perplexity": q_ngram_perplexity,
+        "bpe_train": q_bpe_train,
+        "shuffle_corpus": q_shuffle_corpus,
+        "gopher_quality": q_gopher_quality,
+        "ngram_repetition": q_ngram_repetition,
+        "line_dedup": q_line_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "write_read_index": q_write_read_index,
+        "decontaminate_spans": q_decontaminate_spans,
+        "nsg_sq_search": q_nsg_sq_search,
+        "repeat_corpus": q_repeat_corpus,
+        "token_budget_sample": q_token_budget_sample,
+        "knn_graph_nndescent": q_knn_graph_nndescent,
+        "ivfaq_fastscan": q_ivfaq_fastscan,
+        "ivfpq_fastscan": q_ivfpq_fastscan,
+        "ivf_search_exact": q_ivf_search_exact,
+        "chunk_documents": q_chunk_documents,
+        "compute_residual": q_compute_residual,
+        "ivf_nsg_search": q_ivf_nsg_search,
+        "lsh_search": q_lsh_search,
+        "audio_features": q_audio_features,
+        "pack_sequences": q_pack_sequences,
+        "pq_sdc_search": q_pq_sdc_search,
+        "span_dedup": q_span_dedup,
+        "rowwise_minmax": q_rowwise_minmax,
+        "split_vectors": q_split_vectors,
+        "remove_then_search": q_remove_then_search,
+        "merge_from_search": q_merge_from_search,
+        "rq_codec": q_rq_codec,
+        "lsq_codec": q_lsq_codec,
+        "prq_codec": q_prq_codec,
+        "two_layer_codes": q_two_layer_codes,
+        "binary_nsg": q_binary_nsg,
+        "pq_fastscan_search": q_pq_fastscan,
+        "aq_fastscan": q_aq_fastscan,
     }
 
 
