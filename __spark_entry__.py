@@ -516,7 +516,26 @@ def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = idx.search(qs, K, nprobe=16).select("qid", "id")
     truth = knn(vecs, qs, K).select("qid", "id")
     recall, _ = _pair_recall(got, truth)
-    return _prop_df(spark, [("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85)])
+    # the coded-list RCQ-coarse form (reference IVF256(RCQ2x4),RQ3x4,
+    # tests/test_residual_quantizer.py:586 — r10 verdict #2): residuals
+    # are against the beam's VIRTUAL centroids; full probe again leaves
+    # only AQ quantization error (numpy-exactness of ids AND dists is
+    # pinned in tests/test_factory_parity.py)
+    from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+
+    cq = ResidualCoarseQuantizer(M=2, nbits=3, seed=42).fit(vecs)
+    idx2 = IVFAQIndex.train(
+        vecs, nlist=64, M=16, seed=42, coarse_q=cq
+    ).add(vecs)
+    got2 = idx2.search(qs, K, nprobe=64).select("qid", "id")
+    recall2, _ = _pair_recall(got2, truth)
+    return _prop_df(
+        spark,
+        [
+            ("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85),
+            ("ivfaq_rcq_coarse_full_probe_recall_ge_0.85", recall2 >= 0.85),
+        ],
+    )
 
 
 def q_ivfpqr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,14 +791,30 @@ def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ResidualCoarseQuantizer, faiss/IndexAdditiveQuantizer.h:161 — the
     large-nlist `IVFn(RCQMxB)` factory family): nlist = 2^(M·nbits)
     virtual cells, beam-search assignment instead of argmin over
-    materialized centroids. ORACLE-EXACT: at nprobe = nlist every cell is
-    probed, so results equal brute-force L2 knn regardless of where the
-    beam assigned each vector — the oracle is the same exact-knn SQL."""
+    materialized centroids. Tagged union over the LIST CODECS the
+    reference's own tests pair with an RCQ coarse (r10 verdict #2):
+    'flat' = Flat lists, 'sq8' = the `IVF64(RCQ2x3),SQ8` coded-list form
+    (reference tests/test_factory.py:254 builds IVF1024(RCQ2x5),SQ8).
+    ORACLE-EXACT both ways: at nprobe = nlist every cell is probed
+    regardless of where the beam assigned each vector, so 'flat' equals
+    brute-force L2 knn over raw vectors and 'sq8' equals brute-force L2
+    over the SQ8-DECODED vectors (the asymmetric-SQ SQL twin). The
+    RQ-coded form (IVF256(RCQ2x4),RQ3x4) is numpy-exact-pinned in
+    tests/test_factory_parity.py and recall-bounded under ivfaq_search."""
     from faiss_spark.operators.ivf import IVFRCQIndex
+    from faiss_spark.plans.factory import index_factory
 
     vecs = _emb(spark, sf_dir)
+    qs = _queries_df(spark, sf_dir)
     idx = IVFRCQIndex.train(vecs, M=2, nbits=3, seed=42).add(vecs)
-    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=idx.nlist))
+    flat = _round(idx.search(qs, K, nprobe=idx.nlist)).withColumn(
+        "variant", F.lit("flat")
+    )
+    plan = index_factory("IVF64(RCQ2x3),SQ8").fit(vecs, seed=42)
+    sq8 = _round(plan.search(qs, K, nprobe=64)).withColumn(
+        "variant", F.lit("sq8")
+    )
+    return flat.unionByName(sq8)
 
 
 def q_ivf_nested_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2972,8 +3007,6 @@ _PAIR_JACCARD = f"""
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["knn_l2"] = _knn_sql(_L2, "ASC")
-    # RCQ-coarse IVF at nprobe=nlist probes every cell → exact L2 knn
-    sql["rcq_ivf_search"] = _knn_sql(_L2, "ASC")
     sql["knn_ip"] = _knn_sql(_IP, "DESC")
     sql["knn_cosine"] = _knn_sql(_COS, "DESC")
     _CANB = (
@@ -3140,6 +3173,15 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
         SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {K}
+    """
+    # RCQ-coarse IVF at nprobe=nlist probes every cell, so each list
+    # codec's arm is exact over ITS reconstructions: 'flat' = raw
+    # vectors (plain exact knn), 'sq8' = the same asymmetric SQ8-decode
+    # twin ivfsq_search_exact uses (the coded-list RCQ factory form)
+    sql["rcq_ivf_search"] = f"""
+        SELECT 'flat' AS variant, * FROM ({_knn_sql(_L2, "ASC")})
+        UNION ALL
+        SELECT 'sq8' AS variant, * FROM ({sql["ivfsq_search_exact"]})
     """
     # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
     # records the weaker rows-only check)
@@ -3889,7 +3931,9 @@ def oracle_sql() -> dict[str, str]:
     # booleans; the twin states the expected rows, so hash_match == the
     # bound held (VERDICT r1 'oracle-check the bound' pattern)
     sql["ivfaq_search"] = (
-        "SELECT 'ivfaq_full_probe_recall_ge_0.85' AS prop, TRUE AS passed"
+        "SELECT 'ivfaq_full_probe_recall_ge_0.85' AS prop, TRUE AS passed "
+        "UNION ALL "
+        "SELECT 'ivfaq_rcq_coarse_full_probe_recall_ge_0.85', TRUE"
     )
     sql["imi_search_exact"] = _knn_sql(_L2, "ASC")
     sql["miq2_search"] = _knn_sql(_L2, "ASC")

@@ -1411,13 +1411,39 @@ class IVFSQIndex:
     IndexIVFScalarQuantizer, faiss/IndexScalarQuantizer.h:64): the codes
     table stores SQ bytes instead of raw floats — 4× smaller scan at
     SQ8 — and the per-list scan decodes on the fly before the distance
-    GEMM (the reference's SQ InvertedListScanner does exactly this)."""
+    GEMM (the reference's SQ InvertedListScanner does exactly this).
 
-    centroids: np.ndarray
+    ``coarse_q`` (a fitted ResidualCoarseQuantizerModel) swaps the
+    k-means coarse quantizer for an additive one — the reference's
+    ``IVF1024(RCQ2x5),SQ8`` factory form (its own
+    tests/test_factory.py:254): assignment and probe selection become a
+    beam search over the M tiny codebooks, so at nlist = 2^16..2^20 the
+    broadcast artifact stays M·ksub·d floats instead of nlist·d. The
+    codes table, partition pruning, and scan are unchanged (SQ decodes
+    raw vectors — the list centroid never enters the distance)."""
+
+    centroids: np.ndarray | None
     sq: "ScalarQuantizerModel"
     metric: str = "l2"
     codes: DataFrame | None = None
     path: str | None = None
+    coarse_q: object | None = None  # ResidualCoarseQuantizerModel
+
+    @property
+    def nlist(self) -> int:
+        return (
+            self.coarse_q.nlist
+            if self.coarse_q is not None
+            else len(self.centroids)
+        )
+
+    @property
+    def d(self) -> int:
+        return (
+            self.coarse_q.codebooks.shape[2]
+            if self.coarse_q is not None
+            else self.centroids.shape[1]
+        )
 
     @staticmethod
     def train(
@@ -1430,16 +1456,36 @@ class IVFSQIndex:
         niter: int = 20,
         rangestat: str = "minmax",
         rs_arg: float | None = None,
+        coarse_q: object | None = None,
     ) -> "IVFSQIndex":
         from faiss_spark.operators.codecs import ScalarQuantizer
 
-        km = KMeans(
-            k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
-        ).fit(vectors, vec_col=vec_col)
+        if coarse_q is not None:
+            # additive coarse (reference IVF<n>(RCQ<M>x<b>),SQ<b>): the
+            # caller fits the RCQ/LSQ model; its beam is L2 — restrict
+            # like the reference's quantizer contract
+            if metric != "l2":
+                raise ValueError(
+                    "additive coarse quantizers rank by squared L2, "
+                    f"got metric={metric!r}"
+                )
+            if coarse_q.nlist != nlist:
+                raise ValueError(
+                    f"coarse_q spans {coarse_q.nlist} virtual cells, "
+                    f"expected nlist={nlist}"
+                )
+            km_centroids = None
+        else:
+            km = KMeans(
+                k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
+            ).fit(vectors, vec_col=vec_col)
+            km_centroids = km.centroids
         sq = ScalarQuantizer(
             bits=bits, rangestat=rangestat, rs_arg=rs_arg, seed=seed
         ).fit(vectors, vec_col=vec_col)
-        return IVFSQIndex(centroids=km.centroids, sq=sq, metric=metric)
+        return IVFSQIndex(
+            centroids=km_centroids, sq=sq, metric=metric, coarse_q=coarse_q
+        )
 
     def add(
         self,
@@ -1463,10 +1509,15 @@ class IVFSQIndex:
         self, vectors: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> DataFrame:
         """Frozen-artifact encode to (list_no, id, code) rows — map-only,
-        shared by add() and the streaming incremental writer."""
+        shared by add() and the streaming incremental writer. With an
+        additive coarse, assignment is the beam over the broadcast
+        codebooks (same map-only shape, no nlist·d artifact)."""
         spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast(
-            (self.centroids, self.sq.vmin, self.sq.vdiff, self.sq.bits, self.metric)
+            (
+                self.centroids, self.coarse_q, self.sq.vmin, self.sq.vdiff,
+                self.sq.bits, self.metric,
+            )
         )
 
         def enc(batches):
@@ -1475,13 +1526,18 @@ class IVFSQIndex:
             from faiss_spark.kernels import arrow_id_vec_blocks
             from faiss_spark.operators.codecs import ScalarQuantizerModel
 
-            C, vmin, vdiff, bits, metric = bc.value
+            C, cq, vmin, vdiff, bits, metric = bc.value
             sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
             for ids, X, _ in arrow_id_vec_blocks(batches):
-                D = pairwise_distances(X, C, metric)
-                lists = (
-                    np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
-                )
+                if cq is not None:
+                    lists = cq.assign_np(X)
+                else:
+                    D = pairwise_distances(X, C, metric)
+                    lists = (
+                        np.argmax(D, 1)
+                        if metric in SIMILARITY_METRICS
+                        else np.argmin(D, 1)
+                    )
                 codes = sqm.encode_np(X)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -1498,14 +1554,32 @@ class IVFSQIndex:
         return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, spark, path: str) -> None:
-        fsio.write_npy(spark, os.path.join(path, "_ivfsq_centroids.npy"), self.centroids)
+        meta = {
+            "metric": self.metric,
+            "bits": int(self.sq.bits),
+            "variant": self.sq.variant,
+        }
+        if self.coarse_q is not None:
+            fsio.write_npy(
+                spark,
+                os.path.join(path, "_ivfsq_rcq_codebooks.npy"),
+                self.coarse_q.codebooks,
+            )
+            meta["coarse"] = {
+                "beam_factor": self.coarse_q.beam_factor,
+                "nbits_list": (
+                    list(self.coarse_q.nbits_list)
+                    if self.coarse_q.nbits_list is not None
+                    else None
+                ),
+            }
+        else:
+            fsio.write_npy(
+                spark, os.path.join(path, "_ivfsq_centroids.npy"), self.centroids
+            )
         fsio.write_npy(spark, os.path.join(path, "_ivfsq_vmin.npy"), self.sq.vmin)
         fsio.write_npy(spark, os.path.join(path, "_ivfsq_vdiff.npy"), self.sq.vdiff)
-        fsio.write_json(spark, os.path.join(path, "_ivfsq_meta.json"), {
-                    "metric": self.metric,
-                    "bits": int(self.sq.bits),
-                    "variant": self.sq.variant,
-                })
+        fsio.write_json(spark, os.path.join(path, "_ivfsq_meta.json"), meta)
 
     def save(self, path: str) -> "IVFSQIndex":
         """write_index: partitioned SQ codes + centroid/range artifacts."""
@@ -1525,8 +1599,28 @@ class IVFSQIndex:
         from faiss_spark.operators.codecs import ScalarQuantizerModel
 
         meta = fsio.read_json(spark, os.path.join(path, "_ivfsq_meta.json"))
+        coarse_q = None
+        centroids = None
+        if meta.get("coarse"):
+            from faiss_spark.operators.codecs import ResidualCoarseQuantizerModel
+
+            cm = meta["coarse"]
+            coarse_q = ResidualCoarseQuantizerModel(
+                codebooks=fsio.read_npy(
+                    spark, os.path.join(path, "_ivfsq_rcq_codebooks.npy")
+                ),
+                beam_factor=cm["beam_factor"],
+                nbits_list=(
+                    tuple(cm["nbits_list"]) if cm["nbits_list"] else None
+                ),
+            )
+        else:
+            centroids = fsio.read_npy(
+                spark, os.path.join(path, "_ivfsq_centroids.npy")
+            )
         return IVFSQIndex(
-            centroids=fsio.read_npy(spark, os.path.join(path, "_ivfsq_centroids.npy")),
+            centroids=centroids,
+            coarse_q=coarse_q,
             sq=ScalarQuantizerModel(
                 vmin=fsio.read_npy(spark, os.path.join(path, "_ivfsq_vmin.npy")),
                 vdiff=fsio.read_npy(spark, os.path.join(path, "_ivfsq_vdiff.npy")),
@@ -1547,21 +1641,25 @@ class IVFSQIndex:
         qvec_col: str = "vec",
     ) -> DataFrame:
         """Same plan as IVFIndex.search; the scan decodes SQ bytes to a
-        float block before the GEMM (asymmetric: queries stay exact)."""
+        float block before the GEMM (asymmetric: queries stay exact).
+        Probe selection under an additive coarse is the RCQ beam
+        (reference ResidualCoarseQuantizer::search)."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
-        nlist = len(self.centroids)
+        nlist = self.nlist
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
 
         qids, Q = collect_queries_bounded(
-            queries, qid_col, qvec_col, "IVFSQIndex.search",
-            d=self.centroids.shape[1],
+            queries, qid_col, qvec_col, "IVFSQIndex.search", d=self.d,
         )
-        CD = pairwise_distances(Q, self.centroids, self.metric)
-        order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
-        probes = order[:, :nprobe]
+        if self.coarse_q is not None:
+            probes, _ = self.coarse_q.search_np(Q, nprobe)
+        else:
+            CD = pairwise_distances(Q, self.centroids, self.metric)
+            order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+            probes = order[:, :nprobe]
         probed_lists = sorted({int(c) for c in probes.ravel()})
         list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
         for qi in range(len(qids)):
@@ -2850,7 +2948,7 @@ class IVFAQIndex:
     (mapInArrow + the shared zero-copy group helpers), like the other
     IVF families."""
 
-    centroids: np.ndarray  # (nlist, d)
+    centroids: np.ndarray | None  # (nlist, d); None under an additive coarse
     # the additive codec — ResidualQuantizerModel (beam encode) or
     # LocalSearchQuantizerModel (ICM encode); both share the
     # encode_np/decode gather-sum surface the scan rides
@@ -2864,6 +2962,27 @@ class IVFAQIndex:
     # then ranks by ‖q‖² − 2⟨q,x̂⟩ + N(‖x̂‖²)
     search_type: str | None = None
     norm_q: object | None = None
+    # additive coarse quantizer (reference IVF<n>(RCQ<M>x<b>),RQ<spec> —
+    # its own tests/test_residual_quantizer.py:586): a fitted
+    # ResidualCoarseQuantizerModel replaces the k-means centroids;
+    # residuals are against its VIRTUAL centroids (beam reconstruct)
+    coarse_q: object | None = None
+
+    @property
+    def nlist(self) -> int:
+        return (
+            self.coarse_q.nlist
+            if self.coarse_q is not None
+            else len(self.centroids)
+        )
+
+    @property
+    def d(self) -> int:
+        return (
+            self.coarse_q.codebooks.shape[2]
+            if self.coarse_q is not None
+            else self.centroids.shape[1]
+        )
 
     @staticmethod
     def train(
@@ -2879,12 +2998,14 @@ class IVFAQIndex:
         nbits: int | list = 8,
         lsq: bool = False,
         search_type: str | None = None,
+        coarse_q: object | None = None,
     ) -> "IVFAQIndex":
-        """train_q1 (coarse k-means) then RQ (greedy residual k-means) or
-        LSQ (ICM + least-squares, ``lsq=True``) codebooks on residuals of
-        the training sample (reference
-        IndexIVFAdditiveQuantizer::train_residual; IVF<n>,LSQ<M>x<b> →
-        IndexIVFLocalSearchQuantizer, index_factory.cpp:336-350)."""
+        """train_q1 (coarse k-means, or a caller-fitted additive coarse)
+        then RQ (greedy residual k-means) or LSQ (ICM + least-squares,
+        ``lsq=True``) codebooks on residuals of the training sample
+        (reference IndexIVFAdditiveQuantizer::train_residual;
+        IVF<n>,LSQ<M>x<b> → IndexIVFLocalSearchQuantizer,
+        index_factory.cpp:336-350)."""
         from faiss_spark.operators.codecs import (
             AQNormQuantizer,
             LocalSearchQuantizer,
@@ -2895,16 +3016,32 @@ class IVFAQIndex:
             _sampled_matrix,
         )
 
-        km = KMeans(
-            k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
-        ).fit(vectors, vec_col=vec_col)
-        C = km.centroids
-        X = _sampled_matrix(vectors, vec_col, 65536, seed)
-        d2 = (
-            (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
-        )
-        assign = d2.argmin(1)
-        resid = X - C[assign]
+        if coarse_q is not None:
+            if metric != "l2":
+                raise ValueError(
+                    "additive coarse quantizers rank by squared L2, "
+                    f"got metric={metric!r}"
+                )
+            if coarse_q.nlist != nlist:
+                raise ValueError(
+                    f"coarse_q spans {coarse_q.nlist} virtual cells, "
+                    f"expected nlist={nlist}"
+                )
+            C = None
+            X = _sampled_matrix(vectors, vec_col, 65536, seed)
+            assign = coarse_q.assign_np(X)
+            resid = X - coarse_q.reconstruct_np(assign)
+        else:
+            km = KMeans(
+                k=nlist, niter=niter, seed=seed, spherical=(metric == "cosine")
+            ).fit(vectors, vec_col=vec_col)
+            C = km.centroids
+            X = _sampled_matrix(vectors, vec_col, 65536, seed)
+            d2 = (
+                (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            )
+            assign = d2.argmin(1)
+            resid = X - C[assign]
         bits = _normalize_nbits(nbits, M)
         if lsq:
             if len(set(bits)) != 1:
@@ -2927,7 +3064,12 @@ class IVFAQIndex:
         if search_type not in (None, "none"):
             # reconstruction norms INCLUDE the centroid (the estimator's
             # ‖x̂‖² term is of the full reconstruction)
-            Xh = C[assign] + codec.decode_np(codec.encode_np(resid))
+            base = (
+                coarse_q.reconstruct_np(assign)
+                if coarse_q is not None
+                else C[assign]
+            )
+            Xh = base + codec.decode_np(codec.encode_np(resid))
             norm_q = AQNormQuantizer(search_type).fit_np((Xh * Xh).sum(1))
         return IVFAQIndex(
             centroids=C,
@@ -2935,6 +3077,7 @@ class IVFAQIndex:
             metric=metric,
             search_type=search_type,
             norm_q=norm_q,
+            coarse_q=coarse_q,
         )
 
     def add(
@@ -2962,7 +3105,7 @@ class IVFAQIndex:
         shared by add() and the streaming incremental writer."""
         spark = vectors.sparkSession
         bc = spark.sparkContext.broadcast(
-            (self.centroids, self.rq, self.metric)
+            (self.centroids, self.coarse_q, self.rq, self.metric)
         )
 
         def enc(batches):
@@ -2972,13 +3115,22 @@ class IVFAQIndex:
 
             # the codec model travels whole: beam encode for RQ, ICM for
             # LSQ — _encode_df must use the codec's OWN encoder
-            C, rqm, metric = bc.value
+            C, cq, rqm, metric = bc.value
             for ids, X, _ in arrow_id_vec_blocks(batches):
-                D = pairwise_distances(X, C, metric)
-                lists = (
-                    np.argmax(D, 1) if metric in SIMILARITY_METRICS else np.argmin(D, 1)
-                )
-                codes = rqm.encode_np(X - C[lists])
+                if cq is not None:
+                    # additive coarse: beam assign + residual against the
+                    # VIRTUAL centroid (reconstruct of the assigned cell)
+                    lists = cq.assign_np(X)
+                    base = cq.reconstruct_np(lists)
+                else:
+                    D = pairwise_distances(X, C, metric)
+                    lists = (
+                        np.argmax(D, 1)
+                        if metric in SIMILARITY_METRICS
+                        else np.argmin(D, 1)
+                    )
+                    base = C[lists]
+                codes = rqm.encode_np(X - base)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(lists.astype(np.int32), pa.int32()),
@@ -2994,7 +3146,16 @@ class IVFAQIndex:
         return src.mapInArrow(enc, schema="list_no int, id bigint, code binary")
 
     def _save_artifact(self, spark, path: str) -> None:
-        fsio.write_npy(spark, os.path.join(path, "_ivfaq_centroids.npy"), self.centroids)
+        if self.coarse_q is not None:
+            fsio.write_npy(
+                spark,
+                os.path.join(path, "_ivfaq_rcq_codebooks.npy"),
+                self.coarse_q.codebooks,
+            )
+        else:
+            fsio.write_npy(
+                spark, os.path.join(path, "_ivfaq_centroids.npy"), self.centroids
+            )
         fsio.write_npy(spark, os.path.join(path, "_ivfaq_codebooks.npy"), self.rq.codebooks)
         meta = {
             "metric": self.metric,
@@ -3005,6 +3166,15 @@ class IVFAQIndex:
             ),
             "search_type": self.search_type,
         }
+        if self.coarse_q is not None:
+            meta["coarse"] = {
+                "beam_factor": self.coarse_q.beam_factor,
+                "nbits_list": (
+                    list(self.coarse_q.nbits_list)
+                    if self.coarse_q.nbits_list is not None
+                    else None
+                ),
+            }
         if self.norm_q is not None:
             meta["norm"] = {
                 "kind": self.norm_q.kind,
@@ -3055,8 +3225,28 @@ class IVFAQIndex:
                 norm_q.codebook = fsio.read_npy(
                     spark, os.path.join(path, "_ivfaq_norm_codebook.npy")
                 )
+        coarse_q = None
+        centroids = None
+        if meta.get("coarse"):
+            from faiss_spark.operators.codecs import ResidualCoarseQuantizerModel
+
+            cm = meta["coarse"]
+            coarse_q = ResidualCoarseQuantizerModel(
+                codebooks=fsio.read_npy(
+                    spark, os.path.join(path, "_ivfaq_rcq_codebooks.npy")
+                ),
+                beam_factor=cm["beam_factor"],
+                nbits_list=(
+                    tuple(cm["nbits_list"]) if cm["nbits_list"] else None
+                ),
+            )
+        else:
+            centroids = fsio.read_npy(
+                spark, os.path.join(path, "_ivfaq_centroids.npy")
+            )
         return IVFAQIndex(
-            centroids=fsio.read_npy(spark, os.path.join(path, "_ivfaq_centroids.npy")),
+            centroids=centroids,
+            coarse_q=coarse_q,
             rq=codec,
             metric=meta["metric"],
             search_type=meta.get("search_type"),
@@ -3071,14 +3261,16 @@ class IVFAQIndex:
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
-        bc = spark.sparkContext.broadcast((self.centroids, self.rq.codebooks))
+        bc = spark.sparkContext.broadcast(
+            (self.centroids, self.coarse_q, self.rq.codebooks)
+        )
 
         def dec(batches):
             import pyarrow as pa
 
             from faiss_spark.kernels import arrow_binary_matrix
 
-            C, books = bc.value
+            C, cq, books = bc.value
             for b in batches:
                 if b.num_rows == 0:
                     continue
@@ -3089,7 +3281,11 @@ class IVFAQIndex:
                     b.column(1).to_numpy(zero_copy_only=False), np.int64
                 )
                 codes = arrow_binary_matrix(b.column(2))
-                X = C[lists].astype(np.float64)
+                X = (
+                    cq.reconstruct_np(lists)
+                    if cq is not None
+                    else C[lists].astype(np.float64)
+                )
                 for m in range(books.shape[0]):
                     X += books[m][codes[:, m]]
                 Xf = np.ascontiguousarray(X, np.float32)
@@ -3118,21 +3314,25 @@ class IVFAQIndex:
         qvec_col: str = "vec",
     ) -> DataFrame:
         """Same partition-pruned plan as IVFSQIndex.search; the scan
-        decodes AQ codes (gather-sum + centroid) before the GEMM."""
+        decodes AQ codes (gather-sum + centroid) before the GEMM. Under
+        an additive coarse, probe selection is the RCQ beam and the
+        per-list base vector is the virtual centroid's reconstruction."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
-        nlist = len(self.centroids)
+        nlist = self.nlist
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
 
         qids, Q = collect_queries_bounded(
-            queries, qid_col, qvec_col, "IVFAQIndex.search",
-            d=self.centroids.shape[1],
+            queries, qid_col, qvec_col, "IVFAQIndex.search", d=self.d,
         )
-        CD = pairwise_distances(Q, self.centroids, self.metric)
-        order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
-        probes = order[:, :nprobe]
+        if self.coarse_q is not None:
+            probes, _ = self.coarse_q.search_np(Q, nprobe)
+        else:
+            CD = pairwise_distances(Q, self.centroids, self.metric)
+            order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
+            probes = order[:, :nprobe]
         probed_lists = sorted({int(c) for c in probes.ravel()})
         list_to_q: dict[int, list[int]] = {c: [] for c in probed_lists}
         for qi in range(len(qids)):
@@ -3150,6 +3350,7 @@ class IVFAQIndex:
                 Q,
                 {c: np.asarray(v, np.int64) for c, v in list_to_q.items()},
                 self.centroids,
+                self.coarse_q,
                 self.rq.codebooks,
                 self.norm_q if est else None,
                 est,
@@ -3164,7 +3365,7 @@ class IVFAQIndex:
 
             from faiss_spark.kernels import arrow_code_groups
 
-            qids_, Q_, l2q, C, books, norm_q, est_ = bc.value
+            qids_, Q_, l2q, C, cq, books, norm_q, est_ = bc.value
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
             for list_no, codes, ids in arrow_code_groups(batches):
@@ -3172,8 +3373,15 @@ class IVFAQIndex:
                 if qsel is None or len(qsel) == 0:
                     continue
                 # AQ decode: gather-sum the M codebook rows + list centroid
+                # (the virtual centroid's reconstruction under an
+                # additive coarse — one decode per probed list)
+                base = (
+                    cq.reconstruct_np(np.asarray([list_no]))[0]
+                    if cq is not None
+                    else C[list_no]
+                )
                 X = np.broadcast_to(
-                    C[list_no], (len(codes), C.shape[1])
+                    base, (len(codes), len(base))
                 ).astype(np.float64)
                 for m in range(books.shape[0]):
                     X = X + books[m][codes[:, m]]

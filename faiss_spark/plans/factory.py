@@ -295,7 +295,8 @@ class IndexPlan:
             )
         elif self.index_type == "ivfsq":
             self.index = IVFSQIndex.train(
-                cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric, seed=seed
+                cur, nlist=self.nlist, bits=self.sq_bits, metric=self.metric,
+                seed=seed, coarse_q=self._fit_coarse_q(cur, seed),
             ).add(cur)
         elif self.index_type == "ivfsh":
             from faiss_spark.operators.ivf import IVFSpectralHash
@@ -313,6 +314,7 @@ class IndexPlan:
                 lsq=(self.index_type == "ivflsq"),
                 search_type=self.aq_search_type,
                 metric=self.metric, seed=seed,
+                coarse_q=self._fit_coarse_q(cur, seed),
             ).add(cur)
         elif self.index_type == "ivfrqfs":
             if self.metric != "l2":
@@ -465,6 +467,23 @@ class IndexPlan:
             )
             self._refine_plan = sub
         return self
+
+    def _fit_coarse_q(self, cur: DataFrame, seed: int):
+        """Fit the additive coarse quantizer for coded-list IVF forms
+        (reference ``IVF1024(RCQ2x5),SQ8`` / ``IVF256(RCQ2x4),RQ3x4`` —
+        its tests/test_factory.py:254, test_residual_quantizer.py:395,
+        586). None when the plan's coarse is plain k-means."""
+        if self.coarse not in ("rcq", "lsq"):
+            return None
+        from faiss_spark.operators.codecs import (
+            LSCoarseQuantizer,
+            ResidualCoarseQuantizer,
+        )
+
+        est = (LSCoarseQuantizer if self.coarse == "lsq" else ResidualCoarseQuantizer)(
+            M=self.coarse_m, nbits=self.coarse_nbits, seed=seed
+        )
+        return est.fit(cur)
 
     def _decoded_table(self) -> DataFrame:
         """(id, vec) reconstructions for the fitted codec index types —
@@ -972,9 +991,19 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         if i >= len(tokens):
             raise ValueError(f"IVF{plan.nlist} needs a code stage (Flat/PQm/SQ8)")
         code = tokens[i]
-        if plan.coarse is not None and code != "Flat":
+        if plan.coarse is not None and not (
+            code == "Flat"
+            or re.match(r"^SQ(4|6|8|fp16)$", code)
+            or _parse_aq_spec(code, "RQ") is not None
+            or _parse_aq_spec(code, "LSQ") is not None
+        ):
+            # reference index_factory.cpp pairs an RCQ/LSQ coarse with any
+            # list codec; here the composition covers the list codecs that
+            # take a coarse_q (Flat / SQ / RQ / LSQ — the forms the
+            # reference's own tests exercise). Others refuse loudly.
             raise ValueError(
-                f"additive coarse quantizer supports Flat codes only, got {code!r}"
+                "additive coarse quantizer supports Flat, SQ<b>, RQ<spec> "
+                f"or LSQ<spec> codes, got {code!r}"
             )
         if code == "FlatDedup":
             # IndexIVFFlatDedup (reference faiss/IndexIVFFlatDedup.h:21):
@@ -1288,6 +1317,11 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         elif isinstance(t, ITQTransform):
             parts.append("ITQ")
     def ivf_tok() -> str:
+        if plan.coarse in ("rcq", "lsq"):
+            return (
+                f"IVF{plan.nlist}({plan.coarse.upper()}"
+                f"{plan.coarse_m}x{plan.coarse_nbits})"
+            )
         suffix = (
             f"_{plan.coarse_graph.upper()}{plan.coarse_graph_r}"
             if plan.coarse_graph
@@ -1301,10 +1335,7 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         if plan.coarse == "imi":
             parts.append(f"IMI2x{plan.coarse_nbits}")
         elif plan.coarse is not None:
-            parts.append(
-                f"IVF{plan.nlist}({plan.coarse.upper()}"
-                f"{plan.coarse_m}x{plan.coarse_nbits})"
-            )
+            parts.append(ivf_tok())
         elif plan.nested is not None:
             if plan.nested[0] == "flat":
                 sub = "Flat"

@@ -56,9 +56,6 @@ EXPECTED_UNSUPPORTED = {
     # arbitrary recursive sub-index descriptions as coarse quantizer —
     # the supported sub-grammar is Flat | PQ | IVF,Flat | LSH | RCQ | LSQ
     "IVF1000(IVF20,SQ4,Refine(SQ8)),Flat": "deep recursive sub-index",
-    # additive coarse quantizers pair with Flat codes only here
-    "IVF1024(RCQ2x5),SQ8": "RCQ coarse + coded lists",
-    "IVF256(RCQ2x4),RQ3x4": "RCQ coarse + coded lists",
     # Refine over a transform+LSH chain needs inverse-transform decode
     "RQ1x4,Refine(ITQ16,LSH)": "refine through a transform chain",
     "RQ2x5,Refine(ITQ,LSHt)": "refine through a transform chain",
@@ -94,6 +91,7 @@ def test_new_forms_reverse_roundtrip():
         "IMI2x2,PQ4np", "RQ4x6_Nqint8", "LSQ4x4_Ncqint4", "RCQ1x3_1x4",
         "IVF4,RQ4x6_Nfloat", "IVF4,LSQ4x4", "IVF8(LSHrt),Flat",
         "IVF8,PCA8,SHc", "RQ2x8_2x4",
+        "IVF1024(RCQ2x5),SQ8", "IVF256(RCQ2x4),RQ3x4", "IVF64(LSQ2x3),SQ8",
     ):
         rev = reverse_index_factory(index_factory(s))
         # reverse must RE-PARSE to an equivalent plan (string-identical
@@ -222,6 +220,62 @@ def test_per_level_nbits_codes_in_range(spark, tables):
     )
     assert codes.shape[1] == 4
     assert (codes[:, 2:] < 16).all()
+
+
+def test_rcq_coarse_sq_full_probe_exact(spark, tables):
+    """IVF<n>(RCQ<M>x<b>),SQ8 (reference tests/test_factory.py:254,
+    tests/test_residual_quantizer.py:395) at nprobe=nlist: every virtual
+    cell is probed, so the result must equal brute-force L2 over the SQ
+    reconstructions REGARDLESS of where the beam assigned each vector."""
+    emb = _emb(tables)
+    qs = emb.filter("id < 3").select(F.col("id").alias("qid"), "vec")
+    plan = index_factory("IVF64(RCQ2x3),SQ8").fit(emb, seed=42)
+    idx = plan.index
+    res = plan.search(qs, 5, nprobe=64).toPandas().sort_values(["qid", "rank"])
+    cd = idx.codes.toPandas()
+    X = idx.sq.decode_np(
+        np.stack([np.frombuffer(c, np.uint8) for c in cd["code"]])
+    )
+    ids = cd["id"].to_numpy()
+    qp = qs.toPandas()
+    Q = np.stack(qp["vec"].to_numpy()).astype(np.float64)
+    for qi, qid in enumerate(qp["qid"]):
+        d2 = ((X - Q[qi]) ** 2).sum(1)
+        order = np.lexsort((ids, d2))[:5]
+        got = res[res.qid == qid]
+        assert (ids[order] == got["id"].to_numpy()).all()
+
+
+def test_rcq_coarse_rq_full_probe_exact(spark, tables):
+    """IVF<n>(RCQ<M>x<b>),RQ<spec> (reference
+    tests/test_residual_quantizer.py:586,613) at full probe: ids AND
+    distances must equal the numpy estimator over ALL reconstructions —
+    virtual-centroid base (RCQ reconstruct of the stored list_no) plus
+    the RQ decode of the residual code."""
+    emb = _emb(tables)
+    qs = emb.filter("id < 3").select(F.col("id").alias("qid"), "vec")
+    plan = index_factory("IVF64(RCQ2x3),RQ3x4").fit(emb, seed=42)
+    idx = plan.index
+    res = plan.search(qs, 5, nprobe=64).toPandas().sort_values(["qid", "rank"])
+    cd = idx.codes.toPandas()
+    codes = np.stack([np.frombuffer(c, np.uint8) for c in cd["code"]])
+    Xh = idx.coarse_q.reconstruct_np(cd["list_no"].to_numpy()) + (
+        idx.rq.decode_np(codes)
+    )
+    ids = cd["id"].to_numpy()
+    qp = qs.toPandas()
+    Q = np.stack(qp["vec"].to_numpy()).astype(np.float64)
+    for qi, qid in enumerate(qp["qid"]):
+        d2 = ((Xh - Q[qi]) ** 2).sum(1)
+        order = np.lexsort((ids, d2))[:5]
+        got = res[res.qid == qid]
+        assert (ids[order] == got["id"].to_numpy()).all()
+        assert np.allclose(d2[order], got["dist"].to_numpy(), atol=1e-9)
+
+
+def test_rcq_coarse_rejects_unsupported_codes():
+    with pytest.raises(ValueError, match="additive coarse"):
+        index_factory("IVF64(RCQ2x3),PQ4")
 
 
 def test_norm_quantizer_kinds():

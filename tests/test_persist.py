@@ -67,6 +67,32 @@ def test_ivfaq_write_read_roundtrip(spark, emb, queries, tmp_path):
     assert re.rq.beam == idx.rq.beam
 
 
+def test_ivfaq_rcq_coarse_write_read_roundtrip(spark, emb, queries, tmp_path):
+    """IVF(RCQ),RQ coded lists: the reloaded index must carry the coarse
+    codebooks (not materialized centroids) and search identically."""
+    from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+    from faiss_spark.operators.ivf import IVFAQIndex
+
+    cq = ResidualCoarseQuantizer(M=2, nbits=3, seed=7).fit(emb)
+    idx = IVFAQIndex.train(emb, nlist=64, M=3, nbits=4, coarse_q=cq).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "ivfaq_rcq")
+    )
+    assert re.centroids is None and re.coarse_q.nlist == 64
+
+
+def test_ivfsq_rcq_coarse_write_read_roundtrip(spark, emb, queries, tmp_path):
+    from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+    from faiss_spark.operators.ivf import IVFSQIndex
+
+    cq = ResidualCoarseQuantizer(M=2, nbits=3, seed=7).fit(emb)
+    idx = IVFSQIndex.train(emb, nlist=64, bits=8, coarse_q=cq).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "ivfsq_rcq")
+    )
+    assert re.centroids is None and re.coarse_q.nlist == 64
+
+
 def test_ivfpqr_codes_mode_survives_reload(spark, emb, queries, tmp_path):
     """The PQR deployment story: save drops the raw table; the reloaded
     index auto-selects rerank='pqr_codes' and returns the same ranking
