@@ -737,3 +737,39 @@ class LSHIndex:
             F.col("id").alias("qid"), F.col("code").alias("qcode")
         )
         return hamming_knn(self.codes, qcodes, k)
+
+    def decode_codes(self) -> DataFrame:
+        """sa_decode of the stored codes (reference IndexLSH.cpp:153-178
+        binary_to_real): bit j → ±1, plus the trained threshold, then the
+        reverse rotation — the reconstruction table a Refine(…,LSH…)
+        stage re-ranks against. Map-only over the codes table."""
+        if self.codes is None:
+            raise ValueError("index has no codes; call add() first")
+        spark = self.codes.sparkSession
+        bc = spark.sparkContext.broadcast((self.nbits, self.thresholds, self.A))
+
+        def dec(batches):
+            import pandas as pd
+
+            nbits, thr, A = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                W = np.stack(pdf["code"]).astype(np.int64)  # (n, nwords)
+                bits = (W[:, :, None] >> np.arange(64, dtype=np.int64)) & 1
+                X = bits.reshape(len(W), -1)[:, :nbits].astype(np.float64)
+                X = 2.0 * X - 1.0
+                if thr is not None:
+                    X += thr
+                if A is not None:
+                    X = X @ A  # y = A x  =>  x = Aᵀ y (row form: Y @ A)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "vec": list(X.astype(np.float32)),
+                    }
+                )
+
+        return self.codes.select("id", "code").mapInPandas(
+            dec, schema="id bigint, vec array<float>"
+        )

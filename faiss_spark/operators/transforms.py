@@ -399,6 +399,16 @@ class Pipeline:
             cur = model.apply(cur, id_col=id_col, vec_col=vec_col, out_col=vec_col)
         return cur
 
+    def reverse(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+        """Inverse of apply — each stage's reverse, last-to-first
+        (reference IndexPreTransform::reverse_chain,
+        IndexPreTransform.cpp:133-142). Raises when a stage is not
+        orthonormal-reversible."""
+        cur = df
+        for model in reversed(self.models):
+            cur = model.reverse(cur, id_col=id_col, vec_col=vec_col, out_col=vec_col)
+        return cur
+
 
 def rowwise_minmax_expr(vec):
     """Per-row min/max normalization (reference IndexRowwiseMinMax,

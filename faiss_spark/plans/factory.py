@@ -449,22 +449,20 @@ class IndexPlan:
             # fit the refine codec on the SAME transformed vectors; the
             # re-rank scores candidates against its reconstructions
             # (reference IndexRefine.cpp:66-100: refine_index holds the
-            # codec, distances come from its reconstruct)
+            # codec, distances come from its reconstruct). The codec may
+            # itself be a transform+index CHAIN (reference
+            # 'RQ2x5,Refine(ITQ,LSHt)', tests/test_standalone_codec.py:
+            # 341,386) — reconstruction then decodes through the chain's
+            # reverse transforms (IndexPreTransform::reverse_chain).
             sub = index_factory(self.refine_desc, metric=self.metric)
-            if sub.transforms or sub.sql_transforms:
-                raise ValueError(
-                    f"Refine({self.refine_desc}): transforms are not "
-                    "allowed inside the refine codec"
-                )
-            if sub.index_type not in ("sq", "pq", "rq", "paq"):
-                raise ValueError(
-                    f"Refine({self.refine_desc}): refine stage must be a "
-                    "codec (SQn/PQm/RQm/PRQ/PLSQ) or Flat (RFlat)"
-                )
+            _validate_refine_sub(sub, self.refine_desc)
             sub.fit(cur)
-            self._refine_table = sub._decoded_table().localCheckpoint(
-                eager=False
-            )
+            table = sub._decoded_table()
+            if sub.pipeline:
+                # back to the refine chain's INPUT space (== this plan's
+                # transformed space, where candidates and queries live)
+                table = sub.pipeline.reverse(table)
+            self._refine_table = table.localCheckpoint(eager=False)
             self._refine_plan = sub
         return self
 
@@ -487,7 +485,9 @@ class IndexPlan:
 
     def _decoded_table(self) -> DataFrame:
         """(id, vec) reconstructions for the fitted codec index types —
-        the table a Refine(...) stage re-ranks against."""
+        the table a Refine(...) stage re-ranks against. In the plan's
+        own TRANSFORMED space (callers reverse through the pipeline when
+        they need the input space)."""
         if self.index_type == "sq":
             return self._sq_model.decode(self._sq_codes)
         if self.index_type == "pq":
@@ -496,6 +496,10 @@ class IndexPlan:
             return self._rq_model.decode(self._rq_codes)
         if self.index_type == "paq":
             return self._paq_model.decode(self._paq_codes)
+        if self.index_type == "lsh":
+            # reference IndexLSH::sa_decode — ±1 bits + thresholds,
+            # reverse-rotated (binary.py LSHIndex.decode_codes)
+            return self.index.decode_codes()
         raise ValueError(f"{self.index_type!r} has no reconstruction table")
 
     def _fit_aq_norm(self, model, cur: DataFrame, seed: int):
@@ -757,6 +761,31 @@ class IndexPlan:
                     row[j] = next(fill)
         return _scan_probed_lists(
             self.index.codes, qids, Q, probes, k, self.metric
+        )
+
+
+def _validate_refine_sub(sub: "IndexPlan", desc: str) -> None:
+    """Shared parse/fit validation of a Refine(<sub>) description
+    (reference index_factory.cpp:664-677 builds any sub-index; here the
+    refine stage must be able to RECONSTRUCT — a codec, optionally behind
+    orthonormal-reversible transforms so decode can come back through
+    the chain (reference 'RQ2x5,Refine(ITQ,LSHt)'))."""
+    if sub.sql_transforms:
+        raise ValueError(
+            f"Refine({desc}): L2norm/Pad are not reversible — not "
+            "allowed inside the refine codec"
+        )
+    for t in sub.transforms:
+        if not isinstance(t, (ITQTransform, RandomRotation)):
+            raise ValueError(
+                f"Refine({desc}): only orthonormal-reversible transforms "
+                "(ITQ, RR) may wrap the refine codec — reconstruction "
+                "decodes through the chain's reverse"
+            )
+    if sub.index_type not in ("sq", "pq", "rq", "paq", "lsh"):
+        raise ValueError(
+            f"Refine({desc}): refine stage must be a codec "
+            "(SQn/PQm/RQm/PRQ/PLSQ/LSH) or Flat (RFlat)"
         )
 
 
@@ -1267,16 +1296,7 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
                 plan.refine_flat = True
             else:
                 sub = index_factory(rm.group(1), metric=metric)
-                if sub.transforms or sub.sql_transforms:
-                    raise ValueError(
-                        f"Refine({rm.group(1)}): transforms are not "
-                        "allowed inside the refine codec"
-                    )
-                if sub.index_type not in ("sq", "pq", "rq", "paq"):
-                    raise ValueError(
-                        f"Refine({rm.group(1)}): refine stage must be a "
-                        "codec (SQn/PQm/RQm/PRQ/PLSQ) or Flat (RFlat)"
-                    )
+                _validate_refine_sub(sub, rm.group(1))
                 plan.refine_desc = rm.group(1)
             i += 1
     if i != len(tokens):

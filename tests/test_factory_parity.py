@@ -56,9 +56,6 @@ EXPECTED_UNSUPPORTED = {
     # arbitrary recursive sub-index descriptions as coarse quantizer —
     # the supported sub-grammar is Flat | PQ | IVF,Flat | LSH | RCQ | LSQ
     "IVF1000(IVF20,SQ4,Refine(SQ8)),Flat": "deep recursive sub-index",
-    # Refine over a transform+LSH chain needs inverse-transform decode
-    "RQ1x4,Refine(ITQ16,LSH)": "refine through a transform chain",
-    "RQ2x5,Refine(ITQ,LSHt)": "refine through a transform chain",
     # HNSW as an online insertion structure is out of scope (COVERAGE.md);
     # the batch capability is NSG / NN-Descent
     "HNSW32,Flat": "HNSW oos", "HNSW32": "HNSW oos", "HNSW32,SQ8": "HNSW oos",

@@ -44,6 +44,65 @@ def test_refine_improves_ivfpq(vectors, queries):
         assert r["dist"] == pytest.approx(flat[(r["qid"], r["id"])], rel=1e-9)
 
 
+def test_refine_through_transform_chain(vectors, queries):
+    """Refine over a transform+index CHAIN (reference
+    'RQ2x5,Refine(ITQ,LSHt)', tests/test_standalone_codec.py:341,386):
+    the refine reconstructions must equal the decode of the STORED LSH
+    codes — ±1 bits + trained thresholds (IndexLSH::sa_decode,
+    IndexLSH.cpp:153-178) — brought back through the ITQ chain's reverse
+    transform, and the refined top-k must equal a numpy re-rank of the
+    base plan's k·k_factor candidate pool under those reconstructions."""
+    import numpy as np
+
+    from faiss_spark.plans.factory import index_factory
+
+    plan = index_factory("RQ2x5,Refine(ITQ,LSHt)").fit(vectors, seed=42)
+    res = plan.search(queries, 5).toPandas().sort_values(["qid", "rank"])
+    sub = plan._refine_plan
+    itq = sub.pipeline.models[0]
+    lsh = sub.index
+
+    cp = lsh.codes.toPandas().sort_values("id")
+    W = np.stack(cp["code"].to_numpy()).astype(np.int64)
+    bits = ((W[:, :, None] >> np.arange(64, dtype=np.int64)) & 1).reshape(
+        len(W), -1
+    )[:, : lsh.nbits]
+    Xh = (2.0 * bits - 1.0 + lsh.thresholds) @ itq.A  # reverse chain
+    tbl = plan._refine_table.toPandas().sort_values("id")
+    ids = tbl["id"].to_numpy()
+    assert (ids == cp["id"].to_numpy()).all()
+    got = np.stack(tbl["vec"].to_numpy()).astype(np.float64)
+    assert np.allclose(got, Xh, atol=1e-4)
+
+    # the refined result is exactly the re-rank of the base pool
+    base = index_factory("RQ2x5").fit(vectors, seed=42)
+    pool = base.search(queries, 5 * plan.k_factor).toPandas()
+    qp = queries.toPandas()
+    Q = np.stack(qp["vec"].to_numpy()).astype(np.float64)
+    id2row = {i: r for r, i in enumerate(ids)}
+    for qi, qid in enumerate(qp["qid"]):
+        cand = pool[pool.qid == qid]["id"].to_numpy()
+        d2 = np.array(
+            [((Xh[id2row[c]] - Q[qi]) ** 2).sum() for c in cand]
+        )
+        order = np.lexsort((cand, d2))[:5]
+        gotq = res[res.qid == qid]["id"].to_numpy()
+        assert (cand[order] == gotq).all()
+
+
+def test_refine_chain_variants_build_and_refuse(vectors, queries):
+    """'RQ1x4,Refine(ITQ16,LSH)' (the reference's other chain spelling)
+    searches; non-reversible transforms inside Refine refuse at parse."""
+    from faiss_spark.plans.factory import index_factory
+
+    plan = index_factory("RQ1x4,Refine(ITQ16,LSH)").fit(vectors, seed=42)
+    assert plan.search(queries, 5).count() == queries.count() * 5
+    with pytest.raises(ValueError, match="orthonormal-reversible"):
+        index_factory("RQ2x3,Refine(PCA8,SQ8)")
+    with pytest.raises(ValueError, match="not reversible"):
+        index_factory("RQ2x3,Refine(L2norm,SQ8)")
+
+
 def test_knn_1d_matches_oracle(tables, oracle):
     from tests.conftest import duck_set, rows_set
 
