@@ -866,6 +866,215 @@ class NestedCoarseRouter:
 
 
 @dataclass
+class CompositeCoarseRouter:
+    """Recursive nested coarse quantizer (reference index_factory.cpp
+    parse_coarse_quantizer at :228,841 accepts ANY factory description;
+    its own tests build ``IVF1000(IVF20,SQ4,Refine(SQ8)),Flat`` —
+    tests/test_factory.py:154). The sub-grammar here recurses one level:
+    ``[IVF<m>,]<codec>[,Refine(<codec>)|,RFlat]`` with codec ∈ {Flat,
+    SQ4/6/8/fp16, PQ<M>[x<b>], LSH[r][t]} — deeper nesting refuses
+    loudly at parse (depth > 2 would mis-build silently otherwise).
+
+    Assignment mirrors the reference quantizer-with-refine search: an
+    optional inner k-means gathers member centroids nearest-inner-cell-
+    first until k_base = nprobe·k_factor candidates exist, the codec
+    ranks them on DECODED reconstructions, and the refine codec (or the
+    raw table for RFlat) re-ranks the survivors down to nprobe. At
+    nprobe = nlist every stage saturates, so the probe set is total and
+    full-probe search stays exact (the ★rcq_ivf_search property).
+
+    Scale shape: the broadcast artifact is the CODED centroid table
+    (SQ/PQ/LSH codes) plus tiny codebooks — the raw (nlist, d) table
+    ships only when a stage genuinely needs it (Flat codec / RFlat)."""
+
+    nlist: int
+    d: int
+    k_factor: int = 4
+    # inner IVF level (None = scan all centroids)
+    inner_centroids: np.ndarray | None = None
+    cent_cell: np.ndarray | None = None
+    # codec stage over the centroid table
+    codec_kind: str = "flat"  # flat | sq | pq | lsh
+    centroids: np.ndarray | None = None  # raw table (flat codec / RFlat only)
+    sq_model: object | None = None
+    sq_codes: np.ndarray | None = None  # (nlist, code_bytes) uint8
+    pq_books: np.ndarray | None = None
+    pq_codes: np.ndarray | None = None
+    lsh_proj: np.ndarray | None = None
+    lsh_thr: np.ndarray | None = None
+    cent_bits: np.ndarray | None = None
+    # refine stage: None | "flat" | "sq" | "pq"
+    refine_kind: str | None = None
+    ref_sq_model: object | None = None
+    ref_sq_codes: np.ndarray | None = None
+    ref_pq_books: np.ndarray | None = None
+    ref_pq_codes: np.ndarray | None = None
+
+    @staticmethod
+    def _fit_codec(kind: tuple, C: np.ndarray, seed: int) -> dict:
+        """Train one codec stage on the centroid table → field dict."""
+        from faiss_spark.operators.codecs import (
+            ScalarQuantizerModel,
+            _kmeans_np,
+        )
+
+        if kind[0] == "flat":
+            return {"centroids": C}
+        if kind[0] == "sq":
+            vmin = C.min(0)
+            vdiff = C.max(0) - vmin
+            m = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=kind[1])
+            return {"model": m, "codes": m.encode_np(C)}
+        if kind[0] == "pq":
+            _, M, nbits = kind
+            if C.shape[1] % M:
+                raise ValueError(
+                    f"d={C.shape[1]} not divisible by sub-index PQ M={M}"
+                )
+            dsub = C.shape[1] // M
+            ksub = min(1 << nbits, len(C))
+            books = np.empty((M, ksub, dsub), np.float64)
+            codes = np.empty((len(C), M), np.int64)
+            for m_ in range(M):
+                books[m_], codes[:, m_] = _kmeans_np(
+                    C[:, m_ * dsub : (m_ + 1) * dsub], ksub, 15, seed + m_
+                )
+            return {"books": books, "codes": codes}
+        raise ValueError(f"unknown composite codec {kind!r}")
+
+    @staticmethod
+    def build(
+        spec: dict, centroids: np.ndarray, seed: int = 1234
+    ) -> "CompositeCoarseRouter":
+        from faiss_spark.operators.codecs import _kmeans_np
+
+        C = np.ascontiguousarray(centroids, np.float64)
+        nlist, d = C.shape
+        r = CompositeCoarseRouter(nlist=nlist, d=d)
+        if spec.get("inner_k"):
+            inner, labels = _kmeans_np(
+                C, min(int(spec["inner_k"]), nlist), 15, seed
+            )
+            r.inner_centroids, r.cent_cell = inner, labels
+        codec = spec["codec"]
+        r.codec_kind = codec[0]
+        if codec[0] == "lsh":
+            _, rotate, train_thr = codec
+            rng = np.random.default_rng(seed)
+            Cp = C
+            if rotate:
+                qmat, _ = np.linalg.qr(rng.standard_normal((d, d)))
+                r.lsh_proj = qmat
+                Cp = C @ qmat
+            r.lsh_thr = Cp.mean(0) if train_thr else np.zeros(d)
+            r.cent_bits = Cp > r.lsh_thr
+        else:
+            f = CompositeCoarseRouter._fit_codec(codec, C, seed)
+            if codec[0] == "flat":
+                r.centroids = C
+            elif codec[0] == "sq":
+                r.sq_model, r.sq_codes = f["model"], f["codes"]
+            else:
+                r.pq_books, r.pq_codes = f["books"], f["codes"]
+        ref = spec.get("refine")
+        if ref is not None:
+            r.refine_kind = ref[0]
+            if ref[0] == "flat":
+                r.centroids = C  # RFlat re-ranks against the raw table
+            else:
+                f = CompositeCoarseRouter._fit_codec(ref, C, seed + 101)
+                if ref[0] == "sq":
+                    r.ref_sq_model, r.ref_sq_codes = f["model"], f["codes"]
+                else:
+                    r.ref_pq_books, r.ref_pq_codes = f["books"], f["codes"]
+        return r
+
+    def _codec_dists(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        """Squared L2 (or Hamming for LSH) of one query against the
+        DECODED candidate centroids — the base stage's ranking."""
+        if self.codec_kind == "flat":
+            return ((self.centroids[cand] - q) ** 2).sum(1)
+        if self.codec_kind == "sq":
+            X = self.sq_model.decode_np(self.sq_codes[cand])
+            return ((X - q) ** 2).sum(1)
+        if self.codec_kind == "pq":
+            books, codes = self.pq_books, self.pq_codes
+            M, ksub, dsub = books.shape
+            qs = q.reshape(M, dsub)
+            lut = (
+                (qs * qs).sum(1)[:, None]
+                + (books * books).sum(2)
+                - 2.0 * np.einsum("md,mkd->mk", qs, books)
+            )
+            sub = codes[cand]
+            return sum(lut[m, sub[:, m]] for m in range(M))
+        # lsh
+        qp = q @ self.lsh_proj if self.lsh_proj is not None else q
+        qb = qp > self.lsh_thr
+        return (qb[None, :] != self.cent_bits[cand]).sum(1).astype(np.float64)
+
+    def _refine_dists(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        if self.refine_kind == "flat":
+            return ((self.centroids[cand] - q) ** 2).sum(1)
+        if self.refine_kind == "sq":
+            X = self.ref_sq_model.decode_np(self.ref_sq_codes[cand])
+            return ((X - q) ** 2).sum(1)
+        books, codes = self.ref_pq_books, self.ref_pq_codes
+        M, ksub, dsub = books.shape
+        qs = q.reshape(M, dsub)
+        lut = (
+            (qs * qs).sum(1)[:, None]
+            + (books * books).sum(2)
+            - 2.0 * np.einsum("md,mkd->mk", qs, books)
+        )
+        sub = codes[cand]
+        return sum(lut[m, sub[:, m]] for m in range(M))
+
+    def assign_np(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
+        """(nq, nprobe) probe cells under the composite ranking."""
+        Q = np.ascontiguousarray(Q, np.float64)
+        nprobe = min(nprobe, self.nlist)
+        k_base = (
+            min(self.nlist, nprobe * self.k_factor)
+            if self.refine_kind is not None
+            else nprobe
+        )
+        if self.inner_centroids is not None:
+            inner_order = np.argsort(
+                pairwise_distances(Q, self.inner_centroids, "l2"),
+                axis=1, kind="stable",
+            )
+            members = [
+                np.flatnonzero(self.cent_cell == c)
+                for c in range(len(self.inner_centroids))
+            ]
+        out = np.empty((len(Q), nprobe), np.int64)
+        all_cells = np.arange(self.nlist)
+        for qi in range(len(Q)):
+            if self.inner_centroids is None:
+                cand = all_cells
+            else:
+                pools, tot = [], 0
+                for c in inner_order[qi]:
+                    if len(members[c]) == 0:
+                        continue
+                    pools.append(members[c])
+                    tot += len(members[c])
+                    if tot >= k_base:
+                        break
+                cand = np.concatenate(pools)
+            d_base = self._codec_dists(Q[qi], cand)
+            order = np.argsort(d_base, kind="stable")
+            if self.refine_kind is not None:
+                top = cand[order[: min(k_base, len(cand))]]
+                d_ref = self._refine_dists(Q[qi], top)
+                out[qi] = top[np.argsort(d_ref, kind="stable")[:nprobe]]
+            else:
+                out[qi] = cand[order[:nprobe]]
+        return out
+
+
+@dataclass
 class IVFNestedIndex:
     """IVF whose coarse quantizer is an arbitrary parenthesized
     sub-index (reference index_factory.cpp:241-289 — the generic
@@ -880,7 +1089,7 @@ class IVFNestedIndex:
     nlist/ksub-ish adds) and a nested IVF to nq·(k2 + nlist/k2)·d — the
     same reason the reference quantizes its quantizer at billion scale."""
 
-    router: NestedCoarseRouter
+    router: object  # NestedCoarseRouter | CompositeCoarseRouter
     metric: str = "l2"
     codes: DataFrame | None = None
     path: str | None = None
@@ -899,9 +1108,12 @@ class IVFNestedIndex:
         the same data the centroids came from; here the centroids ARE
         its corpus, which is what it must rank)."""
         km = KMeans(k=nlist, niter=niter, seed=seed).fit(vectors, vec_col=vec_col)
-        return IVFNestedIndex(
-            router=NestedCoarseRouter.build(sub, km.centroids, seed=seed)
-        )
+        if sub[0] == "composite":
+            # recursive sub-grammar (reference parse_coarse_quantizer)
+            router = CompositeCoarseRouter.build(sub[1], km.centroids, seed=seed)
+        else:
+            router = NestedCoarseRouter.build(sub, km.centroids, seed=seed)
+        return IVFNestedIndex(router=router)
 
     @property
     def nlist(self) -> int:

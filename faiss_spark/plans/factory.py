@@ -764,6 +764,89 @@ class IndexPlan:
         )
 
 
+def _nested_codec_of(t: str) -> tuple | None:
+    """One codec stage of the nested-coarse sub-grammar."""
+    if t == "Flat":
+        return ("flat",)
+    m = re.match(r"^SQ(4|6|8|fp16)$", t)
+    if m:
+        return ("sq", {"4": 4, "6": 6, "8": 8, "fp16": 16}[m.group(1)])
+    m = re.match(r"^PQ(\d+)(?:x(\d+))?$", t)
+    if m:
+        return ("pq", int(m.group(1)), int(m.group(2) or 8))
+    m = re.match(r"^LSH([rt]*)$", t)
+    if m:
+        return ("lsh", "r" in m.group(1), "t" in m.group(1))
+    return None
+
+
+def _parse_nested_sub(content: str) -> tuple:
+    """Parse the parenthesized sub-description of ``IVF<n>(<sub>)``
+    (reference parse_coarse_quantizer, index_factory.cpp:228,841 —
+    accepts any description recursively; its own tests build
+    ``IVF1000(IVF20,SQ4,Refine(SQ8)),Flat``, tests/test_factory.py:154).
+
+    Single-stage forms map to the enumerated NestedCoarseRouter kinds
+    (unchanged artifacts); the recursive grammar
+    ``[IVF<m>,]<codec>[,Refine(<codec>)|,RFlat]`` maps to the composite
+    router. Depth beyond 2 refuses loudly — refusing beats mis-building."""
+    toks = _split_tokens(content)
+    if toks and re.match(r"^IVF\d+\(", toks[0]):
+        raise ValueError(
+            f"nested coarse quantizers recurse at most 2 levels; "
+            f"{toks[0]!r} inside {content!r} is a third level"
+        )
+    if len(toks) == 1:
+        t = toks[0]
+        legacy = _nested_codec_of(t)
+        if legacy is not None and legacy[0] != "sq":
+            return legacy
+        m = re.match(r"^IVF(\d+)$", t)
+        if m:
+            return ("ivf", int(m.group(1)))
+    if (
+        len(toks) == 2
+        and re.match(r"^IVF(\d+)$", toks[0])
+        and toks[1] == "Flat"
+    ):
+        return ("ivf", int(toks[0][3:]))
+    spec: dict = {"inner_k": None, "codec": None, "refine": None}
+    i = 0
+    m = re.match(r"^IVF(\d+)$", toks[i]) if toks else None
+    if m:
+        spec["inner_k"] = int(m.group(1))
+        i += 1
+    if i >= len(toks):
+        raise ValueError(f"nested coarse {content!r} has no codec stage")
+    codec = _nested_codec_of(toks[i])
+    if codec is None:
+        raise ValueError(
+            f"unsupported nested coarse stage {toks[i]!r} in {content!r}"
+        )
+    spec["codec"] = codec
+    i += 1
+    if i < len(toks):
+        t = toks[i]
+        rm = re.match(r"^Refine\((.+)\)$", t)
+        if t == "RFlat":
+            spec["refine"] = ("flat",)
+            i += 1
+        elif rm:
+            rc = _nested_codec_of(rm.group(1))
+            if rc is None or rc[0] == "lsh":
+                raise ValueError(
+                    "nested coarse refine stage must be Flat/SQ<b>/"
+                    f"PQ<M>, got {rm.group(1)!r}"
+                )
+            spec["refine"] = rc
+            i += 1
+    if i != len(toks):
+        raise ValueError(
+            f"trailing tokens {toks[i:]} in nested coarse {content!r}"
+        )
+    return ("composite", spec)
+
+
 def _validate_refine_sub(sub: "IndexPlan", desc: str) -> None:
     """Shared parse/fit validation of a Refine(<sub>) description
     (reference index_factory.cpp:664-677 builds any sub-index; here the
@@ -942,34 +1025,21 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
         if i != len(tokens):
             raise ValueError(f"trailing tokens {tokens[i:]} in {description!r}")
         return plan
-    # generic nested coarse quantizer (reference index_factory.cpp:241-289:
-    # any parenthesized sub-description builds the quantizer; the RCQ/LSQ
-    # forms below are the additive special case). Supported sub-indexes:
-    # Flat (== plain IVF), PQ<M>[x<b>] (ADC-routed), IVF<m>[,Flat]
-    # (two-level nested IVF).
-    m = re.match(
-        r"^IVF(\d+)\((Flat|PQ\d+(?:x\d+)?|IVF\d+(?:,Flat)?|LSH[rt]*)\)$", tok
-    )
-    if m:
+    # generic nested coarse quantizer (reference index_factory.cpp:241-289
+    # + parse_coarse_quantizer :228,841 — any parenthesized
+    # sub-description builds the quantizer; the RCQ/LSQ forms below are
+    # the additive special case). Single stages map to the enumerated
+    # router kinds; the recursive grammar ``[IVF<m>,]<codec>[,Refine(…)]``
+    # maps to the composite router (_parse_nested_sub).
+    m = re.match(r"^IVF(\d+)\((.+)\)$", tok)
+    if m and not re.match(r"^(RCQ|LSQ)\d+x\d+$", m.group(2)):
         if metric != "l2":
             raise ValueError(
                 f"{tok!r}: nested coarse quantizers rank by squared L2 "
                 f"(the reference quantizer contract), got {metric!r}"
             )
         plan.nlist = int(m.group(1))
-        sub = m.group(2)
-        if sub == "Flat":
-            plan.nested = ("flat",)
-        elif sub.startswith("PQ"):
-            sm = re.match(r"^PQ(\d+)(?:x(\d+))?$", sub)
-            plan.nested = ("pq", int(sm.group(1)), int(sm.group(2) or 8))
-        elif sub.startswith("LSH"):
-            # IVF<n>(LSH[r][t]) — IndexLSH as quantizer (cells ranked
-            # by Hamming over sign codes of the centroids)
-            plan.nested = ("lsh", "r" in sub[3:], "t" in sub[3:])
-        else:
-            sm = re.match(r"^IVF(\d+)(?:,Flat)?$", sub)
-            plan.nested = ("ivf", int(sm.group(1)))
+        plan.nested = _parse_nested_sub(m.group(2))
         i += 1
         if i >= len(tokens) or tokens[i] != "Flat":
             raise ValueError(
@@ -1357,18 +1427,30 @@ def reverse_index_factory(plan: IndexPlan) -> str:
         elif plan.coarse is not None:
             parts.append(ivf_tok())
         elif plan.nested is not None:
-            if plan.nested[0] == "flat":
-                sub = "Flat"
-            elif plan.nested[0] == "pq":
-                sub = f"PQ{plan.nested[1]}" + (
-                    f"x{plan.nested[2]}" if plan.nested[2] != 8 else ""
-                )
-            elif plan.nested[0] == "lsh":
-                sub = "LSH" + ("r" if plan.nested[1] else "") + (
-                    "t" if plan.nested[2] else ""
-                )
-            else:
+            def _codec_str(c: tuple) -> str:
+                if c[0] == "flat":
+                    return "Flat"
+                if c[0] == "sq":
+                    return {4: "SQ4", 6: "SQ6", 8: "SQ8", 16: "SQfp16"}[c[1]]
+                if c[0] == "pq":
+                    return f"PQ{c[1]}" + (f"x{c[2]}" if c[2] != 8 else "")
+                return "LSH" + ("r" if c[1] else "") + ("t" if c[2] else "")
+
+            if plan.nested[0] == "composite":
+                spec = plan.nested[1]
+                segs = []
+                if spec["inner_k"]:
+                    segs.append(f"IVF{spec['inner_k']}")
+                segs.append(_codec_str(spec["codec"]))
+                if spec["refine"] == ("flat",):
+                    segs.append("RFlat")
+                elif spec["refine"]:
+                    segs.append(f"Refine({_codec_str(spec['refine'])})")
+                sub = ",".join(segs)
+            elif plan.nested[0] == "ivf":
                 sub = f"IVF{plan.nested[1]},Flat"
+            else:
+                sub = _codec_str(plan.nested)
             parts.append(f"IVF{plan.nlist}({sub})")
         else:
             parts.append(ivf_tok())

@@ -53,9 +53,6 @@ BINARY_CORPUS = [
 
 # string -> reason it does not parse (each a documented scope decision)
 EXPECTED_UNSUPPORTED = {
-    # arbitrary recursive sub-index descriptions as coarse quantizer —
-    # the supported sub-grammar is Flat | PQ | IVF,Flat | LSH | RCQ | LSQ
-    "IVF1000(IVF20,SQ4,Refine(SQ8)),Flat": "deep recursive sub-index",
     # HNSW as an online insertion structure is out of scope (COVERAGE.md);
     # the batch capability is NSG / NN-Descent
     "HNSW32,Flat": "HNSW oos", "HNSW32": "HNSW oos", "HNSW32,SQ8": "HNSW oos",
@@ -273,6 +270,41 @@ def test_rcq_coarse_rq_full_probe_exact(spark, tables):
 def test_rcq_coarse_rejects_unsupported_codes():
     with pytest.raises(ValueError, match="additive coarse"):
         index_factory("IVF64(RCQ2x3),PQ4")
+
+
+def test_recursive_nested_coarse_roundtrip_and_depth():
+    """parse_coarse_quantizer recursion (reference index_factory.cpp:228,
+    841; its own tests build IVF1000(IVF20,SQ4,Refine(SQ8)),Flat —
+    tests/test_factory.py:154): the composite sub-grammar round-trips,
+    a third nesting level refuses loudly (never mis-builds)."""
+    for s in (
+        "IVF1000(IVF20,SQ4,Refine(SQ8)),Flat",
+        "IVF64(SQ8),Flat",
+        "IVF64(IVF8,PQ8,RFlat),Flat",
+        "IVF64(IVF8,LSHt,Refine(SQ4)),Flat",
+    ):
+        rev = reverse_index_factory(index_factory(s))
+        assert rev == s, (s, rev)
+    with pytest.raises(ValueError, match="at most 2 levels"):
+        index_factory("IVF64(IVF8(IVF2,Flat),Flat),Flat")
+    with pytest.raises(ValueError, match="unsupported nested"):
+        index_factory("IVF64(IVF8,NSG32),Flat")
+
+
+def test_recursive_nested_coarse_full_probe_exact(spark, tables):
+    """The reference's deep-recursive coarse string shape at nprobe =
+    nlist: every cell is scanned whatever the composite router ranked,
+    so the result equals brute-force L2 knn (the ★ property); a partial
+    probe must return full k rows (pad-free candidate pooling)."""
+    from faiss_spark.operators.knn import knn
+
+    emb = _emb(tables)
+    qs = emb.filter("id < 3").select(F.col("id").alias("qid"), "vec")
+    plan = index_factory("IVF32(IVF4,SQ4,Refine(SQ8)),Flat").fit(emb, seed=42)
+    res = plan.search(qs, 5, nprobe=32).toPandas().sort_values(["qid", "rank"])
+    ex = knn(emb, qs, 5).toPandas().sort_values(["qid", "rank"])
+    assert (res["id"].to_numpy() == ex["id"].to_numpy()).all()
+    assert plan.search(qs, 5, nprobe=4).count() == 15
 
 
 def test_norm_quantizer_kinds():
