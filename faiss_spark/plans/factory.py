@@ -9,19 +9,28 @@ pipelines: transform chain (operators/transforms.py) + index stage
 Supported subset (the workhorse combinations):
   transforms : PCAn | PCARn | PCAWn | RRn | ITQn | OPQn | L2norm | Padn
   main       : Flat | IMI2x<b>,{Flat|PQ<M>} |
-               IVF<nlist>(Flat|PQ<M>[x<b>]|IVF<m>[,Flat]),Flat  (nested
-               coarse quantizer, index_factory.cpp:241-289) |
+               IVF<nlist>(<sub>),Flat — nested coarse quantizer
+               (index_factory.cpp:241-289 + parse_coarse_quantizer
+               :228,841): <sub> = Flat | PQ<M>[x<b>] | IVF<m>[,Flat] |
+               LSH[r][t], or the recursive composite
+               [IVF<m>,]{Flat|SQ*|PQ*|LSH*}[,Refine(<codec>)|,RFlat]
+               (depth > 2 refuses loudly) |
                IVF<nlist>[(RCQ<M>x<b>|LSQ<M>x<b>)][_NSG<R>|_HNSW<M>],
                {Flat|PQ<M>[x<b>][np]|PQ<M1>+<M2>|PQ<M>x4fs[r]|SQ4|SQ6|SQ8|
                 SQfp16|RQ<M>|RQ<M>x4fs[r]|PRQ<ns>x<M>x4fs[r]|
-                PLSQ<ns>x<M>x4fs[r]} |
+                PLSQ<ns>x<M>x4fs[r]}  (additive RCQ/LSQ coarse pairs with
+               Flat, SQ<b>, RQ<spec> or LSQ<spec> lists — reference
+               IVF1024(RCQ2x5),SQ8 / IVF256(RCQ2x4),RQ3x4) |
                PQ<M>[x<b>][np] | SQ4 | SQ6 | SQ8 | SQfp16 | RQ<M> |
                PRQ<ns>x<M>x<b> | PLSQ<ns>x<M>x<b> |
                PRQ<ns>x<M>x4fs[_bbs] | PLSQ<ns>x<M>x4fs[_bbs] | LSH[r][t] |
                NSG<R>[,Flat|,PQ<m>[np]|,SQ{4|6|8|fp16}] | ZnLattice<n>x<r2>_<b>
   refinement : RFlat | Refine(<codec>) (exact / codec-reconstruction
                re-rank of k*k_factor candidates, reference IndexRefine /
-               IndexRefineFlat, index_factory.cpp:664-689)
+               IndexRefineFlat, index_factory.cpp:664-689); the codec may
+               be an orthonormal transform+index chain — e.g.
+               Refine(ITQ,LSHt) — decoded through the chain's reverse
+               (reference tests/test_standalone_codec.py:341,386)
   binary     : BFlat | BIVF<nlist>[_HNSW<m>] | BHash<b> (index_binary_factory,
                reference faiss/index_factory.cpp:895-915)
 e.g. "PCA32,IVF256,PQ8", "L2norm,Flat", "OPQ8,IVF64,PQ8,RFlat",

@@ -98,6 +98,40 @@ def test_sentinel_disk_band_flags_without_cpu_band(tmp_path, monkeypatch):
     assert not s3["contended"] and s3["calibration"]["disk_sec"] == 1.0
 
 
+def test_sentinel_epoch_factor_sees_uniform_slowdown(tmp_path, monkeypatch):
+    """VERDICT r10 #7: a uniformly slow machine-day moves probes and
+    workload TOGETHER, so band/drift stay in-band (the judge's +40% draw
+    read contended: false). epoch_factor = headline total vs the rolling
+    window's best headline must surface it as a second label — and age
+    out with the window like the probe floors."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(bench_mod, "CALIBRATION_FILE", str(tmp_path / "c.json"))
+    probe = {"numpy_sec": 0.05, "sql_sec": 0.08, "disk_sec": 1.0}
+    s = bench_mod._sentinel_summary(probe, probe, headline_total=16.0)
+    assert s["epoch_factor"] == 1.0
+    # uniformly slow day: probes AND workload +40% — per-probe band 1.4
+    # (in-band, not contended) but epoch_factor flags the day
+    slow_probe = {k: v * 1.4 for k, v in probe.items()}
+    s2 = bench_mod._sentinel_summary(slow_probe, slow_probe, headline_total=22.4)
+    assert not s2["contended"]
+    assert s2["epoch_factor"] == 1.4
+    # the fast epoch ages out of the window like the probe floors
+    for _ in range(bench_mod.CAL_WINDOW):
+        s3 = bench_mod._sentinel_summary(slow_probe, slow_probe, headline_total=22.4)
+    assert s3["epoch_factor"] == 1.0
+    # a history that predates headline recording reports None, not a crash
+    with open(tmp_path / "c.json", "w") as f:
+        import json as _json
+
+        _json.dump({"history": [probe]}, f)
+    s4 = bench_mod._sentinel_summary(probe, probe, headline_total=16.0)
+    assert s4["epoch_factor"] == 1.0  # this run's own entry seeds the window
+    # no headline passed (probe-only callers): field absent, no crash
+    s5 = bench_mod._sentinel_summary(probe, probe)
+    assert "epoch_factor" not in s5
+
+
 def test_sentinel_stale_floor_ages_out(tmp_path, monkeypatch):
     """VERDICT r9 #1: the old best-ever floor never aged — a machine
     change left every subsequent run labeled contended (band ~2.4, drift
