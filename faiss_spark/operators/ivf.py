@@ -1539,20 +1539,29 @@ def search_preassigned(
 
     Unlike IVFIndex.search (which plans probes on the driver — right when
     queries fit in one driver pandas frame), this variant never collects
-    queries: the probe table is computed distributed and JOINED to the
-    codes table on list_no. Use it when the query side is itself huge
-    (e.g. knn-graph over the whole table at 100 TB):
+    queries: the probe table is computed distributed and COGROUPED with
+    the codes table on list_no. Use it when the query side is itself
+    huge (e.g. knn-graph over the whole table at 100 TB):
 
       1. probe assignment: broadcast centroids, top-nprobe per query
-         (mapInPandas, no shuffle)
-      2. probes ⋈ codes on list_no — Catalyst picks shuffle-hash/SMJ;
-         both sides hash-partition by list_no so each task sees one
-         cell's codes against exactly the queries probing it (the
-         ivf_tools regrouping as a JOIN instead of a driver dict)
-      3. per-pair distance (JVM expression) + window top-k.
+         (mapInArrow, no shuffle)
+      2. probes ⟂⟂ codes cogrouped on list_no (one shuffle of each side,
+         hash-partitioned by cell — the ivf_tools regrouping as a
+         cogroup instead of a driver dict); per cell, ONE numpy GEMM of
+         the cell's queries × the cell's codes and a tie-safe per-query
+         top-k — only ≤ k survivors per (query, cell) leave the task
+      3. global window top-k over the nq·nprobe·k survivors.
 
-    AQE's skew-join split handles hot cells (a skewed list_no would
-    otherwise straggle — enabled in session.py).
+    The r11 rewrite replaced a pair JOIN + per-pair JVM expression: that
+    plan materialized BOTH 64-float vectors on every (query, candidate)
+    row — nq·nprobe·(n/nlist) pairs ≈ 22 GB through the shuffle at the
+    6M-row probe — and windowed all of them. Measured
+    (tools/preassigned_probe.py, idle): 26.5 s → 2.76 s at 600k (9.6×);
+    at 6M the old plan never finished a 10-minute budget, the cogroup
+    plan takes 7.4 s (wall 2.67× for 10× rows under the √(2n) balance
+    rule, per-unit throughput +18% — SCALE.md). Hot cells: a skewed
+    list_no is one big cogroup (AQE cannot split a group), but its cost
+    is now one GEMM instead of a pair-explosion.
     """
     spark = queries.sparkSession
     C = index.centroids
@@ -1597,21 +1606,49 @@ def search_preassigned(
     probes = q.mapInArrow(
         assign_probes, schema="qid bigint, vec array<float>, list_no int"
     )
-
-    from faiss_spark.operators.knn import distance_expr
-
-    codes = index.codes.select(
-        "list_no", F.col("id"), F.col("vec").alias("__cv")
+    codes = index.codes.select("list_no", "id", "vec")
+    # selective-probe case: drop unprobed cells before they shuffle into
+    # empty cogroups (left-semi on the small distinct-cell set)
+    codes = codes.join(
+        probes.select("list_no").distinct().hint("broadcast"),
+        "list_no",
+        "left_semi",
     )
-    joined = probes.join(codes, "list_no").select(
-        "qid",
-        "id",
-        distance_expr(F.col("vec"), F.col("__cv"), metric).alias("dist"),
+    k_ = k
+    metric_ = metric
+
+    def scan_cell(key, qdf, cdf):
+        import pandas as pd
+
+        from faiss_spark.kernels import topk_merge
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        # f64 GEMM with the exact pairwise_distances op order — dist
+        # values match the driver-probed search / SQL oracle bit-for-bit
+        # at the rounding the oracle hashes
+        Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
+        Xg = np.stack(cdf["vec"].to_numpy()).astype(np.float64)
+        ids = cdf["id"].to_numpy(np.int64)
+        D = pairwise_distances(Qg, Xg, metric_)
+        qidx, nid, nd = topk_merge(D, ids, k_, metric_ in SIMILARITY_METRICS)
+        return pd.DataFrame(
+            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
+        )
+
+    cands = (
+        probes.groupBy("list_no")
+        .cogroup(codes.groupBy("list_no"))
+        .applyInPandas(scan_cell, schema="qid bigint, id bigint, dist double")
     )
     order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
     w = Window.partitionBy("qid").orderBy(*order)
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )

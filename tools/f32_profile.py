@@ -113,6 +113,9 @@ def phases(dtype_name: str) -> dict:
     }
 
 
+ITERS_CONC = 2  # the p32 f64 row alone runs ~3 min at ITERS=8
+
+
 def _worker(dtype_name: str, iters: int, q: "mp.Queue") -> None:
     os.environ["OPENBLAS_NUM_THREADS"] = "1"
     os.environ["OMP_NUM_THREADS"] = "1"
@@ -130,12 +133,12 @@ def _worker(dtype_name: str, iters: int, q: "mp.Queue") -> None:
 
 
 def concurrency(dtype_name: str) -> dict:
-    flops1 = 2.0 * NQ * M * D * ITERS
+    flops1 = 2.0 * NQ * M * D * ITERS_CONC
     res = {}
     for p in (1, 8, 32):
         q: mp.Queue = mp.Queue()
         procs = [
-            mp.Process(target=_worker, args=(dtype_name, ITERS, q))
+            mp.Process(target=_worker, args=(dtype_name, ITERS_CONC, q))
             for _ in range(p)
         ]
         t0 = time.perf_counter()
@@ -154,10 +157,11 @@ def concurrency(dtype_name: str) -> dict:
 
 
 def main() -> None:
-    out = {"nq": NQ, "m": M, "d": D, "iters": ITERS}
-    for dt in ("f64", "f32"):
-        out[dt] = phases(dt)
-        print(f"# phases {dt}: {out[dt]}", file=sys.stderr)
+    out = {"nq": NQ, "m": M, "d": D, "iters": ITERS, "iters_conc": ITERS_CONC}
+    if "--conc-only" not in sys.argv:
+        for dt in ("f64", "f32"):
+            out[dt] = phases(dt)
+            print(f"# phases {dt}: {out[dt]}", file=sys.stderr)
     for dt in ("f64", "f32"):
         out[f"conc_{dt}"] = concurrency(dt)
         print(f"# concurrency {dt}: {out[f'conc_{dt}']}", file=sys.stderr)
