@@ -168,7 +168,8 @@ def _load_calibration_history() -> list[dict]:
 
 
 def _sentinel_summary(
-    start: dict, end: dict, headline_total: float | None = None
+    start: dict, end: dict, headline_total: float | None = None,
+    sf: str | float | None = None,
 ) -> dict:
     """Fold the two probes + the rolling calibration window into a
     self-labeling verdict. The floor is the per-probe minimum over the
@@ -185,6 +186,7 @@ def _sentinel_summary(
     entry = dict(best)
     if headline_total is not None:
         entry["headline_sec"] = round(headline_total, 3)
+        entry["sf"] = sf
     window = (history + [entry])[-CAL_WINDOW:]
     with open(CALIBRATION_FILE, "w") as f:
         json.dump({"history": window}, f)
@@ -213,10 +215,13 @@ def _sentinel_summary(
         "band_factor": round(band, 2),
         "drift_factor": round(drift, 2),
         "contended": bool(band > 1.5 or drift > 1.5),
-    } | _epoch_fields(window, headline_total)
+    } | _epoch_fields(window, headline_total, sf)
 
 
-def _epoch_fields(window: list[dict], headline_total: float | None) -> dict:
+def _epoch_fields(
+    window: list[dict], headline_total: float | None,
+    sf: str | float | None = None,
+) -> dict:
     """Second discriminator (VERDICT r10 #7): a UNIFORMLY slow
     machine-day slows probes and workload together, so per-probe
     band/drift stay in-band while every query runs high — the judge's
@@ -227,7 +232,13 @@ def _epoch_fields(window: list[dict], headline_total: float | None) -> dict:
     regression' — the per-query table says which."""
     if headline_total is None:
         return {}
-    heads = [h["headline_sec"] for h in window if "headline_sec" in h]
+    # only SAME-sf totals are comparable: a small-sf run's tiny headline
+    # would otherwise poison the floor and flag every full-sf run
+    heads = [
+        h["headline_sec"]
+        for h in window
+        if "headline_sec" in h and h.get("sf") == sf
+    ]
     if not heads:
         return {"epoch_factor": None}
     return {"epoch_factor": round(headline_total / min(heads), 2)}
@@ -277,7 +288,9 @@ def main() -> None:
     nsg = _nsg_bench(spark, cpus)
     sent_end = _sentinel_probe(spark)
     total = round(sum(timings.values()), 3)
-    sentinel = _sentinel_summary(sent_start, sent_end, headline_total=total)
+    sentinel = _sentinel_summary(
+        sent_start, sent_end, headline_total=total, sf=sf
+    )
     print(
         json.dumps(
             {

@@ -130,6 +130,12 @@ def test_sentinel_epoch_factor_sees_uniform_slowdown(tmp_path, monkeypatch):
     # no headline passed (probe-only callers): field absent, no crash
     s5 = bench_mod._sentinel_summary(probe, probe)
     assert "epoch_factor" not in s5
+    # different-sf totals are NOT comparable: an sf0.001 run's tiny
+    # headline must not become the sf0.1 floor
+    s6 = bench_mod._sentinel_summary(probe, probe, headline_total=0.9, sf="0.001")
+    assert s6["epoch_factor"] == 1.0  # its own sf cohort
+    s7 = bench_mod._sentinel_summary(probe, probe, headline_total=16.0, sf="0.1")
+    assert s7["epoch_factor"] == 1.0  # not 16.0/0.9
 
 
 def test_sentinel_stale_floor_ages_out(tmp_path, monkeypatch):
