@@ -864,6 +864,33 @@ class NestedCoarseRouter:
             out[qi] = cc[np.argsort(d, kind="stable")[:nprobe]]
         return out
 
+    _ARRAY_FIELDS = (
+        "centroids", "pq_books", "cent_codes", "inner_centroids",
+        "cent_cell", "lsh_proj", "lsh_thr", "cent_bits",
+    )
+
+    def state(self) -> tuple[dict, dict]:
+        """(arrays, meta) for write_index — npy/json artifacts only."""
+        arrays = {
+            f: getattr(self, f)
+            for f in self._ARRAY_FIELDS
+            if getattr(self, f) is not None
+        }
+        meta = {
+            "router": "enum",
+            "kind": self.kind,
+            "nlist": self.nlist,
+            "d": self.d,
+            "arrays": sorted(arrays),
+        }
+        return arrays, meta
+
+    @staticmethod
+    def from_state(meta: dict, arrays: dict) -> "NestedCoarseRouter":
+        return NestedCoarseRouter(
+            kind=meta["kind"], nlist=meta["nlist"], d=meta["d"], **arrays
+        )
+
 
 @dataclass
 class CompositeCoarseRouter:
@@ -1073,6 +1100,58 @@ class CompositeCoarseRouter:
                 out[qi] = cand[order[:nprobe]]
         return out
 
+    _ARRAY_FIELDS = (
+        "inner_centroids", "cent_cell", "centroids", "sq_codes",
+        "pq_books", "pq_codes", "lsh_proj", "lsh_thr", "cent_bits",
+        "ref_sq_codes", "ref_pq_books", "ref_pq_codes",
+    )
+
+    def state(self) -> tuple[dict, dict]:
+        """(arrays, meta) for write_index — npy/json artifacts only,
+        like every other family (no pickles)."""
+        arrays = {
+            f: getattr(self, f)
+            for f in self._ARRAY_FIELDS
+            if getattr(self, f) is not None
+        }
+        meta = {
+            "router": "composite",
+            "nlist": self.nlist,
+            "d": self.d,
+            "k_factor": self.k_factor,
+            "codec_kind": self.codec_kind,
+            "refine_kind": self.refine_kind,
+        }
+        for name, m in (("sq", self.sq_model), ("ref_sq", self.ref_sq_model)):
+            if m is not None:
+                arrays[f"{name}_vmin"] = np.asarray(m.vmin)
+                arrays[f"{name}_vdiff"] = np.asarray(m.vdiff)
+                meta[f"{name}_bits"] = int(m.bits)
+        meta["arrays"] = sorted(arrays)
+        return arrays, meta
+
+    @staticmethod
+    def from_state(meta: dict, arrays: dict) -> "CompositeCoarseRouter":
+        from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+        kw = {
+            f: arrays[f]
+            for f in CompositeCoarseRouter._ARRAY_FIELDS
+            if f in arrays
+        }
+        for name, field in (("sq", "sq_model"), ("ref_sq", "ref_sq_model")):
+            if f"{name}_bits" in meta:
+                kw[field] = ScalarQuantizerModel(
+                    vmin=arrays[f"{name}_vmin"],
+                    vdiff=arrays[f"{name}_vdiff"],
+                    bits=meta[f"{name}_bits"],
+                )
+        return CompositeCoarseRouter(
+            nlist=meta["nlist"], d=meta["d"], k_factor=meta["k_factor"],
+            codec_kind=meta["codec_kind"], refine_kind=meta["refine_kind"],
+            **kw,
+        )
+
 
 @dataclass
 class IVFNestedIndex:
@@ -1179,6 +1258,49 @@ class IVFNestedIndex:
         )
         probes = self.router.assign_np(Q, nprobe)
         return _scan_probed_lists(self.codes, qids, Q, probes, k, self.metric)
+
+    def save(self, path: str) -> "IVFNestedIndex":
+        """write_index: partitioned codes + the router's npy/json state
+        (both router kinds — the enum NestedCoarseRouter and the
+        recursive CompositeCoarseRouter serialize the same way)."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        arrays, meta = self.router.state()
+        for name, arr in arrays.items():
+            fsio.write_npy(
+                spark, os.path.join(path, f"_nested_{name}.npy"),
+                np.asarray(arr),
+            )
+        meta["metric"] = self.metric
+        fsio.write_json(spark, os.path.join(path, "_nested_meta.json"), meta)
+        self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFNestedIndex":
+        meta = fsio.read_json(spark, os.path.join(path, "_nested_meta.json"))
+        arrays = {
+            name: fsio.read_npy(
+                spark, os.path.join(path, f"_nested_{name}.npy")
+            )
+            for name in meta["arrays"]
+        }
+        cls = (
+            CompositeCoarseRouter
+            if meta["router"] == "composite"
+            else NestedCoarseRouter
+        )
+        return IVFNestedIndex(
+            router=cls.from_state(meta, arrays),
+            metric=meta["metric"],
+            codes=spark.read.parquet(path),
+            path=path,
+        )
 
 
 @dataclass

@@ -41,6 +41,7 @@ def _registry():
         IMIPQIndex,
         IVFAQIndex,
         IVFIndex,
+        IVFNestedIndex,
         IVFPQIndex,
         IVFPQRIndex,
         IVFRCQIndex,
@@ -57,6 +58,7 @@ def _registry():
         IVFAQIndex,
         IVFPQRIndex,
         IVFRCQIndex,
+        IVFNestedIndex,
         IMIIVFIndex,
         IMIPQIndex,
         IVFSpectralHash,

@@ -93,6 +93,38 @@ def test_ivfsq_rcq_coarse_write_read_roundtrip(spark, emb, queries, tmp_path):
     assert re.centroids is None and re.coarse_q.nlist == 64
 
 
+def test_ivfnested_enum_router_write_read_roundtrip(spark, emb, queries, tmp_path):
+    """IVF<n>(PQ<M>),Flat — the enum (ADC-routed) nested coarse router
+    must round-trip through npy/json artifacts and search identically."""
+    from faiss_spark.operators.ivf import IVFNestedIndex
+
+    idx = IVFNestedIndex.train(emb, nlist=8, sub=("pq", 8, 4), seed=7).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "ivfnested_pq")
+    )
+    assert re.router.kind == "pq" and re.router.centroids is None
+
+
+def test_ivfnested_composite_router_write_read_roundtrip(
+    spark, emb, queries, tmp_path
+):
+    """The recursive composite router (IVF<n>(IVF<m>,SQ4,Refine(SQ8)))
+    round-trips: inner cells, both SQ codecs' codes/ranges, k_factor."""
+    from faiss_spark.operators.ivf import CompositeCoarseRouter, IVFNestedIndex
+
+    sub = (
+        "composite",
+        {"inner_k": 2, "codec": ("sq", 4), "refine": ("sq", 8)},
+    )
+    idx = IVFNestedIndex.train(emb, nlist=8, sub=sub, seed=7).add(emb)
+    re = _roundtrip_search_equal(
+        spark, idx, queries, str(tmp_path / "ivfnested_comp")
+    )
+    assert isinstance(re.router, CompositeCoarseRouter)
+    assert re.router.codec_kind == "sq" and re.router.refine_kind == "sq"
+    assert re.router.sq_model.bits == 4 and re.router.ref_sq_model.bits == 8
+
+
 def test_ivfpqr_codes_mode_survives_reload(spark, emb, queries, tmp_path):
     """The PQR deployment story: save drops the raw table; the reloaded
     index auto-selects rerank='pqr_codes' and returns the same ranking
