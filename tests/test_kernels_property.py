@@ -118,6 +118,53 @@ def test_topk_accumulator_tie_safe_on_discrete_data(nq, nx, k, seed):
         assert list(got_d[qidx == q]) == list(D[q][order])
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    nq=st.integers(1, 6),
+    nx=st.integers(700, 3000),
+    k=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+    largest=st.booleans(),
+    discrete=st.booleans(),
+)
+def test_sampled_threshold_selection_is_exact(nq, nx, k, seed, largest, discrete):
+    """r11 _select fast path: when m ≥ 64k the tie-safe mask uses the
+    kth of every 16th column (a SUBSET's kth ≥ the full row's kth, so
+    the kept set is a superset and _compact ranks exactly). Property:
+    results equal the naive full sort for BOTH directions, on smooth
+    data (sampled path) AND on near-constant/discrete data (the blowup
+    guard's exact-fallback path), via push_block and push alike."""
+    rng = np.random.default_rng(seed)
+    d = 4
+    if discrete:
+        # few distinct values → massive ties → loose mask blows up →
+        # guard must fall back to the exact kth
+        Q = rng.integers(0, 2, size=(nq, d)).astype(np.float64)
+        X = rng.integers(0, 2, size=(nx, d)).astype(np.float64)
+    else:
+        Q = rng.standard_normal((nq, d))
+        X = rng.standard_normal((nx, d))
+    ids = rng.permutation(nx).astype(np.int64)
+    metric = "ip" if largest else "l2"
+    D = pairwise_distances(Q, X, metric)
+
+    acc = TopKAccumulator(nq, k, largest=largest)
+    acc.bind_queries(Q, metric)
+    acc.push_block(X, ids)
+    qidx, got_ids, got_d = acc.emit()
+
+    acc2 = TopKAccumulator(nq, k, largest=largest)
+    acc2.push(D, ids)
+    qidx2, got_ids2, _ = acc2.emit()
+
+    for q in range(nq):
+        key = -D[q] if largest else D[q]
+        order = np.lexsort((ids, key))[:k]
+        assert list(got_ids[qidx == q]) == list(ids[order])
+        assert list(got_ids2[qidx2 == q]) == list(ids[order])
+        assert np.allclose(got_d[qidx == q], D[q][order], atol=1e-12)
+
+
 # ------------------------------------------------- fast-scan quantizers
 
 

@@ -178,6 +178,30 @@ def test_ivf_add_is_map_only(emb):
     assert "Exchange" not in p, p
 
 
+def test_search_preassigned_cogroups_instead_of_pair_join(emb, queries):
+    """The r11 big-batch search rewrite: probes and codes must COGROUP
+    on list_no (one GEMM per cell, ≤ k survivors to the window) — the
+    old plan joined them into (query, candidate) pair rows carrying both
+    vectors (~22 GB shuffled at 6M rows; 26.5 s vs 2.8 s at 600k). The
+    only join allowed is the left-semi that prunes unprobed cells."""
+    from faiss_spark.operators.ivf import IVFIndex, search_preassigned
+
+    idx = IVFIndex.train(emb, nlist=8, seed=7, niter=5).add(emb)
+    p = plan(search_preassigned(idx, queries, 5, nprobe=2))
+    assert "FlatMapCoGroupsInPandas" in p
+    # no pair-materializing equi-join between probes and codes: the ONE
+    # join operator in the plan is the LeftSemi cell-pruning one (the
+    # formatted mode prints the type in the operator detail block)
+    import re as _re
+
+    headers = [
+        ln.strip() for ln in p.splitlines()
+        if _re.match(r"^\(\d+\) \w*Join", ln.strip())
+    ]
+    assert len(headers) == 1, headers
+    assert "LeftSemi" in p
+
+
 def test_imi_search_scan_shape(emb, queries):
     """IMI search = the shared probed-list scan: one candidate exchange
     (the final top-k merge), no join of the codes table against itself."""
