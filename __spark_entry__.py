@@ -2815,12 +2815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2,
     # r9 #2, r10 #1): this round the head = the 16 r08-cohort entries
     # whose rotation window closes this round (last driver check:
-    # CORRECTNESS_r08) + the 34 oldest r09-green entries — with
-    # rcq_ivf_search pulled forward because it gains the RCQ-coarse-over-
-    # coded-lists variants this round (r10 verdict #2) and must be
-    # driver-checked with them. The 15 remaining r09-green entries sit
-    # at slots 51-65 and lead the r12 head; the 50 r10-checked entries
-    # fill the tail. Surface stays at 115 (r9 #9, r10 #9).
+    # CORRECTNESS_r08) + every entry MODIFIED this round
+    # (rcq_ivf_search gains the RCQ-coarse-over-coded-lists arms,
+    # ivfaq_search gains the RCQ-coarse recall prop, ivf_nested_coarse
+    # gains the recursive-composite variant — a tagged entry changed
+    # after its last driver check must be re-checked WITH the change) +
+    # the oldest unmodified r09-green entries up to slot 50. The 17
+    # remaining r09-green entries sit at slots 51-67 and lead the r12
+    # head (still within their r9-checked window this round); the
+    # r10-checked block fills the tail. Surface stays at 115 (r9/r10 #9).
     return {
         # --- the 16 r08-cohort entries (window closes this round) ---
         "nsg_search": q_nsg_search,
@@ -2839,10 +2842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
-        # --- rcq_ivf_search: r09-green, pulled forward (modified r11:
-        # tagged union gains the coded-list RCQ-coarse variants) ---
+        # --- the 3 entries MODIFIED this round (tagged unions gained
+        # arms; must be driver-checked with the change) ---
         "rcq_ivf_search": q_rcq_ivf_search,
-        # --- the 33 oldest r09-green entries (CORRECTNESS_r09 order) ---
+        "ivfaq_search": q_ivfaq_search,
+        "ivf_nested_coarse": q_ivf_nested_coarse,
+        # --- the 31 oldest unmodified r09-green entries
+        # (CORRECTNESS_r09 order) ---
         "dedup_simhash": q_dedup_simhash,
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
@@ -2874,14 +2880,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sessionize": q_events_sessionize,
         "range_search_l2": q_range_search,
+        # --- tail starts here (entry 51): the 17 remaining r09-green
+        # entries (they lead the r12 head), then the r10-checked block ---
         "ivf_range_search": q_ivf_range_search,
         "knn_graph": q_knn_graph,
-        # --- tail starts here (entry 51): the 15 remaining r09-green
-        # entries (they lead the r12 head), then the r10-checked 50 ---
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
         "ivfsq_search_exact": q_ivfsq_search_exact,
-        "ivfaq_search": q_ivfaq_search,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "temperature_sample": q_temperature_sample,
@@ -2894,7 +2899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         # --- r10-checked block (driver-green in CORRECTNESS_r10) ---
-        "ivf_nested_coarse": q_ivf_nested_coarse,
         "sq_reconstruction": q_sq_reconstruction,
         "text_features": q_text_features,
         "pii_features": q_pii_features,

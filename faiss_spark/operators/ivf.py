@@ -1016,37 +1016,12 @@ class CompositeCoarseRouter:
                     r.ref_pq_books, r.ref_pq_codes = f["books"], f["codes"]
         return r
 
-    def _codec_dists(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
-        """Squared L2 (or Hamming for LSH) of one query against the
-        DECODED candidate centroids — the base stage's ranking."""
-        if self.codec_kind == "flat":
-            return ((self.centroids[cand] - q) ** 2).sum(1)
-        if self.codec_kind == "sq":
-            X = self.sq_model.decode_np(self.sq_codes[cand])
-            return ((X - q) ** 2).sum(1)
-        if self.codec_kind == "pq":
-            books, codes = self.pq_books, self.pq_codes
-            M, ksub, dsub = books.shape
-            qs = q.reshape(M, dsub)
-            lut = (
-                (qs * qs).sum(1)[:, None]
-                + (books * books).sum(2)
-                - 2.0 * np.einsum("md,mkd->mk", qs, books)
-            )
-            sub = codes[cand]
-            return sum(lut[m, sub[:, m]] for m in range(M))
-        # lsh
-        qp = q @ self.lsh_proj if self.lsh_proj is not None else q
-        qb = qp > self.lsh_thr
-        return (qb[None, :] != self.cent_bits[cand]).sum(1).astype(np.float64)
-
-    def _refine_dists(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
-        if self.refine_kind == "flat":
-            return ((self.centroids[cand] - q) ** 2).sum(1)
-        if self.refine_kind == "sq":
-            X = self.ref_sq_model.decode_np(self.ref_sq_codes[cand])
-            return ((X - q) ** 2).sum(1)
-        books, codes = self.ref_pq_books, self.ref_pq_codes
+    @staticmethod
+    def _adc_dists(q: np.ndarray, cand: np.ndarray, books: np.ndarray,
+                   codes: np.ndarray) -> np.ndarray:
+        """One query's ADC distances to the coded candidates — the
+        single shared copy of the per-subspace LUT math (both stages and
+        a future op-order fix stay in sync)."""
         M, ksub, dsub = books.shape
         qs = q.reshape(M, dsub)
         lut = (
@@ -1057,10 +1032,62 @@ class CompositeCoarseRouter:
         sub = codes[cand]
         return sum(lut[m, sub[:, m]] for m in range(M))
 
+    # decode the query-independent coded tables at most once per
+    # assign_np CALL (they were re-decoded per query row); cap the
+    # hoist so a 2^20-cell router never materializes a raw-table-sized
+    # decode inside an executor task — above the cap the per-candidate
+    # subset decode is the scale-safe path
+    _DECODE_HOIST_ELEMS = 1 << 22  # ≈ 32 MB f64
+
+    def _hoisted(self) -> dict:
+        out = {}
+        if self.nlist * self.d <= self._DECODE_HOIST_ELEMS:
+            if self.codec_kind == "sq":
+                out["sq"] = self.sq_model.decode_np(self.sq_codes)
+            if self.refine_kind == "sq":
+                out["ref_sq"] = self.ref_sq_model.decode_np(self.ref_sq_codes)
+        return out
+
+    def _codec_dists(self, q: np.ndarray, cand: np.ndarray,
+                     hoist: dict | None = None) -> np.ndarray:
+        """Squared L2 (or Hamming for LSH) of one query against the
+        DECODED candidate centroids — the base stage's ranking."""
+        if self.codec_kind == "flat":
+            return ((self.centroids[cand] - q) ** 2).sum(1)
+        if self.codec_kind == "sq":
+            dec = (hoist or {}).get("sq")
+            X = (
+                dec[cand]
+                if dec is not None
+                else self.sq_model.decode_np(self.sq_codes[cand])
+            )
+            return ((X - q) ** 2).sum(1)
+        if self.codec_kind == "pq":
+            return self._adc_dists(q, cand, self.pq_books, self.pq_codes)
+        # lsh
+        qp = q @ self.lsh_proj if self.lsh_proj is not None else q
+        qb = qp > self.lsh_thr
+        return (qb[None, :] != self.cent_bits[cand]).sum(1).astype(np.float64)
+
+    def _refine_dists(self, q: np.ndarray, cand: np.ndarray,
+                      hoist: dict | None = None) -> np.ndarray:
+        if self.refine_kind == "flat":
+            return ((self.centroids[cand] - q) ** 2).sum(1)
+        if self.refine_kind == "sq":
+            dec = (hoist or {}).get("ref_sq")
+            X = (
+                dec[cand]
+                if dec is not None
+                else self.ref_sq_model.decode_np(self.ref_sq_codes[cand])
+            )
+            return ((X - q) ** 2).sum(1)
+        return self._adc_dists(q, cand, self.ref_pq_books, self.ref_pq_codes)
+
     def assign_np(self, Q: np.ndarray, nprobe: int) -> np.ndarray:
         """(nq, nprobe) probe cells under the composite ranking."""
         Q = np.ascontiguousarray(Q, np.float64)
         nprobe = min(nprobe, self.nlist)
+        hoist = self._hoisted()
         k_base = (
             min(self.nlist, nprobe * self.k_factor)
             if self.refine_kind is not None
@@ -1090,11 +1117,11 @@ class CompositeCoarseRouter:
                     if tot >= k_base:
                         break
                 cand = np.concatenate(pools)
-            d_base = self._codec_dists(Q[qi], cand)
+            d_base = self._codec_dists(Q[qi], cand, hoist)
             order = np.argsort(d_base, kind="stable")
             if self.refine_kind is not None:
                 top = cand[order[: min(k_base, len(cand))]]
-                d_ref = self._refine_dists(Q[qi], top)
+                d_ref = self._refine_dists(Q[qi], top, hoist)
                 out[qi] = top[np.argsort(d_ref, kind="stable")[:nprobe]]
             else:
                 out[qi] = cand[order[:nprobe]]
@@ -1728,6 +1755,11 @@ def search_preassigned(
     probes = q.mapInArrow(
         assign_probes, schema="qid bigint, vec array<float>, list_no int"
     )
+    # materialize ONCE: the probe table feeds both the cell-pruning
+    # left-semi and the cogroup — re-executing assign_probes would pay
+    # the centroid GEMM twice and, on a nondeterministic query frame,
+    # could prune cells inconsistently with the cogroup's probe set
+    probes = probes.localCheckpoint(eager=False)
     codes = index.codes.select("list_no", "id", "vec")
     # selective-probe case: drop unprobed cells before they shuffle into
     # empty cogroups (left-semi on the small distinct-cell set)
@@ -1742,7 +1774,7 @@ def search_preassigned(
     def scan_cell(key, qdf, cdf):
         import pandas as pd
 
-        from faiss_spark.kernels import topk_merge
+        from faiss_spark.kernels import TopKAccumulator
 
         if len(qdf) == 0 or len(cdf) == 0:
             return pd.DataFrame(
@@ -1750,14 +1782,20 @@ def search_preassigned(
                  "id": pd.Series(dtype="int64"),
                  "dist": pd.Series(dtype="float64")}
             )
-        # f64 GEMM with the exact pairwise_distances op order — dist
-        # values match the driver-probed search / SQL oracle bit-for-bit
-        # at the rounding the oracle hashes
+        # f64 with the exact pairwise_distances op order — dist values
+        # match the driver-probed search / SQL oracle at the rounding
+        # the oracle hashes. The accumulator's tiled push keeps scratch
+        # ≈ 32 MB whatever the cell/query-group size (a hot cell under a
+        # huge query side would otherwise materialize nq_cell × m_cell
+        # doubles in one array — the cogroup is one task, AQE can't
+        # split it)
         Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
         Xg = np.stack(cdf["vec"].to_numpy()).astype(np.float64)
         ids = cdf["id"].to_numpy(np.int64)
-        D = pairwise_distances(Qg, Xg, metric_)
-        qidx, nid, nd = topk_merge(D, ids, k_, metric_ in SIMILARITY_METRICS)
+        acc = TopKAccumulator(len(Qg), k_, metric_ in SIMILARITY_METRICS)
+        acc.bind_queries(Qg, metric_)
+        acc.push_block(Xg, ids)
+        qidx, nid, nd = acc.emit()
         return pd.DataFrame(
             {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
         )

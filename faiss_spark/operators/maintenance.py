@@ -33,9 +33,30 @@ def remove_ids(index: IVFIndex, predicate: Column) -> IVFIndex:
 
 def merge_from(dst: IVFIndex, src: IVFIndex, add_id: int = 0) -> IVFIndex:
     """merge_from(other, add_id) (faiss/Index.h:277): requires compatible
-    models (same centroids ⇒ same partitioning), mirrors
-    check_compatible_for_merge (faiss/Index.h:279-281)."""
-    if not np.array_equal(dst.centroids, src.centroids):
+    models (same quantizer ⇒ same list_no space), mirrors
+    check_compatible_for_merge (faiss/Index.h:279-281). Indexes with an
+    additive coarse (centroids is None, coarse_q holds the codebooks —
+    r11) compare the RCQ/LSQ codebooks instead: np.array_equal(None,
+    None) is vacuously True, which would silently merge two different
+    virtual-cell spaces."""
+    dcq = getattr(dst, "coarse_q", None)
+    scq = getattr(src, "coarse_q", None)
+    if (dcq is None) != (scq is None):
+        raise ValueError(
+            "merge_from: incompatible indexes (k-means vs additive "
+            "coarse quantizer)"
+        )
+    if dcq is not None:
+        compatible = np.array_equal(dcq.codebooks, scq.codebooks) and (
+            dcq.nbits_list == scq.nbits_list
+        )
+    else:
+        compatible = (
+            dst.centroids is not None
+            and src.centroids is not None
+            and np.array_equal(dst.centroids, src.centroids)
+        )
+    if not compatible:
         raise ValueError("merge_from: incompatible indexes (different coarse quantizers)")
     other = src.codes
     if add_id:

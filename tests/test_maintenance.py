@@ -51,6 +51,31 @@ def test_merge_incompatible_rejected(vectors):
         merge_from(a, b)
 
 
+def test_merge_rejects_mismatched_additive_coarse(vectors):
+    """r11 review catch: centroids is None under an additive coarse and
+    np.array_equal(None, None) is vacuously True — two IVFAQ indexes
+    with DIFFERENT RCQ codebooks must refuse, not silently union
+    incompatible virtual list_no spaces; same-codebook merge works."""
+    from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+    from faiss_spark.operators.ivf import IVFAQIndex
+
+    cq1 = ResidualCoarseQuantizer(M=2, nbits=2, seed=1).fit(vectors)
+    cq2 = ResidualCoarseQuantizer(M=2, nbits=2, seed=2).fit(vectors)
+    a = IVFAQIndex.train(vectors, nlist=16, M=2, coarse_q=cq1).add(vectors)
+    b = IVFAQIndex.train(vectors, nlist=16, M=2, coarse_q=cq2).add(vectors)
+    with pytest.raises(ValueError, match="coarse"):
+        merge_from(a, b)
+    # k-means vs additive is also incompatible
+    km = IVFIndex.train(vectors, nlist=16, seed=42, niter=5).add(vectors)
+    with pytest.raises(ValueError, match="coarse"):
+        merge_from(km, a)
+    # same fitted coarse merges fine
+    c = IVFAQIndex(
+        centroids=None, rq=a.rq, metric="l2", coarse_q=cq1
+    ).add(vectors.filter("id < 100"))
+    merge_from(a, c)
+
+
 def test_reconstruct_roundtrip(vectors):
     idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
     got = {r["id"]: r["vec"] for r in reconstruct_batch(idx, [3, 7, 11]).collect()}
