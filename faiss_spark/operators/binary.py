@@ -255,6 +255,7 @@ class BinaryIVFIndex:
 
         C = _words_to_bits(self.centroid_words, self.nbits).astype(np.float64)
         R = max(1, min(R, len(C) - 1)) if len(C) > 1 else 1
+        self._coarse_R = R  # persisted so save/load rebuilds the routing
         self._cbits = C
         self._cgraph, self._cep = _build_shard_graph(C, R=R, knn_k=max(2 * R, 16))
         self.coarse_graph_r = R
@@ -369,7 +370,20 @@ class BinaryIVFIndex:
         from faiss_spark.sources import fsio
 
         fsio.write_npy(spark, _os.path.join(path, "_bivf_centroid_words.npy"), self.centroid_words)
-        fsio.write_json(spark, _os.path.join(path, "_bivf_meta.json"), {"nbits": int(self.nbits)})
+        # the graph-routed coarse (BIVF<n>_HNSW<m>) rebuilds
+        # deterministically from the centroid words — persist only R
+        fsio.write_json(
+            spark,
+            _os.path.join(path, "_bivf_meta.json"),
+            {
+                "nbits": int(self.nbits),
+                "coarse_R": (
+                    int(self._coarse_R)
+                    if getattr(self, "_coarse_R", None) is not None
+                    else None
+                ),
+            },
+        )
         self.codes = spark.read.parquet(path)
         return self
 
@@ -385,6 +399,8 @@ class BinaryIVFIndex:
             nbits=meta["nbits"],
         )
         idx.codes = spark.read.parquet(path)
+        if meta.get("coarse_R") is not None:
+            idx.build_coarse_graph(R=meta["coarse_R"])
         return idx
 
     def search(

@@ -404,12 +404,20 @@ class ProductQuantizerModel:
     def dsub(self) -> int:
         return self.codebooks.shape[2]
 
+    @property
+    def code_dtype(self):
+        """uint8 for ≤ 8-bit sub-codes, uint16 for 9..16 (the reference
+        bit-packs arbitrary widths — ProductQuantizer.h:30; two whole
+        bytes carry the same information, and parquet byte-dictionary
+        encoding recovers most of the slack)."""
+        return np.uint8 if self.ksub <= 256 else np.uint16
+
     def code_size(self) -> int:
-        return self.M  # 8-bit codes: one byte per sub-space
+        return self.M * (1 if self.ksub <= 256 else 2)
 
     def encode_np(self, X: np.ndarray) -> np.ndarray:
         n = len(X)
-        codes = np.empty((n, self.M), np.uint8)
+        codes = np.empty((n, self.M), self.code_dtype)
         for m in range(self.M):
             sub = X[:, m * self.dsub : (m + 1) * self.dsub]
             C = self.codebooks[m]
@@ -457,7 +465,7 @@ class ProductQuantizerModel:
         model = self
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            codes = np.stack([np.frombuffer(c, np.uint8) for c in pdf[code_col]])
+            codes = np.stack([np.frombuffer(c, model.code_dtype) for c in pdf[code_col]])
             return pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(np.int64),
@@ -567,6 +575,9 @@ class ProductQuantizerModel:
                 if b.num_rows == 0:
                     continue
                 codes = arrow_binary_matrix(b.column(1))
+                if ksub > 256:
+                    # 9..16-bit sub-codes: two LE bytes each (code_dtype)
+                    codes = np.ascontiguousarray(codes).view(np.uint16)
                 # D[q, x] = sum_m lut[q, m, code[x, m]] — accumulated per
                 # sub-quantizer so no (nq, n, M) gather temp materializes
                 D = np.zeros((nq, len(codes)), np.float64)
@@ -756,11 +767,11 @@ class ProductQuantizer:
     ):
         # reference ProductQuantizer supports arbitrary nbits
         # (faiss/impl/ProductQuantizer.h:30 "PQ<m>x<b>"); codes here are
-        # stored one byte per sub-quantizer for any nbits ≤ 8 (the
-        # reference bit-packs — a physical-layout detail parquet
-        # dictionary/byte encoding recovers)
-        if not 1 <= nbits <= 8:
-            raise NotImplementedError("PQ codes of 1..8 bits (one byte stored)")
+        # stored one byte per sub-quantizer for nbits ≤ 8 and two bytes
+        # for 9..16 (the reference bit-packs — a physical-layout detail
+        # parquet dictionary/byte encoding recovers)
+        if not 1 <= nbits <= 16:
+            raise NotImplementedError("PQ codes of 1..16 bits supported")
         self.M = M
         self.ksub = 1 << nbits
         self.niter = niter

@@ -29,6 +29,7 @@ is the final candidate merge. nprobe=nlist degenerates to exact search.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass
 from typing import Iterator
@@ -219,14 +220,80 @@ class IVFIndex:
         self.path = path
         return self
 
+    def save_bucketed(self, path: str, nbuckets: int | None = None) -> "IVFIndex":
+        """write_index into a CLUSTERED BY (list_no) layout — the
+        reference's on-disk invlists (invlists/OnDiskInvertedLists.h:60,
+        the precomputed grouping ``merge_to_ondisk`` materializes for the
+        1T-scale pipeline, benchs/distributed_ondisk/README.md:139).
+
+        The plain partitioned layout groups the FILES by list_no but
+        Spark cannot prove the hash grouping, so every
+        ``search_preassigned`` call re-exchanges the whole codes table
+        into the cogroup. A bucketed table carries
+        ``HashPartitioning(list_no)`` in its scan, the cogroup's
+        ClusteredDistribution is already satisfied, and repeated
+        big-batch searches become scan-only on the corpus side — at
+        100 TB that is the difference between one corpus shuffle per
+        search and zero (the probe side, which is the small side, still
+        exchanges once)."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        if nbuckets is None:
+            nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        name = "ivf_codes_" + hashlib.md5(path.encode()).hexdigest()[:12]
+        cols = self.codes.select("list_no", "id", "vec")
+        ddl = cols._jdf.schema().toDDL()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # pre-shuffling to the bucket hash keeps it one file per
+            # bucket instead of (tasks × buckets) small files
+            cols.repartition(nbuckets, "list_no")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(nbuckets, "list_no")
+            .saveAsTable(name)
+        )
+        self._save_artifact(spark, path)
+        fsio.write_json(
+            spark,
+            os.path.join(path, "_bucket_meta.json"),
+            {"nbuckets": int(nbuckets), "table": name, "ddl": ddl},
+        )
+        self.codes = spark.table(name)
+        self.path = path
+        return self
+
+    @staticmethod
+    def _bucketed_table(spark: SparkSession, path: str, bm: dict) -> DataFrame:
+        """(Re)attach the bucketed codes table. The FILES are the durable
+        artifact; the default in-memory catalog is session-scoped, so a
+        fresh session recreates the table DDL over the same location."""
+        name = bm["table"]
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} ({bm['ddl']}) USING PARQUET "
+                f"CLUSTERED BY (list_no) INTO {bm['nbuckets']} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        return spark.table(name)
+
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndex":
         meta = fsio.read_json(spark, os.path.join(path, "_ivf_meta.json"))
+        bucket_meta = os.path.join(path, "_bucket_meta.json")
+        if fsio.exists(spark, bucket_meta):
+            codes = IVFIndex._bucketed_table(
+                spark, path, fsio.read_json(spark, bucket_meta)
+            )
+        else:
+            codes = spark.read.parquet(path)
         return IVFIndex(
             centroids=fsio.read_npy(spark, os.path.join(path, "_centroids.npy")),
             metric=meta["metric"],
             path=path,
-            codes=spark.read.parquet(path),
+            codes=codes,
         )
 
     # ----------------------------------------------------------------- search
@@ -1674,6 +1741,34 @@ class IVFPQIndex:
         )
 
 
+def _preassigned_subshards(index: IVFIndex, max_cell_rows: int | None) -> dict:
+    """Hot-cell detection for the cogroup search: {list_no: nsub} for
+    every cell above ``max_cell_rows``. The cogroup hands a whole cell
+    to ONE task (AQE cannot split a pandas group), so a pathological
+    cell serializes the search and bounds task memory by the biggest
+    cell — the same skew the dedup bucketed path already salts
+    (dedup.py _hot_cell_shards). Detection runs only for FILE-BACKED
+    indexes: the per-cell counts are then a column-pruned scan of the
+    partition/bucket column (cheap at any scale, cached per index),
+    whereas counting an unpersisted codes frame would re-run the whole
+    assign GEMM — the r9 lesson. An in-memory index is bounded by what
+    the session could materialize, so its cells can't reach the row
+    counts this guards against."""
+    if max_cell_rows is None or index.path is None or index.codes is None:
+        return {}
+    cache = getattr(index, "_subshard_cache", None)
+    if cache is not None and cache[0] == max_cell_rows:
+        return cache[1]
+    counts = index.codes.groupBy("list_no").count().collect()  # nlist rows
+    subs = {
+        int(r["list_no"]): -(-int(r["count"]) // max_cell_rows)
+        for r in counts
+        if int(r["count"]) > max_cell_rows
+    }
+    index._subshard_cache = (max_cell_rows, subs)
+    return subs
+
+
 def search_preassigned(
     index: IVFIndex,
     queries: DataFrame,
@@ -1681,6 +1776,7 @@ def search_preassigned(
     nprobe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "vec",
+    max_cell_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Fully-distributed big-batch IVF search (reference
     contrib/ivf_tools.py:26-57 search_preassigned; parallel_mode 2 of
@@ -1708,9 +1804,19 @@ def search_preassigned(
     (tools/preassigned_probe.py, idle): 26.5 s → 2.76 s at 600k (9.6×);
     at 6M the old plan never finished a 10-minute budget, the cogroup
     plan takes 7.4 s (wall 2.67× for 10× rows under the √(2n) balance
-    rule, per-unit throughput +18% — SCALE.md). Hot cells: a skewed
-    list_no is one big cogroup (AQE cannot split a group), but its cost
-    is now one GEMM instead of a pair-explosion.
+    rule, per-unit throughput +18% — SCALE.md).
+
+    r12 scale hardening:
+      - codes side of the cogroup is SHUFFLE-FREE when the index was
+        stored with ``IVFIndex.save_bucketed`` (CLUSTERED BY list_no —
+        the scan itself proves the grouping, Spark elides the Exchange;
+        plan-pinned in tests/test_plans.py). The plain partitioned
+        layout still works, paying one corpus exchange per call.
+      - hot cells (> ``max_cell_rows`` rows, file-backed indexes only —
+        see _preassigned_subshards) are hash-split into sub-shards with
+        the probes replicated per sub-shard, so a skewed list_no runs
+        as ceil(|cell|/max_cell_rows) bounded tasks instead of one
+        unbounded straggler. ``max_cell_rows=None`` disables.
     """
     spark = queries.sparkSession
     C = index.centroids
@@ -1800,11 +1906,39 @@ def search_preassigned(
             {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
         )
 
-    cands = (
-        probes.groupBy("list_no")
-        .cogroup(codes.groupBy("list_no"))
-        .applyInPandas(scan_cell, schema="qid bigint, id bigint, dist double")
-    )
+    def cell_cogroup(p, c, keys):
+        return (
+            p.groupBy(*keys)
+            .cogroup(c.groupBy(*keys))
+            .applyInPandas(scan_cell, schema="qid bigint, id bigint, dist double")
+        )
+
+    subs = _preassigned_subshards(index, max_cell_rows)
+    if not subs:
+        cands = cell_cogroup(probes, codes, ["list_no"])
+    else:
+        # hot/cold split: cold cells keep the zero-corpus-shuffle cogroup
+        # (bucketed layout) while each hot cell's CODES hash into nsub
+        # sub-shards and its PROBES replicate to all of them — the group
+        # key becomes (list_no, sub), so the hot cell runs as nsub tasks
+        # bounded by ~max_cell_rows each. Exact: the sub-shards PARTITION
+        # the cell's candidates, each emits its local top-k, and the
+        # global window merges — identical to the unsplit scan.
+        hot = sorted(subs)
+        nsub_col = F.element_at(
+            F.create_map(*[F.lit(v) for kv in subs.items() for v in kv]),
+            F.col("list_no"),
+        )
+        is_hot = F.col("list_no").isin(hot)
+        p_hot = probes.filter(is_hot).withColumn(
+            "sub", F.explode(F.sequence(F.lit(0), nsub_col - 1))
+        )
+        c_hot = codes.filter(is_hot).withColumn(
+            "sub", F.pmod(F.hash("id"), nsub_col).cast("int")
+        )
+        cands = cell_cogroup(
+            probes.filter(~is_hot), codes.filter(~is_hot), ["list_no"]
+        ).unionByName(cell_cogroup(p_hot, c_hot, ["list_no", "sub"]))
     order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
     w = Window.partitionBy("qid").orderBy(*order)
     return (

@@ -267,6 +267,14 @@ class LatticeModel:
         self.mins = np.asarray(mins, dtype=np.float64)
         self.maxs = np.asarray(maxs, dtype=np.float64)
 
+    # generic persistence (sources/state.py): the sphere codec is pure
+    # derived state — rebuild it from (dsq, r2) instead of serializing
+    # its enumeration tables
+    __persist_skip__ = ("codec",)
+
+    def __persist_rebuild__(self) -> None:
+        self.codec = ZnSphereCodec(self.dsq, self.r2)
+
     # -- numpy core (shared by the Spark UDFs and the tests) --------------
     def encode_np(self, X: np.ndarray) -> list[bytes]:
         X = np.asarray(X, dtype=np.float64)

@@ -406,7 +406,10 @@ class IndexPlan:
             model = ProductQuantizer(
                 M=self.pq_m, nbits=self.pq_nbits, seed=seed
             ).fit(cur)
-            if self.pq_polysemous and not self.fastscan:
+            if self.pq_polysemous and not self.fastscan and self.pq_nbits <= 8:
+                # the reference's polysemous training is 8-bit-only
+                # (IndexPQ.cpp train guards on nbits); wider codes skip
+                # it rather than building 2^nbits-sized Hamming tables
                 from faiss_spark.operators.codecs import PolysemousTraining
 
                 model, _ = PolysemousTraining(
@@ -772,6 +775,20 @@ class IndexPlan:
             self.index.codes, qids, Q, probes, k, self.metric
         )
 
+    # -- persistence (reference blanket IO property, tests/test_io.py:
+    # every factory-built index survives write_index → read_index →
+    # identical search; impl/index_write.cpp:1039) -----------------------
+    def save(self, path: str) -> "IndexPlan":
+        from faiss_spark.plans.plan_io import save_plan
+
+        return save_plan(self, path)
+
+    @staticmethod
+    def load(spark, path: str) -> "IndexPlan":
+        from faiss_spark.plans.plan_io import load_plan
+
+        return load_plan(spark, path)
+
 
 def _nested_codec_of(t: str) -> tuple | None:
     """One codec stage of the nested-coarse sub-grammar."""
@@ -947,6 +964,7 @@ def index_factory(description: str, metric: str = "l2") -> IndexPlan:
     """Parse a faiss factory string (reference index_factory.cpp:192-804
     grammar, round-1 subset) into an IndexPlan."""
     plan = IndexPlan(metric=metric)
+    plan._description = description.strip()  # persisted by plan_io.save_plan
     tokens = _split_tokens(description)
     # IDMap was "used both as a prefix and a suffix" (reference
     # index_factory.cpp:739-751); ids are a column everywhere here, so
@@ -1703,12 +1721,28 @@ class BinaryIndexPlan:
             qcodes, k, radius=radius, qid_col=qid_col, qcode_col=qcode_col
         )
 
+    def save(self, path: str) -> "BinaryIndexPlan":
+        from faiss_spark.plans.plan_io import save_binary_plan
+
+        return save_binary_plan(self, path)
+
+    @staticmethod
+    def load(spark, path: str) -> "BinaryIndexPlan":
+        from faiss_spark.plans.plan_io import load_binary_plan
+
+        return load_binary_plan(spark, path)
+
+
+def _binary_plan_with_desc(plan: "BinaryIndexPlan", desc: str) -> "BinaryIndexPlan":
+    plan._description = desc  # persisted by plan_io.save_binary_plan
+    return plan
+
 
 def index_binary_factory(description: str) -> BinaryIndexPlan:
     """Binary factory strings (reference faiss/index_factory.cpp:895)."""
     desc = description.strip()
     if desc == "BFlat":
-        return BinaryIndexPlan(kind="bflat")
+        return _binary_plan_with_desc(BinaryIndexPlan(kind="bflat"), desc)
     m = re.match(r"^BIVF(\d+)(?:_(?:B)?HNSW(\d+)?)?$", desc)
     if m:
         # BIVF<n>[_HNSW<m>] (reference index_factory.cpp:895-915: the
@@ -1720,7 +1754,7 @@ def index_binary_factory(description: str) -> BinaryIndexPlan:
         # corpus spelling) as a PLAIN BIVF1024 because the unanchored
         # '%d' match ignores the tail — honoring the intent (a graph
         # coarse) beats replicating the accident.
-        return BinaryIndexPlan(
+        return _binary_plan_with_desc(BinaryIndexPlan(
             kind="bivf",
             nlist=int(m.group(1)),
             coarse_graph_r=(
@@ -1728,16 +1762,18 @@ def index_binary_factory(description: str) -> BinaryIndexPlan:
                 if desc != f"BIVF{m.group(1)}"
                 else None
             ),
-        )
+        ), desc)
     m = re.match(r"^BHash(\d+)x(\d+)$", desc)
     if m:
         # IndexBinaryMultiHash (reference index_factory.cpp:911)
-        return BinaryIndexPlan(
+        return _binary_plan_with_desc(BinaryIndexPlan(
             kind="bmultihash", nhash=int(m.group(1)), hash_b=int(m.group(2))
-        )
+        ), desc)
     m = re.match(r"^BHash(\d+)$", desc)
     if m:
-        return BinaryIndexPlan(kind="bhash", hash_b=int(m.group(1)))
+        return _binary_plan_with_desc(
+            BinaryIndexPlan(kind="bhash", hash_b=int(m.group(1))), desc
+        )
     raise ValueError(f"unsupported binary factory string {description!r}")
 
 

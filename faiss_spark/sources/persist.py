@@ -50,8 +50,11 @@ def _registry():
     )
     from faiss_spark.operators.lattice import LatticeIndex
     from faiss_spark.operators.nsg import NSGIndex
+    from faiss_spark.plans.factory import BinaryIndexPlan, IndexPlan
 
     classes = [
+        IndexPlan,
+        BinaryIndexPlan,
         IVFIndex,
         IVFPQIndex,
         IVFSQIndex,

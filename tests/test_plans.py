@@ -202,6 +202,72 @@ def test_search_preassigned_cogroups_instead_of_pair_join(emb, queries):
     assert "LeftSemi" in p
 
 
+def test_search_preassigned_bucketed_codes_skip_shuffle(emb, queries, tmp_path):
+    """A save_bucketed index (CLUSTERED BY list_no — the reference's
+    on-disk invlists grouping, invlists/OnDiskInvertedLists.h:60) must
+    feed the cogroup straight off the scan: the codes-side Exchange
+    disappears (3 list_no exchanges → 2: probe side + the distinct cell
+    prune), the scan reports Bucketed, and results are identical. At
+    100 TB this is zero corpus shuffle per big-batch search."""
+    from faiss_spark.operators.ivf import IVFIndex, search_preassigned
+
+    idx = IVFIndex.train(emb, nlist=8, seed=7, niter=5).add(emb)
+    base = search_preassigned(idx, queries, 5, nprobe=2)
+    p0 = plan(base, "simple")
+    expect = sorted((r.qid, r.id, round(r.dist, 9)) for r in base.collect())
+
+    idx.save_bucketed(str(tmp_path / "bk"), nbuckets=8)
+    res = search_preassigned(idx, queries, 5, nprobe=2)
+    p1 = plan(res, "simple")
+    assert p1.count("Exchange hashpartitioning(list_no") == (
+        p0.count("Exchange hashpartitioning(list_no") - 1
+    ), p1
+    assert "Bucketed: true" in p1, p1
+    got = sorted((r.qid, r.id, round(r.dist, 9)) for r in res.collect())
+    assert got == expect
+
+    # load() re-attaches the same files as a bucketed table via the
+    # stored DDL (a fresh session's in-memory catalog starts empty)
+    spark = emb.sparkSession
+    idx2 = IVFIndex.load(spark, str(tmp_path / "bk"))
+    res2 = search_preassigned(idx2, queries, 5, nprobe=2)
+    assert "Bucketed: true" in plan(res2, "simple")
+    assert sorted((r.qid, r.id, round(r.dist, 9)) for r in res2.collect()) == expect
+
+
+def test_search_preassigned_hot_cell_subshards(emb, queries, tmp_path):
+    """A cell above max_cell_rows must split into >1 bounded sub-shard
+    tasks (probes replicated per shard, codes hash-salted — the dedup
+    _hot_cell_shards answer ported to the cogroup search) with results
+    identical to the unsplit scan, including at full probe == exact."""
+    from faiss_spark.operators.ivf import (
+        IVFIndex,
+        _preassigned_subshards,
+        search_preassigned,
+    )
+
+    # skew: collapse most vectors onto one cell by training on few cells
+    idx = IVFIndex.train(emb, nlist=4, seed=7, niter=5).add(emb)
+    idx.save(str(tmp_path / "skew"))  # file-backed: detection is active
+    expect = sorted(
+        (r.qid, r.id, round(r.dist, 9))
+        for r in search_preassigned(
+            idx, queries, 5, nprobe=4, max_cell_rows=None
+        ).collect()
+    )
+    subs = _preassigned_subshards(idx, 40)  # 500 rows / 4 cells → hot
+    assert subs and max(subs.values()) > 1, subs
+    res = search_preassigned(idx, queries, 5, nprobe=4, max_cell_rows=40)
+    # the split plan is a union of the cold cogroup and the salted one
+    assert plan(res, "simple").count("FlatMapCoGroupsInPandas") == 2
+    got = sorted((r.qid, r.id, round(r.dist, 9)) for r in res.collect())
+    assert got == expect
+    # unsaved (in-memory) index: detection must stay OFF — counting an
+    # unpersisted codes frame would re-run the assign GEMM
+    idx_mem = IVFIndex.train(emb, nlist=4, seed=7, niter=5).add(emb)
+    assert _preassigned_subshards(idx_mem, 40) == {}
+
+
 def test_imi_search_scan_shape(emb, queries):
     """IMI search = the shared probed-list scan: one candidate exchange
     (the final top-k merge), no join of the codes table against itself."""
