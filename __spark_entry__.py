@@ -947,7 +947,17 @@ def _dedup_bucketed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_docs(spark, sf_dir))
+    """Exact dedup over documents plus a SEEDED duplicate slice (every
+    20th doc re-inserted under a shifted id): the raw sf0.01 table has
+    no exact duplicates, so the unseeded entry hash-matched an empty
+    result and proved nothing (VERDICT r11 what's-wrong #1). The oracle
+    applies the identical seeding, so the entry now pins the grouping,
+    counts, and min-id representative on ~250 real duplicate groups."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = docs.filter(F.col("doc_id") % 20 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return D.exact_dedup(docs.unionByName(seeded))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3197,10 +3207,18 @@ def oracle_sql() -> dict[str, str]:
     """
     # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
     # records the weaker rows-only check)
+    # seeded duplicates (every 20th doc re-inserted under a shifted id)
+    # mirror q_dedup_exact — the raw table has no exact duplicates
     sql["dedup_exact"] = f"""
+        WITH seeded AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 20 = 3
+        )
         SELECT md5({_NORM}) AS fingerprint, count(*) AS n_docs,
                min(doc_id) AS rep_id
-        FROM documents GROUP BY 1 HAVING count(*) >= 2
+        FROM seeded GROUP BY 1 HAVING count(*) >= 2
     """
     # minhash-LSH candidates are a (deterministic) subset of the exact
     # jaccard pairs; with our band parameters every pair ≥ threshold that

@@ -46,7 +46,7 @@ NPROBE = 8
 D = 64
 
 
-def probe(spark, nv: int) -> dict:
+def probe(spark, nv: int, layout: str = "memory") -> dict:
     from pyspark.sql import functions as F
 
     from bench import _synth_vecs
@@ -64,11 +64,26 @@ def probe(spark, nv: int) -> dict:
         .localCheckpoint(eager=True)
     )
     idx = IVFIndex.train(base, nlist=nlist, seed=42).add(base)
-    # materialize the codes table once (add is the ivf_add row's job)
-    idx.codes = idx.codes.localCheckpoint(eager=True)
+    if layout == "bucketed":
+        # on-disk invlists (save_bucketed): the cogroup reads the
+        # grouping straight off the scan — zero corpus-side exchange
+        import tempfile
+
+        idx.save_bucketed(
+            tempfile.mkdtemp(prefix="preassigned_bucketed_"), nbuckets=CPUS
+        )
+    else:
+        # materialize the codes table once (add is the ivf_add row's job)
+        idx.codes = idx.codes.localCheckpoint(eager=True)
 
     def run() -> int:
         return search_preassigned(idx, queries, K, nprobe=NPROBE).count()
+
+    # evidence, not assumption: count the list_no exchanges in the plan
+    xplan = search_preassigned(
+        idx, queries, K, nprobe=NPROBE
+    )._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = xplan.count("Exchange hashpartitioning(list_no")
 
     run()  # warm-up (codegen + broadcast first-touch)
     best = None
@@ -86,6 +101,8 @@ def probe(spark, nv: int) -> dict:
         "nlist": nlist,
         "nq": NQ,
         "nprobe": NPROBE,
+        "layout": layout,
+        "exchanges_list_no": n_exchanges,
         "sec": round(best, 3),
         "result_rows": n,
         "cand_d_per_core_sec_1e9": round(cand * D / best / CPUS / 1e9, 4),
@@ -98,12 +115,21 @@ def main() -> None:
     for label, nv in (("sf0.1", 600_000), ("sf1", 6_000_000)):
         out[label] = probe(spark, nv)
         print(f"# {label}: {out[label]}", file=sys.stderr)
+    # bucketed-layout A/B at the 10x size (VERDICT r11 #2): same probe,
+    # corpus stored CLUSTERED BY list_no — the codes-side exchange is
+    # gone (exchanges_list_no drops by 1) and the wall shows what one
+    # full-corpus shuffle costs per big-batch search
+    out["sf1_bucketed"] = probe(spark, 6_000_000, layout="bucketed")
+    print(f"# sf1_bucketed: {out['sf1_bucketed']}", file=sys.stderr)
     r = out["sf1"]["sec"] / out["sf0.1"]["sec"]
     out["wall_ratio_10x"] = round(r, 2)
     out["per_unit_ratio_10x"] = round(
         out["sf1"]["cand_d_per_core_sec_1e9"]
         / out["sf0.1"]["cand_d_per_core_sec_1e9"],
         2,
+    )
+    out["bucketed_vs_shuffled_sf1"] = round(
+        out["sf1_bucketed"]["sec"] / out["sf1"]["sec"], 3
     )
     print(json.dumps(out))
 
