@@ -2823,19 +2823,93 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2,
-    # r9 #2, r10 #1): this round the head = the 16 r08-cohort entries
-    # whose rotation window closes this round (last driver check:
-    # CORRECTNESS_r08) + every entry MODIFIED this round
-    # (rcq_ivf_search gains the RCQ-coarse-over-coded-lists arms,
-    # ivfaq_search gains the RCQ-coarse recall prop, ivf_nested_coarse
-    # gains the recursive-composite variant — a tagged entry changed
-    # after its last driver check must be re-checked WITH the change) +
-    # the oldest unmodified r09-green entries up to slot 50. The 17
-    # remaining r09-green entries sit at slots 51-67 and lead the r12
-    # head (still within their r9-checked window this round); the
-    # r10-checked block fills the tail. Surface stays at 115 (r9/r10 #9).
+    # r9 #2, r10 #1, r11 #4): this round the head = the 17 r09-cohort
+    # entries whose rotation window closes this round (last driver
+    # check: CORRECTNESS_r09) + every entry MODIFIED this round
+    # (dedup_exact now union-seeds real duplicate groups — the query
+    # itself changed; ivf_bigbatch_exact exercises the new hot-cell
+    # sub-sharded cogroup in search_preassigned; write_read_index sits
+    # on the rewritten corpus-wide persist machinery; pq_adc_search sits
+    # on the PQ code path that gained 9..16-bit two-byte codes) + the
+    # oldest unmodified r10-green entries up to slot 50. The remaining
+    # r10-green entries sit at the top of the tail (they lead the r13
+    # head), then the r11-checked block. Surface stays at 115 (r9/r10 #9).
     return {
-        # --- the 16 r08-cohort entries (window closes this round) ---
+        # --- the 17 r09-cohort entries (window closes this round) ---
+        "ivf_range_search": q_ivf_range_search,
+        "knn_graph": q_knn_graph,
+        "vector_norms": q_vector_norms,
+        "knn_tabular": q_knn_tabular,
+        "ivfsq_search_exact": q_ivfsq_search_exact,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "kmeans_assign": q_kmeans_assign,
+        "temperature_sample": q_temperature_sample,
+        "assign_splits": q_assign_splits,
+        "filter_corpus": q_filter_corpus,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
+        "term_frequencies": q_term_frequencies,
+        "autotune_nprobe": q_autotune_nprobe,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "sq_reconstruction": q_sq_reconstruction,
+        # --- the 4 entries MODIFIED this round (an entry changed after
+        # its last driver check must be re-checked WITH the change) ---
+        "dedup_exact": q_dedup_exact,
+        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
+        "write_read_index": q_write_read_index,
+        "pq_adc_search": q_pq_adc_search,
+        # --- the 29 oldest unmodified r10-green entries
+        # (CORRECTNESS_r10 order) ---
+        "text_features": q_text_features,
+        "pii_features": q_pii_features,
+        "decontaminate": q_decontaminate,
+        "repetition_features": q_repetition_features,
+        "pca_project": q_pca_project,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
+        "bigram_frequencies": q_bigram_frequencies,
+        "ivfpqr_search": q_ivfpqr_search,
+        "ivfpqr_codes": q_ivfpqr_codes,
+        "knn_jaccard_float": q_knn_jaccard_float,
+        "knn_hamming_float": q_knn_hamming_float,
+        "image_features_png": q_image_features_png,
+        "ngram_perplexity": q_ngram_perplexity,
+        "bpe_train": q_bpe_train,
+        "shuffle_corpus": q_shuffle_corpus,
+        "gopher_quality": q_gopher_quality,
+        "ngram_repetition": q_ngram_repetition,
+        "line_dedup": q_line_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "decontaminate_spans": q_decontaminate_spans,
+        "nsg_sq_search": q_nsg_sq_search,
+        "repeat_corpus": q_repeat_corpus,
+        "token_budget_sample": q_token_budget_sample,
+        "knn_graph_nndescent": q_knn_graph_nndescent,
+        "ivfaq_fastscan": q_ivfaq_fastscan,
+        "ivfpq_fastscan": q_ivfpq_fastscan,
+        "ivf_search_exact": q_ivf_search_exact,
+        "chunk_documents": q_chunk_documents,
+        "compute_residual": q_compute_residual,
+        # --- tail starts here (entry 51): the 17 remaining r10-green
+        # entries (they lead the r13 head), then the r11-checked block ---
+        "ivf_nsg_search": q_ivf_nsg_search,
+        "lsh_search": q_lsh_search,
+        "audio_features": q_audio_features,
+        "pack_sequences": q_pack_sequences,
+        "pq_sdc_search": q_pq_sdc_search,
+        "span_dedup": q_span_dedup,
+        "rowwise_minmax": q_rowwise_minmax,
+        "split_vectors": q_split_vectors,
+        "remove_then_search": q_remove_then_search,
+        "merge_from_search": q_merge_from_search,
+        "rq_codec": q_rq_codec,
+        "lsq_codec": q_lsq_codec,
+        "prq_codec": q_prq_codec,
+        "two_layer_codes": q_two_layer_codes,
+        "binary_nsg": q_binary_nsg,
+        "pq_fastscan_search": q_pq_fastscan,
+        "aq_fastscan": q_aq_fastscan,
+        # --- r11-checked block (driver-green in CORRECTNESS_r11) ---
         "nsg_search": q_nsg_search,
         "knn_ip": q_knn_ip,
         "knn_cosine": q_knn_cosine,
@@ -2845,20 +2919,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "knn_jensenshannon": q_knn_jensenshannon,
         "knn_tabular_chunked": q_knn_tabular_chunked,
-        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
-        "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
         "hamming_knn": q_hamming_knn,
         "jaccard_knn": q_jaccard_knn,
-        # --- the 3 entries MODIFIED this round (tagged unions gained
-        # arms; must be driver-checked with the change) ---
         "rcq_ivf_search": q_rcq_ivf_search,
         "ivfaq_search": q_ivfaq_search,
         "ivf_nested_coarse": q_ivf_nested_coarse,
-        # --- the 31 oldest unmodified r09-green entries
-        # (CORRECTNESS_r09 order) ---
         "dedup_simhash": q_dedup_simhash,
         "matrix_stats": q_matrix_stats,
         "knn_selector_batch": q_knn_selector_batch,
@@ -2890,74 +2958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sessionize": q_events_sessionize,
         "range_search_l2": q_range_search,
-        # --- tail starts here (entry 51): the 17 remaining r09-green
-        # entries (they lead the r12 head), then the r10-checked block ---
-        "ivf_range_search": q_ivf_range_search,
-        "knn_graph": q_knn_graph,
-        "vector_norms": q_vector_norms,
-        "knn_tabular": q_knn_tabular,
-        "ivfsq_search_exact": q_ivfsq_search_exact,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "kmeans_assign": q_kmeans_assign,
-        "temperature_sample": q_temperature_sample,
-        "assign_splits": q_assign_splits,
-        "filter_corpus": q_filter_corpus,
-        "dedup_minhash_lsh": q_dedup_minhash,
-        "dedup_components": q_dedup_components,
-        "term_frequencies": q_term_frequencies,
-        "autotune_nprobe": q_autotune_nprobe,
-        "dedup_ngram_jaccard": q_dedup_ngram,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        # --- r10-checked block (driver-green in CORRECTNESS_r10) ---
-        "sq_reconstruction": q_sq_reconstruction,
-        "text_features": q_text_features,
-        "pii_features": q_pii_features,
-        "decontaminate": q_decontaminate,
-        "repetition_features": q_repetition_features,
-        "pca_project": q_pca_project,
-        "pq_adc_search": q_pq_adc_search,
-        "span_dedup_rewrite": q_span_dedup_rewrite,
-        "bigram_frequencies": q_bigram_frequencies,
-        "ivfpqr_search": q_ivfpqr_search,
-        "ivfpqr_codes": q_ivfpqr_codes,
-        "knn_jaccard_float": q_knn_jaccard_float,
-        "knn_hamming_float": q_knn_hamming_float,
-        "image_features_png": q_image_features_png,
-        "ngram_perplexity": q_ngram_perplexity,
-        "bpe_train": q_bpe_train,
-        "shuffle_corpus": q_shuffle_corpus,
-        "gopher_quality": q_gopher_quality,
-        "ngram_repetition": q_ngram_repetition,
-        "line_dedup": q_line_dedup,
-        "dedup_keep_best": q_dedup_keep_best,
-        "write_read_index": q_write_read_index,
-        "decontaminate_spans": q_decontaminate_spans,
-        "nsg_sq_search": q_nsg_sq_search,
-        "repeat_corpus": q_repeat_corpus,
-        "token_budget_sample": q_token_budget_sample,
-        "knn_graph_nndescent": q_knn_graph_nndescent,
-        "ivfaq_fastscan": q_ivfaq_fastscan,
-        "ivfpq_fastscan": q_ivfpq_fastscan,
-        "ivf_search_exact": q_ivf_search_exact,
-        "chunk_documents": q_chunk_documents,
-        "compute_residual": q_compute_residual,
-        "ivf_nsg_search": q_ivf_nsg_search,
-        "lsh_search": q_lsh_search,
-        "audio_features": q_audio_features,
-        "pack_sequences": q_pack_sequences,
-        "pq_sdc_search": q_pq_sdc_search,
-        "span_dedup": q_span_dedup,
-        "rowwise_minmax": q_rowwise_minmax,
-        "split_vectors": q_split_vectors,
-        "remove_then_search": q_remove_then_search,
-        "merge_from_search": q_merge_from_search,
-        "rq_codec": q_rq_codec,
-        "lsq_codec": q_lsq_codec,
-        "prq_codec": q_prq_codec,
-        "two_layer_codes": q_two_layer_codes,
-        "binary_nsg": q_binary_nsg,
-        "pq_fastscan_search": q_pq_fastscan,
-        "aq_fastscan": q_aq_fastscan,
     }
 
 
