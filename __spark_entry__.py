@@ -173,17 +173,32 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF range search at nprobe == nlist (reference
-    IndexIVF::range_search, faiss/IndexIVF.cpp:715): every cell probed,
-    so the result equals exact flat range search and shares its SQL
-    oracle. The scan stays fully map-side (no shuffle at all)."""
-    from faiss_spark.operators.ivf import IVFIndex, ivf_range_search
+    """Tagged union of BOTH IVF range-search modes at nprobe == nlist
+    (every cell probed == exact flat range search, so each arm shares
+    the same SQL oracle):
+      - mode='driver':   ivf_range_search (reference
+        IndexIVF::range_search, faiss/IndexIVF.cpp:715) — queries
+        broadcast from the driver, scan fully map-side.
+      - mode='bigbatch': range_search_preassigned (reference
+        IndexIVF::range_search_preassigned, faiss/IndexIVF.cpp:730) —
+        queries stay a DataFrame, probes⟂⟂codes cogrouped on list_no,
+        map-only after the cogroup (new r12)."""
+    from faiss_spark.operators.ivf import (
+        IVFIndex,
+        ivf_range_search,
+        range_search_preassigned,
+    )
 
     vecs = _emb(spark, sf_dir)
     idx = IVFIndex.train(vecs, nlist=16, seed=42, niter=10).add(vecs)
-    return _round(
-        ivf_range_search(idx, _queries_df(spark, sf_dir), RADIUS_L2, nprobe=16)
+    qs = _queries_df(spark, sf_dir)
+    a = _round(ivf_range_search(idx, qs, RADIUS_L2, nprobe=16)).withColumn(
+        "mode", F.lit("driver")
     )
+    b = _round(
+        range_search_preassigned(idx, qs, RADIUS_L2, nprobe=16)
+    ).withColumn("mode", F.lit("bigbatch"))
+    return a.unionByName(b)
 
 
 def q_range_lims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3126,7 +3141,12 @@ def oracle_sql() -> dict[str, str]:
         FROM q CROSS JOIN embeddings e
         WHERE {_L2} < {RADIUS_L2}
     """
-    sql["ivf_range_search"] = sql["range_search_l2"]
+    # tagged union: both IVF range modes at full probe == the exact range
+    sql["ivf_range_search"] = f"""
+        SELECT *, 'driver' AS mode FROM ({sql["range_search_l2"]})
+        UNION ALL
+        SELECT *, 'bigbatch' AS mode FROM ({sql["range_search_l2"]})
+    """
     sql["range_lims"] = f"""
         WITH q AS ({_QSET})
         SELECT q.qid, count(*) AS n_results

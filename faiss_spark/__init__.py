@@ -88,6 +88,7 @@ from faiss_spark.operators.ivf import (
     IVFSpectralHash,
     IVFSQIndex,
     ivf_range_search,
+    range_search_preassigned,
     range_search_with_parameters,
     search_preassigned,
     search_with_parameters,
@@ -142,6 +143,7 @@ __all__ = [
     "IVFPQRIndex",
     "IVFAQIndex",
     "IVFSQIndex",
+    "range_search_preassigned",
     "search_preassigned",
     "IVFRCQIndex",
     "ResidualCoarseQuantizer",

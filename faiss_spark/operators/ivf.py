@@ -58,7 +58,7 @@ MAX_DRIVER_QUERY_CELLS = 32_000_000
 
 def collect_queries_bounded(
     queries, qid_col: str, qvec_col: str, op: str, d: int | None = None,
-    dtype=None, to_matrix=None,
+    dtype=None, to_matrix=None, fallback=None,
 ):
     """Driver-side query materialization with a hard bound (the same
     MAX_DRIVER_QUERY_CELLS budget IVFIndex.search uses for its
@@ -79,7 +79,10 @@ def collect_queries_bounded(
     arrays, not float vectors) — this is the ONLY query-collect path in
     the repo (VERDICT r7 #5), so every driver-planned search family
     (brute-force, binary, NSG, IVF, fast-scan) shares the same one-job
-    budget and the same actionable error."""
+    budget and the same actionable error. ``fallback`` (a zero-arg
+    callable returning a DataFrame) switches overflow from raise to
+    auto-fallback — the caller's distributed twin — and is returned
+    verbatim; callers that pass it must type-check the result."""
     from faiss_spark.kernels import as_matrix as _as_matrix
 
     if d is None:
@@ -90,6 +93,8 @@ def collect_queries_bounded(
     max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
     qpdf = queries.select(qid_col, qvec_col).limit(max_rows + 1).toPandas()
     if len(qpdf) > max_rows:
+        if fallback is not None:
+            return fallback()
         raise ValueError(
             f"{op}: query side exceeds the driver-planned bound "
             f"({max_rows} rows at d={d}). Chunk the queries "
@@ -385,7 +390,10 @@ def ivf_range_search(
     dist < radius (similarity metrics: > radius). Fully map-side after
     the partition-pruned scan — candidates are never ranked, so there is
     NO shuffle at all. nprobe == nlist degenerates to exact
-    range_search."""
+    range_search. A query side past the driver bound auto-falls-back to
+    the fully-distributed ``range_search_preassigned`` cogroup plan
+    (stats are driver-plan-only: the distributed twin raises if an
+    IVFSearchStats out-param was requested)."""
     from faiss_spark.kernels import range_pairs
 
     if index.codes is None:
@@ -395,10 +403,27 @@ def ivf_range_search(
     largest = metric in SIMILARITY_METRICS
     nlist = len(index.centroids)
     nprobe = min(nprobe, nlist)
-    qids, Q = collect_queries_bounded(
+
+    def _distributed():
+        if stats is not None:
+            raise ValueError(
+                "ivf_range_search: query side exceeds the driver-planned "
+                "bound and stats were requested — the distributed "
+                "range_search_preassigned plan does not populate "
+                "IVFSearchStats; drop stats or chunk the queries."
+            )
+        return range_search_preassigned(
+            index, queries, radius, nprobe=nprobe,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+
+    collected = collect_queries_bounded(
         queries, qid_col, qvec_col, "ivf_range_search",
-        d=index.centroids.shape[1],
+        d=index.centroids.shape[1], fallback=_distributed,
     )
+    if isinstance(collected, DataFrame):
+        return collected
+    qids, Q = collected
     CD = pairwise_distances(Q, index.centroids, metric)
     order = np.argsort(-CD if largest else CD, axis=1, kind="stable")
     probes = order[:, :nprobe]
@@ -1818,6 +1843,126 @@ def search_preassigned(
         as ceil(|cell|/max_cell_rows) bounded tasks instead of one
         unbounded straggler. ``max_cell_rows=None`` disables.
     """
+    metric = index.metric
+    largest = metric in SIMILARITY_METRICS
+    k_ = k
+
+    def scan_cell(key, qdf, cdf):
+        import pandas as pd
+
+        from faiss_spark.kernels import TopKAccumulator
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        # f64 with the exact pairwise_distances op order — dist values
+        # match the driver-probed search / SQL oracle at the rounding
+        # the oracle hashes. The accumulator's tiled push keeps scratch
+        # ≈ 32 MB whatever the cell/query-group size (a hot cell under a
+        # huge query side would otherwise materialize nq_cell × m_cell
+        # doubles in one array — the cogroup is one task, AQE can't
+        # split it)
+        Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
+        Xg = np.stack(cdf["vec"].to_numpy()).astype(np.float64)
+        ids = cdf["id"].to_numpy(np.int64)
+        acc = TopKAccumulator(len(Qg), k_, metric in SIMILARITY_METRICS)
+        acc.bind_queries(Qg, metric)
+        acc.push_block(Xg, ids)
+        qidx, nid, nd = acc.emit()
+        return pd.DataFrame(
+            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
+        )
+
+    cands = _preassigned_cogrouped(
+        index, queries, nprobe, qid_col, qvec_col, max_cell_rows, scan_cell
+    )
+    order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
+
+
+def range_search_preassigned(
+    index: IVFIndex,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch IVF RANGE search (reference
+    IndexIVF::range_search_preassigned, faiss/IndexIVF.h:238,
+    faiss/IndexIVF.cpp:730-827 — probes precomputed, scan parallelized
+    over (query, probe) pairs).
+
+    The range twin of :func:`search_preassigned`: same plan skeleton
+    (map-side probe assignment with broadcast centroids, left-semi cell
+    prune, probes⟂⟂codes cogrouped on list_no with hot-cell
+    sub-sharding), but the per-cell scan emits EVERY (qid, id, dist)
+    within the radius (similarity metrics: above it) through the tiled
+    ``range_pairs`` kernel instead of keeping a top-k — and because
+    inverted lists PARTITION the ids, no pair can appear twice, so
+    there is NO global window: the plan ends map-only after the
+    cogroup. That makes this strictly cheaper than the k-NN twin at
+    equal probe volume — the natural 100 TB shape for radius joins
+    (near-duplicate harvesting, contamination sweeps) where the query
+    side is itself a huge DataFrame that must never collect.
+
+    nprobe == nlist degenerates to the exact distributed range join
+    (every cell scanned), which is how the oracle pins it.
+    """
+    metric = index.metric
+    radius_ = float(radius)
+
+    def scan_cell(key, qdf, cdf):
+        import pandas as pd
+
+        from faiss_spark.kernels import range_pairs
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
+        Xg = np.stack(cdf["vec"].to_numpy()).astype(np.float64)
+        rq, rc, vals = range_pairs(Qg, Xg, metric, radius_)
+        return pd.DataFrame(
+            {
+                "qid": qdf["qid"].to_numpy(np.int64)[rq],
+                "id": cdf["id"].to_numpy(np.int64)[rc],
+                "dist": vals,
+            }
+        )
+
+    return _preassigned_cogrouped(
+        index, queries, nprobe, qid_col, qvec_col, max_cell_rows, scan_cell
+    )
+
+
+def _preassigned_cogrouped(
+    index: IVFIndex,
+    queries: DataFrame,
+    nprobe: int,
+    qid_col: str,
+    qvec_col: str,
+    max_cell_rows: int | None,
+    scan_cell,
+) -> DataFrame:
+    """Shared plan skeleton of the preassigned big-batch searches
+    (k-NN top-k and range): distributed probe assignment, one left-semi
+    cell prune, and the hot/cold cogroup on list_no, parameterized by
+    the per-cell pandas scan. Emits ``qid bigint, id bigint, dist
+    double`` candidate rows; the k-NN caller windows them, the range
+    caller returns them as-is."""
     spark = queries.sparkSession
     C = index.centroids
     largest = index.metric in SIMILARITY_METRICS
@@ -1874,38 +2019,6 @@ def search_preassigned(
         "list_no",
         "left_semi",
     )
-    k_ = k
-    metric_ = metric
-
-    def scan_cell(key, qdf, cdf):
-        import pandas as pd
-
-        from faiss_spark.kernels import TopKAccumulator
-
-        if len(qdf) == 0 or len(cdf) == 0:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype="int64"),
-                 "id": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
-        # f64 with the exact pairwise_distances op order — dist values
-        # match the driver-probed search / SQL oracle at the rounding
-        # the oracle hashes. The accumulator's tiled push keeps scratch
-        # ≈ 32 MB whatever the cell/query-group size (a hot cell under a
-        # huge query side would otherwise materialize nq_cell × m_cell
-        # doubles in one array — the cogroup is one task, AQE can't
-        # split it)
-        Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
-        Xg = np.stack(cdf["vec"].to_numpy()).astype(np.float64)
-        ids = cdf["id"].to_numpy(np.int64)
-        acc = TopKAccumulator(len(Qg), k_, metric_ in SIMILARITY_METRICS)
-        acc.bind_queries(Qg, metric_)
-        acc.push_block(Xg, ids)
-        qidx, nid, nd = acc.emit()
-        return pd.DataFrame(
-            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
-        )
-
     def cell_cogroup(p, c, keys):
         return (
             p.groupBy(*keys)
@@ -1939,13 +2052,7 @@ def search_preassigned(
         cands = cell_cogroup(
             probes.filter(~is_hot), codes.filter(~is_hot), ["list_no"]
         ).unionByName(cell_cogroup(p_hot, c_hot, ["list_no", "sub"]))
-    order = [F.col("dist").desc() if largest else F.col("dist").asc(), F.col("id").asc()]
-    w = Window.partitionBy("qid").orderBy(*order)
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "id", "dist", "rank")
-    )
+    return cands
 
 
 @dataclass

@@ -268,6 +268,27 @@ def test_search_preassigned_hot_cell_subshards(emb, queries, tmp_path):
     assert _preassigned_subshards(idx_mem, 40) == {}
 
 
+def test_range_search_preassigned_map_only_after_cogroup(emb, queries):
+    """The big-batch RANGE search shares the cogroup skeleton but must
+    end map-only: no Window / global sort after the per-cell emit
+    (inverted lists partition the ids, so no pair repeats and nothing
+    needs merging), and the only join is the LeftSemi cell prune."""
+    from faiss_spark.operators.ivf import IVFIndex, range_search_preassigned
+
+    idx = IVFIndex.train(emb, nlist=8, seed=7, niter=5).add(emb)
+    p = plan(range_search_preassigned(idx, queries, 0.5, nprobe=2))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "Window" not in p and "row_number" not in p
+    import re as _re
+
+    headers = [
+        ln.strip() for ln in p.splitlines()
+        if _re.match(r"^\(\d+\) \w*Join", ln.strip())
+    ]
+    assert len(headers) == 1, headers
+    assert "LeftSemi" in p
+
+
 def test_imi_search_scan_shape(emb, queries):
     """IMI search = the shared probed-list scan: one candidate exchange
     (the final top-k merge), no join of the codes table against itself."""

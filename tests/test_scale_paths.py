@@ -443,3 +443,107 @@ def test_search_preassigned_accepts_double_queries(vectors):
         for r in search_preassigned(idx, q32, 5, nprobe=4).collect()
     }
     assert a == b and a
+
+
+def _range_radius(vectors) -> float:
+    """A radius with non-trivial selectivity: the median query-base
+    squared-L2 over a bounded driver sample (deterministic)."""
+    rows = vectors.filter("id < 40").orderBy("id").collect()
+    X = np.stack([np.asarray(r["vec"], np.float64) for r in rows])
+    D = ((X[:20, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    return float(np.median(D))
+
+
+def test_range_search_preassigned_equals_driver_planned(vectors):
+    """The distributed big-batch range mode must emit exactly the
+    driver-planned ivf_range_search pair set (same probes, same f64
+    distances); nprobe == nlist degenerates both to the exact range
+    join."""
+    from faiss_spark.operators.ivf import (
+        ivf_range_search,
+        range_search_preassigned,
+    )
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    radius = _range_radius(vectors)
+    for nprobe in (1, 4, 8):
+        a = {
+            (r["qid"], r["id"], round(r["dist"], 9))
+            for r in range_search_preassigned(
+                idx, q, radius, nprobe=nprobe
+            ).collect()
+        }
+        b = {
+            (r["qid"], r["id"], round(r["dist"], 9))
+            for r in ivf_range_search(idx, q, radius, nprobe=nprobe).collect()
+        }
+        assert a == b, nprobe
+        assert a  # calibrated radius → non-trivial at every nprobe
+
+
+def test_range_search_preassigned_hot_cell_subshards(vectors, tmp_path):
+    """Sub-sharded hot cells must emit EXACTLY the unsplit pair set —
+    the sub-shards partition each cell's candidates and range emit needs
+    no merge, so the union is exact by construction."""
+    from faiss_spark.operators.ivf import (
+        _preassigned_subshards,
+        range_search_preassigned,
+    )
+
+    idx = IVFIndex.train(vectors, nlist=4, seed=7, niter=5).add(vectors)
+    idx.save(str(tmp_path / "skew"))  # file-backed: detection active
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    radius = _range_radius(vectors)
+    expect = sorted(
+        (r.qid, r.id, round(r.dist, 9))
+        for r in range_search_preassigned(
+            idx, q, radius, nprobe=4, max_cell_rows=None
+        ).collect()
+    )
+    assert _preassigned_subshards(idx, 40), "fixture must trip detection"
+    got = sorted(
+        (r.qid, r.id, round(r.dist, 9))
+        for r in range_search_preassigned(
+            idx, q, radius, nprobe=4, max_cell_rows=40
+        ).collect()
+    )
+    assert got == expect and got
+
+
+def test_ivf_range_search_falls_back_to_preassigned(vectors, monkeypatch):
+    """ivf_range_search past the driver query bound must route through
+    range_search_preassigned (not raise), with identical results; a
+    stats out-param makes the overflow a loud refusal instead (the
+    distributed plan cannot populate accumulator stats)."""
+    import faiss_spark.operators.ivf as ivfmod
+    from faiss_spark.operators.ivf import ivf_range_search
+
+    idx = IVFIndex.train(vectors, nlist=8, seed=42, niter=5).add(vectors)
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    radius = _range_radius(vectors)
+    direct = {
+        (r["qid"], r["id"], round(r["dist"], 9))
+        for r in ivf_range_search(idx, q, radius, nprobe=4).collect()
+    }
+
+    calls = []
+    real = ivfmod.range_search_preassigned
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ivfmod, "range_search_preassigned", spy)
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)  # 1 row at d=64
+    routed = {
+        (r["qid"], r["id"], round(r["dist"], 9))
+        for r in ivf_range_search(idx, q, radius, nprobe=4).collect()
+    }
+    assert calls, "size guard did not route through range_search_preassigned"
+    assert routed == direct and routed
+
+    from faiss_spark.operators.ivf import range_search_with_parameters
+
+    with pytest.raises(ValueError, match="stats"):
+        res, _ = range_search_with_parameters(idx, q, radius, nprobe=4)
