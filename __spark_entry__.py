@@ -1865,14 +1865,20 @@ def q_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IndexBinaryIVF via the binary factory, BOTH coarse-assignment
-    variants (reference faiss/index_factory.cpp:895-915 +
-    IndexBinaryIVF.h:33): `BIVF8` (exact Hamming probe order) and
-    `BIVF8_HNSW8` (graph-routed — beam walk over the float-cast centroid
-    bits, where 0/1 squared-L2 == Hamming exactly). ORACLE-EXACT for
-    both: nprobe = nlist probes every list (the routed walk's pool pads
-    to all cells), so each variant's rows equal brute-force Hamming knn
-    — the tagged union of two copies of the hamming_knn SQL twin."""
+    """IndexBinaryIVF via the binary factory, ALL THREE search modes
+    (reference faiss/index_factory.cpp:895-915 + IndexBinaryIVF.h:33,106):
+    `BIVF8` (exact Hamming probe order), `BIVF8_HNSW8` (graph-routed —
+    beam walk over the float-cast centroid bits, where 0/1 squared-L2 ==
+    Hamming exactly), and `BIVF8:bigbatch` (the fully-distributed
+    binary_search_preassigned cogroup — IndexBinaryIVF::search_preassigned
+    — queries never collect, new r12). ORACLE-EXACT for all: nprobe =
+    nlist probes every list, so each variant's rows equal brute-force
+    Hamming knn — the tagged union of three copies of the hamming_knn
+    SQL twin."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binary_search_preassigned,
+    )
     from faiss_spark.plans.factory import index_binary_factory
 
     codes = _bin_codes(spark, sf_dir)
@@ -1887,7 +1893,13 @@ def q_bivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "variant", F.lit(desc)
             )
         )
-    return out[0].unionByName(out[1])
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=DIM, seed=42).add(codes)
+    out.append(
+        binary_search_preassigned(idx, qcodes, K, nprobe=8).withColumn(
+            "variant", F.lit("BIVF8:bigbatch")
+        )
+    )
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 def q_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2868,13 +2880,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         "sq_reconstruction": q_sq_reconstruction,
-        # --- the 4 entries MODIFIED this round (an entry changed after
+        # --- the 5 entries MODIFIED this round (an entry changed after
         # its last driver check must be re-checked WITH the change) ---
         "dedup_exact": q_dedup_exact,
         "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "write_read_index": q_write_read_index,
         "pq_adc_search": q_pq_adc_search,
-        # --- the 29 oldest unmodified r10-green entries
+        "bivf_search": q_bivf_search,
+        # --- the 28 oldest unmodified r10-green entries
         # (CORRECTNESS_r10 order) ---
         "text_features": q_text_features,
         "pii_features": q_pii_features,
@@ -2904,9 +2917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
-        "compute_residual": q_compute_residual,
-        # --- tail starts here (entry 51): the 17 remaining r10-green
+        # --- tail starts here (entry 51): the 18 remaining r10-green
         # entries (they lead the r13 head), then the r11-checked block ---
+        "compute_residual": q_compute_residual,
         "ivf_nsg_search": q_ivf_nsg_search,
         "lsh_search": q_lsh_search,
         "audio_features": q_audio_features,
@@ -2947,7 +2960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_selector_batch": q_knn_selector_batch,
         "knn_1d": q_knn_1d,
         "image_features": q_image_features,
-        "bivf_search": q_bivf_search,
         "knn_graph_bucketed": q_knn_graph_bucketed,
         "factory_pipeline": q_factory_pipeline,
         "prq_fastscan": q_prq_fastscan,
@@ -3618,6 +3630,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'BIVF8' AS variant, * FROM ({sql["hamming_knn"]})
         UNION ALL
         SELECT 'BIVF8_HNSW8' AS variant, * FROM ({sql["hamming_knn"]})
+        UNION ALL
+        SELECT 'BIVF8:bigbatch' AS variant, * FROM ({sql["hamming_knn"]})
     """
     # LSHt: per-component MEDIAN thresholds (IndexLSH.cpp:87-95; exact —
     # the train sample is the full table at this scale), then Hamming

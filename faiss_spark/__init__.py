@@ -23,6 +23,7 @@ from faiss_spark.operators.binary import (
     BinaryIVFIndex,
     BinaryMultiHashIndex,
     binarize,
+    binary_search_preassigned,
     hamming_knn,
     jaccard_knn,
 )
@@ -161,6 +162,7 @@ __all__ = [
     "ITQTransform",
     "Pipeline",
     "binarize",
+    "binary_search_preassigned",
     "hamming_knn",
     "jaccard_knn",
     "dedup_against",

@@ -223,6 +223,47 @@ def _bits_to_words(bits: np.ndarray) -> np.ndarray:
     ).sum(2)
 
 
+def _hamming_words(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, m) Hamming distances between two packed int64-word code
+    matrices — XOR then numpy popcount (shift-and-mask loop over the at
+    most 64 set-bit positions actually present)."""
+    xor = a[:, None, :] ^ b[None, :, :]
+    pc = np.zeros(xor.shape[:2], np.int64)
+    v = xor
+    while v.any():
+        pc += (v & 1).sum(2)
+        v = v >> 1
+    return pc
+
+
+def _routed_probes_np(
+    cbits: np.ndarray, cgraph: np.ndarray, cep: int,
+    nlist: int, nbits: int, qwords: np.ndarray, nprobe: int,
+) -> np.ndarray:
+    """Beam-walk probe selection over the centroid graph, padded to
+    exactly nprobe DISTINCT cells per query (a short pool fills with
+    unvisited cells — scanning extras is a superset, a duplicate would
+    double-count candidates downstream). Module-level so the distributed
+    probe assignment (binary_search_preassigned) runs the IDENTICAL
+    selection on executors."""
+    from faiss_spark.operators.nsg import _beam_search_all
+
+    Qb = _words_to_bits(qwords, nbits).astype(np.float64)
+    probes, _ = _beam_search_all(
+        cbits, cgraph, cep, Qb, nprobe, search_L=max(2 * nprobe, 16),
+    )
+    for r in range(len(probes)):
+        row = probes[r]
+        if (row >= 0).all():
+            continue
+        used = set(int(c) for c in row[row >= 0])
+        fill = (c for c in range(nlist) if c not in used)
+        for j in range(len(row)):
+            if row[j] < 0:
+                row[j] = next(fill)
+    return probes
+
+
 class BinaryIVFIndex:
     """IVF over binary codes with Hamming scan (reference IndexBinaryIVF,
     faiss/IndexBinaryIVF.h:33: the coarse quantizer is k-means on the
@@ -236,6 +277,7 @@ class BinaryIVFIndex:
         self.centroid_words = centroid_words  # (nlist, nwords) int64
         self.nbits = nbits
         self.codes: DataFrame | None = None
+        self.path: str | None = None  # file-backed ⇒ hot-cell detection on
         # graph-routed coarse assignment (BIVF<n>_HNSW<m>), see
         # build_coarse_graph
         self._cgraph: np.ndarray | None = None
@@ -262,28 +304,10 @@ class BinaryIVFIndex:
         return self
 
     def _routed_probes(self, qwords: np.ndarray, nprobe: int) -> np.ndarray:
-        """Beam-walk probe selection over the centroid graph, padded to
-        exactly nprobe DISTINCT cells per query (a short pool fills with
-        unvisited cells — scanning extras is a superset, a duplicate
-        would double-count candidates downstream)."""
-        from faiss_spark.operators.nsg import _beam_search_all
-
-        Qb = _words_to_bits(qwords, self.nbits).astype(np.float64)
-        probes, _ = _beam_search_all(
-            self._cbits, self._cgraph, self._cep, Qb, nprobe,
-            search_L=max(2 * nprobe, 16),
+        return _routed_probes_np(
+            self._cbits, self._cgraph, self._cep,
+            len(self.centroid_words), self.nbits, qwords, nprobe,
         )
-        nlist = len(self.centroid_words)
-        for r in range(len(probes)):
-            row = probes[r]
-            if (row >= 0).all():
-                continue
-            used = set(int(c) for c in row[row >= 0])
-            fill = (c for c in range(nlist) if c not in used)
-            for j in range(len(row)):
-                if row[j] < 0:
-                    row[j] = next(fill)
-        return probes
 
     @staticmethod
     def train(
@@ -307,14 +331,7 @@ class BinaryIVFIndex:
         return BinaryIVFIndex(centroid_words=cw, nbits=nbits)
 
     def _hamming_to_centroids(self, words: np.ndarray) -> np.ndarray:
-        xor = words[:, None, :] ^ self.centroid_words[None, :, :]
-        # popcount via numpy: view as uint64 and use bit tricks per word
-        pc = np.zeros(xor.shape[:2], np.int64)
-        v = xor.copy()
-        while v.any():
-            pc += (v & 1).sum(2)
-            v >>= 1
-        return pc
+        return _hamming_words(words, self.centroid_words)
 
     def add(
         self, codes: DataFrame, id_col: str = "id", code_col: str = "code",
@@ -353,6 +370,7 @@ class BinaryIVFIndex:
         if path is not None:
             out.repartition("list_no").write.mode("overwrite").partitionBy("list_no").parquet(path)
             self.codes = codes.sparkSession.read.parquet(path)
+            self.path = path
         else:
             self.codes = out
         return self
@@ -385,6 +403,7 @@ class BinaryIVFIndex:
             },
         )
         self.codes = spark.read.parquet(path)
+        self.path = path
         return self
 
     @staticmethod
@@ -399,6 +418,7 @@ class BinaryIVFIndex:
             nbits=meta["nbits"],
         )
         idx.codes = spark.read.parquet(path)
+        idx.path = path
         if meta.get("coarse_R") is not None:
             idx.build_coarse_graph(R=meta["coarse_R"])
         return idx
@@ -408,7 +428,9 @@ class BinaryIVFIndex:
         qid_col: str = "qid", qcode_col: str = "qcode",
     ) -> DataFrame:
         """Coarse Hamming top-nprobe -> pruned partitions -> JVM bit-op
-        Hamming scan -> window top-k."""
+        Hamming scan -> window top-k. A query side past the driver bound
+        auto-falls-back to the fully-distributed
+        ``binary_search_preassigned`` cogroup plan."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         from faiss_spark.operators.ivf import collect_query_frame_bounded
@@ -416,7 +438,13 @@ class BinaryIVFIndex:
         qpdf = collect_query_frame_bounded(
             qcodes, qid_col, qcode_col, "binary_ivf_search",
             d=self.centroid_words.shape[1],
+            fallback=lambda: binary_search_preassigned(
+                self, qcodes, k, nprobe=nprobe,
+                qid_col=qid_col, qcode_col=qcode_col,
+            ),
         )
+        if isinstance(qpdf, DataFrame):
+            return qpdf
         qwords = np.stack([np.asarray(w, np.int64) for w in qpdf[qcode_col]])
         nprobe_ = min(nprobe, len(self.centroid_words))
         if self._cgraph is not None:
@@ -447,6 +475,115 @@ class BinaryIVFIndex:
             .filter(F.col("rank") <= k)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def binary_search_preassigned(
+    index: BinaryIVFIndex,
+    qcodes: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qcode_col: str = "qcode",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch binary IVF search (reference
+    IndexBinaryIVF::search_preassigned, faiss/IndexBinaryIVF.h:106):
+    the Hamming twin of ivf.search_preassigned, sharing its cogroup
+    skeleton (``ivf.cogrouped_cell_scan``: left-semi cell prune,
+    hot-cell sub-sharding, probes⟂⟂codes cogrouped on list_no).
+
+    Probe assignment never collects queries: each executor batch ranks
+    cells by exact Hamming to the broadcast centroid words — or by the
+    IDENTICAL beam walk when the index has a graph-routed coarse
+    (``_routed_probes_np`` is shared with the driver-planned path, so
+    both modes probe the same cells). The per-cell scan expands packed
+    words to 0/1 float bits in bounded chunks and pushes them through
+    the tiled TopKAccumulator: squared L2 on 0/1 vectors IS Hamming
+    (integer-exact in f64), so distances match the driver-planned
+    ``hamming_expr`` scan bit for bit."""
+    from faiss_spark.operators.ivf import cogrouped_cell_scan
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = qcodes.sparkSession
+    nlist = len(index.centroid_words)
+    nprobe_ = min(nprobe, nlist)
+    nbits = index.nbits
+    routing = (
+        (index._cbits, index._cgraph, index._cep)
+        if index._cgraph is not None
+        else None
+    )
+    bc = spark.sparkContext.broadcast((index.centroid_words, routing))
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cw, routing_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qw = np.stack([np.asarray(w, np.int64) for w in pdf["qcode"]])
+            if routing_ is None:
+                pc = _hamming_words(qw, cw)
+                order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
+            else:
+                cbits, cgraph, cep = routing_
+                order = _routed_probes_np(
+                    cbits, cgraph, cep, len(cw), nbits, qw, nprobe_
+                )
+            rep = np.repeat(np.arange(len(qw)), nprobe_)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(np.int64)[rep],
+                    "qcode": pdf["qcode"].to_numpy()[rep],
+                    "list_no": order.astype(np.int32).ravel(),
+                }
+            )
+
+    q = qcodes.select(
+        F.col(qid_col).cast("bigint").alias("qid"),
+        F.col(qcode_col).alias("qcode"),
+    )
+    probes = q.mapInPandas(
+        assign_probes, schema="qid bigint, qcode array<bigint>, list_no int"
+    )
+    codes = index.codes.select("list_no", "id", "code")
+    k_ = k
+
+    def scan_cell(key, qdf, cdf):
+        from faiss_spark.kernels import TopKAccumulator
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        qw = np.stack([np.asarray(w, np.int64) for w in qdf["qcode"]])
+        Qb = _words_to_bits(qw, nbits).astype(np.float64)
+        acc = TopKAccumulator(len(Qb), k_, largest=False)
+        acc.bind_queries(Qb, "l2")
+        ids = cdf["id"].to_numpy(np.int64)
+        # expand the cell's packed words chunkwise (~32 MB of f64 bit
+        # rows) — a hot cell never materializes its full bit matrix
+        chunk = max(1, (1 << 22) // max(1, nbits))
+        for s in range(0, len(ids), chunk):
+            cw_chunk = np.stack(
+                [np.asarray(w, np.int64) for w in cdf["code"].iloc[s:s + chunk]]
+            )
+            Xb = _words_to_bits(cw_chunk, nbits).astype(np.float64)
+            acc.push_block(Xb, ids[s:s + chunk])
+        qidx, nid, nd = acc.emit()
+        return pd.DataFrame(
+            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
+        )
+
+    cands = cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
 
 
 # ----------------------------------------------------------- IndexBinaryHash

@@ -112,10 +112,12 @@ def collect_queries_bounded(
 
 def collect_query_frame_bounded(
     queries, qid_col: str, qvec_col: str, op: str, d: int | None = None,
+    fallback=None,
 ):
     """pandas-frame variant of collect_queries_bounded — same one-job
-    budget and actionable error — for callers that consume the raw
-    column objects row-wise (the binary-hash probe builders)."""
+    budget, actionable error, and optional distributed-twin ``fallback``
+    — for callers that consume the raw column objects row-wise (the
+    binary-hash probe builders)."""
     if d is None:
         first = (
             queries.select(F.size(F.col(qvec_col)).alias("d")).limit(1).first()
@@ -124,6 +126,8 @@ def collect_query_frame_bounded(
     max_rows = max(1, MAX_DRIVER_QUERY_CELLS // max(1, d))
     qpdf = queries.select(qid_col, qvec_col).limit(max_rows + 1).toPandas()
     if len(qpdf) > max_rows:
+        if fallback is not None:
+            return fallback()
         raise ValueError(
             f"{op}: query side exceeds the driver-planned bound "
             f"({max_rows} rows at d={d}). Chunk the queries "
@@ -2006,12 +2010,28 @@ def _preassigned_cogrouped(
     probes = q.mapInArrow(
         assign_probes, schema="qid bigint, vec array<float>, list_no int"
     )
-    # materialize ONCE: the probe table feeds both the cell-pruning
-    # left-semi and the cogroup — re-executing assign_probes would pay
-    # the centroid GEMM twice and, on a nondeterministic query frame,
-    # could prune cells inconsistently with the cogroup's probe set
-    probes = probes.localCheckpoint(eager=False)
     codes = index.codes.select("list_no", "id", "vec")
+    return cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
+
+
+def cogrouped_cell_scan(
+    index,
+    probes: DataFrame,
+    codes: DataFrame,
+    max_cell_rows: int | None,
+    scan_cell,
+) -> DataFrame:
+    """Generic cell-cogroup tail of the preassigned searches: left-semi
+    cell prune + hot/cold cogroup on ``list_no``, parameterized by the
+    per-cell pandas scan. ``probes`` carries ``list_no`` plus whatever
+    query payload the scan reads (float ``vec``, binary ``qcode``);
+    ``codes`` likewise. Shared by the float k-NN/range twins and the
+    binary Hamming twin (binary.binary_search_preassigned)."""
+    # materialize ONCE: the probe table feeds both the cell-pruning
+    # left-semi and the cogroup — re-executing probe assignment would pay
+    # the centroid distance pass twice and, on a nondeterministic query
+    # frame, could prune cells inconsistently with the cogroup's probe set
+    probes = probes.localCheckpoint(eager=False)
     # selective-probe case: drop unprobed cells before they shuffle into
     # empty cogroups (left-semi on the small distinct-cell set)
     codes = codes.join(
@@ -2019,6 +2039,7 @@ def _preassigned_cogrouped(
         "list_no",
         "left_semi",
     )
+
     def cell_cogroup(p, c, keys):
         return (
             p.groupBy(*keys)

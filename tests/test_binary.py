@@ -130,3 +130,104 @@ def test_binary_ivf_partial_probe_recall(codes):
     got = {(r["qid"], r["id"]) for r in idx.search(q, 5, nprobe=2).collect()}
     # hamming truth has heavy ties, so partial-probe set recall is loose
     assert len(got & truth) / len(truth) >= 0.2
+
+
+def test_binary_search_preassigned_equals_driver_planned(codes):
+    """The distributed big-batch binary mode must return exactly what the
+    driver-planned scan returns — same probe cells (shared selection
+    code), same integer Hamming distances (0/1 squared-L2 == Hamming,
+    integer-exact in f64) — for BOTH coarse kinds."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binary_search_preassigned,
+    )
+
+    q = codes.filter(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=64, seed=11, niter=8).add(codes)
+    for nprobe in (1, 4, 8):
+        a = {
+            (r["qid"], r["rank"], r["id"], r["dist"])
+            for r in binary_search_preassigned(idx, q, 5, nprobe=nprobe).collect()
+        }
+        b = {
+            (r["qid"], r["rank"], r["id"], r["dist"])
+            for r in idx.search(q, 5, nprobe=nprobe).collect()
+        }
+        assert a == b, nprobe
+    # graph-routed coarse (BIVF_HNSW): the beam walk must pick the same
+    # cells on executors as on the driver
+    idx.build_coarse_graph(R=4)
+    a = {
+        (r["qid"], r["rank"], r["id"], r["dist"])
+        for r in binary_search_preassigned(idx, q, 5, nprobe=4).collect()
+    }
+    b = {
+        (r["qid"], r["rank"], r["id"], r["dist"])
+        for r in idx.search(q, 5, nprobe=4).collect()
+    }
+    assert a == b and a
+
+
+def test_binary_search_preassigned_hot_cell_subshards(codes, tmp_path):
+    """A file-backed binary index above max_cell_rows must sub-shard hot
+    cells with results identical to the unsplit scan (the shared
+    cogrouped_cell_scan machinery)."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binary_search_preassigned,
+    )
+    from faiss_spark.operators.ivf import _preassigned_subshards
+
+    idx = BinaryIVFIndex.train(codes, nlist=4, nbits=64, seed=11, niter=8).add(codes)
+    idx.save(str(tmp_path / "bivf_skew"))
+    q = codes.filter(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    expect = sorted(
+        (r.qid, r.rank, r.id, r.dist)
+        for r in binary_search_preassigned(
+            idx, q, 5, nprobe=4, max_cell_rows=None
+        ).collect()
+    )
+    assert _preassigned_subshards(idx, 40), "fixture must trip detection"
+    got = sorted(
+        (r.qid, r.rank, r.id, r.dist)
+        for r in binary_search_preassigned(
+            idx, q, 5, nprobe=4, max_cell_rows=40
+        ).collect()
+    )
+    assert got == expect and got
+
+
+def test_binary_ivf_search_falls_back_to_preassigned(codes, monkeypatch):
+    """BinaryIVFIndex.search past the driver query bound must route
+    through binary_search_preassigned with identical results."""
+    import faiss_spark.operators.binary as binmod
+    from faiss_spark.operators.binary import BinaryIVFIndex
+
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=64, seed=11, niter=8).add(codes)
+    q = codes.filter(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    direct = {
+        (r["qid"], r["rank"], r["id"]) for r in idx.search(q, 5, nprobe=4).collect()
+    }
+
+    calls = []
+    real = binmod.binary_search_preassigned
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(binmod, "binary_search_preassigned", spy)
+    import faiss_spark.operators.ivf as ivfmod
+
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 2)  # 1 row at d=2
+    routed = {
+        (r["qid"], r["rank"], r["id"]) for r in idx.search(q, 5, nprobe=4).collect()
+    }
+    assert calls, "size guard did not route through binary_search_preassigned"
+    assert routed == direct and routed
