@@ -23,6 +23,7 @@ from faiss_spark.operators.binary import (
     BinaryIVFIndex,
     BinaryMultiHashIndex,
     binarize,
+    binary_range_search_preassigned,
     binary_search_preassigned,
     hamming_knn,
     jaccard_knn,
@@ -162,6 +163,7 @@ __all__ = [
     "ITQTransform",
     "Pipeline",
     "binarize",
+    "binary_range_search_preassigned",
     "binary_search_preassigned",
     "hamming_knn",
     "jaccard_knn",

@@ -476,35 +476,73 @@ class BinaryIVFIndex:
             .select("qid", "id", "dist", "rank")
         )
 
+    def range_search(
+        self, qcodes: DataFrame, radius: int, nprobe: int = 1,
+        qid_col: str = "qid", qcode_col: str = "qcode",
+    ) -> DataFrame:
+        """Binary IVF range search (reference IndexBinaryIVF::range_search,
+        faiss/IndexBinaryIVF.h:129): every (qid, id, dist) in the probed
+        lists with Hamming < radius. Driver-planned probes + pruned
+        partition scan + codegen'd hamming filter — map-side after the
+        prune, no shuffle (no ranking). nprobe == nlist degenerates to
+        exact flat hamming_range_search. A query side past the driver
+        bound auto-falls-back to binary_range_search_preassigned."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        from faiss_spark.operators.ivf import collect_query_frame_bounded
 
-def binary_search_preassigned(
+        qpdf = collect_query_frame_bounded(
+            qcodes, qid_col, qcode_col, "binary_ivf_range_search",
+            d=self.centroid_words.shape[1],
+            fallback=lambda: binary_range_search_preassigned(
+                self, qcodes, radius, nprobe=nprobe,
+                qid_col=qid_col, qcode_col=qcode_col,
+            ),
+        )
+        if isinstance(qpdf, DataFrame):
+            return qpdf
+        qwords = np.stack([np.asarray(w, np.int64) for w in qpdf[qcode_col]])
+        nprobe_ = min(nprobe, len(self.centroid_words))
+        if self._cgraph is not None:
+            order = self._routed_probes(qwords, nprobe_)
+        else:
+            pc = self._hamming_to_centroids(qwords)
+            order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
+        probed = sorted({int(c) for c in order.ravel()})
+        spark = self.codes.sparkSession
+        probe_rows = [
+            (int(qpdf[qid_col].iloc[i]), [int(w) for w in qwords[i]], int(c))
+            for i in range(len(qpdf))
+            for c in order[i]
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, "qid bigint, qcode array<bigint>, list_no int"
+        )
+        pruned = self.codes.filter(F.col("list_no").isin(probed))
+        return (
+            pruned.join(F.broadcast(probes), "list_no")
+            .select(
+                "qid",
+                "id",
+                hamming_expr(F.col("code"), F.col("qcode"))
+                .cast("double")
+                .alias("dist"),
+            )
+            .filter(F.col("dist") < radius)
+        )
+
+
+def _binary_probe_frame(
     index: BinaryIVFIndex,
     qcodes: DataFrame,
-    k: int,
-    nprobe: int = 1,
-    qid_col: str = "qid",
-    qcode_col: str = "qcode",
-    max_cell_rows: int | None = 1_000_000,
+    nprobe: int,
+    qid_col: str,
+    qcode_col: str,
 ) -> DataFrame:
-    """Fully-distributed big-batch binary IVF search (reference
-    IndexBinaryIVF::search_preassigned, faiss/IndexBinaryIVF.h:106):
-    the Hamming twin of ivf.search_preassigned, sharing its cogroup
-    skeleton (``ivf.cogrouped_cell_scan``: left-semi cell prune,
-    hot-cell sub-sharding, probes⟂⟂codes cogrouped on list_no).
-
-    Probe assignment never collects queries: each executor batch ranks
-    cells by exact Hamming to the broadcast centroid words — or by the
-    IDENTICAL beam walk when the index has a graph-routed coarse
-    (``_routed_probes_np`` is shared with the driver-planned path, so
-    both modes probe the same cells). The per-cell scan expands packed
-    words to 0/1 float bits in bounded chunks and pushes them through
-    the tiled TopKAccumulator: squared L2 on 0/1 vectors IS Hamming
-    (integer-exact in f64), so distances match the driver-planned
-    ``hamming_expr`` scan bit for bit."""
-    from faiss_spark.operators.ivf import cogrouped_cell_scan
-
-    if index.codes is None:
-        raise ValueError("index has no codes table; call add() first")
+    """Distributed probe assignment for the binary preassigned searches:
+    each executor batch ranks cells by exact Hamming to the broadcast
+    centroid words (or the identical beam walk for a graph-routed
+    coarse) and replicates (qid, qcode) once per probed list_no."""
     spark = qcodes.sparkSession
     nlist = len(index.centroid_words)
     nprobe_ = min(nprobe, nlist)
@@ -543,9 +581,41 @@ def binary_search_preassigned(
         F.col(qid_col).cast("bigint").alias("qid"),
         F.col(qcode_col).alias("qcode"),
     )
-    probes = q.mapInPandas(
+    return q.mapInPandas(
         assign_probes, schema="qid bigint, qcode array<bigint>, list_no int"
     )
+
+
+def binary_search_preassigned(
+    index: BinaryIVFIndex,
+    qcodes: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qcode_col: str = "qcode",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch binary IVF search (reference
+    IndexBinaryIVF::search_preassigned, faiss/IndexBinaryIVF.h:106):
+    the Hamming twin of ivf.search_preassigned, sharing its cogroup
+    skeleton (``ivf.cogrouped_cell_scan``: left-semi cell prune,
+    hot-cell sub-sharding, probes⟂⟂codes cogrouped on list_no).
+
+    Probe assignment never collects queries: each executor batch ranks
+    cells by exact Hamming to the broadcast centroid words — or by the
+    IDENTICAL beam walk when the index has a graph-routed coarse
+    (``_routed_probes_np`` is shared with the driver-planned path, so
+    both modes probe the same cells). The per-cell scan expands packed
+    words to 0/1 float bits in bounded chunks and pushes them through
+    the tiled TopKAccumulator: squared L2 on 0/1 vectors IS Hamming
+    (integer-exact in f64), so distances match the driver-planned
+    ``hamming_expr`` scan bit for bit."""
+    from faiss_spark.operators.ivf import cogrouped_cell_scan
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    nbits = index.nbits
+    probes = _binary_probe_frame(index, qcodes, nprobe, qid_col, qcode_col)
     codes = index.codes.select("list_no", "id", "code")
     k_ = k
 
@@ -584,6 +654,71 @@ def binary_search_preassigned(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "dist", "rank")
     )
+
+
+def binary_range_search_preassigned(
+    index: BinaryIVFIndex,
+    qcodes: DataFrame,
+    radius: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qcode_col: str = "qcode",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch binary IVF RANGE search (reference
+    IndexBinaryIVF::range_search_preassigned, faiss/IndexBinaryIVF.h:136):
+    every (qid, id) in the probed lists with Hamming < radius. Same
+    cogroup skeleton as the k-NN twin but the per-cell scan emits pairs
+    through the tiled ``range_pairs`` kernel on the 0/1 bit expansion
+    (squared L2 == Hamming, integer-exact) — no top-k, and because
+    inverted lists partition the ids the plan ends map-only after the
+    cogroup, exactly like the float ``range_search_preassigned``."""
+    from faiss_spark.operators.ivf import cogrouped_cell_scan
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    nbits = index.nbits
+    radius_ = float(radius)
+    probes = _binary_probe_frame(index, qcodes, nprobe, qid_col, qcode_col)
+    codes = index.codes.select("list_no", "id", "code")
+
+    def scan_cell(key, qdf, cdf):
+        from faiss_spark.kernels import range_pairs
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        qw = np.stack([np.asarray(w, np.int64) for w in qdf["qcode"]])
+        Qb = _words_to_bits(qw, nbits)
+        qids = qdf["qid"].to_numpy(np.int64)
+        ids = cdf["id"].to_numpy(np.int64)
+        chunk = max(1, (1 << 22) // max(1, nbits))
+        frames = []
+        for s in range(0, len(ids), chunk):
+            cw_chunk = np.stack(
+                [np.asarray(w, np.int64) for w in cdf["code"].iloc[s:s + chunk]]
+            )
+            Xb = _words_to_bits(cw_chunk, nbits)
+            rq, rc, vals = range_pairs(Qb, Xb, "l2", radius_)
+            if len(rq):
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qids[rq], "id": ids[s:s + chunk][rc],
+                         "dist": vals}
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
 
 
 # ----------------------------------------------------------- IndexBinaryHash

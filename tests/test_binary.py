@@ -231,3 +231,55 @@ def test_binary_ivf_search_falls_back_to_preassigned(codes, monkeypatch):
     }
     assert calls, "size guard did not route through binary_search_preassigned"
     assert routed == direct and routed
+
+
+def test_binary_ivf_range_search_full_probe_equals_flat(codes):
+    """nprobe == nlist probes every list, so BOTH binary IVF range modes
+    must equal exact flat hamming_range_search — same pairs, same
+    integer distances."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binary_range_search_preassigned,
+    )
+
+    idx = BinaryIVFIndex.train(codes, nlist=4, nbits=64, seed=11, niter=8).add(codes)
+    q = codes.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    flat = {
+        (r["qid"], r["id"], r["dist"])
+        for r in hamming_range_search(codes, q, radius=10).collect()
+    }
+    driver = {
+        (r["qid"], r["id"], r["dist"])
+        for r in idx.range_search(q, 10, nprobe=4).collect()
+    }
+    bigbatch = {
+        (r["qid"], r["id"], r["dist"])
+        for r in binary_range_search_preassigned(idx, q, 10, nprobe=4).collect()
+    }
+    assert driver == flat and bigbatch == flat and flat
+
+
+def test_binary_ivf_range_partial_probe_is_subset(codes):
+    """Partial probe can only MISS pairs relative to full probe, never
+    invent any; both modes must agree at equal nprobe."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binary_range_search_preassigned,
+    )
+
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=64, seed=11, niter=8).add(codes)
+    q = codes.filter(F.col("id") < 10).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    full = {
+        (r["qid"], r["id"]) for r in idx.range_search(q, 10, nprobe=8).collect()
+    }
+    a = {(r["qid"], r["id"]) for r in idx.range_search(q, 10, nprobe=2).collect()}
+    b = {
+        (r["qid"], r["id"])
+        for r in binary_range_search_preassigned(idx, q, 10, nprobe=2).collect()
+    }
+    assert a == b
+    assert a <= full
