@@ -375,16 +375,9 @@ class BinaryIVFIndex:
             self.codes = out
         return self
 
-    def save(self, path: str) -> "BinaryIVFIndex":
-        """write_index: partitioned code-words table + centroid artifact."""
+    def _write_artifacts(self, spark, path: str) -> None:
         import os as _os
 
-        if self.codes is None:
-            raise ValueError("index has no codes table; call add() first")
-        spark = self.codes.sparkSession
-        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
-            "list_no"
-        ).parquet(path)
         from faiss_spark.sources import fsio
 
         fsio.write_npy(spark, _os.path.join(path, "_bivf_centroid_words.npy"), self.centroid_words)
@@ -402,7 +395,56 @@ class BinaryIVFIndex:
                 ),
             },
         )
+
+    def save(self, path: str) -> "BinaryIVFIndex":
+        """write_index: partitioned code-words table + centroid artifact."""
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        self.codes.repartition("list_no").write.mode("overwrite").partitionBy(
+            "list_no"
+        ).parquet(path)
+        self._write_artifacts(spark, path)
         self.codes = spark.read.parquet(path)
+        self.path = path
+        return self
+
+    def save_bucketed(self, path: str, nbuckets: int | None = None) -> "BinaryIVFIndex":
+        """write_index into a CLUSTERED BY (list_no) layout — the binary
+        twin of IVFIndex.save_bucketed (reference on-disk invlists,
+        invlists/OnDiskInvertedLists.h:60): the scan itself proves the
+        hash grouping, so ``binary_search_preassigned`` /
+        ``binary_range_search_preassigned`` cogroup straight off the
+        files with ZERO corpus-side exchange per big-batch search."""
+        import hashlib as _hashlib
+        import os as _os
+
+        if self.codes is None:
+            raise ValueError("index has no codes table; call add() first")
+        spark = self.codes.sparkSession
+        if nbuckets is None:
+            nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        name = "bivf_codes_" + _hashlib.md5(path.encode()).hexdigest()[:12]
+        cols = self.codes.select("list_no", "id", "code")
+        ddl = cols._jdf.schema().toDDL()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            cols.repartition(nbuckets, "list_no")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(nbuckets, "list_no")
+            .saveAsTable(name)
+        )
+        self._write_artifacts(spark, path)
+        from faiss_spark.sources import fsio
+
+        fsio.write_json(
+            spark,
+            _os.path.join(path, "_bucket_meta.json"),
+            {"nbuckets": int(nbuckets), "table": name, "ddl": ddl},
+        )
+        self.codes = spark.table(name)
         self.path = path
         return self
 
@@ -417,7 +459,15 @@ class BinaryIVFIndex:
             centroid_words=fsio.read_npy(spark, _os.path.join(path, "_bivf_centroid_words.npy")),
             nbits=meta["nbits"],
         )
-        idx.codes = spark.read.parquet(path)
+        bucket_meta = _os.path.join(path, "_bucket_meta.json")
+        if fsio.exists(spark, bucket_meta):
+            from faiss_spark.operators.ivf import IVFIndex
+
+            idx.codes = IVFIndex._bucketed_table(
+                spark, path, fsio.read_json(spark, bucket_meta)
+            )
+        else:
+            idx.codes = spark.read.parquet(path)
         idx.path = path
         if meta.get("coarse_R") is not None:
             idx.build_coarse_graph(R=meta["coarse_R"])

@@ -444,3 +444,39 @@ def test_ivf_module_has_no_pandas_scan_paths():
         if ".mapInPandas(" in ln
     ]
     assert len(calls) == 2, calls
+
+
+def test_binary_preassigned_bucketed_codes_skip_shuffle(emb, queries, tmp_path):
+    """BinaryIVFIndex.save_bucketed must feed the binary cogroup straight
+    off the scan, same as the float twin: the codes-side list_no
+    Exchange disappears, the scan reports Bucketed, results identical,
+    and load() re-attaches the bucketed table in a fresh catalog."""
+    from faiss_spark.operators.binary import (
+        BinaryIVFIndex,
+        binarize,
+        binary_search_preassigned,
+    )
+
+    codes = binarize(emb, 64, threshold=0.5)
+    q = codes.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("code").alias("qcode")
+    )
+    idx = BinaryIVFIndex.train(codes, nlist=8, nbits=64, seed=7, niter=5).add(codes)
+    base = binary_search_preassigned(idx, q, 5, nprobe=2)
+    p0 = plan(base, "simple")
+    expect = sorted((r.qid, r.rank, r.id, r.dist) for r in base.collect())
+
+    idx.save_bucketed(str(tmp_path / "bbk"), nbuckets=8)
+    res = binary_search_preassigned(idx, q, 5, nprobe=2)
+    p1 = plan(res, "simple")
+    assert p1.count("Exchange hashpartitioning(list_no") == (
+        p0.count("Exchange hashpartitioning(list_no") - 1
+    ), p1
+    assert "Bucketed: true" in p1, p1
+    assert sorted((r.qid, r.rank, r.id, r.dist) for r in res.collect()) == expect
+
+    spark = emb.sparkSession
+    idx2 = BinaryIVFIndex.load(spark, str(tmp_path / "bbk"))
+    res2 = binary_search_preassigned(idx2, q, 5, nprobe=2)
+    assert "Bucketed: true" in plan(res2, "simple")
+    assert sorted((r.qid, r.rank, r.id, r.dist) for r in res2.collect()) == expect
