@@ -93,6 +93,7 @@ from faiss_spark.operators.ivf import (
     range_search_preassigned,
     range_search_with_parameters,
     search_preassigned,
+    sq_search_preassigned,
     search_with_parameters,
 )
 from faiss_spark.operators.fastscan import (
@@ -147,6 +148,7 @@ __all__ = [
     "IVFSQIndex",
     "range_search_preassigned",
     "search_preassigned",
+    "sq_search_preassigned",
     "IVFRCQIndex",
     "ResidualCoarseQuantizer",
     "LSCoarseQuantizer",

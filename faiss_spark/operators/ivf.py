@@ -2314,7 +2314,9 @@ class IVFSQIndex:
         """Same plan as IVFIndex.search; the scan decodes SQ bytes to a
         float block before the GEMM (asymmetric: queries stay exact).
         Probe selection under an additive coarse is the RCQ beam
-        (reference ResidualCoarseQuantizer::search)."""
+        (reference ResidualCoarseQuantizer::search). A query side past
+        the driver bound auto-falls-back to the fully-distributed
+        ``sq_search_preassigned`` cogroup over the coded lists."""
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
@@ -2322,9 +2324,16 @@ class IVFSQIndex:
         nprobe = min(nprobe, nlist)
         largest = self.metric in SIMILARITY_METRICS
 
-        qids, Q = collect_queries_bounded(
+        collected = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFSQIndex.search", d=self.d,
+            fallback=lambda: sq_search_preassigned(
+                self, queries, k, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            ),
         )
+        if isinstance(collected, DataFrame):
+            return collected
+        qids, Q = collected
         if self.coarse_q is not None:
             probes, _ = self.coarse_q.search_np(Q, nprobe)
         else:
@@ -2344,6 +2353,7 @@ class IVFSQIndex:
                 self.sq.vmin,
                 self.sq.vdiff,
                 self.sq.bits,
+                self.sq.variant,
             )
         )
         metric = self.metric
@@ -2356,8 +2366,10 @@ class IVFSQIndex:
             from faiss_spark.kernels import arrow_code_groups
             from faiss_spark.operators.codecs import ScalarQuantizerModel
 
-            qids_, Q_, l2q, vmin, vdiff, bits = bc.value
-            sqm = ScalarQuantizerModel(vmin=vmin, vdiff=vdiff, bits=bits)
+            qids_, Q_, l2q, vmin, vdiff, bits, variant = bc.value
+            sqm = ScalarQuantizerModel(
+                vmin=vmin, vdiff=vdiff, bits=bits, variant=variant
+            )
             acc: dict[int, TopKAccumulator] = {}
             qsels: dict[int, np.ndarray] = {}
             for list_no, codes, ids in arrow_code_groups(batches):
@@ -2398,6 +2410,123 @@ class IVFSQIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def sq_search_preassigned(
+    index: "IVFSQIndex",
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch search over SQ-CODED inverted lists —
+    search_preassigned for IndexIVFScalarQuantizer (the reference's
+    big-batch contrib path runs on any IndexIVF subclass; here the
+    codes side of the cogroup carries SQ bytes, 4–8× smaller than raw
+    f32 vectors, and each cell decodes on the fly before its GEMM —
+    the SQ InvertedListScanner inside the cogroup).
+
+    At 100 TB this is the preferred big-batch shape: the corpus-side
+    payload through the exchange (or the bucketed scan) is the CODED
+    table, so an SQ8 index moves a quarter of what the raw-vector
+    cogroup moves at identical probe volume. Probe selection matches
+    IVFSQIndex.search exactly — k-means argsort, or the RCQ/LSQ beam
+    for an additive coarse (the fitted coarse model broadcasts whole:
+    it is the same numpy state a driver-planned search holds)."""
+    from faiss_spark.operators.codecs import ScalarQuantizerModel
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = queries.sparkSession
+    metric = index.metric
+    largest = metric in SIMILARITY_METRICS
+    nprobe_ = min(nprobe, index.nlist)
+    bc = spark.sparkContext.broadcast((index.centroids, index.coarse_q))
+    vmin, vdiff, bits = index.sq.vmin, index.sq.vdiff, index.sq.bits
+    variant = index.sq.variant
+    k_ = k
+
+    def assign_probes(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
+        C_, cq = bc.value
+        f32_list = pa.list_(pa.float32())
+        for qids, Q, vec_arr in arrow_id_vec_blocks(batches):
+            if cq is not None:
+                order, _ = cq.search_np(Q, nprobe_)
+            else:
+                D = pairwise_distances(Q, C_, metric)
+                order = np.argsort(
+                    -D if largest else D, axis=1, kind="stable"
+                )[:, :nprobe_]
+            if vec_arr.type != f32_list:
+                vec_arr = vec_arr.cast(f32_list)
+            rep = np.repeat(np.arange(len(qids)), nprobe_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[rep], pa.int64()),
+                    vec_arr.take(pa.array(rep, pa.int64())),
+                    pa.array(order.astype(np.int32).ravel(), pa.int32()),
+                ],
+                names=["qid", "vec", "list_no"],
+            )
+
+    q = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+    )
+    probes = q.mapInArrow(
+        assign_probes, schema="qid bigint, vec array<float>, list_no int"
+    )
+    codes = index.codes.select("list_no", "id", "code")
+
+    def scan_cell(key, qdf, cdf):
+        import pandas as pd
+
+        from faiss_spark.kernels import TopKAccumulator
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"),
+                 "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        sqm = ScalarQuantizerModel(
+            vmin=vmin, vdiff=vdiff, bits=bits, variant=variant
+        )
+        Qg = np.stack(qdf["vec"].to_numpy()).astype(np.float64)
+        acc = TopKAccumulator(len(Qg), k_, largest)
+        acc.bind_queries(Qg, metric)
+        ids = cdf["id"].to_numpy(np.int64)
+        raw = np.stack(
+            [np.frombuffer(b, np.uint8) for b in cdf["code"].to_numpy()]
+        )
+        # decode in bounded chunks: a hot cell never holds its full
+        # float expansion (decode inflates 4-8x over the stored bytes)
+        d_out = Qg.shape[1]
+        chunk = max(1, (1 << 22) // max(1, d_out))
+        for s in range(0, len(ids), chunk):
+            X = sqm.decode_np(raw[s:s + chunk])
+            acc.push_block(X, ids[s:s + chunk])
+        qidx, nid, nd = acc.emit()
+        return pd.DataFrame(
+            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
+        )
+
+    cands = cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
+    sort = [
+        F.col("dist").desc() if largest else F.col("dist").asc(),
+        F.col("id").asc(),
+    ]
+    w = Window.partitionBy("qid").orderBy(*sort)
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+    )
 
 
 def imi_assign(

@@ -547,3 +547,61 @@ def test_ivf_range_search_falls_back_to_preassigned(vectors, monkeypatch):
 
     with pytest.raises(ValueError, match="stats"):
         res, _ = range_search_with_parameters(idx, q, radius, nprobe=4)
+
+
+def test_sq_search_preassigned_equals_driver_planned(vectors, monkeypatch):
+    """The distributed big-batch mode over SQ-CODED lists must return
+    exactly what the driver-planned IVFSQIndex.search returns (same
+    probes, same decode, same distances), for both coarse kinds, and
+    the driver path must auto-fall-back to it past the query bound."""
+    import faiss_spark.operators.ivf as ivfmod
+    from faiss_spark.operators.codecs import ResidualCoarseQuantizer
+    from faiss_spark.operators.ivf import IVFSQIndex, sq_search_preassigned
+
+    q = vectors.filter("id < 20").select(F.col("id").alias("qid"), "vec")
+    idx = IVFSQIndex.train(vectors, nlist=8, bits=8, seed=3, niter=5).add(vectors)
+    for nprobe in (1, 4, 8):
+        a = {
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in sq_search_preassigned(idx, q, 5, nprobe=nprobe).collect()
+        }
+        b = {
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in idx.search(q, 5, nprobe=nprobe).collect()
+        }
+        assert a == b, nprobe
+
+    # RCQ additive coarse: the beam must pick the same cells distributed
+    rcq = ResidualCoarseQuantizer(M=2, nbits=2, seed=5).fit(vectors)
+    idx_rcq = IVFSQIndex.train(
+        vectors, nlist=rcq.nlist, bits=8, seed=3, coarse_q=rcq
+    ).add(vectors)
+    a = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in sq_search_preassigned(idx_rcq, q, 5, nprobe=4).collect()
+    }
+    b = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in idx_rcq.search(q, 5, nprobe=4).collect()
+    }
+    assert a == b and a
+
+    # auto-fallback routing
+    calls = []
+    real = ivfmod.sq_search_preassigned
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ivfmod, "sq_search_preassigned", spy)
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)
+    routed = {
+        (r["qid"], r["rank"], r["id"]) for r in idx.search(q, 5, nprobe=4).collect()
+    }
+    assert calls, "size guard did not route through sq_search_preassigned"
+    direct = {
+        (r["qid"], r["rank"], r["id"])
+        for r in sq_search_preassigned(idx, q, 5, nprobe=4).collect()
+    }
+    assert routed == direct and routed
