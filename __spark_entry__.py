@@ -455,14 +455,23 @@ def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivfsq_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+SQ8 at nprobe=nlist: the candidate set is exact, so the result
-    is brute-force L2 between exact queries and SQ8-DECODED vectors —
-    which the oracle reproduces in pure SQL (asymmetric SQ search)."""
-    from faiss_spark.operators.ivf import IVFSQIndex
+    """IVF+SQ8 at nprobe=nlist, BOTH search modes (tagged union sharing
+    one SQL oracle arm): the candidate set is exact, so each mode's
+    result is brute-force L2 between exact queries and SQ8-DECODED
+    vectors — which the oracle reproduces in pure SQL (asymmetric SQ
+    search). mode='driver' = IVFSQIndex.search (driver-planned probes);
+    mode='bigbatch' = sq_search_preassigned (cogroup over the CODED
+    lists — the queries-never-collect scale path, new r12)."""
+    from faiss_spark.operators.ivf import IVFSQIndex, sq_search_preassigned
 
     vecs = _emb(spark, sf_dir)
     idx = IVFSQIndex.train(vecs, nlist=16, bits=8, seed=42, niter=10).add(vecs)
-    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=16))
+    qs = _queries_df(spark, sf_dir)
+    a = _round(idx.search(qs, K, nprobe=16)).withColumn("mode", F.lit("driver"))
+    b = _round(sq_search_preassigned(idx, qs, K, nprobe=16)).withColumn(
+        "mode", F.lit("bigbatch")
+    )
+    return a.unionByName(b)
 
 
 def q_ivf_nsg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3200,7 +3209,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF+SQ8 full probe: brute-force L2 of exact queries vs SQ8-decoded
     # vectors (same decode arithmetic as sq_reconstruction's SQ8 arm, kept in
     # double: the Spark scan decodes to float64 before the GEMM)
-    sql["ivfsq_search_exact"] = f"""
+    _ivfsq_base = f"""
         WITH vals AS (
           SELECT vec_id AS id, unnest(range(1, {DIM + 1})) AS pos,
                  CAST(unnest(embedding) AS DOUBLE) AS x
@@ -3228,6 +3237,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid, id, round(dist, {ROUND}) AS dist, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {K}
     """
+    # tagged union: both IVF+SQ8 search modes at full probe == the same
+    # asymmetric-decode brute force
+    sql["ivfsq_search_exact"] = f"""
+        SELECT *, 'driver' AS mode FROM ({_ivfsq_base})
+        UNION ALL
+        SELECT *, 'bigbatch' AS mode FROM ({_ivfsq_base})
+    """
     # RCQ-coarse IVF at nprobe=nlist probes every cell, so each list
     # codec's arm is exact over ITS reconstructions: 'flat' = raw
     # vectors (plain exact knn), 'sq8' = the same asymmetric SQ8-decode
@@ -3235,7 +3251,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rcq_ivf_search"] = f"""
         SELECT 'flat' AS variant, * FROM ({_knn_sql(_L2, "ASC")})
         UNION ALL
-        SELECT 'sq8' AS variant, * FROM ({sql["ivfsq_search_exact"]})
+        SELECT 'sq8' AS variant, * FROM ({_ivfsq_base})
     """
     # kmeans_assign: fit is iterative/seeded — not SQL-expressible (driver
     # records the weaker rows-only check)
