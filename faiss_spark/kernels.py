@@ -360,7 +360,8 @@ def range_pairs(Q: np.ndarray, X: np.ndarray, metric: str, radius: float,
             np.greater(D, radius, out=mask)
         else:
             np.less(D, radius, out=mask)
-        rq, rc = np.nonzero(mask)
+        # flatnonzero on the contiguous ravel is ~10x np.nonzero(2d)
+        rq, rc = np.divmod(np.flatnonzero(mask.ravel()), D.shape[1])
         if len(rq):
             out_q.append(rq + r0)
             out_c.append(rc)
@@ -407,6 +408,13 @@ class TopKAccumulator:
         self._metric_arg = None
         self._qn = None
         self._defer_qn = False
+        # running per-query kth-best (the faiss ResultHeap bound): rows
+        # that already hold k candidates prune later blocks' masks to
+        # ≤ bound (ties KEPT — an equal-dist smaller id can still win),
+        # so in a multi-batch task only the first batches pay the full
+        # selection; +inf/-inf rows (fewer than k seen) never prune.
+        self._bound: np.ndarray | None = None
+        self._last_bound_n = -1
 
     # ------------------------------------------------ fused GEMM scan --
     def bind_queries(
@@ -467,6 +475,7 @@ class TopKAccumulator:
                 hit = qids[r0:r1, None] == ids[None, :]
                 D[hit] = -np.inf if self.largest else np.inf
             self._select(r0, D, ids)
+        self._maybe_refresh_bound(m)
 
     # ----------------------------------------------------- plain push --
     def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:
@@ -486,6 +495,36 @@ class TopKAccumulator:
         )
         for r0 in range(0, nq, chunk):
             self._select(r0, block_dist[r0 : r0 + chunk], block_ids)
+        self._maybe_refresh_bound(m)
+
+    def _maybe_refresh_bound(self, m: int) -> None:
+        """After a pushed block: compact (cheap — appends are ≤ nq·k per
+        push since the per-chunk reduce) and record each full row's kth
+        as the pruning bound for later blocks. Skipped for small blocks
+        and when nothing new was admitted, so many-tiny-push callers
+        (graph walks) keep the old cap-based compaction cadence."""
+        if m <= 4 * self.k or self._n == 0:
+            return
+        if self._n == self._last_bound_n:
+            return  # the bound pruned every new candidate — already tight
+        self._compact()
+        self._last_bound_n = self._n
+        q = self._q[0]
+        if len(q) == 0:
+            return
+        counts = np.bincount(q, minlength=self.nq)
+        full = counts >= self.k
+        if not full.any():
+            return
+        if self._bound is None:
+            fill = -np.inf if self.largest else np.inf
+            self._bound = np.full(self.nq, fill, np.float64)
+        present = np.flatnonzero(counts > 0)
+        ends = np.cumsum(counts[present]) - 1
+        # after _compact, entries are grouped by q in (dist, id) rank
+        # order — a full group's LAST kept entry is its kth best
+        sel = full[present]
+        self._bound[present[sel]] = self._d[0][ends[sel]]
 
     def _select(self, r0: int, D: np.ndarray, ids: np.ndarray) -> None:
         """Tie-safe per-row selection of the ≤ kth-best entries of D
@@ -506,7 +545,42 @@ class TopKAccumulator:
             # the exact kth, which bounds the append as before.
             use_exact = True
             mask = _wsbuf("tk_mask", c * m, np.bool_).reshape(c, m)
-            if m >= 64 * kk:
+            # the running kth-so-far bound (if any) intersects every
+            # threshold below: a candidate strictly worse than k
+            # already-seen ones can never reach the final top-k, and
+            # ties at the bound are KEPT (<=/>=), so tie-break by id
+            # stays exact. In a multi-batch task this collapses the
+            # admitted set to ~nothing after the first batches.
+            bound = (
+                self._bound[r0 : r0 + c, None]
+                if self._bound is not None
+                else None
+            )
+
+            def _apply(thr):
+                # thr is in D space (per-row column vector)
+                if bound is not None:
+                    thr = (
+                        np.maximum(thr, bound)
+                        if self.largest
+                        else np.minimum(thr, bound)
+                    )
+                if self.largest:
+                    np.greater_equal(D, thr, out=mask)
+                else:
+                    np.less_equal(D, thr, out=mask)
+
+            if bound is not None and np.isfinite(bound).all():
+                # every row already holds k candidates — the bound alone
+                # is a valid (and usually tighter) threshold; skip the
+                # sample partition entirely. Steady-state batches of a
+                # long task take this arm.
+                if self.largest:
+                    np.greater_equal(D, bound, out=mask)
+                else:
+                    np.less_equal(D, bound, out=mask)
+                use_exact = int(np.count_nonzero(mask)) > max(64 * kk * c, 1 << 16)
+            elif m >= 64 * kk:
                 sm = (m + 15) // 16
                 kb = _wsbuf("tk_key", c * sm, D.dtype).reshape(c, sm)
                 src = D[:, ::16]
@@ -516,11 +590,8 @@ class TopKAccumulator:
                     np.copyto(kb, src)
                 kb.partition(kk - 1, axis=1)
                 kth = kb[:, kk - 1 : kk]
-                if self.largest:
-                    np.greater_equal(D, -kth, out=mask)
-                else:
-                    np.less_equal(D, kth, out=mask)
-                use_exact = int(mask.sum()) > max(64 * kk * c, 1 << 16)
+                _apply(-kth if self.largest else kth)
+                use_exact = int(np.count_nonzero(mask)) > max(64 * kk * c, 1 << 16)
             if use_exact:
                 kb = _wsbuf("tk_key", c * m, D.dtype).reshape(c, m)
                 if self.largest:
@@ -530,30 +601,37 @@ class TopKAccumulator:
                 kb.partition(kk - 1, axis=1)
                 kth = kb[:, kk - 1 : kk]
                 # key ≤ kth  ⇔  D ≥ −kth for similarities (key = −D)
-                if self.largest:
-                    np.greater_equal(D, -kth, out=mask)
-                else:
-                    np.less_equal(D, kth, out=mask)
-            rq, rc = np.nonzero(mask)
+                _apply(-kth if self.largest else kth)
+            # flatnonzero on the contiguous ravel is ~10x np.nonzero(2d)
+            # (one output pass, no per-dim index arrays until divmod)
+            rq, rc = np.divmod(np.flatnonzero(mask.ravel()), m)
         else:
             rq = np.repeat(np.arange(c, dtype=np.int64), m)
             rc = np.tile(np.arange(m, dtype=np.int64), c)
-        self._q.append(rq.astype(np.int64, copy=False) + r0)
-        self._i.append(ids[rc].astype(np.int64, copy=False))
-        self._d.append(D[rq, rc].astype(np.float64, copy=False))
-        self._n += len(rq)
+        qv = rq.astype(np.int64, copy=False) + r0
+        iv = ids[rc].astype(np.int64, copy=False)
+        dv = D[rq, rc].astype(np.float64, copy=False)
+        # reduce the chunk's survivors to the EXACT per-row top-k before
+        # appending: the sampled threshold over-admits ~(m/sample)/k per
+        # row, and carrying that superset into the accumulator made
+        # _compact lexsort millions of entries several times per push
+        # (profiled at ~10x the chunk GEMM). One small lexsort here keeps
+        # appends at ≤ c·k and makes _compact a rare no-op-sized merge.
+        if len(qv) > 2 * kk * c:
+            qv, iv, dv = self._topk_flat(qv, iv, dv, kk, self.largest)
+        self._q.append(qv)
+        self._i.append(iv)
+        self._d.append(dv)
+        self._n += len(qv)
         if self._n > self._cap:
             self._compact()
 
-    def _compact(self) -> None:
-        """One lexsort over the flat candidates; keep top-k per query with
-        (dist, id) tie-break — ORDER BY dist [DESC], id semantics."""
-        if not self._q:
-            return
-        q = np.concatenate(self._q)
-        i = np.concatenate(self._i)
-        dv = np.concatenate(self._d)
-        key = -dv if self.largest else dv
+    @staticmethod
+    def _topk_flat(q, i, dv, k, largest):
+        """Exact top-k per q-group of flat (q, i, dist) candidates with
+        (dist, id) tie-break — ORDER BY dist [DESC], id semantics. Shared
+        by the per-chunk reduce and the cross-push _compact merge."""
+        key = -dv if largest else dv
         order = np.lexsort((i, key, q))
         qs = q[order]
         new_grp = np.empty(len(qs), dtype=bool)
@@ -562,11 +640,25 @@ class TopKAccumulator:
         gstart = np.flatnonzero(new_grp)
         glen = np.diff(np.append(gstart, len(qs)))
         rank = np.arange(len(qs)) - np.repeat(gstart, glen)
-        order = order[rank < self.k]
-        self._q = [q[order]]
-        self._i = [i[order]]
-        self._d = [dv[order]]
-        self._n = len(order)
+        keep = order[rank < k]
+        return q[keep], i[keep], dv[keep]
+
+    def _compact(self) -> None:
+        """One lexsort over the flat candidates; keep top-k per query with
+        (dist, id) tie-break — ORDER BY dist [DESC], id semantics."""
+        if not self._q:
+            return
+        q, i, dv = self._topk_flat(
+            np.concatenate(self._q),
+            np.concatenate(self._i),
+            np.concatenate(self._d),
+            self.k,
+            self.largest,
+        )
+        self._q = [q]
+        self._i = [i]
+        self._d = [dv]
+        self._n = len(q)
 
     def emit(self):
         """Return (qidx, id, dist) 1-D arrays of the final per-query
