@@ -1967,6 +1967,8 @@ def _preassigned_cogrouped(
     the per-cell pandas scan. Emits ``qid bigint, id bigint, dist
     double`` candidate rows; the k-NN caller windows them, the range
     caller returns them as-is."""
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
     spark = queries.sparkSession
     C = index.centroids
     largest = index.metric in SIMILARITY_METRICS
