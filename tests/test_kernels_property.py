@@ -311,3 +311,54 @@ def test_float_jaccard_hamming_identities(n, d, seed):
     assert (J >= -1e-12).all() and (J <= 1 + 1e-12).all()
     assert np.allclose(np.diag(H), 0)
     assert (H >= 0).all() and (H <= d).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nq=st.integers(1, 6),
+    nx=st.integers(900, 3000),
+    k=st.integers(1, 8),
+    nblocks=st.integers(2, 5),
+    seed=st.integers(0, 10_000),
+    largest=st.booleans(),
+    discrete=st.booleans(),
+)
+def test_running_bound_multi_push_is_exact(
+    nq, nx, k, nblocks, seed, largest, discrete
+):
+    """r12 running kth bound: from the second push_block on, rows that
+    already hold k candidates prune the admission mask to ≤ bound (ties
+    KEPT). Property: a multi-block push sequence — uneven block sizes,
+    so some blocks take the small-m append path and some the bound arm —
+    equals the naive full sort over the union, for both directions, on
+    smooth AND tie-heavy data (an equal-dist smaller id arriving in a
+    LATER block must still win its tie)."""
+    rng = np.random.default_rng(seed)
+    d = 4
+    if discrete:
+        Q = rng.integers(0, 2, size=(nq, d)).astype(np.float64)
+        X = rng.integers(0, 2, size=(nx, d)).astype(np.float64)
+    else:
+        Q = rng.standard_normal((nq, d))
+        X = rng.standard_normal((nx, d))
+    ids = rng.permutation(nx).astype(np.int64)
+    metric = "ip" if largest else "l2"
+    D = pairwise_distances(Q, X, metric)
+
+    acc = TopKAccumulator(nq, k, largest=largest)
+    acc.bind_queries(Q, metric)
+    # uneven split: one tiny block (skips the bound refresh) between
+    # larger ones (build + use the bound)
+    cuts = sorted(
+        int(v) for v in rng.integers(1, nx, size=nblocks - 1)
+    )
+    for chunk in np.split(np.arange(nx), cuts):
+        if len(chunk):
+            acc.push_block(np.ascontiguousarray(X[chunk]), ids[chunk])
+    qidx, got_ids, got_d = acc.emit()
+
+    for q in range(nq):
+        key = -D[q] if largest else D[q]
+        order = np.lexsort((ids, key))[:k]
+        assert list(got_ids[qidx == q]) == list(ids[order])
+        assert np.allclose(got_d[qidx == q], D[q][order], atol=1e-12)
