@@ -89,7 +89,10 @@ from faiss_spark.operators.ivf import (
     IVFRCQIndex,
     IVFSpectralHash,
     IVFSQIndex,
+    aq_search_preassigned,
     ivf_range_search,
+    pq_search_preassigned,
+    pqr_search_preassigned,
     range_search_preassigned,
     range_search_with_parameters,
     search_preassigned,
@@ -146,6 +149,9 @@ __all__ = [
     "IVFPQRIndex",
     "IVFAQIndex",
     "IVFSQIndex",
+    "aq_search_preassigned",
+    "pq_search_preassigned",
+    "pqr_search_preassigned",
     "range_search_preassigned",
     "search_preassigned",
     "sq_search_preassigned",

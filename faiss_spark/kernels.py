@@ -108,6 +108,33 @@ def arrow_binary_matrix(arr) -> np.ndarray:
     return data[int(offs[0]) : int(offs[-1])].reshape(n, w)
 
 
+def arrow_list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from an Arrow list<numeric> column (ChunkedArray or
+    Array) — flatten the values buffer and reshape, no per-row Python
+    objects. The applyInArrow cogroup scans use this instead of the
+    pandas ``np.stack(series.to_numpy())`` route (~10× less per-cell
+    framing overhead on emit-bound scans, VERDICT r12 #3)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    return np.asarray(
+        col.flatten().to_numpy(zero_copy_only=False), dtype=dtype
+    ).reshape(n, -1)
+
+
+def arrow_i64(col) -> np.ndarray:
+    """1-D int64 view of an Arrow integer column (ChunkedArray or Array)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 def _arrow_matrix_groups(batches, extract):
     """Shared per-list grouping over ``mapInArrow`` batches of
     ``(list_no, id, <payload>)``: numpy group-bounds instead of pandas

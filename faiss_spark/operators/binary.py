@@ -669,33 +669,30 @@ def binary_search_preassigned(
     codes = index.codes.select("list_no", "id", "code")
     k_ = k
 
-    def scan_cell(key, qdf, cdf):
-        from faiss_spark.kernels import TopKAccumulator
+    def scan_cell(key, ptab, ctab):
+        from faiss_spark.kernels import (
+            TopKAccumulator,
+            arrow_i64,
+            arrow_list_matrix,
+        )
+        from faiss_spark.operators.ivf import _cand_table, _empty_cand_table
 
-        if len(qdf) == 0 or len(cdf) == 0:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype="int64"),
-                 "id": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
-        qw = np.stack([np.asarray(w, np.int64) for w in qdf["qcode"]])
+        if ptab.num_rows == 0 or ctab.num_rows == 0:
+            return _empty_cand_table()
+        qw = arrow_list_matrix(ptab.column("qcode"), dtype=np.int64)
         Qb = _words_to_bits(qw, nbits).astype(np.float64)
         acc = TopKAccumulator(len(Qb), k_, largest=False)
         acc.bind_queries(Qb, "l2")
-        ids = cdf["id"].to_numpy(np.int64)
+        ids = arrow_i64(ctab.column("id"))
+        cw = arrow_list_matrix(ctab.column("code"), dtype=np.int64)
         # expand the cell's packed words chunkwise (~32 MB of f64 bit
         # rows) — a hot cell never materializes its full bit matrix
         chunk = max(1, (1 << 22) // max(1, nbits))
         for s in range(0, len(ids), chunk):
-            cw_chunk = np.stack(
-                [np.asarray(w, np.int64) for w in cdf["code"].iloc[s:s + chunk]]
-            )
-            Xb = _words_to_bits(cw_chunk, nbits).astype(np.float64)
+            Xb = _words_to_bits(cw[s:s + chunk], nbits).astype(np.float64)
             acc.push_block(Xb, ids[s:s + chunk])
         qidx, nid, nd = acc.emit()
-        return pd.DataFrame(
-            {"qid": qdf["qid"].to_numpy(np.int64)[qidx], "id": nid, "dist": nd}
-        )
+        return _cand_table(arrow_i64(ptab.column("qid"))[qidx], nid, nd)
 
     cands = cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -732,41 +729,35 @@ def binary_range_search_preassigned(
     probes = _binary_probe_frame(index, qcodes, nprobe, qid_col, qcode_col)
     codes = index.codes.select("list_no", "id", "code")
 
-    def scan_cell(key, qdf, cdf):
-        from faiss_spark.kernels import range_pairs
+    def scan_cell(key, ptab, ctab):
+        from faiss_spark.kernels import (
+            arrow_i64,
+            arrow_list_matrix,
+            range_pairs,
+        )
+        from faiss_spark.operators.ivf import _cand_table, _empty_cand_table
 
-        if len(qdf) == 0 or len(cdf) == 0:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype="int64"),
-                 "id": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
-        qw = np.stack([np.asarray(w, np.int64) for w in qdf["qcode"]])
+        if ptab.num_rows == 0 or ctab.num_rows == 0:
+            return _empty_cand_table()
+        qw = arrow_list_matrix(ptab.column("qcode"), dtype=np.int64)
         Qb = _words_to_bits(qw, nbits)
-        qids = qdf["qid"].to_numpy(np.int64)
-        ids = cdf["id"].to_numpy(np.int64)
+        qids = arrow_i64(ptab.column("qid"))
+        ids = arrow_i64(ctab.column("id"))
+        cw = arrow_list_matrix(ctab.column("code"), dtype=np.int64)
         chunk = max(1, (1 << 22) // max(1, nbits))
-        frames = []
+        out_q, out_i, out_d = [], [], []
         for s in range(0, len(ids), chunk):
-            cw_chunk = np.stack(
-                [np.asarray(w, np.int64) for w in cdf["code"].iloc[s:s + chunk]]
-            )
-            Xb = _words_to_bits(cw_chunk, nbits)
+            Xb = _words_to_bits(cw[s:s + chunk], nbits)
             rq, rc, vals = range_pairs(Qb, Xb, "l2", radius_)
             if len(rq):
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qids[rq], "id": ids[s:s + chunk][rc],
-                         "dist": vals}
-                    )
-                )
-        if not frames:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype="int64"),
-                 "id": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
-        return pd.concat(frames, ignore_index=True)
+                out_q.append(qids[rq])
+                out_i.append(ids[s:s + chunk][rc])
+                out_d.append(vals)
+        if not out_q:
+            return _empty_cand_table()
+        return _cand_table(
+            np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_d)
+        )
 
     return cogrouped_cell_scan(index, probes, codes, max_cell_rows, scan_cell)
 
