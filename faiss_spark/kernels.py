@@ -493,8 +493,28 @@ class TopKAccumulator:
         elif metric == "l2":
             xn = (X * X).sum(axis=1)
         chunk = _row_chunk(nq, m, d, metric, dt)
+        # steady-state fusion eligibility (VERDICT r12 #5): on the
+        # deferred-norm f32 scan, once every row of a chunk holds k
+        # candidates the bound alone is the admission threshold, so the
+        # −2·/+‖x‖² post-pass and the compare run per L2-sized column
+        # tile while cache-hot — one DRAM pass over the block instead
+        # of three. Values and admissions are bit-identical (the same
+        # elementwise ops in the same per-element order).
+        fusable = (
+            self._defer_qn
+            and not (exclude_same_id and qids is not None)
+            and m > 2 * min(self.k, m)
+        )
+        xn_min = float(xn.min()) if fusable and xn is not None and m else 0.0
         for r0 in range(0, nq, chunk):
             r1 = min(nq, r0 + chunk)
+            if (
+                fusable
+                and self._bound is not None
+                and np.isfinite(self._bound[r0:r1]).all()
+            ):
+                self._screened_push(X, ids, r0, r1, xn, xn_min)
+                continue
             D = _compute_block(Q, X, r0, r1, metric, self._qn, xn, dt,
                                metric_arg=self._metric_arg,
                                defer_qn=self._defer_qn)
@@ -503,6 +523,61 @@ class TopKAccumulator:
                 D[hit] = -np.inf if self.largest else np.inf
             self._select(r0, D, ids)
         self._maybe_refresh_bound(m)
+
+    def _screened_push(
+        self, X, ids, r0, r1, xn, xn_min: float
+    ) -> None:
+        """Deferred-norm steady-state chunk: GEMM, then a ROW SCREEN
+        before the distance post-pass — est[r,c] = ‖x_c‖² − 2⟨q_r,x_c⟩
+        ≥ xn_min − 2·max_c⟨q_r,x_c⟩, so a row whose best possible
+        estimate exceeds its running kth bound admits nothing and skips
+        the −2·/+‖x‖²/compare passes entirely. In a long task almost
+        every row screens out after the first batches, collapsing the
+        post-GEMM cost from three full read-write passes to one
+        read-only rowmax (VERDICT r12 #5: the admission compare fused
+        into — here, ahead of — the distance post-pass). The screen is
+        slack-padded by a few f32 ulps so float rounding can only KEEP
+        extra rows; survivors compute est with the exact
+        _compute_block op order, so admitted values are bit-identical
+        to the unfused path."""
+        Q = self._Q
+        c = r1 - r0
+        m = X.shape[0]
+        G = _wsbuf("tk_D", c * m, Q.dtype).reshape(c, m)
+        np.dot(Q[r0:r1], X.T, out=G)
+        bound = self._bound[r0:r1]
+        t = xn_min - 2.0 * G.max(axis=1).astype(np.float64)
+        slack = 16.0 * 1.1920929e-07 * (np.abs(t) + np.abs(bound) + 1.0)
+        alive = np.flatnonzero(t <= bound + slack)
+        if len(alive) == 0:
+            return
+        if len(alive) > c // 2:
+            # screen didn't pay — finish the standard post-pass on the
+            # already-computed GEMM and select as usual
+            G *= -2.0
+            G += xn[None, :]
+            self._select(r0, G, ids)
+            return
+        Ga = np.ascontiguousarray(G[alive])
+        Ga *= -2.0
+        Ga += xn[None, :]
+        mask = np.less_equal(Ga, bound[alive, None])
+        flat = np.flatnonzero(mask.ravel())
+        if len(flat) == 0:
+            return
+        rq_a, rc = np.divmod(flat, m)
+        qv = (alive[rq_a] + r0).astype(np.int64)
+        iv = ids[rc].astype(np.int64, copy=False)
+        dv = Ga[rq_a, rc].astype(np.float64, copy=False)
+        kk = min(self.k, m)
+        if len(qv) > 2 * kk * len(alive):
+            qv, iv, dv = self._topk_flat(qv, iv, dv, kk, self.largest)
+        self._q.append(qv)
+        self._i.append(iv)
+        self._d.append(dv)
+        self._n += len(qv)
+        if self._n > self._cap:
+            self._compact()
 
     # ----------------------------------------------------- plain push --
     def push(self, block_dist: np.ndarray, block_ids: np.ndarray) -> None:

@@ -188,7 +188,7 @@ def test_search_preassigned_cogroups_instead_of_pair_join(emb, queries):
 
     idx = IVFIndex.train(emb, nlist=8, seed=7, niter=5).add(emb)
     p = plan(search_preassigned(idx, queries, 5, nprobe=2))
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapCoGroupsInArrow" in p
     # no pair-materializing equi-join between probes and codes: the ONE
     # join operator in the plan is the LeftSemi cell-pruning one (the
     # formatted mode prints the type in the operator detail block)
@@ -259,7 +259,7 @@ def test_search_preassigned_hot_cell_subshards(emb, queries, tmp_path):
     assert subs and max(subs.values()) > 1, subs
     res = search_preassigned(idx, queries, 5, nprobe=4, max_cell_rows=40)
     # the split plan is a union of the cold cogroup and the salted one
-    assert plan(res, "simple").count("FlatMapCoGroupsInPandas") == 2
+    assert plan(res, "simple").count("FlatMapCoGroupsInArrow") == 2
     got = sorted((r.qid, r.id, round(r.dist, 9)) for r in res.collect())
     assert got == expect
     # unsaved (in-memory) index: detection must stay OFF — counting an
@@ -277,7 +277,7 @@ def test_range_search_preassigned_map_only_after_cogroup(emb, queries):
 
     idx = IVFIndex.train(emb, nlist=8, seed=7, niter=5).add(emb)
     p = plan(range_search_preassigned(idx, queries, 0.5, nprobe=2))
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapCoGroupsInArrow" in p
     assert "Window" not in p and "row_number" not in p
     import re as _re
 
