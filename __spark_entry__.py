@@ -553,11 +553,26 @@ def q_ivfaq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).add(vecs)
     got2 = idx2.search(qs, K, nprobe=64).select("qid", "id")
     recall2, _ = _pair_recall(got2, truth)
+    # r13: the distributed AQ-decode cogroup twin must return exactly
+    # the driver-planned scan's rows (same probes, same gather-sum
+    # decode, same distances)
+    from faiss_spark.operators.ivf import aq_search_preassigned
+
+    def _rows(df):
+        return {
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+            for r in df.collect()
+        }
+
+    bb_eq = _rows(aq_search_preassigned(idx, qs, K, nprobe=4)) == _rows(
+        idx.search(qs, K, nprobe=4)
+    )
     return _prop_df(
         spark,
         [
             ("ivfaq_full_probe_recall_ge_0.85", recall >= 0.85),
             ("ivfaq_rcq_coarse_full_probe_recall_ge_0.85", recall2 >= 0.85),
+            ("ivfaq_bigbatch_equals_driver", bb_eq),
         ],
     )
 
@@ -638,12 +653,25 @@ def q_ivfpqr_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
         for r in pqr2.search(sq, 5, nprobe=4, rerank="raw").collect()
     }
+    # r13: the distributed codes-rerank cogroup twin must return exactly
+    # the driver _search_pqr_codes rows (same ADC shortlist discipline,
+    # same refine decode, same re-ranked distances)
+    from faiss_spark.operators.ivf import pqr_search_preassigned
+
+    bb_eq = {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in pqr_search_preassigned(idx, qs, K, nprobe=8).collect()
+    } == {
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in got_df.collect()
+    }
     return _prop_df(
         spark,
         [
             ("pqr_codes_recall_ge_adc", recall >= recall_adc),
             ("pqr_codes_exact_refine_equals_raw_rerank", by_codes == by_raw),
             ("pqr_codes_plan_has_no_raw_vector", "embedding" not in plan_txt),
+            ("pqr_codes_bigbatch_equals_driver", bb_eq),
         ],
     )
 
@@ -652,12 +680,27 @@ def q_imi_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI (MultiIndexQuantizer coarse, reference faiss/IndexPQ.h:139;
     factory "IMI2x<b>", index_factory.cpp:241-289) at nprobe == nlist:
     every product cell is probed, so results equal brute-force L2 knn and
-    the oracle is the exact-knn SQL."""
-    from faiss_spark.operators.ivf import IMIIVFIndex
+    the oracle is the exact-knn SQL. Tagged union over BOTH search modes
+    (r13): mode='driver' = the driver-planned probe dict; mode='bigbatch'
+    = search_preassigned with the SAME product-grid `_probe` running
+    executor-side (the queries-never-collect fallback path)."""
+    from faiss_spark.operators.ivf import IMIIVFIndex, search_preassigned
 
     vecs = _emb(spark, sf_dir)
     idx = IMIIVFIndex.train(vecs, nbits=2, seed=42).add(vecs)
-    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=idx.nlist))
+    qs = _queries_df(spark, sf_dir)
+    np_ = idx.nlist
+    drv = _round(idx.search(qs, K, nprobe=np_)).withColumn(
+        "mode", F.lit("driver")
+    )
+    bb = _round(
+        search_preassigned(
+            idx, qs, K, nprobe=np_,
+            assign_payload=idx.sub_centroids,
+            assign_fn=lambda p, Q: IMIIVFIndex(sub_centroids=p)._probe(Q, np_),
+        )
+    ).withColumn("mode", F.lit("bigbatch"))
+    return drv.unionByName(bb)
 
 
 def q_miq2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,12 +711,27 @@ def q_miq2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op (bit-equal to plain IMI probes, pinned in tests) and at
     nprobe == nlist every product cell is probed, so results equal
     brute-force L2 knn — the oracle is the exact-knn SQL, the same
-    ORACLE-EXACT regime as ★imi_search_exact."""
-    from faiss_spark.operators.ivf import MIQ2IVFIndex
+    ORACLE-EXACT regime as ★imi_search_exact. Tagged union (r13):
+    driver-planned vs the search_preassigned fallback running the
+    MIQ2 truncated-grid `_probe` executor-side."""
+    from faiss_spark.operators.ivf import MIQ2IVFIndex, search_preassigned
 
     vecs = _emb(spark, sf_dir)
     idx = MIQ2IVFIndex.train(vecs, nbits=2, seed=42).add(vecs)
-    return _round(idx.search(_queries_df(spark, sf_dir), K, nprobe=idx.nlist))
+    qs = _queries_df(spark, sf_dir)
+    np_ = idx.nlist
+    st = idx._probe_state()
+    drv = _round(idx.search(qs, K, nprobe=np_)).withColumn(
+        "mode", F.lit("driver")
+    )
+    bb = _round(
+        search_preassigned(
+            idx, qs, K, nprobe=np_,
+            assign_payload=st,
+            assign_fn=lambda s, Q: MIQ2IVFIndex(**s)._probe(Q, np_),
+        )
+    ).withColumn("mode", F.lit("bigbatch"))
+    return drv.unionByName(bb)
 
 
 def q_imipq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +743,7 @@ def q_imipq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only PQ quantization error remains — measured 0.60 at sf0.01 under
     the fixed seeds), recall monotone in nprobe, and a full k rows per
     query at full probe."""
-    from faiss_spark.operators.ivf import IMIPQIndex
+    from faiss_spark.operators.ivf import IMIPQIndex, pq_search_preassigned
 
     vecs = _emb(spark, sf_dir)
     qs = _queries_df(spark, sf_dir)
@@ -698,12 +756,30 @@ def q_imipq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_full, _ = _pair_recall(full, exact)
     r_one, _ = _pair_recall(one, exact)
     n = full_df.count()
+    # r13: the distributed ADC cogroup twin (pq_search_preassigned over
+    # the IMI coarse, reference contrib/ivf_tools.py:26-57) must return
+    # exactly what the driver-planned scan returns — same probes, same
+    # residual LUTs, same distances — including the max_codes budget
+    def _rows(df):
+        return {
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+            for r in df.collect()
+        }
+
+    bb_eq = _rows(pq_search_preassigned(idx, qs, K, nprobe=4)) == _rows(
+        idx.search(qs, K, nprobe=4)
+    )
+    bb_mc = _rows(
+        pq_search_preassigned(idx, qs, K, nprobe=idx.nlist, max_codes=200)
+    ) == _rows(idx.search(qs, K, nprobe=idx.nlist, max_codes=200))
     return _prop_df(
         spark,
         [
             ("imipq_full_probe_recall_ge_0.5", r_full >= 0.5),
             ("imipq_nprobe_monotone", r_one <= r_full),
             ("imipq_full_k_rows", n == NQ * K),
+            ("imipq_bigbatch_equals_driver", bb_eq),
+            ("imipq_bigbatch_maxcodes_equals_driver", bb_mc),
         ],
     )
 
@@ -784,7 +860,7 @@ def q_ivfpq_polysemous(spark: SparkSession, sf_dir: str) -> DataFrame:
     own stored code (residual in its own best list → Hamming 0) survives
     a tight ht at rank 1; the filter only ever removes rows."""
     from faiss_spark.operators.codecs import PolysemousTraining
-    from faiss_spark.operators.ivf import IVFPQIndex
+    from faiss_spark.operators.ivf import IVFPQIndex, pq_search_preassigned
 
     vecs = _emb(spark, sf_dir)
     idx = IVFPQIndex.train(vecs, nlist=8, M=4, seed=42, niter=5)
@@ -800,12 +876,27 @@ def q_ivfpq_polysemous(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     tight = idx.search(qs, K, nprobe=8, polysemous_ht=4).collect()
     top1 = {r["qid"]: r["id"] for r in tight if r["rank"] == 1}
+    # r13 (VERDICT r12 #1): the distributed ADC cogroup twin must return
+    # exactly the driver scan's rows — plain AND with the in-scan
+    # polysemous Hamming pre-filter riding through the cogroup
+    bb = {
+        (r["qid"], r["rank"], r["id"])
+        for r in pq_search_preassigned(idx, qs, K, nprobe=8).collect()
+    }
+    bb_ht = {
+        (r["qid"], r["rank"], r["id"])
+        for r in pq_search_preassigned(
+            idx, qs, K, nprobe=8, polysemous_ht=33
+        ).collect()
+    }
     return _prop_df(
         spark,
         [
             ("ivfpq_poly_loose_ht_equals_unfiltered", loose == full_set),
             ("ivfpq_poly_self_survives_tight_ht", top1 == {q: q for q in range(NQ)}),
             ("ivfpq_poly_filter_only_removes", len(tight) <= len(full)),
+            ("ivfpq_bigbatch_equals_driver", bb == full_set),
+            ("ivfpq_bigbatch_ht_equals_driver", bb_ht == loose),
         ],
     )
 
@@ -825,7 +916,7 @@ def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the SQ8-DECODED vectors (the asymmetric-SQ SQL twin). The
     RQ-coded form (IVF256(RCQ2x4),RQ3x4) is numpy-exact-pinned in
     tests/test_factory_parity.py and recall-bounded under ivfaq_search."""
-    from faiss_spark.operators.ivf import IVFRCQIndex
+    from faiss_spark.operators.ivf import IVFRCQIndex, search_preassigned
     from faiss_spark.plans.factory import index_factory
 
     vecs = _emb(spark, sf_dir)
@@ -834,11 +925,21 @@ def q_rcq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _round(idx.search(qs, K, nprobe=idx.nlist)).withColumn(
         "variant", F.lit("flat")
     )
+    # r13: the search_preassigned fallback with the SAME RCQ beam
+    # running executor-side — exact at full probe, same SQL twin
+    np_ = idx.nlist
+    bb = _round(
+        search_preassigned(
+            idx, qs, K, nprobe=np_,
+            assign_payload=idx.cq,
+            assign_fn=lambda cq, Q: cq.search_np(Q, np_)[0],
+        )
+    ).withColumn("variant", F.lit("flat_bigbatch"))
     plan = index_factory("IVF64(RCQ2x3),SQ8").fit(vecs, seed=42)
     sq8 = _round(plan.search(qs, K, nprobe=64)).withColumn(
         "variant", F.lit("sq8")
     )
-    return flat.unionByName(sq8)
+    return flat.unionByName(bb).unionByName(sq8)
 
 
 def q_ivf_nested_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,6 +955,7 @@ def q_ivf_nested_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn REGARDLESS of where the sub-index assigned each vector (the
     ★rcq_ivf_search property); `IVF<n>(Flat)` ≡ plain IVF and the
     depth-3 refusal are pinned in tests."""
+    from faiss_spark.operators.ivf import IVFNestedIndex, search_preassigned
     from faiss_spark.plans.factory import index_factory
 
     vecs = _emb(spark, sf_dir)
@@ -870,7 +972,24 @@ def q_ivf_nested_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "variant", F.lit(desc)
             )
         )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    # r13: the search_preassigned fallback with the PQ-routed sub-index
+    # assignment running executor-side — exact at full probe, same SQL
+    nst = IVFNestedIndex.train(
+        vecs, nlist=8, sub=("pq", 8, 4), seed=42
+    ).add(vecs)
+    out.append(
+        _round(
+            search_preassigned(
+                nst, qs, K, nprobe=8,
+                assign_payload=nst.router,
+                assign_fn=lambda r, Q: r.assign_np(Q, 8),
+            )
+        ).withColumn("variant", F.lit("IVF8(PQ8x4),Flat#bigbatch"))
+    )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 def q_ivf_bigbatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2858,25 +2977,92 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries; rotation policy (VERDICT r4 #7, r6 #1, r7 #1/#2, r8 #2,
-    # r9 #2, r10 #1, r11 #4): this round the head = the 17 r09-cohort
-    # entries whose rotation window closes this round (last driver
-    # check: CORRECTNESS_r09) + every entry MODIFIED this round
-    # (dedup_exact now union-seeds real duplicate groups — the query
-    # itself changed; ivf_bigbatch_exact exercises the new hot-cell
-    # sub-sharded cogroup in search_preassigned; write_read_index sits
-    # on the rewritten corpus-wide persist machinery; pq_adc_search sits
-    # on the PQ code path that gained 9..16-bit two-byte codes) + the
-    # oldest unmodified r10-green entries up to slot 50. The remaining
-    # r10-green entries sit at the top of the tail (they lead the r13
-    # head), then the r11-checked block. Surface stays at 115 (r9/r10 #9).
+    # entries; rotation policy (VERDICT r4 #7 ... r12 #6): this round the
+    # head = every entry MODIFIED this round (the preassigned-twin build:
+    # the 8 entries that gained bigbatch arms/props, the 4 cogroup-family
+    # entries riding the applyInArrow conversion, pq_adc_search on the
+    # 2-byte-code path, ivfpqr_search/spectral_hash on touched classes) +
+    # the full 18-entry r10 cohort (oldest last-driver-green) + the
+    # oldest r11-green entries up to slot 50. Tail leads with the
+    # remaining r11 block (they head r14), then the r12 cohort.
+    # Surface stays at 115 (r9/r10 #9).
     return {
-        # --- the 17 r09-cohort entries (window closes this round) ---
+        "imi_search_exact": q_imi_search_exact,
+        "miq2_search": q_miq2_search,
+        "imipq_search": q_imipq_search,
+        "ivfpq_polysemous": q_ivfpq_polysemous,
+        "ivfaq_search": q_ivfaq_search,
+        "ivfpqr_codes": q_ivfpqr_codes,
+        "rcq_ivf_search": q_rcq_ivf_search,
+        "ivf_nested_coarse": q_ivf_nested_coarse,
+        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "ivf_range_search": q_ivf_range_search,
+        "ivfsq_search_exact": q_ivfsq_search_exact,
+        "bivf_search": q_bivf_search,
+        "pq_adc_search": q_pq_adc_search,
+        "ivfpqr_search": q_ivfpqr_search,
+        "spectral_hash_search": q_spectral_hash_search,
+        "aq_fastscan": q_aq_fastscan,
+        "audio_features": q_audio_features,
+        "binary_nsg": q_binary_nsg,
+        "compute_residual": q_compute_residual,
+        "ivf_nsg_search": q_ivf_nsg_search,
+        "lsh_search": q_lsh_search,
+        "lsq_codec": q_lsq_codec,
+        "merge_from_search": q_merge_from_search,
+        "pack_sequences": q_pack_sequences,
+        "pq_fastscan_search": q_pq_fastscan,
+        "pq_sdc_search": q_pq_sdc_search,
+        "prq_codec": q_prq_codec,
+        "remove_then_search": q_remove_then_search,
+        "rowwise_minmax": q_rowwise_minmax,
+        "rq_codec": q_rq_codec,
+        "span_dedup": q_span_dedup,
+        "split_vectors": q_split_vectors,
+        "two_layer_codes": q_two_layer_codes,
+        "dedup_against": q_dedup_against,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_simhash": q_dedup_simhash,
+        "events_sessionize": q_events_sessionize,
+        "events_sessions": q_events_sessions,
+        "factory_pipeline": q_factory_pipeline,
+        "hamming_knn": q_hamming_knn,
+        "image_features": q_image_features,
+        "importance_filter": q_importance_filter,
+        "jaccard_knn": q_jaccard_knn,
+        "knn_1d": q_knn_1d,
+        "knn_braycurtis": q_knn_braycurtis,
+        "knn_canberra": q_knn_canberra,
+        "knn_cosine": q_knn_cosine,
+        "knn_filtered": q_knn_filtered,
+        "knn_graph_bucketed": q_knn_graph_bucketed,
+        "knn_ip": q_knn_ip,
+        # ---------------- tail: remaining r11 cohort, then r12 ----------------
+        "knn_jensenshannon": q_knn_jensenshannon,
+        "knn_l2": q_knn_l2,
+        "knn_lp3": q_knn_lp3,
+        "knn_selector_batch": q_knn_selector_batch,
+        "knn_tabular_chunked": q_knn_tabular_chunked,
+        "lang_id": q_lang_id,
+        "lattice_codec": q_lattice_codec,
+        "matrix_stats": q_matrix_stats,
+        "nsg_search": q_nsg_search,
+        "perplexity_buckets": q_perplexity_buckets,
+        "polysemous_filter": q_polysemous_filter,
+        "prq_fastscan": q_prq_fastscan,
+        "quality_classifier": q_quality_classifier,
+        "range_lims": q_range_lims,
+        "range_search_l2": q_range_search,
+        "refine_search": q_refine_search,
+        "token_count_bpe": q_token_count_bpe,
+        "topk_per_group": q_topk_per_group,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "vector_dedup": q_vector_dedup,
         "knn_graph": q_knn_graph,
         "vector_norms": q_vector_norms,
         "knn_tabular": q_knn_tabular,
-        "ivfsq_search_exact": q_ivfsq_search_exact,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "kmeans_assign": q_kmeans_assign,
         "temperature_sample": q_temperature_sample,
@@ -2889,15 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_embedding_cosine": q_dedup_embedding,
         "sq_reconstruction": q_sq_reconstruction,
-        # --- the 5 entries MODIFIED this round (an entry changed after
-        # its last driver check must be re-checked WITH the change) ---
         "dedup_exact": q_dedup_exact,
-        "ivf_bigbatch_exact": q_ivf_bigbatch_exact,
         "write_read_index": q_write_read_index,
-        "pq_adc_search": q_pq_adc_search,
-        "bivf_search": q_bivf_search,
-        # --- the 28 oldest unmodified r10-green entries
-        # (CORRECTNESS_r10 order) ---
         "text_features": q_text_features,
         "pii_features": q_pii_features,
         "decontaminate": q_decontaminate,
@@ -2905,8 +3084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "bigram_frequencies": q_bigram_frequencies,
-        "ivfpqr_search": q_ivfpqr_search,
-        "ivfpqr_codes": q_ivfpqr_codes,
         "knn_jaccard_float": q_knn_jaccard_float,
         "knn_hamming_float": q_knn_hamming_float,
         "image_features_png": q_image_features_png,
@@ -2926,75 +3103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_fastscan": q_ivfpq_fastscan,
         "ivf_search_exact": q_ivf_search_exact,
         "chunk_documents": q_chunk_documents,
-        # --- tail starts here (entry 51): the 18 remaining r10-green
-        # entries (they lead the r13 head), then the r11-checked block ---
-        "compute_residual": q_compute_residual,
-        "ivf_nsg_search": q_ivf_nsg_search,
-        "lsh_search": q_lsh_search,
-        "audio_features": q_audio_features,
-        "pack_sequences": q_pack_sequences,
-        "pq_sdc_search": q_pq_sdc_search,
-        "span_dedup": q_span_dedup,
-        "rowwise_minmax": q_rowwise_minmax,
-        "split_vectors": q_split_vectors,
-        "remove_then_search": q_remove_then_search,
-        "merge_from_search": q_merge_from_search,
-        "rq_codec": q_rq_codec,
-        "lsq_codec": q_lsq_codec,
-        "prq_codec": q_prq_codec,
-        "two_layer_codes": q_two_layer_codes,
-        "binary_nsg": q_binary_nsg,
-        "pq_fastscan_search": q_pq_fastscan,
-        "aq_fastscan": q_aq_fastscan,
-        # --- r11-checked block (driver-green in CORRECTNESS_r11) ---
-        "nsg_search": q_nsg_search,
-        "knn_ip": q_knn_ip,
-        "knn_cosine": q_knn_cosine,
-        "knn_canberra": q_knn_canberra,
-        "knn_braycurtis": q_knn_braycurtis,
-        "range_lims": q_range_lims,
-        "topk_per_group": q_topk_per_group,
-        "knn_jensenshannon": q_knn_jensenshannon,
-        "knn_tabular_chunked": q_knn_tabular_chunked,
-        "dedup_keep_first": q_dedup_keep_first,
-        "lang_id": q_lang_id,
-        "token_count_bpe": q_token_count_bpe,
-        "hamming_knn": q_hamming_knn,
-        "jaccard_knn": q_jaccard_knn,
-        "rcq_ivf_search": q_rcq_ivf_search,
-        "ivfaq_search": q_ivfaq_search,
-        "ivf_nested_coarse": q_ivf_nested_coarse,
-        "dedup_simhash": q_dedup_simhash,
-        "matrix_stats": q_matrix_stats,
-        "knn_selector_batch": q_knn_selector_batch,
-        "knn_1d": q_knn_1d,
-        "image_features": q_image_features,
-        "knn_graph_bucketed": q_knn_graph_bucketed,
-        "factory_pipeline": q_factory_pipeline,
-        "prq_fastscan": q_prq_fastscan,
-        "quality_classifier": q_quality_classifier,
-        "importance_filter": q_importance_filter,
-        "dedup_against": q_dedup_against,
-        "perplexity_buckets": q_perplexity_buckets,
-        "ivfpq_polysemous": q_ivfpq_polysemous,
-        "miq2_search": q_miq2_search,
-        "imipq_search": q_imipq_search,
-        "refine_search": q_refine_search,
-        "knn_l2": q_knn_l2,
-        "imi_search_exact": q_imi_search_exact,
-        "spectral_hash_search": q_spectral_hash_search,
-        "polysemous_filter": q_polysemous_filter,
-        "lattice_codec": q_lattice_codec,
-        "knn_filtered": q_knn_filtered,
-        "knn_lp3": q_knn_lp3,
-        "vector_dedup": q_vector_dedup,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "events_sessions": q_events_sessions,
-        "events_sessionize": q_events_sessionize,
-        "range_search_l2": q_range_search,
     }
+
+
 
 
 # ============================================================== oracle SQL ==
@@ -3250,6 +3361,8 @@ def oracle_sql() -> dict[str, str]:
     # twin ivfsq_search_exact uses (the coded-list RCQ factory form)
     sql["rcq_ivf_search"] = f"""
         SELECT 'flat' AS variant, * FROM ({_knn_sql(_L2, "ASC")})
+        UNION ALL
+        SELECT 'flat_bigbatch' AS variant, * FROM ({_knn_sql(_L2, "ASC")})
         UNION ALL
         SELECT 'sq8' AS variant, * FROM ({_ivfsq_base})
     """
@@ -3537,6 +3650,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'IVF8(IVF2,Flat),Flat' AS variant, * FROM ({_knn_sql(_L2, "ASC")})
         UNION ALL
         SELECT 'IVF8(IVF2,SQ4,Refine(SQ8)),Flat' AS variant,
+               * FROM ({_knn_sql(_L2, "ASC")})
+        UNION ALL
+        SELECT 'IVF8(PQ8x4),Flat#bigbatch' AS variant,
                * FROM ({_knn_sql(_L2, "ASC")})
     """
     sql["matrix_stats"] = f"""
@@ -4016,14 +4132,23 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfaq_search"] = (
         "SELECT 'ivfaq_full_probe_recall_ge_0.85' AS prop, TRUE AS passed "
         "UNION ALL "
-        "SELECT 'ivfaq_rcq_coarse_full_probe_recall_ge_0.85', TRUE"
+        "SELECT 'ivfaq_rcq_coarse_full_probe_recall_ge_0.85', TRUE "
+        "UNION ALL SELECT 'ivfaq_bigbatch_equals_driver', TRUE"
     )
-    sql["imi_search_exact"] = _knn_sql(_L2, "ASC")
-    sql["miq2_search"] = _knn_sql(_L2, "ASC")
+    # IMI/MIQ2 at full probe ≡ exact brute force in BOTH search modes
+    # (driver-planned and the executor-side-probe cogroup fallback)
+    sql["imi_search_exact"] = f"""
+        SELECT *, 'driver' AS mode FROM ({_knn_sql(_L2, "ASC")})
+        UNION ALL
+        SELECT *, 'bigbatch' AS mode FROM ({_knn_sql(_L2, "ASC")})
+    """
+    sql["miq2_search"] = sql["imi_search_exact"]
     sql["imipq_search"] = (
         "SELECT 'imipq_full_probe_recall_ge_0.5' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'imipq_nprobe_monotone', TRUE "
-        "UNION ALL SELECT 'imipq_full_k_rows', TRUE"
+        "UNION ALL SELECT 'imipq_full_k_rows', TRUE "
+        "UNION ALL SELECT 'imipq_bigbatch_equals_driver', TRUE "
+        "UNION ALL SELECT 'imipq_bigbatch_maxcodes_equals_driver', TRUE"
     )
     sql["spectral_hash_search"] = (
         "SELECT 'sh_top1_hamming_zero' AS prop, TRUE AS passed "
@@ -4041,7 +4166,9 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfpq_polysemous"] = (
         "SELECT 'ivfpq_poly_loose_ht_equals_unfiltered' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'ivfpq_poly_self_survives_tight_ht', TRUE "
-        "UNION ALL SELECT 'ivfpq_poly_filter_only_removes', TRUE"
+        "UNION ALL SELECT 'ivfpq_poly_filter_only_removes', TRUE "
+        "UNION ALL SELECT 'ivfpq_bigbatch_equals_driver', TRUE "
+        "UNION ALL SELECT 'ivfpq_bigbatch_ht_equals_driver', TRUE"
     )
     sql["pq_adc_search"] = (
         "SELECT 'adc_equals_decoded_l2_ge_0.95' AS prop, TRUE AS passed "
@@ -4260,7 +4387,8 @@ def oracle_sql() -> dict[str, str]:
     sql["ivfpqr_codes"] = (
         "SELECT 'pqr_codes_recall_ge_adc' AS prop, TRUE AS passed "
         "UNION ALL SELECT 'pqr_codes_exact_refine_equals_raw_rerank', TRUE "
-        "UNION ALL SELECT 'pqr_codes_plan_has_no_raw_vector', TRUE"
+        "UNION ALL SELECT 'pqr_codes_plan_has_no_raw_vector', TRUE "
+        "UNION ALL SELECT 'pqr_codes_bigbatch_equals_driver', TRUE"
     )
     sql["pq_sdc_search"] = (
         "SELECT 'sdc_equals_adc_of_roundtripped_query_ge_0.95' AS prop, "

@@ -262,6 +262,7 @@ def main() -> None:
     # between a query's two draws means a multi-second window cannot taint
     # both.
     timings: dict[str, float] = {}
+    draws: dict[str, list] = {}
     rows: dict[str, int] = {}
     for _pass in range(2):
         for name in BENCH_QUERIES:
@@ -272,6 +273,7 @@ def main() -> None:
             t0 = time.perf_counter()
             n = _run_once(fn(spark, sf_dir), force)
             dt = time.perf_counter() - t0
+            draws.setdefault(name, []).append(round(dt, 3))
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             if name not in rows:
@@ -298,6 +300,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # both raw draws per query (VERDICT r12 #4): the headline
+                # is the per-query min of two temporally separated passes;
+                # storing the raw pair lets a drifted/contended window be
+                # adjudicated from the artifact alone, no re-run needed
+                "queries_draws": draws,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sentinel": sentinel,
                 "kernel_knn": kernel,
