@@ -104,6 +104,8 @@ from faiss_spark.operators.fastscan import (
     IVFPQFastScanIndex,
     aq_fastscan_encode,
     aq_fastscan_search,
+    aq_fastscan_search_preassigned,
+    fastscan_search_preassigned,
     pq_fastscan_search,
     train_aq_fastscan,
     train_ivf_paq_fastscan,
@@ -149,7 +151,9 @@ __all__ = [
     "IVFPQRIndex",
     "IVFAQIndex",
     "IVFSQIndex",
+    "aq_fastscan_search_preassigned",
     "aq_search_preassigned",
+    "fastscan_search_preassigned",
     "pq_search_preassigned",
     "pqr_search_preassigned",
     "range_search_preassigned",

@@ -394,10 +394,17 @@ class IVFPQFastScanIndex:
         nlist = len(C)
         nprobe = min(nprobe, nlist)
 
-        qids, Q = collect_queries_bounded(
+        collected = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFPQFastScanIndex.search",
             d=C.shape[1],
+            fallback=lambda: fastscan_search_preassigned(
+                self, queries, k, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            ),
         )
+        if isinstance(collected, DataFrame):
+            return collected
+        qids, Q = collected
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
@@ -530,6 +537,148 @@ class IVFPQFastScanIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def fastscan_search_preassigned(
+    index: "IVFPQFastScanIndex",
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed big-batch IVF fast-scan search — the
+    search_preassigned twin of IVFPQFastScanIndex (reference
+    contrib/ivf_tools.py pattern over faiss/IndexIVFPQFastScan.h).
+
+    Fast-scan's LUTs are quantized PER QUERY (by_residual: jointly over
+    the query's probes so distances stay comparable in the merge,
+    quantize_lut.cpp:195), so the distributed shape quantizes inside
+    the probe-assignment map — each (qid, list_no) probe row carries
+    its uint8 LUT bytes (M·ksub ≈ 128 B at 4-bit PQ8), bias, and the
+    per-query (a, b) dequantization constants through the cogroup; the
+    per-cell scan is then pure ``_saturating_lut_sum`` against the
+    cell's codes with no codebook state at all. Arithmetic is the
+    driver scan's bit for bit (same LUT floats entering the same uint8
+    quantization, same saturating accumulation), for both by_residual
+    modes."""
+    from faiss_spark.operators.ivf import (
+        _cand_table,
+        _empty_cand_table,
+        _window_topk,
+        cogrouped_cell_scan,
+    )
+
+    base = index.base
+    if base.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    C0 = base.centroids
+    books0 = base.pq.codebooks
+    M, ksub, dsub = books0.shape
+    if ksub > 16:
+        raise ValueError(f"fast-scan requires 4-bit codes, got ksub={ksub}")
+    nprobe_ = min(nprobe, len(C0))
+    by_res = index.by_residual
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((C0, books0))
+    k_ = k
+
+    def assign_probes(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
+        C, books = bc.value
+        pqm = ProductQuantizerModel(codebooks=books)
+        zero_bias = np.zeros(nprobe_)
+        for qids, Q, _ in arrow_id_vec_blocks(batches):
+            nq = len(Q)
+            CD = pairwise_distances(Q, C, "l2")
+            probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
+            if by_res:
+                lutq = np.empty((nq, nprobe_, M, ksub), np.uint8)
+                biasq = np.empty((nq, nprobe_), np.uint16)
+                a = np.empty(nq)
+                b = np.empty(nq)
+                blk = 256  # float LUT tensor stays scratch per block
+                for s in range(0, nq, blk):
+                    e = min(nq, s + blk)
+                    R = Q[s:e, None, :] - C[probes[s:e]]
+                    Rs = R.reshape(e - s, nprobe_, M, dsub)
+                    luts = (
+                        (Rs * Rs).sum(3)[:, :, :, None]
+                        + (books * books).sum(2)[None, None, :, :]
+                        - 2.0 * np.einsum("qpmd,mkd->qpmk", Rs, books)
+                    )
+                    for qi in range(s, e):
+                        lutq[qi], biasq[qi], a[qi], b[qi] = quantize_lut_ivf(
+                            luts[qi - s], zero_bias
+                        )
+            else:
+                # one flat LUT per query shared across its probes — the
+                # same distance_table arithmetic as the driver path (an
+                # algebraically-equal form can flip a uint8 bin)
+                luts = np.stack([pqm.distance_table(q) for q in Q])
+                lut1, a, b = quantize_lut_flat(luts)
+                lutq = np.repeat(lut1[:, None, :, :], nprobe_, axis=1)
+                biasq = np.zeros((nq, nprobe_), np.uint16)
+            rep = np.repeat(np.arange(nq), nprobe_)
+            lut_rows = lutq.reshape(nq * nprobe_, M * ksub)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[rep], pa.int64()),
+                    pa.array(probes.astype(np.int32).ravel(), pa.int32()),
+                    pa.array(list(map(bytes, lut_rows)), pa.binary()),
+                    pa.array(biasq.ravel().astype(np.int32), pa.int32()),
+                    pa.array(a[rep], pa.float64()),
+                    pa.array(b[rep], pa.float64()),
+                ],
+                names=["qid", "list_no", "lut", "bias", "a", "b"],
+            )
+
+    q = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+    )
+    probes_df = q.mapInArrow(
+        assign_probes,
+        schema="qid bigint, list_no int, lut binary, bias int, a double, b double",
+    )
+
+    def scan_cell(key, ptab, ctab):
+        from faiss_spark.kernels import arrow_binary_matrix, arrow_i64
+
+        if ptab.num_rows == 0 or ctab.num_rows == 0:
+            return _empty_cand_table()
+        qids_ = arrow_i64(ptab.column("qid"))
+        lutq = arrow_binary_matrix(ptab.column("lut")).reshape(-1, M, ksub)
+        bias = arrow_i64(ptab.column("bias")).astype(np.uint16)
+        a_ = np.asarray(
+            ptab.column("a").combine_chunks().to_numpy(zero_copy_only=False),
+            np.float64,
+        )
+        b_ = np.asarray(
+            ptab.column("b").combine_chunks().to_numpy(zero_copy_only=False),
+            np.float64,
+        )
+        codes = arrow_binary_matrix(ctab.column("code"))
+        ids = arrow_i64(ctab.column("id"))
+        acc = TopKAccumulator(len(qids_), k_, largest=False)
+        # saturation is per-element, so column-chunking the codes keeps
+        # the uint16 chain bit-equal while bounding the uint32 scratch
+        chunk = max(16, (1 << 22) // max(1, len(qids_)))
+        for s in range(0, len(ids), chunk):
+            D16 = _saturating_lut_sum(
+                lutq, codes[s:s + chunk], init=bias if by_res else None
+            )
+            est = D16 / a_[:, None] + b_[:, None]
+            acc.push(est, ids[s:s + chunk])
+        qidx, nid, nd = acc.emit()
+        return _cand_table(qids_[qidx], nid, nd)
+
+    codes = base.codes.select("list_no", "id", "code")
+    cands = cogrouped_cell_scan(base, probes_df, codes, max_cell_rows, scan_cell)
+    return _window_topk(cands, k, largest=False)
 
 
 # ------------------------------------------------------------ AQ fast-scan
@@ -1057,10 +1206,17 @@ class IVFAQFastScanIndex:
         nlist = len(C)
         nprobe = min(nprobe, nlist)
 
-        qids, Q = collect_queries_bounded(
+        collected = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFAQFastScanIndex.search",
             d=C.shape[1],
+            fallback=lambda: aq_fastscan_search_preassigned(
+                self, queries, k, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            ),
         )
+        if isinstance(collected, DataFrame):
+            return collected
+        qids, Q = collected
         nq = len(Q)
         CD = pairwise_distances(Q, C, "l2")
         probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe]
@@ -1146,6 +1302,140 @@ class IVFAQFastScanIndex:
             .filter(F.col("rank") <= k_)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def aq_fastscan_search_preassigned(
+    index: "IVFAQFastScanIndex",
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Distributed big-batch twin of IVFAQFastScanIndex.search
+    (reference IndexIVFAdditiveQuantizerFastScan.cpp:352-401): the
+    query map builds ONE 2-D LUT per query (AQFastScanModel.float_luts,
+    shared across probes) and quantizes it with the per-probe
+    −2⟨q,c_j⟩ bias exactly as the driver path, then each (qid, list_no)
+    probe row ships (lut bytes, bias, a, b, ‖q‖²) through the cogroup —
+    the per-cell scan is the same NormTableScaler saturating sum with
+    no quantizer state. Covers both by_residual modes, PRQ/PLSQ
+    included (the ProductAQAdapter rides inside rq)."""
+    from faiss_spark.operators.ivf import (
+        _cand_table,
+        _empty_cand_table,
+        _window_topk,
+        cogrouped_cell_scan,
+    )
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    M, ksub = index.M, index.ksub
+    norm_scale = index.norm_scale
+    by_res = index.by_residual
+    nprobe_ = min(nprobe, len(index.centroids))
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (index.centroids, index.rq, index.norm_books)
+    )
+    k_ = k
+
+    def assign_probes(batches):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_id_vec_blocks
+
+        C, rq, norm_books = bc.value
+        model = AQFastScanModel(
+            rq=rq, norm_books=norm_books, norm_scale=norm_scale
+        )
+        for qids, Q, _ in arrow_id_vec_blocks(batches):
+            nq = len(Q)
+            CD = pairwise_distances(Q, C, "l2")
+            probes = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
+            luts = model.float_luts(Q)  # (nq, M+2, ksub)
+            if by_res:
+                qc = Q @ C.T
+                lutq = np.empty((nq, M + 2, ksub), np.uint8)
+                biasq = np.empty((nq, nprobe_), np.uint16)
+                a = np.empty(nq)
+                b = np.empty(nq)
+                for qi in range(nq):
+                    bias = -2.0 * qc[qi, probes[qi]]
+                    lutq[qi], biasq[qi], a[qi], b[qi] = aq_quantize_lut_bias(
+                        luts[qi], bias, M_norm=2, norm_scale=norm_scale
+                    )
+            else:
+                lutq, a, b = aq_quantize_lut(
+                    luts, M_norm=2, norm_scale=norm_scale
+                )
+                biasq = np.zeros((nq, nprobe_), np.uint16)
+            qsq = (Q * Q).sum(1)
+            rep = np.repeat(np.arange(nq), nprobe_)
+            lut_rows = lutq.reshape(nq, -1)[rep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[rep], pa.int64()),
+                    pa.array(probes.astype(np.int32).ravel(), pa.int32()),
+                    pa.array(list(map(bytes, lut_rows)), pa.binary()),
+                    pa.array(biasq.ravel().astype(np.int32), pa.int32()),
+                    pa.array(a[rep], pa.float64()),
+                    pa.array(b[rep], pa.float64()),
+                    pa.array(qsq[rep], pa.float64()),
+                ],
+                names=["qid", "list_no", "lut", "bias", "a", "b", "qsq"],
+            )
+
+    q = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+    )
+    probes_df = q.mapInArrow(
+        assign_probes,
+        schema=(
+            "qid bigint, list_no int, lut binary, bias int, "
+            "a double, b double, qsq double"
+        ),
+    )
+
+    def scan_cell(key, ptab, ctab):
+        from faiss_spark.kernels import arrow_binary_matrix, arrow_i64
+
+        if ptab.num_rows == 0 or ctab.num_rows == 0:
+            return _empty_cand_table()
+        qids_ = arrow_i64(ptab.column("qid"))
+        lutq = arrow_binary_matrix(ptab.column("lut")).reshape(-1, M + 2, ksub)
+        bias = arrow_i64(ptab.column("bias")).astype(np.uint16)
+
+        def f64(name):
+            return np.asarray(
+                ptab.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+                np.float64,
+            )
+
+        a_, b_, qsq_ = f64("a"), f64("b"), f64("qsq")
+        codes = arrow_binary_matrix(ctab.column("code"))
+        ids = arrow_i64(ctab.column("id"))
+        weights = np.ones(M + 2, np.int64)
+        weights[M:] = norm_scale
+        acc = TopKAccumulator(len(qids_), k_, largest=False)
+        chunk = max(16, (1 << 22) // max(1, len(qids_)))
+        for s in range(0, len(ids), chunk):
+            D16 = _saturating_lut_sum(
+                lutq, codes[s:s + chunk], init=bias, row_weights=weights
+            )
+            est = D16 / a_[:, None] + b_[:, None] + qsq_[:, None]
+            acc.push(est, ids[s:s + chunk])
+        qidx, nid, nd = acc.emit()
+        return _cand_table(qids_[qidx], nid, nd)
+
+    codes = index.codes.select("list_no", "id", "code")
+    cands = cogrouped_cell_scan(
+        index, probes_df, codes, max_cell_rows, scan_cell
+    )
+    return _window_topk(cands, k, largest=False)
 
 
 # --------------------------------------- product-AQ fast-scan (PRQ/PLSQ)

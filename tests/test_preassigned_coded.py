@@ -190,6 +190,52 @@ def test_pq_code_view_two_byte_subcodes(vectors, queries):
     assert hit >= len(top1) * 0.8, top1
 
 
+def test_fastscan_preassigned_equals_driver(vectors, queries, monkeypatch):
+    """IVF fast-scan twins (PQ and AQ forms, both by_residual modes):
+    the probe-assignment map quantizes the per-query LUTs exactly as
+    the driver path (joint per-query quantization — the cogroup ships
+    uint8 LUT bytes, never codebooks), so the distributed scan is
+    bit-identical; the driver search auto-falls-back past the bound."""
+    import faiss_spark.operators.fastscan as fsmod
+    from faiss_spark.operators.fastscan import (
+        IVFAQFastScanIndex,
+        IVFPQFastScanIndex,
+        aq_fastscan_search_preassigned,
+        fastscan_search_preassigned,
+    )
+
+    for br in (True, False):
+        idx = IVFPQFastScanIndex.train(
+            vectors, nlist=8, M=8, seed=42, niter=5, by_residual=br
+        ).add(vectors)
+        assert rows(fastscan_search_preassigned(idx, queries, 5, nprobe=3)) == rows(
+            idx.search(queries, 5, nprobe=3)
+        ), br
+        aidx = IVFAQFastScanIndex.train(
+            vectors, nlist=8, M=4, seed=42, niter=5, by_residual=br
+        ).add(vectors)
+        assert rows(
+            aq_fastscan_search_preassigned(aidx, queries, 5, nprobe=3)
+        ) == rows(aidx.search(queries, 5, nprobe=3)), br
+
+    # fallback routing (the module-global twins are what the hooks call)
+    calls = []
+    for name in ("fastscan_search_preassigned", "aq_fastscan_search_preassigned"):
+        real = getattr(fsmod, name)
+
+        def spy(*a, _real=real, **kw):
+            calls.append(1)
+            return _real(*a, **kw)
+
+        monkeypatch.setattr(fsmod, name, spy)
+    import faiss_spark.operators.ivf as ivfmod
+
+    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)
+    assert rows(idx.search(queries, 5, nprobe=3))
+    assert rows(aidx.search(queries, 5, nprobe=3))
+    assert len(calls) == 2
+
+
 def test_pq_bucketed_layout_skips_corpus_exchange(vectors, queries, tmp_path):
     """IVFPQIndex.save_bucketed must feed the ADC cogroup straight off
     the bucketed scan — the codes-side Exchange disappears and results
