@@ -4214,16 +4214,26 @@ class IVFSpectralHash:
         qid_col: str = "qid", qvec_col: str = "vec",
     ) -> DataFrame:
         """Coarse L2 probes + Hamming scan over binarized codes (JVM bit
-        ops after the partition-pruned join)."""
+        ops after the partition-pruned join). A query side past the
+        driver bound auto-falls-back to ``sh_search_preassigned``,
+        which builds the per-(query, probed-list) qcodes executor-side
+        and joins without collecting."""
         from faiss_spark.operators.binary import _bits_to_words, hamming_expr
 
         if self.codes is None:
             raise ValueError("index has no codes table; call add() first")
         spark = self.codes.sparkSession
-        qids, Q = collect_queries_bounded(
+        collected = collect_queries_bounded(
             queries, qid_col, qvec_col, "IVFSpectralHash.search",
             d=self.centroids.shape[1],
+            fallback=lambda: sh_search_preassigned(
+                self, queries, k, nprobe=nprobe,
+                qid_col=qid_col, qvec_col=qvec_col,
+            ),
         )
+        if isinstance(collected, DataFrame):
+            return collected
+        qids, Q = collected
         CD = pairwise_distances(Q, self.centroids, "l2")
         nprobe_ = min(nprobe, len(self.centroids))
         order = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
@@ -4259,6 +4269,82 @@ class IVFSpectralHash:
             .filter(F.col("rank") <= k)
             .select("qid", "id", "dist", "rank")
         )
+
+
+def sh_search_preassigned(
+    index: "IVFSpectralHash",
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "vec",
+) -> DataFrame:
+    """Distributed big-batch twin of IVFSpectralHash.search: probe
+    selection AND the per-(query, probed-list) periodic binarization
+    (the scanner.set_list re-binarization, cpp:244-258) run
+    executor-side over broadcast artifacts, emitting the same
+    (qid, qcode, list_no) probe rows the driver path builds — then the
+    identical partition-pruned Hamming join, with the probe side
+    shuffled on list_no instead of broadcast (the query side is huge by
+    assumption)."""
+    from faiss_spark.operators.binary import _bits_to_words, hamming_expr
+
+    if index.codes is None:
+        raise ValueError("index has no codes table; call add() first")
+    spark = queries.sparkSession
+    nprobe_ = min(nprobe, len(index.centroids))
+    shell = IVFSpectralHash(
+        centroids=index.centroids, A=index.A, b=index.b,
+        trained=index.trained, period=index.period,
+        threshold_type=index.threshold_type,
+    )
+    bc = spark.sparkContext.broadcast(shell)
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        idx = bc.value
+        C = idx.centroids
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = as_matrix(pdf["vec"])
+            CD = (
+                (Q * Q).sum(1)[:, None]
+                + (C * C).sum(1)[None, :]
+                - 2.0 * (Q @ C.T)
+            )
+            order = np.argsort(CD, axis=1, kind="stable")[:, :nprobe_]
+            Qt = Q @ idx.A.T + (idx.b if idx.b is not None else 0.0)
+            qwords = _bits_to_words(
+                idx._binarize(np.repeat(Qt, nprobe_, axis=0), order.ravel())
+            )
+            rep = np.repeat(np.arange(len(Q)), nprobe_)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(np.int64)[rep],
+                    "qcode": [
+                        [int(w) for w in row] for row in qwords
+                    ],
+                    "list_no": order.astype(np.int32).ravel(),
+                }
+            )
+
+    q = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("vec")
+    )
+    probes = q.mapInPandas(
+        assign, schema="qid bigint, qcode array<bigint>, list_no int"
+    ).localCheckpoint(eager=False)
+    pruned = index.codes.join(
+        probes.select("list_no").distinct().hint("broadcast"),
+        "list_no",
+        "left_semi",
+    )
+    joined = pruned.join(probes, "list_no").select(
+        "qid",
+        "id",
+        hamming_expr(F.col("code"), F.col("qcode")).cast("double").alias("dist"),
+    )
+    return _window_topk(joined, k, largest=False)
 
 
 @dataclass

@@ -119,9 +119,11 @@ def test_ivf_search_size_guard_falls_back_to_preassigned(vectors, monkeypatch):
 
 
 def test_driver_planned_searches_bound_the_query_collect(vectors, monkeypatch):
-    """Every driver-planned search path (no distributed twin to fall back
-    to) must REFUSE an over-budget query side with actionable guidance
-    instead of silently materializing it on the driver."""
+    """An over-budget query side must never materialize on the driver:
+    since r13 EVERY IVF-family search routes to its distributed twin
+    past the bound (the pq cogroup here — routing equality pinned in
+    test_preassigned_coded.py); the raise-with-guidance contract
+    remains for genuinely driver-only paths (flat fast-scan)."""
     import faiss_spark.operators.ivf as ivfmod
     from faiss_spark.operators.ivf import IVFPQIndex
 
@@ -129,8 +131,24 @@ def test_driver_planned_searches_bound_the_query_collect(vectors, monkeypatch):
     idx.add(vectors)
     queries = vectors.limit(8).selectExpr("id as qid", "vec")
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)  # 1 row at d=64
-    with pytest.raises(ValueError, match="IVFPQIndex.search.*knn_chunked"):
-        idx.search(queries, 3, nprobe=4)
+    calls = []
+    real = ivfmod.pq_search_preassigned
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ivfmod, "pq_search_preassigned", spy)
+    assert idx.search(queries, 3, nprobe=4).count() == 8 * 3
+    assert calls, "over-budget IVFPQ search must route to the cogroup twin"
+    # the raise path still guards searches WITHOUT a twin: the flat
+    # PQ fast-scan is driver-planned only
+    from faiss_spark.operators.codecs import ProductQuantizer
+
+    model = ProductQuantizer(M=4, niter=2, seed=1).fit(vectors)
+    codes = model.encode(vectors)
+    with pytest.raises(ValueError, match="pq_adc_search.*knn_chunked"):
+        model.adc_search(codes, queries, 3)
     # within budget: unchanged behavior
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
     assert idx.search(queries, 3, nprobe=4).count() == 8 * 3

@@ -236,6 +236,23 @@ def test_fastscan_preassigned_equals_driver(vectors, queries, monkeypatch):
     assert len(calls) == 2
 
 
+def test_sh_search_preassigned_equals_driver(vectors, queries, monkeypatch):
+    """IVFSpectralHash twin: probe selection + the per-(query, list)
+    periodic re-binarization run executor-side; Hamming join results
+    equal the driver plan, and the driver search auto-falls-back."""
+    from faiss_spark.operators.ivf import IVFSpectralHash, sh_search_preassigned
+
+    idx = IVFSpectralHash.train(
+        vectors, nlist=8, nbit=32, period=1.0, threshold_type="median",
+        transform="pca", seed=42, niter=5,
+    ).add(vectors)
+    direct = rows(idx.search(queries, 5, nprobe=4))
+    assert rows(sh_search_preassigned(idx, queries, 5, nprobe=4)) == direct
+    calls = _spy_fallback(monkeypatch, "sh_search_preassigned")
+    assert rows(idx.search(queries, 5, nprobe=4)) == direct and direct
+    assert calls
+
+
 def test_pq_bucketed_layout_skips_corpus_exchange(vectors, queries, tmp_path):
     """IVFPQIndex.save_bucketed must feed the ADC cogroup straight off
     the bucketed scan — the codes-side Exchange disappears and results
