@@ -70,6 +70,34 @@ _TRANSFORM_RES = [
 ]
 
 
+def _graph_routed_probes_np(
+    C: np.ndarray, cgraph, cep, nprobe: int, nlist: int, Q: np.ndarray
+) -> np.ndarray:
+    """Probe selection for graph-routed coarse assignment (reference
+    IVF<n>_NSG<R>, index_factory.cpp:253-268): beam walk over the
+    centroid graph, then each row's -1 pads filled with DISTINCT
+    unvisited lists (scanning an extra list is a superset — but a
+    duplicate probe would double-count candidates in the downstream
+    accumulator, so fills must be unique per row). Module-level and
+    pure-numpy so the driver plan and the search_preassigned fallback
+    probe IDENTICAL cells."""
+    from faiss_spark.operators.nsg import _beam_search_all
+
+    probes, _ = _beam_search_all(
+        C, cgraph, cep, Q, nprobe, search_L=max(2 * nprobe, 16)
+    )
+    for r in range(len(probes)):
+        row = probes[r]
+        if (row >= 0).all():
+            continue
+        used = set(int(c) for c in row[row >= 0])
+        fill = (c for c in range(nlist) if c not in used)
+        for j in range(len(row)):
+            if row[j] < 0:
+                row[j] = next(fill)
+    return probes
+
+
 @dataclass
 class IndexPlan:
     """Parsed factory string: transform estimators + index config."""
@@ -744,33 +772,31 @@ class IndexPlan:
         from faiss_spark.operators.ivf import (
             _scan_probed_lists,
             collect_queries_bounded,
+            search_preassigned,
         )
-        from faiss_spark.operators.nsg import _beam_search_all
 
         nlist = len(self.index.centroids)
         nprobe = min(nprobe, nlist)
-        qids, Q = collect_queries_bounded(
+        C = np.ascontiguousarray(self.index.centroids, np.float64)
+        np_ = nprobe
+        payload = (C, self._cgraph, self._cep, np_, nlist)
+        collected = collect_queries_bounded(
             q, "qid", "vec", "graph_routed_search",
             d=self.index.centroids.shape[1],
+            # past the driver bound: the cogroup twin with the SAME beam
+            # walk (and pad fill) running executor-side
+            fallback=lambda: search_preassigned(
+                self.index, q, k, nprobe=np_,
+                assign_payload=payload,
+                assign_fn=lambda p, Q: _graph_routed_probes_np(*p, Q),
+            ),
         )
-        C = np.ascontiguousarray(self.index.centroids, np.float64)
-        probes, _ = _beam_search_all(
-            C, self._cgraph, self._cep, Q, nprobe,
-            search_L=max(2 * nprobe, 16),
+        if isinstance(collected, DataFrame):
+            return collected
+        qids, Q = collected
+        probes = _graph_routed_probes_np(
+            C, self._cgraph, self._cep, nprobe, nlist, Q
         )
-        # beam pools shorter than nprobe pad with -1; fill each row's
-        # pads with DISTINCT unvisited lists (scanning an extra list is a
-        # superset — but a duplicate probe would double-count candidates
-        # in the downstream accumulator, so fills must be unique per row)
-        for r in range(len(probes)):
-            row = probes[r]
-            if (row >= 0).all():
-                continue
-            used = set(int(c) for c in row[row >= 0])
-            fill = (c for c in range(nlist) if c not in used)
-            for j in range(len(row)):
-                if row[j] < 0:
-                    row[j] = next(fill)
         return _scan_probed_lists(
             self.index.codes, qids, Q, probes, k, self.metric
         )
