@@ -253,6 +253,19 @@ def test_sh_search_preassigned_equals_driver(vectors, queries, monkeypatch):
     assert calls
 
 
+def test_graph_routed_fallback_equals_driver(vectors, queries, monkeypatch):
+    """IVF<n>_NSG<R> (graph-routed coarse): past the bound the factory
+    plan routes through search_preassigned with the identical beam walk
+    and distinct-pad fill executor-side."""
+    from faiss_spark.plans.factory import index_factory
+
+    plan = index_factory("IVF16_NSG8,Flat").fit(vectors, seed=42)
+    direct = rows(plan.search(queries, 5, nprobe=4))
+    calls = _spy_fallback(monkeypatch, "search_preassigned")
+    assert rows(plan.search(queries, 5, nprobe=4)) == direct and direct
+    assert calls
+
+
 def test_pq_bucketed_layout_skips_corpus_exchange(vectors, queries, tmp_path):
     """IVFPQIndex.save_bucketed must feed the ADC cogroup straight off
     the bucketed scan — the codes-side Exchange disappears and results
