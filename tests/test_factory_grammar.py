@@ -309,17 +309,24 @@ def test_plsq_fastscan_residual_search(vectors, queries, exact10):
 
 
 def test_graph_routed_query_collect_is_bounded(vectors, queries, monkeypatch):
-    """VERDICT r8 #4: _graph_routed_search was one of the last three bare
-    query-side toPandas() sites — it must share the one-job budget +
-    actionable error of every other driver-planned search."""
+    """VERDICT r8 #4, updated for the r13 fallback: _graph_routed_search
+    still shares the one-job query budget, but past the bound it now
+    ROUTES to the search_preassigned twin (identical beam walk executor-
+    side) instead of raising — results must equal the driver plan."""
     import faiss_spark.operators.ivf as ivfmod
 
     plan = index_factory("IVF64_NSG8,Flat").fit(vectors)
+    direct = sorted(
+        (r["qid"], r["rank"], r["id"])
+        for r in plan.search(queries, 10, nprobe=8).collect()
+    )
+    assert len(direct) == 8 * 10
     monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 64)  # 1 row at d=64
-    with pytest.raises(ValueError, match="graph_routed_search.*driver-planned"):
-        plan.search(queries, 10, nprobe=8).count()
-    monkeypatch.setattr(ivfmod, "MAX_DRIVER_QUERY_CELLS", 32_000_000)
-    assert plan.search(queries, 10, nprobe=8).count() == 8 * 10
+    routed = sorted(
+        (r["qid"], r["rank"], r["id"])
+        for r in plan.search(queries, 10, nprobe=8).collect()
+    )
+    assert routed == direct
 
 
 def test_factory_pq_plus_token_ivfpqr(vectors, queries):
