@@ -100,26 +100,71 @@ def _greedy_select(
     return ids[kept].astype(np.int64)
 
 
+def _greedy_select_masked(
+    ids: list, occ_masks: list, self_id: int, R: int
+) -> np.ndarray:
+    """Bitmask form of ``_greedy_select``: ``occ_masks[j]`` packs the
+    column ``pd[:, j] < dq[j]`` as an int (bit t set = candidate t
+    occludes candidate j), so the per-candidate occlusion test is one
+    Python int AND instead of a fancy-indexed numpy compare — the greedy
+    itself is inherently sequential (kept set grows), but its per-step
+    cost drops ~20×. Control flow is IDENTICAL to ``_greedy_select``."""
+    kept_bits = 0
+    kept: list[int] = []
+    for j in range(len(ids)):
+        p = ids[j]
+        if p == self_id or p < 0:
+            continue
+        if kept:
+            if len(kept) >= R:
+                break
+            if occ_masks[j] & kept_bits:
+                continue
+        kept.append(p)
+        kept_bits |= 1 << j
+    return np.asarray(kept, np.int64)
+
+
 def _mrng_prune_one(
     X: np.ndarray, self_id: int, ids: np.ndarray, dq: np.ndarray, R: int
 ) -> np.ndarray:
     """sync_prune for one node with on-the-fly pairwise distances (used
-    by the variable-length re-prune path)."""
+    by the wide-candidate-list fallback of the re-prune path)."""
     V = np.asarray(X[ids], np.float32)
     vsq = (V * V).sum(1)
     pd = vsq[:, None] + vsq[None, :] - 2.0 * (V @ V.T)
     return _greedy_select(ids, dq, pd, self_id, R)
 
 
+#: bitmask greedy packs occluder sets into int64 lanes; wider candidate
+#: lists (rare hub nodes) take the per-node fallback
+_MASK_BITS = 62
+
+
 def _mrng_prune_all(
     X: np.ndarray, nn: np.ndarray, d_nn: np.ndarray, R: int, block: int = 512
 ) -> list[np.ndarray]:
     """sync_prune for every node: candidate-pairwise distances are
-    computed in one blocked einsum per ~block nodes, so the greedy loop
-    touches only tiny precomputed matrices (no per-candidate vector
-    arithmetic)."""
+    computed in one blocked einsum per ~block nodes and the occlusion
+    predicate ``pd[t, j] < dq[j]`` is packed into per-candidate bitmasks,
+    so the sequential greedy touches only Python ints (no per-candidate
+    numpy calls). Bit-identical to the unbatched form: the f32 P matrix
+    and the f64 comparison are computed exactly as before."""
     X32 = np.asarray(X, np.float32)
     n, K = nn.shape
+    if K > _MASK_BITS:  # fall back to the fancy-index greedy
+        kept0: list[np.ndarray] = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            V = X32[nn[s:e]]
+            vsq = (V * V).sum(2)
+            G = np.einsum("bkd,bjd->bkj", V, V)
+            P = vsq[:, :, None] + vsq[:, None, :] - 2.0 * G
+            for bi in range(e - s):
+                q = s + bi
+                kept0.append(_greedy_select(nn[q], d_nn[q], P[bi], q, R))
+        return kept0
+    pow2 = 1 << np.arange(K, dtype=np.int64)
     kept: list[np.ndarray] = []
     for s in range(0, n, block):
         e = min(s + block, n)
@@ -127,9 +172,16 @@ def _mrng_prune_all(
         vsq = (V * V).sum(2)
         G = np.einsum("bkd,bjd->bkj", V, V)
         P = vsq[:, :, None] + vsq[:, None, :] - 2.0 * G
+        # occ[b, t, j] = candidate t occludes candidate j (f32 < f64
+        # compare, same promotion as the unbatched greedy)
+        occ = P < d_nn[s:e][:, None, :]
+        masks = occ.transpose(0, 2, 1).astype(np.int64) @ pow2  # (b, K)
+        nn_l = nn[s:e].tolist()
+        masks_l = masks.tolist()
         for bi in range(e - s):
-            q = s + bi
-            kept.append(_greedy_select(nn[q], d_nn[q], P[bi], q, R))
+            kept.append(
+                _greedy_select_masked(nn_l[bi], masks_l[bi], s + bi, R)
+            )
     return kept
 
 
@@ -145,47 +197,115 @@ def _build_shard_graph(
         return np.full((1, R), -1, np.int64), 0
     nn, d_nn = _local_knn(X, knn_k)  # (n, k) sorted ascending
     kept = _mrng_prune_all(X, nn, d_nn, R)
-    # reverse links (add_reverse_links): append q to each neighbor's list
-    adj: list[set] = [set(map(int, k)) for k in kept]
-    for q in range(n):
-        for p in kept[q]:
-            adj[int(p)].add(q)
-    # cap degree: re-prune oversized lists with the same MRNG rule
-    for q in range(n):
-        if len(adj[q]) > R:
-            ids = np.fromiter(adj[q], np.int64, len(adj[q]))
-            d = ((X[ids] - X[q]) ** 2).sum(1)
-            order = np.argsort(d, kind="stable")
-            pruned = _mrng_prune_one(X, q, ids[order], d[order], R)
-            adj[q] = set(map(int, pruned))
-    # enterpoint = medoid (closest to centroid), then BFS repair
+    X32 = np.asarray(X, np.float32)
+    # reverse links (add_reverse_links) as one undirected edge-set union:
+    # dedup (u, v) keys and group by u — no per-node Python sets
+    deg = np.fromiter((len(a) for a in kept), np.int64, count=n)
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = np.concatenate(kept) if deg.sum() else np.empty(0, np.int64)
+    ukey = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    adj_u = ukey // n
+    adj_v = ukey % n
+    counts = np.bincount(adj_u, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    adj_lists: list[np.ndarray] = [
+        adj_v[offs[q] : offs[q + 1]] for q in range(n)
+    ]
+    # cap degree: re-prune oversized lists with the same MRNG rule —
+    # BATCHED: nodes grouped by candidate count, the f64 candidate
+    # distances and the f32 pairwise matrix come from blocked einsums,
+    # the greedy runs on packed occlusion bitmasks
+    over = np.flatnonzero(counts > R)
+    if len(over):
+        over = over[np.argsort(counts[over], kind="stable")]
+        for b0 in range(0, len(over), 256):
+            qs = over[b0 : b0 + 256]
+            Kb = int(counts[qs].max())
+            if Kb > _MASK_BITS:
+                # rare ultra-hub block: exact per-node path
+                for q in qs:
+                    ids = adj_lists[q]
+                    d = ((X[ids] - X[q]) ** 2).sum(1)
+                    order = np.argsort(d, kind="stable")
+                    adj_lists[q] = _mrng_prune_one(
+                        X, int(q), ids[order], d[order], R
+                    )
+                continue
+            m = len(qs)
+            cnt = counts[qs]
+            IDs = np.full((m, Kb), -1, np.int64)
+            rows = np.repeat(np.arange(m), cnt)
+            base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            cols = np.arange(int(cnt.sum())) - np.repeat(base, cnt)
+            IDs[rows, cols] = np.concatenate([adj_lists[q] for q in qs])
+            gather = np.where(IDs >= 0, IDs, 0)
+            diff = X[gather] - X[qs][:, None, :]  # f64, matching the
+            # per-node ((X[ids] - X[q]) ** 2).sum(1)
+            Dq = np.einsum("mkd,mkd->mk", diff, diff)
+            Dq[IDs < 0] = np.inf  # pads sort last; greedy skips p < 0
+            order = np.argsort(Dq, axis=1, kind="stable")
+            IDs = np.take_along_axis(IDs, order, 1)
+            Dq = np.take_along_axis(Dq, order, 1)
+            V = X32[np.where(IDs >= 0, IDs, 0)]  # (m, Kb, d)
+            vsq = (V * V).sum(2)
+            G = np.einsum("mkd,mjd->mkj", V, V)
+            P = vsq[:, :, None] + vsq[:, None, :] - 2.0 * G
+            occ = P < Dq[:, None, :]
+            pow2 = 1 << np.arange(Kb, dtype=np.int64)
+            masks = occ.transpose(0, 2, 1).astype(np.int64) @ pow2
+            ids_l = IDs.tolist()
+            masks_l = masks.tolist()
+            for i in range(m):
+                adj_lists[qs[i]] = _greedy_select_masked(
+                    ids_l[i], masks_l[i], int(qs[i]), R
+                )
+    # enterpoint = medoid (closest to centroid), then BFS repair over a
+    # CSR view of the lists (frontier-at-a-time gather, no per-edge loop)
     centroid = X.mean(0)
     ep = int(((X - centroid) ** 2).sum(1).argmin())
+    flat = np.concatenate(adj_lists) if n else np.empty(0, np.int64)
+    lens = np.fromiter((len(a) for a in adj_lists), np.int64, count=n)
+    csr = np.concatenate([[0], np.cumsum(lens)])
     seen = np.zeros(n, bool)
-    stack = [ep]
     seen[ep] = True
-    while stack:
-        u = stack.pop()
-        for v in adj[u]:
-            if not seen[v]:
-                seen[v] = True
-                stack.append(v)
+    frontier = np.asarray([ep], np.int64)
+    while frontier.size:
+        ln = lens[frontier]
+        tot = int(ln.sum())
+        if tot == 0:
+            break
+        base = np.concatenate([[0], np.cumsum(ln)[:-1]])
+        pos = np.repeat(csr[frontier], ln) + (
+            np.arange(tot) - np.repeat(base, ln)
+        )
+        nb = flat[pos]
+        nb = nb[~seen[nb]]
+        if not nb.size:
+            break
+        frontier = np.unique(nb)
+        seen[frontier] = True
     unreached = np.where(~seen)[0]
     if len(unreached):
         reached = np.where(seen)[0]
         # attach each unreached node from its nearest reached node
         # (tree_grow's attach-to-closest-visited, NSG.cpp tree_grow)
+        extra: dict[int, list[int]] = {}
         for u in unreached:
             d = ((X[reached] - X[u]) ** 2).sum(1)
-            adj[int(reached[d.argmin()])].add(int(u))
+            extra.setdefault(int(reached[d.argmin()]), []).append(int(u))
+        for q, add in extra.items():
+            adj_lists[q] = np.concatenate(
+                [adj_lists[q], np.asarray(add, np.int64)]
+            )
+        lens = np.fromiter((len(a) for a in adj_lists), np.int64, count=n)
     # width = actual max degree (connectivity repair may push a few
     # nodes past R — the reference tolerates this the same way)
-    width = max(R, max((len(s) for s in adj), default=R))
+    width = max(R, int(lens.max()) if n else R)
     out = np.full((n, width), -1, np.int64)
-    for q in range(n):
-        if adj[q]:
-            ids = np.fromiter(adj[q], np.int64, len(adj[q]))
-            out[q, : len(ids)] = ids
+    rows = np.repeat(np.arange(n), lens)
+    base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cols = np.arange(int(lens.sum())) - np.repeat(base, lens)
+    out[rows, cols] = np.concatenate(adj_lists)
     return out, ep
 
 
@@ -390,9 +510,10 @@ class NSGIndex:
             X = as_matrix(pdf["vec"])
             ids = pdf["id"].to_numpy(np.int64)
             adj, ep = _build_shard_graph(X, R_, knn_k_)
-            neigh = [
-                [int(ids[v]) for v in row if v >= 0] for row in adj
-            ]
+            # local index -> global id, vectorized (pads are trailing)
+            mask = adj >= 0
+            flat = ids[adj[mask]]
+            neigh = np.split(flat, np.cumsum(mask.sum(1))[:-1])
             out = {
                 "shard": pdf["shard"],
                 "id": ids,
@@ -638,44 +759,52 @@ class NSGIndex:
             if books is not None:
                 from faiss_spark.operators.codecs import ProductQuantizerModel
 
-                codes = np.stack(
-                    [np.frombuffer(c, np.uint8) for c in pdf["code"]]
-                )
+                codes = np.frombuffer(
+                    b"".join(pdf["code"]), np.uint8
+                ).reshape(len(pdf), -1)
                 X = ProductQuantizerModel(codebooks=books).decode_np(codes)
             elif sqm is not None:
-                codes = np.stack(
-                    [np.frombuffer(c, np.uint8) for c in pdf["code"]]
-                )
+                codes = np.frombuffer(
+                    b"".join(pdf["code"]), np.uint8
+                ).reshape(len(pdf), -1)
                 X = sqm.decode_np(codes)
             else:
                 X = as_matrix(pdf["vec"])
-            id2ix = {int(g): i for i, g in enumerate(ids)}
             n = len(ids)
-            width = max((len(nb) for nb in pdf["neighbors"]), default=1)
-            adj = np.full((n, max(width, 1)), -1, np.int64)
-            for i, nb in enumerate(pdf["neighbors"]):
-                loc = [id2ix[int(v)] for v in nb if int(v) in id2ix]
-                adj[i, : len(loc)] = loc
+            # global id -> local index via sorted search (replacing the
+            # per-row dict loop); ids absent from the shard are dropped,
+            # like the dict path did
+            nb_col = pdf["neighbors"].to_numpy()
+            lens = np.fromiter((len(nb) for nb in nb_col), np.int64, n)
+            width = max(int(lens.max()) if n else 1, 1)
+            adj = np.full((n, width), -1, np.int64)
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(nb, np.int64) for nb in nb_col]
+                )
+                order = np.argsort(ids, kind="stable")
+                sids = ids[order]
+                pos = np.searchsorted(sids, flat)
+                pos[pos >= n] = n - 1
+                valid = sids[pos] == flat
+                rows = np.repeat(np.arange(n), lens)[valid]
+                loc = order[pos[valid]]
+                cnt_v = np.bincount(rows, minlength=n)
+                base = np.concatenate([[0], np.cumsum(cnt_v)[:-1]])
+                cols = np.arange(len(loc)) - np.repeat(base, cnt_v)
+                adj[rows, cols] = loc
             eps = np.where(pdf["is_ep"].to_numpy(bool))[0]
             ep = int(eps[0]) if len(eps) else 0
             nid, nd = _beam_search_all(X, adj, ep, Q_, k_, L_)
-            rows = []
-            for qi in range(len(qids_)):
-                mask = nid[qi] >= 0
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "qid": qids_[qi],
-                            "id": ids[nid[qi][mask]],
-                            "dist": nd[qi][mask],
-                        }
-                    )
-                )
-            if not rows:  # zero queries: concat([]) would raise
-                return pd.DataFrame(
-                    {"qid": [], "id": [], "dist": []}
-                ).astype({"qid": "int64", "id": "int64", "dist": "float64"})
-            return pd.concat(rows, ignore_index=True)
+            # flat emit: one frame per shard, not one per query
+            mask = nid >= 0
+            return pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, mask.sum(1)),
+                    "id": ids[nid[mask]],
+                    "dist": nd[mask],
+                }
+            )
 
         cands = src.groupBy("shard").applyInPandas(
             scan, schema="qid bigint, id bigint, dist double"
