@@ -1219,8 +1219,16 @@ def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.parquet is one row group, so the scan is one task; the
+    # regex/split-heavy projection is the whole cost of this query and
+    # would run single-threaded on it. Hash-repartition the (tiny) raw
+    # text first so the CPU-bound projection spreads across cores —
+    # same discipline as the dedup signature paths (guide §2.5 input
+    # skew: "one huge unsplittable file ... repartition immediately
+    # after the read").
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
         "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),
         T.token_count(F.col("text")).cast("bigint").alias("ntok"),

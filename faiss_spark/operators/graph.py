@@ -365,10 +365,18 @@ def knn_graph_bucketed(
     ]
     w = Window.partitionBy("src").orderBy(*sort)
     # dedup candidate edges (the same (src, dst) surfaces in every cell
-    # both nodes probe) before the top-k merge; both exchanges move only
-    # candidate edges, never the vector payloads
+    # both nodes probe) before the top-k merge. One exchange, not two:
+    # hash-partitioning by src up front satisfies BOTH downstream
+    # distribution requirements — ClusteredDistribution(src, dst) for
+    # the dedup aggregate and ClusteredDistribution(src) for the window
+    # — so the candidate edges move once (guide §2.4 "two operations
+    # keyed the same way can share one exchange"); the naive
+    # groupBy(src, dst) → window(src) order exchanged the edge set
+    # twice (its map-side partial aggregate bought almost nothing:
+    # duplicate edges come from different cells, i.e. different tasks).
     return (
-        cands.groupBy("src", "dst")
+        cands.repartition(F.col("src"))
+        .groupBy("src", "dst")
         .agg(F.min("dist").alias("dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_)

@@ -137,7 +137,14 @@ def _scan_partitions(
     except Exception:
         n_files = 0
     if 0 < n_files < par:
-        src = src.repartition(par)
+        # hash on the (unique) id, not round-robin: a keyless
+        # repartition(n) pays a local sort of its input first
+        # (sortBeforeRepartition, needed so retried tasks reproduce the
+        # same assignment — guide §2.5), charged to the single scan task
+        # when the source is one file/row-group; hash partitioning is
+        # deterministic per row, so it needs no such sort and spreads
+        # unique ids just as evenly.
+        src = src.repartition(par, F.col("id"))
     return src.mapInArrow(arrow_scan, schema=_RESULT_SCHEMA)
 
 

@@ -74,13 +74,18 @@ def test_ivf_search_prunes_partitions(emb, queries, tmp_path):
 
 def test_range_search_has_no_keyed_shuffle(emb, queries):
     """Range search is embarrassingly parallel: scan + mapInPandas. The
-    only Exchange allowed is the explicit RoundRobin fan-out of a
-    single-split local file (a no-op on real multi-split tables); any
-    KEYED shuffle would be a scale bug."""
+    only Exchange allowed is the explicit hash(id) fan-out of a
+    single-split local file (a no-op on real multi-split tables; r13:
+    hash on the unique id instead of round-robin, which pays a local
+    sort of its input via sortBeforeRepartition); any shuffle REQUIRED
+    by a downstream keyed operator would be a scale bug."""
     p = plan(range_search(emb, queries, 4.0))
-    assert "hashpartitioning" not in p
+    # the only permitted keyed exchange is the explicit fan-out on id
+    assert p.count("hashpartitioning") <= 1
+    if "hashpartitioning" in p:
+        assert "hashpartitioning(id" in p
     assert "rangepartitioning" not in p
-    assert p.count("RoundRobinPartitioning") <= 1
+    assert "RoundRobinPartitioning" not in p
     assert "MapInArrow" in p  # r9: zero-copy Arrow scan
 
 
@@ -88,13 +93,15 @@ def test_knn_shuffles_only_candidates(emb, queries):
     """The only data-dependent shuffle in brute knn is the candidate
     merge (plus at most one explicit fan-out repartition of a
     single-split local file). The full vector table is never exchanged
-    by key."""
+    as a REQUIREMENT of a keyed operator — the fan-out is hash(id)
+    purely for scan parallelism (r13, replacing the round-robin form
+    and its sortBeforeRepartition local sort)."""
     p = plan(knn(emb, queries, 3))
     assert "MapInArrow" in p  # r9: zero-copy Arrow scan
-    # exactly one keyed shuffle: the candidate merge, partitioned by qid
-    assert p.count("hashpartitioning") == 1
+    # the candidate merge (qid) plus at most the explicit id fan-out
     assert "hashpartitioning(qid" in p
-    assert p.count("RoundRobinPartitioning") <= 1
+    assert p.count("hashpartitioning") <= 2
+    assert "RoundRobinPartitioning" not in p
 
 
 def test_topk_per_group_uses_window_group_limit(tables, spark):
