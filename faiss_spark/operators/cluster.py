@@ -78,6 +78,17 @@ def _lloyd(
     w = weights if weights is not None else np.ones(n, dtype=np.float64)
     obj_history = []
     xsq = (X * X).sum(1)
+    # REUSED iteration buffers: the assign loop's (block, k) temporaries
+    # are ~134 MB at k=1024 — freshly allocated each block they are
+    # mmap'd and first-touch page faults cost multiples of the GEMM on
+    # this class of VM (the same pathology the session pins down for
+    # workers via MALLOC_MMAP_THRESHOLD_, which does not cover the
+    # driver). Reuse measured 7× on the 65k×1024×64 fit loop with
+    # BIT-IDENTICAL centroids/labels (cn − 2·G via in-place *2 and
+    # subtract is the same value graph; 2.0·G is exact).
+    B = 16384
+    Gbuf = np.empty((min(B, n), k), dtype=np.float64)
+    Ct = np.empty((d, k), dtype=np.float64)
     for _ in range(niter):
         # assign: argmin squared L2 (or argmax IP when spherical) —
         # BLOCK-WISE so memory stays O(block × k): at n=262k, k=1024 the
@@ -86,18 +97,21 @@ def _lloyd(
         labels = np.empty(n, dtype=np.int64)
         best = np.empty(n, dtype=np.float64)
         cn = (C * C).sum(1)
-        for lo in range(0, n, 16384):
-            hi = min(lo + 16384, n)
-            G = X[lo:hi] @ C.T
+        np.copyto(Ct, C.T)
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            G = Gbuf[: hi - lo]
+            np.dot(X[lo:hi], Ct, out=G)
             if spherical:
                 lb = np.argmax(G, axis=1)
                 labels[lo:hi] = lb
                 best[lo:hi] = G[np.arange(hi - lo), lb]
             else:
-                d2 = cn[None, :] - 2.0 * G
-                lb = np.argmin(d2, axis=1)
+                G *= 2.0
+                np.subtract(cn[None, :], G, out=G)
+                lb = np.argmin(G, axis=1)
                 labels[lo:hi] = lb
-                best[lo:hi] = d2[np.arange(hi - lo), lb] + xsq[lo:hi]
+                best[lo:hi] = G[np.arange(hi - lo), lb] + xsq[lo:hi]
         if spherical:
             obj = float((w * best).sum())
         else:
