@@ -271,10 +271,20 @@ class KMeans:
             # seeded sample, slight over-draw then exact limit → deterministic
             frac = min(1.0, 1.2 * max_train / n)
             sample = sample.sample(fraction=frac, seed=self.seed).limit(max_train)
-        pdf = sample.toPandas()
-        X = as_matrix(pdf[vec_col])
+        # Arrow collect (guide §6 "Arrow for driver transfers"): the list
+        # column reshapes zero-copy into the training matrix — toPandas +
+        # np.stack materialized one Python object per sampled row
+        tbl = sample.toArrow()
+        from faiss_spark.kernels import arrow_list_matrix
+
+        X = arrow_list_matrix(tbl.column(vec_col))
         weights = (
-            pdf[weight_col].to_numpy(dtype=np.float64) if weight_col else None
+            np.asarray(
+                tbl.column(weight_col).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            if weight_col
+            else None
         )
         best = None
         for redo in range(self.nredo):
@@ -361,7 +371,9 @@ def progressive_dim_kmeans(
     if n > max_train:
         frac = min(1.0, 1.2 * max_train / n)
         sample = sample.sample(fraction=frac, seed=seed).limit(max_train)
-    X = as_matrix(sample.toPandas()[vec_col])
+    from faiss_spark.kernels import arrow_list_matrix
+
+    X = arrow_list_matrix(sample.toArrow().column(vec_col))
 
     dims = sorted({max(1, d >> (stages - 1 - s)) for s in range(stages)} | {d})
     C = None

@@ -62,7 +62,9 @@ def _sampled_matrix(df: DataFrame, vec_col: str, max_train: int, seed: int):
     if n > max_train:
         frac = min(1.0, 1.2 * max_train / n)
         sample = sample.sample(fraction=frac, seed=seed).limit(max_train)
-    return as_matrix(sample.toPandas()[vec_col])
+    from faiss_spark.kernels import arrow_list_matrix
+
+    return arrow_list_matrix(sample.toArrow().column(vec_col))
 
 
 def _map_codec(df: DataFrame, id_col: str, in_col: str, fn, out_schema: str):

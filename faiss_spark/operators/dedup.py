@@ -250,6 +250,13 @@ def minhash_lsh_pairs(
     # through the band shuffle; candidates are deduped as bare id pairs
     banded = sig.select("id", F.explode(F.array(*bands)).alias("bucket"))
     a = banded.alias("a")
+    # NOTE (r13, measured): forcing SHUFFLE_HASH here (one signature
+    # Exchange + ReusedExchange instead of the broadcast side recomputing
+    # the subtree) A/B'd 1.1-1.4x SLOWER at bench scale — the duplicate
+    # subtree runs on idle cores while forced SHJ adds serial AQE stage
+    # barriers. At scale Catalyst drops broadcast past the 10 MB
+    # threshold by itself and exchange reuse then fires, so the planner
+    # default is already the scale-adaptive choice.
     b = banded.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -485,6 +492,10 @@ def simhash_neardup_pairs(
     )
     banded = sig.select("id", "sh", F.explode(band_arr).alias("bucket"))
     a = banded.alias("a")
+    # broadcast self-join recomputes the signature subtree on the build
+    # side — measured FREE at bench scale (idle cores) and the planner
+    # swaps to shuffle + ReusedExchange by itself past the broadcast
+    # threshold (see minhash_lsh_pairs NOTE)
     b = banded.alias("b")
     ham = F.bit_count(
         F.col("a.sh").bitwiseXOR(F.col("b.sh"))
@@ -692,9 +703,8 @@ def embedding_neardup_bucketed(
     at the cost of an nprobe× bigger bucket shuffle.
     """
     import numpy as np
-    import pandas as pd
 
-    from faiss_spark.kernels import as_matrix, pairwise_distances
+    from faiss_spark.kernels import pairwise_distances
     from faiss_spark.operators.cluster import KMeans
 
     src = embeddings.select(
@@ -739,13 +749,25 @@ def embedding_neardup_bucketed(
     )
     thr = float(threshold)
 
-    def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
-            )
-        ids = pdf["id"].to_numpy(np.int64)
-        X = as_matrix(pdf["vec"])
+    def local_pairs(tbl):
+        # Arrow-native per-cell scan (guide §4.1-4.2): ids and the vector
+        # matrix come zero-copy off the group table, the pair emit is one
+        # pa.Table from flat arrays — no per-row pandas objects.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows < 2:
+            return empty
+        ids = arrow_i64(tbl.column("id"))
+        X = arrow_list_matrix(tbl.column("vec"))
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         Xn = X / norms[:, None]
@@ -762,10 +784,8 @@ def embedding_neardup_bucketed(
                 out_b.append(ids[c])
                 out_c.append(S[r, c])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
-            )
-        return pd.DataFrame(
+            return empty
+        return pa.table(
             {
                 "id_a": np.concatenate(out_a),
                 "id_b": np.concatenate(out_b),
@@ -838,11 +858,11 @@ def embedding_neardup_bucketed(
             fan_out,
             schema="bucket int, gi int, gj int, id bigint, vec array<float>",
         )
-        pairs = sharded.groupBy("bucket", "gi", "gj").applyInPandas(
+        pairs = sharded.groupBy("bucket", "gi", "gj").applyInArrow(
             local_pairs, schema="id_a bigint, id_b bigint, cosine double"
         )
     else:
-        pairs = bucketed.groupBy("bucket").applyInPandas(
+        pairs = bucketed.groupBy("bucket").applyInArrow(
             local_pairs, schema="id_a bigint, id_b bigint, cosine double"
         )
     if nprobe > 1 or subs:

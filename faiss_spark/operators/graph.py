@@ -249,12 +249,10 @@ def knn_graph_bucketed(
     tests.
     """
     import numpy as np
-    import pandas as pd
 
     from faiss_spark.kernels import (
         SIMILARITY_METRICS,
         TopKAccumulator,
-        as_matrix,
     )
     from faiss_spark.operators.cluster import KMeans
     from faiss_spark.operators.knn import _np_dtype
@@ -280,6 +278,12 @@ def knn_graph_bucketed(
     bc = spark.sparkContext.broadcast((C, metric, nprobe))
 
     def assign_cells(batches):
+        # Arrow-native (guide §4.1-4.2): ids and the vector matrix come
+        # zero-copy off the record batch, and the nprobe-fold row
+        # duplication is an Arrow take() on the ORIGINAL list column —
+        # no per-row Python objects in either direction.
+        import pyarrow as pa
+
         from faiss_spark.kernels import _compute_block, _row_chunk
 
         C_, metric_, nprobe_ = bc.value
@@ -293,16 +297,19 @@ def knn_graph_bucketed(
             Ch = Ch / n_
         elif metric_ == "l2":
             cn = (Ch * Ch).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            X = as_matrix(pdf["vec"], dtype=np_dt)
+            n = b.num_rows
+            X = np.asarray(
+                b.column(1).flatten().to_numpy(zero_copy_only=False),
+                dtype=np_dt,
+            ).reshape(n, -1)
             if metric_ == "cosine":
                 xnorm = np.linalg.norm(X, axis=1, keepdims=True)
                 xnorm[xnorm == 0] = 1.0
                 X = X / xnorm
             xq = (X * X).sum(axis=1) if metric_ == "l2" else None
-            n = len(X)
             cells = np.empty((n, nprobe_), dtype=np.int64)
             chunk = _row_chunk(n, len(C_), X.shape[1], metric_, X.dtype)
             for r0 in range(0, n, chunk):
@@ -316,28 +323,39 @@ def knn_graph_bucketed(
                 cells[r0:r1] = np.take_along_axis(
                     part, np.argsort(sub, axis=1, kind="stable"), axis=1
                 )
-            yield pd.DataFrame(
-                {
-                    "cell": cells.ravel().astype(np.int32),
-                    "id": np.repeat(pdf["id"].to_numpy(np.int64), nprobe_),
-                    "vec": np.repeat(pdf["vec"].to_numpy(), nprobe_),
-                }
+            rep = np.repeat(np.arange(n, dtype=np.int64), nprobe_)
+            yield pa.record_batch(
+                [
+                    pa.array(cells.ravel().astype(np.int32), pa.int32()),
+                    b.column(0).take(rep),
+                    b.column(1).take(rep),
+                ],
+                names=["cell", "id", "vec"],
             )
 
-    assigned = vecs.mapInPandas(
+    assigned = vecs.mapInArrow(
         assign_cells, schema="cell int, id bigint, vec array<float>"
     )
 
     k_ = k
     largest = metric in SIMILARITY_METRICS
 
-    def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"src": [], "dst": [], "dist": []}
-            ).astype({"src": np.int64, "dst": np.int64, "dist": np.float64})
-        ids = pdf["id"].to_numpy(np.int64)
-        X = as_matrix(pdf["vec"], dtype=np_dt)
+    def local_knn(tbl):
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows < 2:
+            return empty
+        ids = arrow_i64(tbl.column("id"))
+        X = arrow_list_matrix(tbl.column("vec"), dtype=np_dt)
         m = len(ids)
         kk = min(k_, m - 1)
         # fused GEMM + tie-safe selection through the per-worker
@@ -348,7 +366,7 @@ def knn_graph_bucketed(
         acc.push_block(X, ids, qids=ids, exclude_same_id=True)
         qidx, nid, nd = acc.emit()
         fin = np.isfinite(nd)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "src": ids[qidx[fin]],
                 "dst": nid[fin],
@@ -356,7 +374,7 @@ def knn_graph_bucketed(
             }
         )
 
-    cands = assigned.groupBy("cell").applyInPandas(
+    cands = assigned.groupBy("cell").applyInArrow(
         local_knn, schema="src bigint, dst bigint, dist double"
     )
     sort = [

@@ -506,17 +506,29 @@ class NSGIndex:
         spark = src.sparkSession
         bc_books = spark.sparkContext.broadcast((pq_books, sq_model))
 
-        def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            X = as_matrix(pdf["vec"])
-            ids = pdf["id"].to_numpy(np.int64)
+        def build_shard(key, tbl):
+            # Arrow-native build (guide §4.1-4.2): the vec column reshapes
+            # zero-copy into the build matrix, the adjacency goes back out
+            # as ONE ListArray built from (offsets, flat values) — no
+            # np.split into 8000 per-row objects, no pandas re-stacking.
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
+            X = arrow_list_matrix(tbl.column("vec"))
+            ids = arrow_i64(tbl.column("id"))
             adj, ep = _build_shard_graph(X, R_, knn_k_)
             # local index -> global id, vectorized (pads are trailing)
             mask = adj >= 0
             flat = ids[adj[mask]]
-            neigh = np.split(flat, np.cumsum(mask.sum(1))[:-1])
+            offsets = np.zeros(len(ids) + 1, np.int32)
+            np.cumsum(mask.sum(1), out=offsets[1:])
+            neigh = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+            )
             out = {
-                "shard": pdf["shard"],
-                "id": ids,
+                "shard": tbl.column("shard"),
+                "id": tbl.column("id"),
                 "neighbors": neigh,
                 "is_ep": np.arange(len(ids)) == ep,
             }
@@ -524,21 +536,34 @@ class NSGIndex:
             if books is not None:
                 from faiss_spark.operators.codecs import ProductQuantizerModel
 
-                out["code"] = list(
-                    map(bytes, ProductQuantizerModel(codebooks=books).encode_np(X))
+                codes = ProductQuantizerModel(codebooks=books).encode_np(X)
+                codes = np.ascontiguousarray(codes, np.uint8)
+                w = codes.shape[1] if codes.ndim == 2 else 0
+                coffs = np.arange(len(ids) + 1, dtype=np.int32) * w
+                out["code"] = pa.Array.from_buffers(
+                    pa.binary(), len(ids),
+                    [None, pa.py_buffer(coffs.tobytes()),
+                     pa.py_buffer(codes.tobytes())],
                 )
             elif sqm is not None:
-                out["code"] = list(map(bytes, sqm.encode_np(X)))
+                codes = np.ascontiguousarray(sqm.encode_np(X), np.uint8)
+                w = codes.shape[1] if codes.ndim == 2 else 0
+                coffs = np.arange(len(ids) + 1, dtype=np.int32) * w
+                out["code"] = pa.Array.from_buffers(
+                    pa.binary(), len(ids),
+                    [None, pa.py_buffer(coffs.tobytes()),
+                     pa.py_buffer(codes.tobytes())],
+                )
             else:
-                out["vec"] = pdf["vec"]
-            return pd.DataFrame(out)
+                out["vec"] = tbl.column("vec")
+            return pa.table(out)
 
         payload = (
             "code binary"
             if (pq_books is not None or sq_model is not None)
             else "vec array<float>"
         )
-        table = src.repartition(nshards, "shard").groupBy("shard").applyInPandas(
+        table = src.repartition(nshards, "shard").groupBy("shard").applyInArrow(
             build_shard,
             schema=f"shard int, id bigint, neighbors array<bigint>, "
             f"is_ep boolean, {payload}",
@@ -743,44 +768,64 @@ class NSGIndex:
         )
         k_, L_ = k, search_L
 
-        def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def scan(key, tbl):
+            # Arrow-native shard scan (guide §4.1-4.2): the vec/code and
+            # neighbors columns are consumed straight from the Arrow
+            # buffers (flatten + offsets), and the emit is one pa.Table
+            # from flat numpy arrays — no per-row pandas objects on
+            # either side of the boundary.
+            import pyarrow as pa
+
+            from faiss_spark.kernels import (
+                arrow_binary_matrix,
+                arrow_i64,
+                arrow_list_matrix,
+            )
+
             qids_all, Q_all, s2q, books, sqm = bc.value
-            shard = int(key[0])
+            shard = int(key[0].as_py())
+            empty = pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
             if s2q is not None:
                 qsel = s2q.get(shard)
                 if qsel is None or len(qsel) == 0:
-                    return pd.DataFrame(
-                        {"qid": [], "id": [], "dist": []}
-                    ).astype({"qid": "int64", "id": "int64", "dist": "float64"})
+                    return empty
                 qids_, Q_ = qids_all[qsel], Q_all[qsel]
             else:
                 qids_, Q_ = qids_all, Q_all
-            ids = pdf["id"].to_numpy(np.int64)
+            ids = arrow_i64(tbl.column("id"))
             if books is not None:
                 from faiss_spark.operators.codecs import ProductQuantizerModel
 
-                codes = np.frombuffer(
-                    b"".join(pdf["code"]), np.uint8
-                ).reshape(len(pdf), -1)
+                codes = arrow_binary_matrix(tbl.column("code"))
                 X = ProductQuantizerModel(codebooks=books).decode_np(codes)
             elif sqm is not None:
-                codes = np.frombuffer(
-                    b"".join(pdf["code"]), np.uint8
-                ).reshape(len(pdf), -1)
+                codes = arrow_binary_matrix(tbl.column("code"))
                 X = sqm.decode_np(codes)
             else:
-                X = as_matrix(pdf["vec"])
+                X = arrow_list_matrix(tbl.column("vec"))
             n = len(ids)
             # global id -> local index via sorted search (replacing the
             # per-row dict loop); ids absent from the shard are dropped,
             # like the dict path did
-            nb_col = pdf["neighbors"].to_numpy()
-            lens = np.fromiter((len(nb) for nb in nb_col), np.int64, n)
+            nb = tbl.column("neighbors")
+            if isinstance(nb, pa.ChunkedArray):
+                nb = nb.combine_chunks()
+            offs = np.frombuffer(
+                nb.buffers()[1], np.int64 if pa.types.is_large_list(nb.type)
+                else np.int32
+            )[nb.offset : nb.offset + n + 1]
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
             width = max(int(lens.max()) if n else 1, 1)
             adj = np.full((n, width), -1, np.int64)
             if lens.sum():
-                flat = np.concatenate(
-                    [np.asarray(nb, np.int64) for nb in nb_col]
+                flat = np.asarray(
+                    nb.flatten().to_numpy(zero_copy_only=False), np.int64
                 )
                 order = np.argsort(ids, kind="stable")
                 sids = ids[order]
@@ -793,12 +838,16 @@ class NSGIndex:
                 base = np.concatenate([[0], np.cumsum(cnt_v)[:-1]])
                 cols = np.arange(len(loc)) - np.repeat(base, cnt_v)
                 adj[rows, cols] = loc
-            eps = np.where(pdf["is_ep"].to_numpy(bool))[0]
+            eps = np.flatnonzero(
+                np.asarray(
+                    tbl.column("is_ep").to_numpy(zero_copy_only=False), bool
+                )
+            )
             ep = int(eps[0]) if len(eps) else 0
             nid, nd = _beam_search_all(X, adj, ep, Q_, k_, L_)
-            # flat emit: one frame per shard, not one per query
+            # flat emit: one table per shard, not one per query
             mask = nid >= 0
-            return pd.DataFrame(
+            return pa.table(
                 {
                     "qid": np.repeat(qids_, mask.sum(1)),
                     "id": ids[nid[mask]],
@@ -806,7 +855,7 @@ class NSGIndex:
                 }
             )
 
-        cands = src.groupBy("shard").applyInPandas(
+        cands = src.groupBy("shard").applyInArrow(
             scan, schema="qid bigint, id bigint, dist double"
         )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
