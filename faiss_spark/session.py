@@ -49,6 +49,15 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         # least one split per core (no shuffle involved)
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # openCostInBytes models file-open cost when packing small files
+        # into splits; the 4 MB default (sized for object stores) charges
+        # a ~200 KB invlist file 4.2 MB, so a 1024-list partitioned codes
+        # table packs to 256 tasks of ~4 files — measured 2.1× slower to
+        # scan than the 32-task packing a fast-local-disk-honest 256 KB
+        # gives (0.66 vs 1.38 s full-table count). Affects only how MANY
+        # small files share a task; large-file splitting is governed by
+        # maxPartitionBytes/minPartitionNum as before.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # runtime bloom filters ≈ faiss IDSelectorBatch's bloom front
