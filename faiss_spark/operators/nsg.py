@@ -467,6 +467,12 @@ class NSGIndex:
                 "id", "vec", F.col("cluster").cast("int").alias("cell")
             )
             if max_shard_rows is not None:
+                # the cell-count collect and the shard build both consume
+                # the assignment; without a checkpoint the count job and
+                # the build job each recompute the full assign GEMM pass
+                # over the corpus (lineage re-execution) — materialize it
+                # once (guide §5 caching: reused AND expensive)
+                assigned = assigned.localCheckpoint(eager=True)
                 counts = {
                     r["cell"]: r["count"]
                     for r in assigned.groupBy("cell").count().collect()
