@@ -110,10 +110,25 @@ _NS_TS_COLUMNS = {
 }
 
 
+#: per-(application, sf_dir) memo of the LAZY table DataFrames. This
+#: caches plan/schema METADATA only — spark.read.parquet re-reads every
+#: footer of all 10 tables and re-registers 10 temp views, ~0.6 s of
+#: driver-side work that 11 query builders repeated on every call (twice
+#: per knn_tabular). Every action still scans the parquet files; no
+#: result or intermediate is ever cached (the no-precomputation rule),
+#: exactly like Spark's own per-session file-listing cache (guide §6).
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver-generated parquet tables and register temp views."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
 
     dfs = {}
     for name in TABLES:
@@ -128,4 +143,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 )
         df.createOrReplaceTempView(name)
         dfs[name] = df
-    return dfs
+    _TABLE_CACHE[key] = dfs
+    return dict(dfs)
