@@ -50,14 +50,16 @@ def _nanos_ok(spark: SparkSession) -> None:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    # through the memoized load_tables: a per-call spark.read.parquet
+    # re-reads the footer every time, and the knn-class queries build
+    # this table twice (vecs + queries side)
+    return load_tables(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_tables(spark, sf_dir)["documents"]
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,7 +1018,7 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_pairs,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_tables(spark, sf_dir)["embeddings"]
     got = embedding_neardup_bucketed(
         emb, threshold=COS_NEARDUP, n_buckets=8, nprobe=2
     ).select("id_a", "id_b")
@@ -1082,7 +1084,7 @@ def _dedup_bucketed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from faiss_spark.operators.dedup import embedding_neardup_bucketed
 
     return embedding_neardup_bucketed(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        load_tables(spark, sf_dir)["embeddings"],
         threshold=COS_NEARDUP,
         n_buckets=8,
         nprobe=2,
@@ -1120,7 +1122,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(
         D.embedding_neardup_pairs(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            load_tables(spark, sf_dir)["embeddings"],
             threshold=COS_NEARDUP,
         ),
         ("cosine",),
@@ -2053,7 +2055,7 @@ def q_knn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D k-NN over part.p_retailprice (IndexFlat1D)."""
     from faiss_spark.operators.refine import knn_1d
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = load_tables(spark, sf_dir)["part"]
     vals = part.select(F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("x"))
     qs = vals.filter("id <= 10").select(F.col("id").alias("qid"), F.col("x").alias("qx"))
     return knn_1d(vals, qs, 5).withColumn("dist", F.round("dist", ROUND))
