@@ -418,6 +418,18 @@ class NSGIndex:
     # storage="sq": scalar-quantized codes (the IndexNSGSQ composition,
     # reference faiss/IndexNSG.h:90 / index_factory parse_IndexNSG SQ<b>)
     sq_model: "object | None" = None  # codecs.ScalarQuantizerModel
+    # True while every shard's rows are known to live in ONE partition of
+    # ``table`` (build's repartition(nshards, "shard") guarantees it, and
+    # group maps / localCheckpoint preserve partition boundaries): search
+    # then scans partition-wise with mapInArrow, grouping by shard
+    # locally — no per-search exchange or sort of the corpus (guide §2.4:
+    # the rows are already placed; only Catalyst's declared partitioning
+    # was erased by the Python build stage, and a re-declaring
+    # repartition would shuffle the table again for nothing). False for
+    # loaded indexes: a parquet scan may split one shard's rows across
+    # tasks (file packing / maxPartitionBytes), so they keep the
+    # groupBy("shard") route and its Exchange.
+    shard_collocated: bool = False
 
     @staticmethod
     def build(
@@ -582,6 +594,7 @@ class NSGIndex:
             cell_subs=cell_subs,
             pq_codebooks=pq_books,
             sq_model=sq_model,
+            shard_collocated=True,
         )
 
     def save(self, path: str) -> "NSGIndex":
@@ -592,6 +605,9 @@ class NSGIndex:
             "shard"
         ).parquet(path)
         self.table = spark.read.parquet(path)
+        # file-backed now: a scan split may cut a shard's rows across
+        # tasks, so searches must go through the groupBy exchange
+        self.shard_collocated = False
         fsio.write_json(
             spark,
             _os.path.join(path, "_nsg_meta.json"),
@@ -774,7 +790,7 @@ class NSGIndex:
         )
         k_, L_ = k, search_L
 
-        def scan(key, tbl):
+        def scan_one(shard, tbl):
             # Arrow-native shard scan (guide §4.1-4.2): the vec/code and
             # neighbors columns are consumed straight from the Arrow
             # buffers (flatten + offsets), and the emit is one pa.Table
@@ -789,7 +805,6 @@ class NSGIndex:
             )
 
             qids_all, Q_all, s2q, books, sqm = bc.value
-            shard = int(key[0].as_py())
             empty = pa.table(
                 {
                     "qid": pa.array([], pa.int64()),
@@ -861,9 +876,40 @@ class NSGIndex:
                 }
             )
 
-        cands = src.groupBy("shard").applyInArrow(
-            scan, schema="qid bigint, id bigint, dist double"
-        )
+        if self.shard_collocated:
+            # every shard's rows already sit in one partition (build's
+            # own exchange placed them; the Python stage only erased the
+            # DECLARED partitioning) — scan partition-wise and group by
+            # shard locally instead of paying a per-search Exchange+Sort
+            # of the whole corpus table for a layout it already has
+            def scan_parts(batches):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                bl = [b for b in batches if b.num_rows]
+                if not bl:
+                    return
+                tbl = pa.Table.from_batches(bl)
+                shards_np = np.asarray(
+                    tbl.column("shard").to_numpy(zero_copy_only=False)
+                )
+                for s in np.unique(shards_np):
+                    out = scan_one(
+                        int(s), tbl.filter(pc.equal(tbl.column("shard"), s))
+                    )
+                    if out.num_rows:
+                        yield from out.to_batches()
+
+            cands = src.mapInArrow(
+                scan_parts, schema="qid bigint, id bigint, dist double"
+            )
+        else:
+            def scan(key, tbl):
+                return scan_one(int(key[0].as_py()), tbl)
+
+            cands = src.groupBy("shard").applyInArrow(
+                scan, schema="qid bigint, id bigint, dist double"
+            )
         w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
         return (
             cands.withColumn("rank", F.row_number().over(w))

@@ -331,3 +331,50 @@ def test_nsg_sq_recall_close_to_flat(vectors):
         for r in idx.search(queries, k=10, search_L=64).collect()
     }
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_nsg_collocated_scan_matches_groupby_and_skips_exchange(
+    vectors, spark,
+):
+    """r13: build-fresh indexes are shard-collocated (every shard's rows
+    sit in one partition of the build output), so search scans
+    partition-wise with mapInArrow instead of paying a per-search
+    groupBy Exchange+Sort over the corpus. Pins (a) exact result
+    equality between the two routes, (b) the plan shape: the collocated
+    route has exactly one fewer shard exchange, and none at all once the
+    table is materialized, (c) save() drops the flag (a parquet scan may
+    split a shard across tasks)."""
+    import dataclasses
+
+    def shard_exchanges(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        return plan.count("Exchange hashpartitioning(shard")
+
+    idx = NSGIndex.build(
+        vectors, R=8, knn_k=16, nshards=4, sharding="cells",
+        max_shard_rows=400,
+    )
+    assert idx.shard_collocated
+    idx.table = idx.table.localCheckpoint(eager=True)
+    queries = vectors.filter("id < 40").select(F.col("id").alias("qid"), "vec")
+    new = idx.search(queries, 5, search_L=24, nprobe=2)
+    old_idx = dataclasses.replace(idx, shard_collocated=False)
+    old = old_idx.search(queries, 5, search_L=24, nprobe=2)
+    assert shard_exchanges(new) == 0
+    assert shard_exchanges(old) == 1
+    a = sorted(map(tuple, new.collect()))
+    b = sorted(map(tuple, old.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_nsg_save_clears_collocated_flag(vectors, spark, tmp_path):
+    idx = NSGIndex.build(vectors, R=8, knn_k=16, nshards=2)
+    assert idx.shard_collocated
+    idx.save(str(tmp_path / "nsg_colloc"))
+    assert not idx.shard_collocated
+    loaded = NSGIndex.load(spark, str(tmp_path / "nsg_colloc"))
+    assert not loaded.shard_collocated
