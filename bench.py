@@ -144,6 +144,78 @@ def _sentinel_probe(spark) -> dict:
     }
 
 
+_CONC_CHILD = r"""
+import os, sys, time
+import numpy as np
+rng = np.random.default_rng(0)
+A = rng.standard_normal((2000, 256))
+B = rng.standard_normal((256, 2000))
+out = np.empty((2000, 2000))
+np.dot(A, B, out=out)  # warm BLAS + fault the buffers
+deadline = float(sys.argv[1]); iters = int(sys.argv[2])
+while time.time() < deadline:
+    time.sleep(0.005)
+t0 = time.perf_counter()
+for _ in range(iters):
+    np.dot(A, B, out=out)
+print(time.perf_counter() - t0)
+"""
+
+
+def _concurrency_probe(cpus: int, iters: int = 20) -> dict:
+    """N-way concurrency probe (VERDICT r13 #5): the single-stream
+    sentinel probes are structurally blind to the §14 machine epoch —
+    a day when AGGREGATE bandwidth collapses (32 independent
+    single-thread GEMM processes each ran 13.6x slower than solo) reads
+    `contended: false` while every parallel scan runs 1.5-3x slow. This
+    probe runs K fresh single-BLAS-thread python children doing the
+    SAME fixed GEMM loop, synchronized to a common start, each timing
+    only its loop; `slowdown` = median K-way child time / solo child
+    time. Healthy on this VM: ~1.3-2 (the ~2.5x aggregate-bandwidth
+    ceiling the kernel bench documents); a §14-class epoch reads >> 3
+    and sets `parallel_collapsed`, making the artifact self-adjudicating
+    even when the solo probes sit at floor."""
+    import subprocess
+
+    k = max(2, min(int(cpus), 32))
+    env = {
+        **os.environ,
+        "OPENBLAS_NUM_THREADS": "1",
+        "OMP_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+    }
+
+    def draw(n: int, slack: float) -> list[float]:
+        deadline = time.time() + slack
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _CONC_CHILD, str(deadline), str(iters)],
+                stdout=subprocess.PIPE, text=True, env=env,
+            )
+            for _ in range(n)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(float(out.strip()))
+        return outs
+
+    try:
+        solo = draw(1, 1.5)[0]
+        kway = sorted(draw(k, 4.0))
+        med = kway[len(kway) // 2]
+        return {
+            "k": k,
+            "solo_sec": round(solo, 3),
+            "kway_median_sec": round(med, 3),
+            "kway_max_sec": round(max(kway), 3),
+            "slowdown": round(med / solo, 2),
+            "parallel_collapsed": bool(med / solo > 3.0),
+        }
+    except Exception as e:  # never let the probe kill the bench
+        return {"error": repr(e)[:200]}
+
+
 CAL_WINDOW = 6  # floor = per-probe min over the last N runs' best draws
 
 
@@ -293,6 +365,11 @@ def main() -> None:
     sentinel = _sentinel_summary(
         sent_start, sent_end, headline_total=total, sf=sf
     )
+    # N-way concurrency probe, once per run (cheap, ~10 s): detects the
+    # aggregate-bandwidth epoch the per-stream probes cannot (r13 §14)
+    sentinel["concurrency"] = _concurrency_probe(cpus)
+    if sentinel["concurrency"].get("parallel_collapsed"):
+        sentinel["contended"] = True
     print(
         json.dumps(
             {

@@ -111,14 +111,24 @@ def binarize_rotated(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((A, thresholds))
 
-    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def do(batches):
+        # Arrow-native (guide §4.1-4.2, r14): the vec list column's
+        # values buffer reshapes straight into the GEMM input and the
+        # packed words emit as one ListArray — no per-row pandas objects
+        # on either side of the boundary. Same arithmetic as the pandas
+        # form, bit-identical codes.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
         A_, thr = bc.value
         nbits = A_.shape[0]
         nwords = (nbits + WORD_BITS - 1) // WORD_BITS
-        for pdf in batches:
-            if len(pdf) == 0:
+        weights = (1 << np.arange(WORD_BITS, dtype=np.int64))
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            X = np.stack(pdf["vec"]).astype(np.float64)
+            X = arrow_list_matrix(b.column(1), np.float64)
             P = X @ A_.T
             if thr is not None:
                 P -= thr
@@ -126,21 +136,25 @@ def binarize_rotated(
             pad = nwords * WORD_BITS - nbits
             if pad:
                 B = np.concatenate([B, np.zeros((len(B), pad), bool)], axis=1)
-            weights = (1 << np.arange(WORD_BITS, dtype=np.int64))
             words = (
                 B.reshape(len(B), nwords, WORD_BITS).astype(np.int64) * weights
             ).sum(2)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(np.int64),
-                    "code": list(words),
-                }
+            offs = np.arange(len(words) + 1, dtype=np.int32) * nwords
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrow_i64(b.column(0)), pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(words.ravel(), pa.int64()),
+                    ),
+                ],
+                ["id", "code"],
             )
 
     src = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    return src.mapInPandas(do, schema="id bigint, code array<bigint>")
+    return src.mapInArrow(do, schema="id bigint, code array<bigint>")
 
 
 def _binary_knn(
@@ -340,12 +354,20 @@ class BinaryIVFIndex:
         spark = codes.sparkSession
         bc = spark.sparkContext.broadcast(self.centroid_words)
 
-        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(batches):
+            # Arrow-native (r14): word matrix straight from the list
+            # column's values buffer; the code column passes through
+            # zero-copy. Same popcount/argmin arithmetic as before.
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
             C = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                words = np.stack([np.asarray(w, np.int64) for w in pdf[code_col]])
+                code_arr = b.column(1)
+                words = arrow_list_matrix(code_arr, np.int64)
                 xor = words[:, None, :] ^ C[None, :, :]
                 pc = np.zeros(xor.shape[:2], np.int64)
                 v = xor.copy()
@@ -353,18 +375,19 @@ class BinaryIVFIndex:
                     pc += (v & 1).sum(2)
                     v >>= 1
                 lists = pc.argmin(1)
-                yield pd.DataFrame(
-                    {
-                        "list_no": lists.astype(np.int32),
-                        "id": pdf[id_col if id_col in pdf else "id"].to_numpy(np.int64),
-                        "code": list(words),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lists.astype(np.int32), pa.int32()),
+                        pa.array(arrow_i64(b.column(0)), pa.int64()),
+                        code_arr,
+                    ],
+                    ["list_no", "id", "code"],
                 )
 
         src = codes.select(
             F.col(id_col).cast("bigint").alias("id"), F.col(code_col).alias("code")
         )
-        out = src.mapInPandas(
+        out = src.mapInArrow(
             enc, schema="list_no int, id bigint, code array<bigint>"
         )
         if path is not None:
@@ -604,12 +627,19 @@ def _binary_probe_frame(
     )
     bc = spark.sparkContext.broadcast((index.centroid_words, routing))
 
-    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_probes(batches):
+        # Arrow-native (r14): the word matrix comes straight off the
+        # list column's values buffer and the nprobe-way row replication
+        # is an Arrow `take` — no per-row pandas objects.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64, arrow_list_matrix
+
         cw, routing_ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            qw = np.stack([np.asarray(w, np.int64) for w in pdf["qcode"]])
+            qw = arrow_list_matrix(b.column(1), np.int64)
             if routing_ is None:
                 pc = _hamming_words(qw, cw)
                 order = np.argsort(pc, axis=1, kind="stable")[:, :nprobe_]
@@ -619,19 +649,20 @@ def _binary_probe_frame(
                     cbits, cgraph, cep, len(cw), nbits, qw, nprobe_
                 )
             rep = np.repeat(np.arange(len(qw)), nprobe_)
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(np.int64)[rep],
-                    "qcode": pdf["qcode"].to_numpy()[rep],
-                    "list_no": order.astype(np.int32).ravel(),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrow_i64(b.column(0))[rep], pa.int64()),
+                    b.column(1).take(pa.array(rep, pa.int64())),
+                    pa.array(order.astype(np.int32).ravel(), pa.int32()),
+                ],
+                ["qid", "qcode", "list_no"],
             )
 
     q = qcodes.select(
         F.col(qid_col).cast("bigint").alias("qid"),
         F.col(qcode_col).alias("qcode"),
     )
-    return q.mapInPandas(
+    return q.mapInArrow(
         assign_probes, schema="qid bigint, qcode array<bigint>, list_no int"
     )
 
@@ -1078,13 +1109,17 @@ class LSHIndex:
         bc = spark.sparkContext.broadcast((self.nbits, self.thresholds, self.A))
 
         def dec(batches):
-            import pandas as pd
+            # Arrow-native (r14): same unpack/rotate arithmetic, flat
+            # ListArray emit instead of per-row float32 objects
+            import pyarrow as pa
+
+            from faiss_spark.kernels import arrow_i64, arrow_list_matrix
 
             nbits, thr, A = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                W = np.stack(pdf["code"]).astype(np.int64)  # (n, nwords)
+                W = arrow_list_matrix(b.column(1), np.int64)  # (n, nwords)
                 bits = (W[:, :, None] >> np.arange(64, dtype=np.int64)) & 1
                 X = bits.reshape(len(W), -1)[:, :nbits].astype(np.float64)
                 X = 2.0 * X - 1.0
@@ -1092,13 +1127,19 @@ class LSHIndex:
                     X += thr
                 if A is not None:
                     X = X @ A  # y = A x  =>  x = Aᵀ y (row form: Y @ A)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "vec": list(X.astype(np.float32)),
-                    }
+                Xf = np.ascontiguousarray(X, np.float32)
+                offs = np.arange(len(Xf) + 1, dtype=np.int32) * Xf.shape[1]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(arrow_i64(b.column(0)), pa.int64()),
+                        pa.ListArray.from_arrays(
+                            pa.array(offs, pa.int32()),
+                            pa.array(Xf.ravel(), pa.float32()),
+                        ),
+                    ],
+                    ["id", "vec"],
                 )
 
-        return self.codes.select("id", "code").mapInPandas(
+        return self.codes.select("id", "code").mapInArrow(
             dec, schema="id bigint, vec array<float>"
         )

@@ -310,10 +310,11 @@ class IVFIndex:
         artifact; the default in-memory catalog is session-scoped, so a
         fresh session recreates the table DDL over the same location."""
         name = bm["table"]
+        key = bm.get("key", "list_no")  # NSG buckets by shard
         if not spark.catalog.tableExists(name):
             spark.sql(
                 f"CREATE TABLE {name} ({bm['ddl']}) USING PARQUET "
-                f"CLUSTERED BY (list_no) INTO {bm['nbuckets']} BUCKETS "
+                f"CLUSTERED BY ({key}) INTO {bm['nbuckets']} BUCKETS "
                 f"LOCATION '{path}'"
             )
         return spark.table(name)

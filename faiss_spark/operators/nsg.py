@@ -426,9 +426,21 @@ class NSGIndex:
     # the rows are already placed; only Catalyst's declared partitioning
     # was erased by the Python build stage, and a re-declaring
     # repartition would shuffle the table again for nothing). False for
-    # loaded indexes: a parquet scan may split one shard's rows across
-    # tasks (file packing / maxPartitionBytes), so they keep the
-    # groupBy("shard") route and its Exchange.
+    # plain-save() indexes: a parquet scan may split one shard's rows
+    # across tasks (file packing / maxPartitionBytes), so they keep the
+    # groupBy("shard") route and its Exchange; save_bucketed() indexes
+    # keep the flag because a bucketed scan provably yields one task per
+    # bucket. INVARIANT (ADVICE r13): while the flag is set, ``table``
+    # must not be reassigned to a re-partitioned derivation (a manual
+    # repartition(n), a union, a raw parquet round-trip that skips
+    # save()) — the partition-wise scan would then group PARTIAL shards
+    # locally and beam-search incomplete graphs with no error.
+    # localCheckpoint()/filter() preserve partition boundaries and are
+    # safe. Also note: on the build-fresh (in-memory) collocated path a
+    # routed search's isin(probed) filter prunes rows, not partitions —
+    # every partition is still deserialized once; bucketed file-backed
+    # indexes DO bucket-prune, so very low-nprobe serving prefers
+    # save_bucketed.
     shard_collocated: bool = False
 
     @staticmethod
@@ -598,8 +610,6 @@ class NSGIndex:
         )
 
     def save(self, path: str) -> "NSGIndex":
-        import os as _os
-
         spark = self.table.sparkSession
         self.table.repartition("shard").write.mode("overwrite").partitionBy(
             "shard"
@@ -607,7 +617,62 @@ class NSGIndex:
         self.table = spark.read.parquet(path)
         # file-backed now: a scan split may cut a shard's rows across
         # tasks, so searches must go through the groupBy exchange
+        # (save_bucketed keeps the collocated scan instead)
         self.shard_collocated = False
+        self._write_artifacts(spark, path)
+        return self
+
+    def save_bucketed(self, path: str, nbuckets: int | None = None) -> "NSGIndex":
+        """Persist the shard table CLUSTERED BY (shard) — the IVF
+        save_bucketed pattern (VERDICT r13 #4): a bucketed scan yields
+        exactly one task per bucket (autoBucketedScan is disabled in
+        get_spark — a regular file scan may split a bucket file across
+        tasks), so a LOADED index keeps ``shard_collocated`` and serves
+        searches partition-wise with zero corpus Exchange+Sort — the
+        100 TB serving shape. Routed searches' ``isin(probed)`` filter
+        additionally bucket-prunes the scan when nbuckets == nshards
+        (the default): low-nprobe serving reads only the probed shards'
+        files."""
+        import hashlib as _hashlib
+        import os as _os
+
+        spark = self.table.sparkSession
+        if nbuckets is None:
+            nbuckets = int(self.nshards)
+        name = "nsg_shards_" + _hashlib.md5(path.encode()).hexdigest()[:12]
+        sel = self.table
+        ddl = sel._jdf.schema().toDDL()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # pre-shuffle to the bucket hash: one file per bucket instead
+            # of (tasks x buckets) small files
+            sel.repartition(nbuckets, "shard")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(nbuckets, "shard")
+            .saveAsTable(name)
+        )
+        fsio.write_json(
+            spark,
+            _os.path.join(path, "_bucket_meta.json"),
+            {
+                "nbuckets": int(nbuckets),
+                "table": name,
+                "ddl": ddl,
+                "key": "shard",
+            },
+        )
+        self.table = spark.table(name)
+        # the bucketed scan provably yields one partition per bucket and
+        # never splits a bucket, so every shard's rows stay in one task
+        self.shard_collocated = True
+        self._write_artifacts(spark, path)
+        return self
+
+    def _write_artifacts(self, spark, path: str) -> None:
+        import os as _os
+
         fsio.write_json(
             spark,
             _os.path.join(path, "_nsg_meta.json"),
@@ -664,13 +729,25 @@ class NSGIndex:
             spark.createDataFrame(spdf).write.mode("overwrite").parquet(
                 path + "_sq"
             )
-        return self
 
     @staticmethod
     def load(spark: SparkSession, path: str, R: int = 16) -> "NSGIndex":
         import os as _os
 
-        t = spark.read.parquet(path)
+        from faiss_spark.operators.ivf import IVFIndex
+
+        bucket_meta = _os.path.join(path, "_bucket_meta.json")
+        collocated = False
+        if fsio.exists(spark, bucket_meta):
+            # bucketed layout (save_bucketed): the scan itself yields one
+            # task per bucket, so the loaded index keeps the partition-
+            # wise collocated search path — zero corpus exchange
+            t = IVFIndex._bucketed_table(
+                spark, path, fsio.read_json(spark, bucket_meta)
+            )
+            collocated = True
+        else:
+            t = spark.read.parquet(path)
         meta_p = _os.path.join(path, "_nsg_meta.json")
         if fsio.exists(spark, meta_p):
             meta = fsio.read_json(spark, meta_p)
@@ -727,6 +804,7 @@ class NSGIndex:
         return NSGIndex(
             table=t, nshards=nshards, R=R, centroids=centroids,
             cell_subs=cell_subs, pq_codebooks=pq_books, sq_model=sq_model,
+            shard_collocated=collocated,
         )
 
     def search(

@@ -225,16 +225,12 @@ class OPQMatrix:
         self.ksub = ksub
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> LinearTransformModel:
-        from faiss_spark.operators.codecs import _kmeans_np
+        # _sampled_matrix collects the seeded train sample via Arrow
+        # (guide §6 "Arrow for driver transfers") — same sampling logic,
+        # bit-identical matrix, no per-row pandas objects
+        from faiss_spark.operators.codecs import _kmeans_np, _sampled_matrix
 
-        n = df.count()
-        sample = df.select(vec_col)
-        if n > self.max_train_points:
-            frac = min(1.0, 1.2 * self.max_train_points / n)
-            sample = sample.sample(fraction=frac, seed=self.seed).limit(
-                self.max_train_points
-            )
-        X = as_matrix(sample.toPandas()[vec_col])
+        X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
         d = X.shape[1]
         if d % self.M:
             raise ValueError(f"d={d} not divisible by M={self.M}")
@@ -269,14 +265,9 @@ class ITQTransform:
         self.max_train_points = max_train_points
 
     def fit(self, df: DataFrame, vec_col: str = "vec") -> LinearTransformModel:
-        n = df.count()
-        sample = df.select(vec_col)
-        if n > self.max_train_points:
-            frac = min(1.0, 1.2 * self.max_train_points / n)
-            sample = sample.sample(fraction=frac, seed=self.seed).limit(
-                self.max_train_points
-            )
-        X = as_matrix(sample.toPandas()[vec_col])
+        from faiss_spark.operators.codecs import _sampled_matrix
+
+        X = _sampled_matrix(df, vec_col, self.max_train_points, self.seed)
         X = X - X.mean(0)
         R = random_rotation_matrix(X.shape[1], self.seed)
         for _ in range(self.niter):

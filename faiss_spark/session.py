@@ -63,6 +63,19 @@ def get_spark(app_name: str = "faiss_spark", cpus: int | None = None) -> SparkSe
         # runtime bloom filters ≈ faiss IDSelectorBatch's bloom front
         # (reference faiss/impl/IDSelector.h:80-98)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # bucketed tables must SCAN bucketed even when no join/aggregate
+        # in the plan demands the distribution: the NSG bucketed save
+        # serves searches through mapInArrow (an opaque map, no required
+        # distribution), and with autoBucketedScan the planner silently
+        # reverts to a regular file scan that SPLITS a >maxPartitionBytes
+        # bucket file across tasks — measured: 4x49 MB buckets scanned as
+        # 13 partitions with 3 shards split, which would hand the
+        # partition-wise shard scan an incomplete graph. Our bucketed
+        # tables (IVF codes, NSG shards) are bucket-count-sized to the
+        # core count, so one-task-per-bucket is also the right
+        # parallelism; the relational/join paths that DO declare the
+        # distribution are unaffected.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         # robustness: if a table ever ships TIMESTAMP(NANOS) (Spark has no
         # nanos type), read as long; load_tables converts. The current
         # driver tables store timestamp[us] (read as TIMESTAMP_NTZ), so

@@ -378,3 +378,45 @@ def test_nsg_save_clears_collocated_flag(vectors, spark, tmp_path):
     assert not idx.shard_collocated
     loaded = NSGIndex.load(spark, str(tmp_path / "nsg_colloc"))
     assert not loaded.shard_collocated
+
+
+def test_nsg_save_bucketed_keeps_collocated_scan(vectors, spark, tmp_path):
+    """r14 (VERDICT r13 #4): save_bucketed persists CLUSTERED BY (shard),
+    so a LOADED index keeps the partition-wise collocated scan — zero
+    corpus shard-exchange per search — and the scan is provably bucketed
+    (one task per bucket; autoBucketedScan is off in get_spark). Pins
+    (a) result equality across build-fresh / saved / loaded / groupBy
+    routes, (b) the flag surviving save_bucketed + load, (c) the plan:
+    a bucketed FileScan and no shard exchange."""
+    import dataclasses
+
+    idx = NSGIndex.build(
+        vectors, R=8, knn_k=16, nshards=4, sharding="cells",
+        max_shard_rows=400,
+    )
+    queries = vectors.filter("id < 40").select(F.col("id").alias("qid"), "vec")
+    ref = sorted(map(tuple, idx.search(queries, 5, search_L=24, nprobe=2).collect()))
+    path = str(tmp_path / "nsg_bucketed")
+    idx.save_bucketed(path)
+    assert idx.shard_collocated
+    saved = sorted(map(tuple, idx.search(queries, 5, search_L=24, nprobe=2).collect()))
+    loaded = NSGIndex.load(spark, path)
+    assert loaded.shard_collocated
+    got = sorted(map(tuple, loaded.search(queries, 5, search_L=24, nprobe=2).collect()))
+    grouped = dataclasses.replace(loaded, shard_collocated=False)
+    via_groupby = sorted(
+        map(tuple, grouped.search(queries, 5, search_L=24, nprobe=2).collect())
+    )
+    assert saved == ref and got == ref and via_groupby == ref and len(ref) > 0
+    plan = loaded.table._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    search_plan = (
+        loaded.search(queries, 5, search_L=24, nprobe=2)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "Exchange hashpartitioning(shard" not in search_plan
