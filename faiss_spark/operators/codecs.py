@@ -801,6 +801,9 @@ class ProductQuantizer:
 # ========================================================= ResidualQuantizer
 
 
+_BEAM_BLOCK_BYTES = 32 * 1024 * 1024
+
+
 def beam_search_np(
     X: np.ndarray, codebooks: np.ndarray, beam: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -808,28 +811,55 @@ def beam_search_np(
     faiss/impl/ResidualQuantizer.cpp beam_search_encode_step): keep the
     `beam` best prefix expansions per vector per level. Returns
     (codes (n, B, M) uint8 sorted best-first, errs (n, B) = squared L2
-    distance from X to each kept reconstruction)."""
+    distance from X to each kept reconstruction).
+
+    r14: processed in ROW BLOCKS through a persistent per-worker
+    workspace. Rows are independent, so blocking is bit-identical — but
+    the previous single-shot form allocated a FRESH (n, b, ksub, d)
+    candidate tensor per level (0.26 GB at 500x64 RQx8), and on this
+    lazily-backed VM first-touch page faults cost 10-100x the
+    arithmetic: measured 72 s cold / ~2.5 s-per-level warm for a 500-row
+    encode, i.e. the AQ/RQ encode path was fault-bound, not
+    compute-bound (it was the hidden 100+ s behind every first action
+    on a fresh AQ codes table). The workspace (_wsbuf) faults once per
+    worker lifetime; kept residuals are recomputed directly from the
+    selection (cand[i,b,k] = resid[i,b] - C[k], the identical float64
+    subtraction) instead of gathered from the candidate tensor."""
     M, ksub, d = codebooks.shape
     n = len(X)
+    block = max(1, _BEAM_BLOCK_BYTES // max(1, beam * ksub * d * 8))
+    if n > block:
+        parts = [
+            beam_search_np(X[i : i + block], codebooks, beam)
+            for i in range(0, n, block)
+        ]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    from faiss_spark.kernels import _wsbuf
+
     resid = X[:, None, :].copy()  # start with beam=1
     codes = np.zeros((n, 1, M), np.uint8)
     errs = np.zeros((n, 1))
+    row = np.arange(n)[:, None]
     for m in range(M):
         C = codebooks[m]  # (ksub, d)
         b = resid.shape[1]
-        # candidate residuals: (n, b, ksub, d)
-        cand = resid[:, :, None, :] - C[None, None, :, :]
-        cerrs = (cand**2).sum(3).reshape(n, b * ksub)
+        # candidate residuals (n, b, ksub, d) in the reused workspace
+        cand = _wsbuf("beam_cand", n * b * ksub * d).reshape(n, b, ksub, d)
+        np.subtract(resid[:, :, None, :], C[None, None, :, :], out=cand)
+        np.square(cand, out=cand)
+        cerrs = cand.sum(3).reshape(n, b * ksub)
         keep = min(beam, b * ksub)
         sel = np.argpartition(cerrs, keep - 1, axis=1)[:, :keep]
         # order selections for determinism
-        row = np.arange(n)[:, None]
         sel = np.take_along_axis(
             sel, np.argsort(cerrs[row, sel], axis=1, kind="stable"), axis=1
         )
         b_idx = sel // ksub
         k_idx = (sel % ksub).astype(np.uint8)
-        resid = cand.reshape(n, b * ksub, d)[row, sel]
+        resid = np.take_along_axis(resid, b_idx[:, :, None], axis=1) - C[k_idx]
         new_codes = np.take_along_axis(codes, b_idx[:, :, None], axis=1).copy()
         new_codes[:, :, m] = k_idx
         codes = new_codes

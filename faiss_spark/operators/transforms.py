@@ -208,6 +208,31 @@ class RandomRotation:
         )
 
 
+def _assign_exact_blocked(sub: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_k ||sub_i - C_k||² with the EXACT broadcast-difference
+    arithmetic (the OPQ assignment is pinned bit-identical by the fit
+    artifacts, so no GEMM re-formulation), evaluated in row blocks
+    through a persistent workspace: the single-shot (n, ksub, dsub)
+    temporary is ~1 GB at the 65536-sample OPQ default, and fresh
+    multi-GB temporaries fault at 10-100x the arithmetic on this VM
+    (same fix as codecs.beam_search_np, r14)."""
+    from faiss_spark.kernels import _wsbuf
+
+    n = len(sub)
+    ksub, dsub = C.shape
+    block = max(1, (32 * 1024 * 1024) // max(1, ksub * dsub * 8))
+    out = np.empty(n, np.int64)
+    for i in range(0, n, block):
+        s = sub[i : i + block]
+        ws = _wsbuf("opq_assign", len(s) * ksub * dsub).reshape(
+            len(s), ksub, dsub
+        )
+        np.subtract(s[:, None, :], C[None, :, :], out=ws)
+        np.square(ws, out=ws)
+        out[i : i + block] = np.argmin(ws.sum(2), axis=1)
+    return out
+
+
 class OPQMatrix:
     """Optimized Product Quantization rotation (reference
     VectorTransform.h:234-251): alternate (1) PQ-train on rotated sample,
@@ -244,9 +269,7 @@ class OPQMatrix:
             for m in range(self.M):
                 sub = XR[:, m * dsub : (m + 1) * dsub]
                 C, _ = _kmeans_np(sub, ksub, niter=4, seed=self.seed + m)
-                lab = np.argmin(
-                    ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2), axis=1
-                )
+                lab = _assign_exact_blocked(sub, C)
                 Y[:, m * dsub : (m + 1) * dsub] = C[lab]
             # procrustes: R = argmin ||X Rᵀ − Y||  →  SVD(Xᵀ Y)
             U, _, Vt = np.linalg.svd(X.T @ Y, full_matrices=False)

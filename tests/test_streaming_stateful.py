@@ -39,7 +39,33 @@ def _run_stream(spark, src_dir, schema, make_query, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow queries normally self-terminate — but a stream with a
+    # pending processing-time TIMEOUT (the TTL mode) stays alive firing
+    # empty "no new data but cleaning up state" batches until the
+    # wall-clock timer (60 min here), so a bare awaitTermination(300)
+    # burns the full 300 s (r14: this one test was 300 of the suite's
+    # ~1900 s). Poll progress instead: once two consecutive batches read
+    # ZERO input rows, the source is drained and everything the test can
+    # observe has been emitted — stop.
+    import time as _time
+
+    deadline = _time.time() + 300
+    zero_batches = 0
+    seen: set = set()
+    while q.isActive and _time.time() < deadline:
+        lp = q.lastProgress
+        if lp and lp["batchId"] not in seen:
+            seen.add(lp["batchId"])
+            if lp["numInputRows"] == 0:
+                zero_batches += 1
+                if zero_batches >= 2:
+                    break
+            else:
+                zero_batches = 0
+        _time.sleep(0.25)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
     return rows
 
 
