@@ -326,31 +326,51 @@ def image_features(
     vectorized per image. Partitioning/pushdown: only (id, payload, width,
     height, channels) are read — column pruning reaches the parquet scan."""
 
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def feats(batches):
+        # Arrow boundary (r14): the binary payload column is consumed
+        # straight from the record batch (decode stays inherently
+        # per-row) and the per-channel stats emit as flat ListArrays —
+        # no pandas framing on either side. Stat arithmetic unchanged.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
+            pay = b.column(1)
+            w = b.column(2).to_numpy(zero_copy_only=False)
+            h = b.column(3).to_numpy(zero_copy_only=False)
+            c = b.column(4).to_numpy(zero_copy_only=False)
+            fmt = b.column(5).to_pylist()
             means, stds, npx = [], [], []
-            # decode is inherently per-row; zip over raw columns (no
-            # pandas Series boxing per cell, unlike iterrows)
-            cols = (pdf["payload"], pdf["width"], pdf["height"],
-                    pdf["channels"], pdf["format"])
-            for payload, w, h, c, fmt in zip(*(col.to_numpy() for col in cols)):
-                img = decode_image(payload, w, h, c, fake, fmt=fmt).astype(np.float64)
-                means.append(img.mean(axis=(0, 1)).tolist())
-                stds.append(img.std(axis=(0, 1)).tolist())
+            for i in range(b.num_rows):
+                img = decode_image(
+                    pay[i].as_py(), w[i], h[i], c[i], fake, fmt=fmt[i]
+                ).astype(np.float64)
+                means.append(img.mean(axis=(0, 1)))
+                stds.append(img.std(axis=(0, 1)))
                 npx.append(img.shape[0] * img.shape[1])
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(np.int64),
-                    "mean": means,
-                    "std": stds,
-                    "n_pixels": np.asarray(npx, np.int64),
-                }
+            lens = np.fromiter((len(x) for x in means), np.int64, len(means))
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrow_i64(b.column(0)), pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(np.concatenate(means), pa.float64()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(np.concatenate(stds), pa.float64()),
+                    ),
+                    pa.array(np.asarray(npx, np.int64), pa.int64()),
+                ],
+                ["id", "mean", "std", "n_pixels"],
             )
 
     src = df.select("id", "payload", "width", "height", "channels", "format")
-    return src.mapInPandas(
+    return src.mapInArrow(
         feats,
         schema="id bigint, mean array<double>, std array<double>, n_pixels bigint",
     )
@@ -393,31 +413,42 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     waveform. Column pruning: only (id, payload, sample_rate, n_samples)
     are read."""
 
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def feats(batches):
+        # Arrow boundary (r14) — see image_features; stat arithmetic
+        # unchanged, per-row decode unchanged.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
+            pay = b.column(1)
+            sr = b.column(2).to_numpy(zero_copy_only=False)
+            ns = b.column(3).to_numpy(zero_copy_only=False)
+            codec = b.column(4).to_pylist()
             rms, peak, zc, dur = [], [], [], []
-            cols = (pdf["payload"], pdf["sample_rate"], pdf["n_samples"],
-                    pdf["codec"])
-            for payload, sr, ns, codec in zip(*(col.to_numpy() for col in cols)):
-                wave = decode_audio(payload, ns, fake, codec=codec).astype(np.float64)
+            for i in range(b.num_rows):
+                wave = decode_audio(
+                    pay[i].as_py(), ns[i], fake, codec=codec[i]
+                ).astype(np.float64)
                 rms.append(float(np.sqrt(np.mean(wave**2))) if wave.size else 0.0)
                 peak.append(float(np.abs(wave).max()) if wave.size else 0.0)
                 zc.append(int(np.count_nonzero(np.signbit(wave[1:]) != np.signbit(wave[:-1]))))
-                dur.append(float(ns) / float(sr) if sr else 0.0)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(np.int64),
-                    "rms": rms,
-                    "peak": peak,
-                    "zero_crossings": np.asarray(zc, np.int64),
-                    "duration_sec": dur,
-                }
+                dur.append(float(ns[i]) / float(sr[i]) if sr[i] else 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrow_i64(b.column(0)), pa.int64()),
+                    pa.array(rms, pa.float64()),
+                    pa.array(peak, pa.float64()),
+                    pa.array(np.asarray(zc, np.int64), pa.int64()),
+                    pa.array(dur, pa.float64()),
+                ],
+                ["id", "rms", "peak", "zero_crossings", "duration_sec"],
             )
 
     src = df.select("id", "payload", "sample_rate", "n_samples", "codec")
-    return src.mapInPandas(
+    return src.mapInArrow(
         feats,
         schema=(
             "id bigint, rms double, peak double, zero_crossings bigint, "
@@ -451,35 +482,43 @@ def resize_images(
     (Real pipelines re-encode; the plumbing — new payload bytes, updated
     metadata, preserved schema — is what is exercised here.)"""
 
-    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def do(batches):
+        # Arrow boundary (r14) — see image_features; resize arithmetic
+        # unchanged, new payload bytes emitted as one BinaryArray.
+        import pyarrow as pa
+
+        from faiss_spark.kernels import arrow_i64
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            payloads, fmts = [], []
-            cols = (pdf["payload"], pdf["width"], pdf["height"],
-                    pdf["channels"], pdf["format"])
-            for payload, w, h, c, fmt in zip(*(col.to_numpy() for col in cols)):
-                img = decode_image(payload, w, h, c, fake, fmt=fmt)
-                ys = (np.arange(out_h) * h // out_h).astype(int)
-                xs = (np.arange(out_w) * w // out_w).astype(int)
-                resized = img[ys][:, xs]
-                payloads.append(resized.tobytes())
-                fmts.append("raw")
-            out = pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(np.int64),
-                    "payload": payloads,
-                    "format": fmts,
-                    "width": np.full(len(pdf), out_w, np.int32),
-                    "height": np.full(len(pdf), out_h, np.int32),
-                    "channels": pdf["channels"].to_numpy(np.int32),
-                }
+            pay = b.column(1)
+            fmt = b.column(2).to_pylist()
+            w = b.column(3).to_numpy(zero_copy_only=False)
+            h = b.column(4).to_numpy(zero_copy_only=False)
+            c = b.column(5).to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            payloads = []
+            for i in range(n):
+                img = decode_image(pay[i].as_py(), w[i], h[i], c[i], fake, fmt=fmt[i])
+                ys = (np.arange(out_h) * h[i] // out_h).astype(int)
+                xs = (np.arange(out_w) * w[i] // out_w).astype(int)
+                payloads.append(img[ys][:, xs].tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(arrow_i64(b.column(0)), pa.int64()),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(["raw"] * n, pa.string()),
+                    pa.array(np.full(n, out_w, np.int32), pa.int32()),
+                    pa.array(np.full(n, out_h, np.int32), pa.int32()),
+                    pa.array(np.asarray(c, np.int32), pa.int32()),
+                ],
+                ["id", "payload", "format", "width", "height", "channels"],
             )
-            yield out
 
     return df.select(
         "id", "payload", "format", "width", "height", "channels"
-    ).mapInPandas(do, schema=IMAGE_SCHEMA)
+    ).mapInArrow(do, schema=IMAGE_SCHEMA)
 
 
 def sample_video_frames(
